@@ -1,0 +1,99 @@
+"""Mirror of the driver's correctness gate: run every catalog query on Spark
+AND its DuckDB oracle on the same parquet, then compare row counts, column
+names, and values EXACTLY (order-insensitive, columns sorted by name).
+
+Exact equality is intentional — the catalog's determinism policy (decimal-
+routed sums, total orderings) must make Spark and DuckDB agree bit-for-bit;
+if a query can't, it must be redesigned, not tolerated.
+"""
+
+from __future__ import annotations
+
+import datetime
+import math
+
+import duckdb
+import pytest
+
+from dca_manager_spark.plans.queries import QUERIES
+from tests.conftest import SF_SMOKE
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+@pytest.fixture(scope="session")
+def oracle_con():
+    con = duckdb.connect()
+    for name in TABLES:
+        con.execute(
+            f"CREATE VIEW {name} AS SELECT * FROM '{SF_SMOKE}/{name}.parquet'"
+        )
+    yield con
+    con.close()
+
+
+def _norm(value):
+    if isinstance(value, datetime.datetime):
+        return value.replace(tzinfo=None)
+    if isinstance(value, float) and math.isnan(value):
+        return "NaN"
+    if isinstance(value, list):
+        return tuple(_norm(v) for v in value)
+    return value
+
+
+def _canon(columns, rows):
+    """Sort columns by name, normalize values, sort rows by repr key."""
+    order = sorted(range(len(columns)), key=lambda i: columns[i])
+    out = [tuple(_norm(row[i]) for i in order) for row in rows]
+    out.sort(key=lambda r: tuple((v is None, repr(v)) for v in r))
+    return [columns[i] for i in order], out
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_query_matches_oracle(name, spark, oracle_con):
+    qd = QUERIES[name]
+    sdf = qd.fn(spark, SF_SMOKE)
+    spark_rows = [tuple(row) for row in sdf.collect()]
+    spark_cols = list(sdf.columns)
+
+    if qd.oracle is None:
+        # Rows-only check (driver parity for non-SQL-expressible ops).
+        assert len(spark_rows) >= 0
+        return
+
+    rel = oracle_con.sql(qd.oracle)
+    duck_cols = list(rel.columns)
+    duck_rows = rel.fetchall()
+
+    s_cols, s_rows = _canon(spark_cols, spark_rows)
+    d_cols, d_rows = _canon(duck_cols, duck_rows)
+
+    assert s_cols == d_cols, f"{name}: column mismatch {s_cols} vs {d_cols}"
+    assert len(s_rows) == len(d_rows), (
+        f"{name}: row count {len(s_rows)} vs oracle {len(d_rows)}"
+    )
+    mismatches = [
+        (i, a, b) for i, (a, b) in enumerate(zip(s_rows, d_rows)) if a != b
+    ]
+    assert not mismatches, f"{name}: {len(mismatches)} mismatched rows; first: {mismatches[:3]}"
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as mod
+
+    df = mod.entry(spark)
+    rows = df.collect()
+    assert len(rows) >= 0
+    assert df.columns
+
+
+def test_contract_shapes():
+    import __spark_entry__ as mod
+
+    qs = mod.queries()
+    oracles = mod.oracle_sql()
+    assert qs, "queries() must not be empty"
+    assert set(oracles) <= set(qs), "every oracle key must exist in queries()"
