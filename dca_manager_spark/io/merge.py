@@ -55,12 +55,14 @@ class WriteOperation(str, Enum):
             ) from exc
 
 
-def precombine_dedup(df: DataFrame, keys: list[str], precombine: str) -> DataFrame:
+def precombine_dedup(df: DataFrame, keys: list[str], precombine: str,
+                     tiebreaks: list[str] | None = None) -> DataFrame:
     """Hudi precombine: one survivor per key, largest precombine value wins
-    (load_transactions.py:58). Deterministic for ties because the ordering
-    key equals the tie-break column.
+    (load_transactions.py:58). Hudi leaves ties arbitrary; pass ``tiebreaks``
+    (further descending columns) when a deterministic survivor is required.
     """
-    w = Window.partitionBy(*keys).orderBy(F.col(precombine).desc())
+    order = [F.col(precombine).desc()] + [F.col(c).desc() for c in (tiebreaks or [])]
+    w = Window.partitionBy(*keys).orderBy(*order)
     return (
         df.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)

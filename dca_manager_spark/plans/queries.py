@@ -494,3 +494,575 @@ def topk_global_lineitems(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top_k(
         li, 15, F.col("l_extendedprice").desc(), F.col("l_orderkey"), F.col("l_linenumber")
     )
+
+
+# ===========================================================================
+# Set operations (SURVEY §2B "Set operations")
+# ===========================================================================
+
+@query(
+    "set_union_entities",
+    """
+    SELECT c_custkey AS entity_key, c_name AS name, c_acctbal AS acctbal,
+           'customer' AS kind
+    FROM customer
+    UNION ALL
+    SELECT s_suppkey AS entity_key, s_name AS name, s_acctbal AS acctbal,
+           'supplier' AS kind
+    FROM supplier
+    ORDER BY kind, entity_key
+    """,
+)
+def set_union_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """unionByName over heterogeneous sources (pending ∪ complete view
+    analog, SURVEY §2B)."""
+    c = t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("entity_key"),
+        F.col("c_name").alias("name"),
+        F.col("c_acctbal").alias("acctbal"),
+        F.lit("customer").alias("kind"),
+    )
+    s = t(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("entity_key"),
+        F.col("s_name").alias("name"),
+        F.col("s_acctbal").alias("acctbal"),
+        F.lit("supplier").alias("kind"),
+    )
+    return c.unionByName(s).orderBy("kind", "entity_key")
+
+
+@query(
+    "set_intersect_nations",
+    """
+    SELECT c_nationkey AS nationkey FROM customer
+    INTERSECT
+    SELECT s_nationkey AS nationkey FROM supplier
+    ORDER BY nationkey
+    """,
+)
+def set_intersect_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT (distinct semantics)."""
+    c = t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.intersect(s).orderBy("nationkey")
+
+
+@query(
+    "set_except_parts",
+    """
+    SELECT p_partkey FROM part
+    EXCEPT
+    SELECT l_partkey AS p_partkey FROM lineitem WHERE l_quantity > 40
+    ORDER BY p_partkey
+    """,
+)
+def set_except_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT (distinct semantics): parts never shipped in bulk."""
+    p = t(spark, sf_dir, "part").select("p_partkey")
+    l = (
+        t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_quantity") > 40)
+        .select(F.col("l_partkey").alias("p_partkey"))
+    )
+    return p.exceptAll(l.distinct()).distinct().orderBy("p_partkey")
+
+
+@query(
+    "distinct_projection",
+    """
+    SELECT DISTINCT o_custkey, o_orderstatus
+    FROM orders
+    ORDER BY o_custkey, o_orderstatus
+    """,
+)
+def distinct_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct over a projection (deterministic, unlike dropDuplicates
+    which keeps an arbitrary survivor row)."""
+    return (
+        t(spark, sf_dir, "orders")
+        .select("o_custkey", "o_orderstatus")
+        .distinct()
+        .orderBy("o_custkey", "o_orderstatus")
+    )
+
+
+# ===========================================================================
+# Multi-dimensional aggregation: rollup / cube / grouping sets
+# ===========================================================================
+
+@query(
+    "agg_rollup_region_nation",
+    f"""
+    SELECT r.r_name, n.n_name,
+           COUNT(*) AS n_customers,
+           {o_dsum('c.c_acctbal')} AS total_acctbal
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY ROLLUP (r.r_name, n.n_name)
+    ORDER BY r_name NULLS FIRST, n_name NULLS FIRST
+    """,
+)
+def agg_rollup_region_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy subtotals (region -> nation -> grand total)."""
+    c = t(spark, sf_dir, "customer")
+    n = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .rollup("r_name", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            dsum(F.col("c_acctbal")).alias("total_acctbal"),
+        )
+        .orderBy(F.col("r_name").asc_nulls_first(), F.col("n_name").asc_nulls_first())
+    )
+
+
+@query(
+    "agg_cube_status_priority",
+    """
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+    """,
+)
+def agg_cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over two dimensions."""
+    return (
+        t(spark, sf_dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy(
+            F.col("o_orderstatus").asc_nulls_first(),
+            F.col("o_orderpriority").asc_nulls_first(),
+        )
+    )
+
+
+@query(
+    "agg_grouping_sets",
+    """
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+    ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+    """,
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (each dimension alone)."""
+    orders = t(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("__gs_orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders
+        FROM __gs_orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+        ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST
+        """
+    )
+
+
+@query(
+    "agg_collect_sorted",
+    """
+    SELECT r.r_name,
+           string_agg(DISTINCT n.n_name, ',' ORDER BY n.n_name) AS nations
+    FROM nation n
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name
+    ORDER BY r.r_name
+    """,
+)
+def agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """collect_set -> array_sort -> concat_ws: deterministic list aggregation
+    (cross-engine-safe string form)."""
+    n = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region")
+    return (
+        n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(F.concat_ws(",", F.array_sort(F.collect_set("n_name"))).alias("nations"))
+        .orderBy("r_name")
+    )
+
+
+@query(
+    "agg_median_price",
+    """
+    SELECT l_returnflag,
+           quantile_cont(FLOOR(l_extendedprice * 100), 0.5) / 100 AS median_price,
+           quantile_cont(FLOOR(l_quantity * 100), 0.5) / 100 AS median_qty
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def agg_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated median over cent-quantized values: interpolation
+    arithmetic on integers (+/- exact .5 fractions) is bit-exact in both
+    engines, unlike raw-double percentiles."""
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            (F.expr("percentile(FLOOR(l_extendedprice * 100), 0.5)") / 100).alias("median_price"),
+            (F.expr("percentile(FLOOR(l_quantity * 100), 0.5)") / 100).alias("median_qty"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+# ===========================================================================
+# Scalar function families (SURVEY §2B "Scalar functions")
+# ===========================================================================
+
+@query(
+    "scalar_string_funcs",
+    """
+    SELECT p_partkey,
+           lower(p_name) AS name_lower,
+           upper(p_brand) AS brand_upper,
+           substring(p_name, 1, 8) AS name_prefix,
+           length(p_name) AS name_len,
+           concat(p_brand, ':', p_type) AS brand_type,
+           replace(p_type, ' ', '_') AS type_snake
+    FROM part
+    WHERE p_partkey < 200
+    ORDER BY p_partkey
+    """,
+)
+def scalar_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String family: lower/upper/substring/length/concat/replace (the
+    reference lowercases exchange names for paths, cmd/execute_orders/
+    main.go:174)."""
+    return (
+        t(spark, sf_dir, "part")
+        .filter(F.col("p_partkey") < 200)
+        .select(
+            "p_partkey",
+            F.lower("p_name").alias("name_lower"),
+            F.upper("p_brand").alias("brand_upper"),
+            F.substring("p_name", 1, 8).alias("name_prefix"),
+            F.length("p_name").alias("name_len"),
+            F.concat(F.col("p_brand"), F.lit(":"), F.col("p_type")).alias("brand_type"),
+            F.regexp_replace(F.col("p_type"), " ", "_").alias("type_snake"),
+        )
+        .orderBy("p_partkey")
+    )
+
+
+@query(
+    "scalar_date_funcs",
+    """
+    SELECT o_orderkey,
+           year(o_orderdate) AS order_year,
+           month(o_orderdate) AS order_month,
+           day(o_orderdate) AS order_day,
+           CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
+           CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s
+    FROM orders
+    WHERE o_orderkey < 500
+    ORDER BY o_orderkey
+    """,
+)
+def scalar_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time family: year/month/day extraction, month truncation,
+    unix-epoch conversion (the A4 from_unixtime transform family)."""
+    return (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") < 500)
+        .select(
+            "o_orderkey",
+            F.year("o_orderdate").alias("order_year"),
+            F.month("o_orderdate").alias("order_month"),
+            F.dayofmonth("o_orderdate").alias("order_day"),
+            F.date_trunc("month", F.col("o_orderdate")).alias("month_start"),
+            F.unix_timestamp(F.col("o_orderdate")).alias("epoch_s"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+@query(
+    "scalar_case_banding",
+    f"""
+    SELECT CASE WHEN c_acctbal < 0 THEN 'negative'
+                WHEN c_acctbal < 5000 THEN 'low'
+                WHEN c_acctbal < 8000 THEN 'mid'
+                ELSE 'high' END AS band,
+           COUNT(*) AS n_customers,
+           {o_dsum('c_acctbal')} AS total_bal
+    FROM customer
+    GROUP BY 1
+    ORDER BY band
+    """,
+)
+def scalar_case_banding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional expressions (F.when chains) + aggregation."""
+    band = (
+        F.when(F.col("c_acctbal") < 0, "negative")
+        .when(F.col("c_acctbal") < 5000, "low")
+        .when(F.col("c_acctbal") < 8000, "mid")
+        .otherwise("high")
+    )
+    return (
+        t(spark, sf_dir, "customer")
+        .groupBy(band.alias("band"))
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            dsum(F.col("c_acctbal")).alias("total_bal"),
+        )
+        .orderBy("band")
+    )
+
+
+@query(
+    "scalar_json_extract",
+    f"""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+           {o_dsum('value')} AS total_value
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def scalar_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON family: get_json_object over the string props column (the
+    reference marshals/unmarshals JSON everywhere; additional_columns parse
+    at load_transactions.py:101)."""
+    return (
+        t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.get_json_object("props", "$.k").cast("bigint")).alias("sum_k"),
+            dsum(F.col("value")).alias("total_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ===========================================================================
+# As-of / range / theta / cross joins
+# ===========================================================================
+
+@query(
+    "asof_join_purchase_view",
+    """
+    SELECT p.user_id, p.event_id, p.ts,
+           v.event_id AS view_event_id, v.ts AS view_ts
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+      ON p.user_id = v.user_id AND p.ts >= v.ts
+    ORDER BY p.user_id, p.ts, p.event_id
+    """,
+)
+def asof_join_purchase_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: latest view at or before each purchase, per user
+    (SURVEY §2B 'as-of join'). Union+window formulation — one shuffle,
+    no row explosion (operators/relational.py)."""
+    from dca_manager_spark.operators.relational import asof_join
+
+    events = t(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts"
+    )
+    views = events.filter(F.col("event_type") == "view").select(
+        "user_id",
+        F.col("event_id").alias("view_event_id"),
+        F.col("ts").alias("view_ts"),
+    )
+    return asof_join(
+        purchases, views, left_on="ts", right_on="view_ts", by=["user_id"]
+    ).orderBy("user_id", "ts", "event_id")
+
+
+@query(
+    "range_join_purchase_clicks",
+    f"""
+    SELECT p.event_id AS purchase_id,
+           COUNT(*) AS n_clicks,
+           {o_dsum('c.value')} AS click_value
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id
+     AND c.ts >= p.ts - INTERVAL 1 HOUR
+     AND c.ts < p.ts
+    GROUP BY p.event_id
+    ORDER BY purchase_id
+    """,
+)
+def range_join_purchase_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval join: clicks in the hour before each purchase. Bucketized to
+    an equi join on (user, hour-bucket) so it never degenerates into a
+    nested-loop join at scale (operators/relational.py range_join)."""
+    from dca_manager_spark.operators.relational import range_join
+
+    events = t(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.expr("ts - INTERVAL 1 HOUR").alias("win_lo"),
+        F.col("ts").alias("win_hi"),
+    )
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "value"
+    )
+    joined = range_join(
+        clicks,
+        purchases,
+        on=["user_id"],
+        left_ts="ts",
+        right_lo="win_lo",
+        right_hi="win_hi",
+        bucket_width_seconds=3600,
+    )
+    return (
+        joined.groupBy("purchase_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_clicks"),
+            dsum(F.col("value")).alias("click_value"),
+        )
+        .orderBy("purchase_id")
+    )
+
+
+@query(
+    "theta_join_regions",
+    """
+    SELECT r.r_name, COUNT(*) AS n_higher_nations
+    FROM region r
+    JOIN nation n ON n.n_regionkey > r.r_regionkey
+    GROUP BY r.r_name
+    ORDER BY r.r_name
+    """,
+)
+def theta_join_regions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-equi (theta) join -> BroadcastNestedLoopJoin on a broadcastable
+    side (the only sane physical plan for pure theta joins)."""
+    r = t(spark, sf_dir, "region")
+    n = t(spark, sf_dir, "nation")
+    return (
+        r.join(F.broadcast(n), n.n_regionkey > r.r_regionkey)
+        .groupBy("r_name")
+        .agg(F.count(F.lit(1)).alias("n_higher_nations"))
+        .orderBy("r_name")
+    )
+
+
+@query(
+    "cross_join_region_types",
+    """
+    SELECT r.r_name, pt.p_type
+    FROM region r
+    CROSS JOIN (SELECT DISTINCT p_type FROM part) pt
+    ORDER BY r.r_name, pt.p_type
+    """,
+)
+def cross_join_region_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit cross join (dimension scaffold pattern)."""
+    r = t(spark, sf_dir, "region").select("r_name")
+    pt = t(spark, sf_dir, "part").select("p_type").distinct()
+    return r.crossJoin(pt).orderBy("r_name", "p_type")
+
+
+# ===========================================================================
+# Merge-semantics + streaming-shape queries
+# ===========================================================================
+
+@query(
+    "precombine_dedup_lineitem",
+    """
+    SELECT l_orderkey, l_linenumber, l_quantity
+    FROM (
+        SELECT l_orderkey, l_linenumber, l_quantity,
+               ROW_NUMBER() OVER (PARTITION BY l_orderkey
+                                  ORDER BY l_linenumber DESC,
+                                           l_quantity DESC,
+                                           l_extendedprice DESC,
+                                           l_partkey DESC,
+                                           l_suppkey DESC) AS rn
+        FROM lineitem
+    )
+    WHERE rn = 1
+    ORDER BY l_orderkey
+    """,
+)
+def precombine_dedup_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hudi precombine semantics as a query (SURVEY §1.5): one survivor per
+    key, largest precombine value wins. Exercises the engine's actual
+    merge-path code (io/merge.py precombine_dedup)."""
+    from dca_manager_spark.io.merge import precombine_dedup
+
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_partkey", "l_suppkey"
+    )
+    return (
+        precombine_dedup(
+            li,
+            keys=["l_orderkey"],
+            precombine="l_linenumber",
+            tiebreaks=["l_quantity", "l_extendedprice", "l_partkey", "l_suppkey"],
+        )
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+        .orderBy("l_orderkey")
+    )
+
+
+@query(
+    "tumbling_window_events",
+    f"""
+    SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+           event_type,
+           COUNT(*) AS n_events,
+           {o_dsum('value')} AS total_value
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY window_start, event_type
+    """,
+)
+def tumbling_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling event-time window aggregation — the batch shape of the
+    Structured-Streaming windowed agg (SURVEY §2B streaming table)."""
+    return (
+        t(spark, sf_dir, "events")
+        .groupBy(F.window("ts", "1 hour").alias("w"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum(F.col("value")).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+        .orderBy("window_start", "event_type")
+    )
+
+
+@query(
+    "scalar_subquery_above_avg",
+    f"""
+    SELECT c_custkey, c_name, c_acctbal
+    FROM customer
+    WHERE c_acctbal > (SELECT {o_davg('c_acctbal')} FROM customer)
+    ORDER BY c_custkey
+    """,
+)
+def scalar_subquery_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar subquery: customers above the global average balance —
+    expressed as a broadcast of a 1-row aggregate, never a driver collect."""
+    c = t(spark, sf_dir, "customer")
+    avg_bal = c.agg(davg(F.col("c_acctbal")).alias("__avg"))
+    return (
+        c.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("__avg"))
+        .select("c_custkey", "c_name", "c_acctbal")
+        .orderBy("c_custkey")
+    )
