@@ -1,0 +1,307 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash+LSH, SimHash,
+embedding-cosine — the dedup family a 100 TB training-data pipeline needs.
+
+Scale design notes (per operator):
+- exact      : hash-groupBy — one shuffle on the key hash, map-side combine.
+- jaccard    : shingle explode + self-join on shingle. Exact but quadratic
+               in the worst case — use on bounded subsets or AFTER LSH.
+- minhash+lsh: the scale path. Signatures are per-row array expressions
+               (no shuffle); banding turns near-dup search into an equi
+               join on (band_idx, band_hash) — candidates only, verified
+               with exact Jaccard on the candidate pairs. Complexity is
+               driven by bucket sizes, not n^2.
+- simhash    : per-row 64-bit sketch via higher-order functions; near-dups
+               = small Hamming distance; bucketable by bit-prefix.
+- embedding  : exact cosine on quantized integer products (deterministic),
+               or sign-LSH bucketed for scale (similarity.py).
+
+No UDFs anywhere — everything is Spark built-in expressions, so Tungsten
+codegen applies and Python never touches row data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+def exact_dedup(
+    df: DataFrame,
+    key_cols: list[str],
+    order_col: str,
+    keep: str = "min",
+) -> DataFrame:
+    """Keep one deterministic survivor per key: the row with min (or max)
+    ``order_col``. A window row_number — NOT dropDuplicates, whose survivor
+    is partition-order-dependent."""
+    order = F.col(order_col).asc() if keep == "min" else F.col(order_col).desc()
+    w = Window.partitionBy(*key_cols).orderBy(order)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def exact_dedup_by_content(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Exact content dedup: group identical texts by md5, keep the lowest id.
+    Adds ``n_copies`` so downstream can weight survivors."""
+    h = F.md5(F.col(text_col))
+    w = Window.partitionBy(h)
+    return (
+        df.withColumn("__rn", F.row_number().over(w.orderBy(F.col(id_col).asc())))
+        .withColumn("n_copies", F.count(F.lit(1)).over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Shingling + exact n-gram Jaccard
+# ---------------------------------------------------------------------------
+
+def char_shingles(col: Column, k: int = 3) -> Column:
+    """Distinct character k-grams of lower(text) as an array column."""
+    low = F.lower(col)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length(low) - (k - 1), F.lit(1))),
+        lambda i: low.substr(i, F.lit(k)),
+    )
+    return F.array_distinct(grams)
+
+
+def word_shingles(col: Column, k: int = 3) -> Column:
+    """Distinct word k-grams (space-joined) — ~10x fewer shingles than
+    char-grams on prose; the standard unit for document-level MinHash."""
+    from dca_manager_spark.operators.text import tokens
+
+    tok = tokens(F.lower(col))
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(tok) - k, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(tok, i + 1, k)),
+    )
+    return F.array_distinct(grams)
+
+
+def shingles(col: Column, mode: str = "char", k: int = 3) -> Column:
+    if mode == "char":
+        return char_shingles(col, k)
+    if mode == "word":
+        return word_shingles(col, k)
+    raise ValueError("mode must be 'char' or 'word'")
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    threshold: float = 0.6,
+    mode: str = "char",
+) -> DataFrame:
+    """Exact Jaccard-similar pairs via shingle self-join.
+
+    Returns (id_a, id_b, n_inter, n_a, n_b, jaccard) with id_a < id_b and
+    jaccard >= threshold. The join key is the shingle, so only pairs that
+    share at least one shingle are ever materialized; counts are exact.
+    Jaccard is computed from integer counts — deterministic double division.
+    """
+    shingled = df.select(
+        F.col(id_col).alias("__id"), shingles(F.col(text_col), mode, k).alias("__sh")
+    )
+    sizes = shingled.select("__id", F.size("__sh").alias("__n"))
+    exploded = shingled.select("__id", F.explode("__sh").alias("__g"))
+
+    a, b = exploded.alias("a"), exploded.alias("b")
+    inter = (
+        a.join(b, (F.col("a.__g") == F.col("b.__g")) & (F.col("a.__id") < F.col("b.__id")))
+        .groupBy(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col("__id").alias("id_a"), F.col("__n").alias("n_a"))
+    sb = sizes.select(F.col("__id").alias("id_b"), F.col("__n").alias("n_b"))
+    out = (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_inter").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return out.select("id_a", "id_b", "n_inter", "n_a", "n_b", "jaccard")
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+_MASK32 = 0xFFFFFFFF
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 64,
+    k: int = 3,
+    mode: str = "word",
+) -> DataFrame:
+    """Per-document MinHash signature as ``num_hashes`` columns h0..h{n-1}.
+
+    Scale formulation: explode distinct shingles once, compute TWO base
+    hashes per shingle (xxhash64 masked to 32 bits), then derive every
+    permutation as ``min(m1 + s*m2)`` via codegen'd min-aggregates
+    (Kirsch-Mitzenmacher double hashing). Cost is 2 real hashes per shingle
+    + cheap multiply-adds — not num_hashes full hash passes, and the whole
+    thing is one explode + one groupBy, no interpreted HOF folds.
+    """
+    grams = df.select(
+        F.col(id_col).alias("__id"),
+        F.explode(shingles(F.col(text_col), mode, k)).alias("__g"),
+    )
+    hashed = grams.select(
+        "__id",
+        F.xxhash64("__g").bitwiseAND(F.lit(_MASK32)).alias("__m1"),
+        F.xxhash64("__g", F.lit(1)).bitwiseAND(F.lit(_MASK32)).alias("__m2"),
+    )
+    aggs = [
+        F.min(F.col("__m1") + s * F.col("__m2")).alias(f"h{s}")
+        for s in range(num_hashes)
+    ]
+    return hashed.groupBy("__id").agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 64,
+    bands: int = 16,
+    k: int = 3,
+    threshold: float = 0.6,
+    mode: str = "word",
+) -> DataFrame:
+    """Near-dup pairs via MinHash banding, verified with exact Jaccard.
+
+    bands=16 over 64 hashes => r=4 rows/band; the S-curve gives ~50%
+    candidate probability at jaccard ≈ (1/16)^(1/4) ≈ 0.5. Candidates are
+    an equi join on (band, band_hash); only candidate pairs pay the exact
+    verification (array_intersect on the distinct shingle sets).
+    """
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(df, id_col, text_col, num_hashes, k, mode)
+    band_hashes = F.array(
+        *[
+            F.xxhash64(
+                F.concat_ws(
+                    ",",
+                    *[
+                        F.col(f"h{b * rows_per_band + r}").cast("string")
+                        for r in range(rows_per_band)
+                    ],
+                )
+            )
+            for b in range(bands)
+        ]
+    )
+    banded = sigs.select("__id", F.posexplode(band_hashes).alias("__band", "__bh"))
+    cand = (
+        banded.alias("x")
+        .join(
+            banded.alias("y"),
+            (F.col("x.__band") == F.col("y.__band"))
+            & (F.col("x.__bh") == F.col("y.__bh"))
+            & (F.col("x.__id") < F.col("y.__id")),
+        )
+        .select(F.col("x.__id").alias("id_a"), F.col("y.__id").alias("id_b"))
+        .distinct()
+    )
+    sh = df.select(
+        F.col(id_col).alias("__id"), shingles(F.col(text_col), mode, k).alias("__sh")
+    )
+    verified = (
+        cand.join(sh.select(F.col("__id").alias("id_a"), F.col("__sh").alias("__sha")), "id_a")
+        .join(sh.select(F.col("__id").alias("id_b"), F.col("__sh").alias("__shb")), "id_b")
+        .withColumn("n_inter", F.size(F.array_intersect("__sha", "__shb")))
+        .withColumn("n_a", F.size("__sha"))
+        .withColumn("n_b", F.size("__shb"))
+        .withColumn(
+            "jaccard",
+            F.col("n_inter").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return verified.select("id_a", "id_b", "n_inter", "n_a", "n_b", "jaccard")
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def simhash64(col: Column | str) -> Column:
+    """64-bit SimHash of the token set, as a long — pure expression fold:
+    per token, xxhash64; per bit, +1/-1 vote; sign of each vote -> bit.
+
+    Built as a SQL expression because shift-by-a-lambda-variable is only
+    expressible in SQL (the Python shiftleft/shiftright wrappers require a
+    literal int shift). Still 100% JVM-side, no UDF.
+    """
+    name = col if isinstance(col, str) else col._jc.toString()
+    toks = rf"filter(split(trim(lower({name})), '\\s+'), x -> x != '')"
+    votes = f"""
+      aggregate(
+        {toks},
+        array_repeat(0L, 64),
+        (acc, w) -> zip_with(
+          acc,
+          transform(sequence(0, 63),
+                    i -> IF((shiftright(xxhash64(w), i) & 1) = 1, 1L, -1L)),
+          (a, v) -> a + v))
+    """
+    return F.expr(
+        f"""
+        aggregate(
+          zip_with({votes}, sequence(0, 63),
+                   (vote, i) -> IF(vote > 0, shiftleft(1L, i), 0L)),
+          0L, (acc, v) -> acc | v)
+        """
+    )
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    """Hamming distance between two 64-bit sketches: popcount via bit_count."""
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_pairs(
+    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 8, prefix_bits: int = 12
+) -> DataFrame:
+    """Near-dup candidates by SimHash: bucket on the top ``prefix_bits`` of
+    the sketch (scale path — equi join), then filter by Hamming distance.
+    Note prefix bucketing is approximate: pairs differing inside the prefix
+    are missed; run multiple rotations for higher recall."""
+    sk = df.select(
+        F.col(id_col).alias("__id"), simhash64(F.col(text_col)).alias("__sk")
+    ).withColumn("__bucket", F.shiftrightunsigned(F.col("__sk"), 64 - prefix_bits))
+    pairs = (
+        sk.alias("x")
+        .join(
+            sk.alias("y"),
+            (F.col("x.__bucket") == F.col("y.__bucket"))
+            & (F.col("x.__id") < F.col("y.__id")),
+        )
+        .select(
+            F.col("x.__id").alias("id_a"),
+            F.col("y.__id").alias("id_b"),
+            hamming64(F.col("x.__sk"), F.col("y.__sk")).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+    )
+    return pairs

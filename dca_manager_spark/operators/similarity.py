@@ -1,0 +1,217 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two paths, per the scale doctrine:
+- **Brute-force cosine top-k** — the exact baseline. Per-pair work is a
+  single array expression (zip_with product fold); the query side is tiny
+  and broadcast, so the plan is a BroadcastNestedLoopJoin with vectorized
+  per-row arithmetic and a TakeOrdered-style windowed top-k. Exact, and
+  fine whenever |queries| x |corpus| fits compute.
+- **Sign-LSH (random hyperplane) bucketed ANN** — the 100 TB path: hash
+  every vector to a b-bit signature of dot-product signs against
+  deterministic pseudo-random hyperplanes (xxhash64-derived, so both the
+  planes and the buckets are reproducible with no stored model); candidates
+  = equi join on bucket; exact cosine only on candidates.
+
+Determinism policy (oracle-exact): cosine is computed from INTEGER-quantized
+element products — floor(x*y*1e12) per element is IEEE-exact in every
+engine, the integer sum is order-independent, and the final
+dot/sqrt(na)/sqrt(nb) is a fixed sequence of double ops. Bit-identical
+between Spark and DuckDB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+SCALE = 1_000_000_000_000  # 1e12: float32 products keep full precision
+
+
+def as_double_vec(col: Column) -> Column:
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def qnorm(col: Column) -> Column:
+    """Quantized squared norm: sum of floor(x*x*1e12) as long."""
+    return F.aggregate(
+        F.transform(as_double_vec(col), lambda x: F.floor(x * x * F.lit(SCALE)).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
+def qdot(a: Column, b: Column) -> Column:
+    """Quantized dot product: sum of floor(x*y*1e12) as long."""
+    return F.aggregate(
+        F.zip_with(
+            as_double_vec(a),
+            as_double_vec(b),
+            lambda x, y: F.floor(x * y * F.lit(SCALE)).cast("long"),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
+def qcosine(dot_q: Column, norm_a: Column, norm_b: Column) -> Column:
+    """Deterministic cosine from quantized integers: one division, two
+    sqrts, one multiply — fixed double op sequence."""
+    return dot_q.cast("double") / (
+        F.sqrt(norm_a.cast("double")) * F.sqrt(norm_b.cast("double"))
+    )
+
+
+def cosine_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    query_id: str,
+    corpus_id: str,
+    query_vec: str = "embedding",
+    corpus_vec: str = "embedding",
+    k: int = 10,
+) -> DataFrame:
+    """Exact brute-force cosine top-k: for each query vector, the k nearest
+    corpus vectors (self-matches excluded when ids collide).
+
+    Returns (query_id, corpus_id, cosine, rank). Total tie-break on
+    (cosine desc, corpus_id) keeps the result set unique.
+    """
+    q = queries.select(
+        F.col(query_id).alias("__qid"),
+        F.col(query_vec).alias("__qv"),
+        qnorm(F.col(query_vec)).alias("__qn"),
+    )
+    c = corpus.select(
+        F.col(corpus_id).alias("__cid"),
+        F.col(corpus_vec).alias("__cv"),
+        qnorm(F.col(corpus_vec)).alias("__cn"),
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("__qid") != F.col("__cid"))
+        .withColumn("cosine", qcosine(qdot(F.col("__qv"), F.col("__cv")), F.col("__qn"), F.col("__cn")))
+    )
+    w = Window.partitionBy("__qid").orderBy(F.col("cosine").desc(), F.col("__cid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("__qid").alias(query_id),
+            F.col("__cid").alias(corpus_id),
+            "cosine",
+            "rank",
+        )
+    )
+
+
+def cosine_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str = "embedding",
+    threshold: float = 0.4,
+) -> DataFrame:
+    """Embedding near-dup pairs: all (a < b) with cosine >= threshold.
+    Brute force (n^2/2) — the exact baseline; use lsh_ann buckets first at
+    scale."""
+    base = df.select(
+        F.col(id_col).alias("__id"),
+        F.col(vec_col).alias("__v"),
+        qnorm(F.col(vec_col)).alias("__n"),
+    )
+    a, b = base.alias("a"), base.alias("b")
+    return (
+        a.join(b, F.col("a.__id") < F.col("b.__id"))
+        .withColumn(
+            "cosine",
+            qcosine(
+                qdot(F.col("a.__v"), F.col("b.__v")), F.col("a.__n"), F.col("b.__n")
+            ),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .select(
+            F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"), "cosine"
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sign-LSH bucketed ANN (the scale path)
+# ---------------------------------------------------------------------------
+
+def _hyperplane_component(plane: int, dim_index: Column) -> Column:
+    """Deterministic pseudo-random hyperplane component in [-1, 1):
+    xxhash64(plane, dim) scaled. Reproducible everywhere, no stored model."""
+    h = F.xxhash64(F.lit(plane), dim_index)
+    return (h % F.lit(1_000_003)).cast("double") / F.lit(1_000_003.0)
+
+
+def sign_lsh_signature(vec: Column, num_planes: int = 16) -> Column:
+    """b-bit random-hyperplane signature as a long: bit p = sign of
+    dot(vec, plane_p)."""
+    dv = as_double_vec(vec)
+    bits = []
+    for p in range(num_planes):
+        dot = F.aggregate(
+            F.zip_with(
+                dv,
+                F.transform(
+                    F.sequence(F.lit(0), F.size(dv) - 1),
+                    lambda i, p=p: _hyperplane_component(p, i),
+                ),
+                lambda x, w: x * w,
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        bits.append(
+            F.when(dot > 0, F.shiftleft(F.lit(1).cast("long"), p)).otherwise(
+                F.lit(0).cast("long")
+            )
+        )
+    sig = bits[0]
+    for b in bits[1:]:
+        sig = sig.bitwiseOR(b)
+    return sig
+
+
+def lsh_ann_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    query_id: str,
+    corpus_id: str,
+    vec_col: str = "embedding",
+    k: int = 10,
+    num_planes: int = 12,
+) -> DataFrame:
+    """Approximate top-k: candidates share the full LSH bucket; exact
+    quantized cosine ranks candidates. Recall rises with fewer planes
+    (bigger buckets) or multiple tables; this single-table form is the
+    building block."""
+    q = queries.select(
+        F.col(query_id).alias("__qid"),
+        F.col(vec_col).alias("__qv"),
+        qnorm(F.col(vec_col)).alias("__qn"),
+        sign_lsh_signature(F.col(vec_col), num_planes).alias("__sig"),
+    )
+    c = corpus.select(
+        F.col(corpus_id).alias("__cid"),
+        F.col(vec_col).alias("__cv"),
+        qnorm(F.col(vec_col)).alias("__cn"),
+        sign_lsh_signature(F.col(vec_col), num_planes).alias("__sig"),
+    )
+    scored = (
+        c.join(F.broadcast(q), on="__sig")
+        .filter(F.col("__qid") != F.col("__cid"))
+        .withColumn(
+            "cosine",
+            qcosine(qdot(F.col("__qv"), F.col("__cv")), F.col("__qn"), F.col("__cn")),
+        )
+    )
+    w = Window.partitionBy("__qid").orderBy(F.col("cosine").desc(), F.col("__cid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("__qid").alias(query_id), F.col("__cid").alias(corpus_id), "cosine", "rank"
+        )
+    )

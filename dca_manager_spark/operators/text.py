@@ -1,0 +1,134 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+Everything is built-in `pyspark.sql.functions` expressions — JVM-side,
+whole-stage-codegen'd, zero Python in the hot path. Each helper returns a
+Column so operators compose into any plan.
+
+Cross-engine determinism: counts and ratios are integer counts + single
+double divisions, bit-identical in Spark and DuckDB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Marker stopwords per language for the n-gram/stopword language-ID
+# heuristic. Deliberately small + deterministic.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "a", "and", "of", "to", "in", "is"],
+    "de": ["der", "die", "das", "und", "ist", "nicht"],
+    "fr": ["le", "la", "les", "et", "est", "une"],
+    "es": ["el", "los", "las", "y", "es", "una"],
+    "zh": ["的", "是", "了", "在", "和"],
+}
+
+EN_STOPWORDS = LANG_MARKERS["en"] + ["it", "that", "for", "on", "with", "as"]
+
+
+def tokens(col: Column) -> Column:
+    """Whitespace tokenization (empty-safe): split on runs of whitespace,
+    drop empty tokens from leading/trailing space."""
+    return F.filter(F.split(F.trim(col), r"\s+"), lambda x: x != "")
+
+
+def token_count(col: Column) -> Column:
+    return F.size(tokens(col))
+
+
+def bpe_ish_token_count(col: Column) -> Column:
+    """BPE-ish token estimate: count word-piece-like units (letter runs,
+    digit runs, single punctuation marks) — a deterministic regex proxy for
+    subword tokenizers."""
+    units = F.split(
+        F.regexp_replace(F.lower(col), r"([a-z]+|[0-9]+|[^a-z0-9\s])", "$1"),
+        "",
+    )
+    return F.size(F.filter(units, lambda x: F.trim(x) != ""))
+
+
+def punct_ratio(col: Column) -> Column:
+    """Fraction of characters that are punctuation."""
+    puncts = F.length(F.regexp_replace(col, r"[^.,!?;:'\"()-]", ""))
+    return puncts.cast("double") / F.greatest(F.length(col), F.lit(1)).cast("double")
+
+
+def stopword_count(col: Column, stopwords: list[str] | None = None) -> Column:
+    words = F.array(*[F.lit(w) for w in (stopwords or EN_STOPWORDS)])
+    return F.size(F.filter(tokens(F.lower(col)), lambda x: F.array_contains(words, x)))
+
+
+def stopword_ratio(col: Column, stopwords: list[str] | None = None) -> Column:
+    return stopword_count(col, stopwords).cast("double") / F.greatest(
+        token_count(col), F.lit(1)
+    ).cast("double")
+
+
+def quality_score(col: Column) -> Column:
+    """Composite quality heuristic in [0,1]-ish: rewards stopword presence
+    (naturalness) and mid-range length, penalizes punctuation soup.
+    Deterministic double arithmetic (fixed op order, no accumulation).
+    """
+    length_score = F.least(F.length(col).cast("double") / 500.0, F.lit(1.0))
+    return (
+        0.4 * stopword_ratio(col) + 0.4 * length_score + 0.2 * (1.0 - punct_ratio(col))
+    )
+
+
+def lang_scores(col: Column) -> dict[str, Column]:
+    """Per-language marker-stopword hit counts."""
+    low = F.lower(col)
+    return {lang: stopword_count(low, words) for lang, words in LANG_MARKERS.items()}
+
+
+def lang_id(col: Column) -> Column:
+    """Argmax language by marker hits; deterministic tie order (iteration
+    order of LANG_MARKERS); 'und' when nothing matches."""
+    scores = lang_scores(col)
+    best_lang = F.lit("und")
+    best_score = F.lit(0)
+    for lang, score in scores.items():
+        is_better = score > best_score
+        best_lang = F.when(is_better, F.lit(lang)).otherwise(best_lang)
+        best_score = F.when(is_better, score).otherwise(best_score)
+    return best_lang
+
+
+def normalize_text(col: Column) -> Column:
+    """Canonical form for fingerprinting: lowercase, strip non-alnum."""
+    return F.regexp_replace(F.lower(col), r"[^a-z0-9]", "")
+
+
+def fingerprint_md5(col: Column) -> Column:
+    """Document fingerprint: md5 of the normalized text (identical hex in
+    every engine — the cross-checkable fingerprint)."""
+    return F.md5(normalize_text(col))
+
+
+def fingerprint_rolling(col: Column, base: int = 31, mod: int = 1_000_000_007) -> Column:
+    """Polynomial rolling hash over the normalized text's characters —
+    computed entirely with higher-order functions (no UDF): fold
+    ``acc = (acc * base + ascii(char)) % mod`` over the character array.
+    The modulus keeps ``acc * base`` far below 2^63 (ANSI-mode safe).
+    """
+    chars = F.split(normalize_text(col), "")
+    return F.aggregate(
+        F.filter(chars, lambda c: c != ""),
+        F.lit(0).cast("long"),
+        lambda acc, c: (acc * base + F.ascii(c)) % F.lit(mod).cast("long"),
+    )
+
+
+def with_text_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Convenience projection adding the full feature set."""
+    c = F.col(text_col)
+    return df.select(
+        "*",
+        token_count(c).alias("n_tokens"),
+        bpe_ish_token_count(c).alias("n_bpe_tokens"),
+        punct_ratio(c).alias("punct_ratio"),
+        stopword_ratio(c).alias("stopword_ratio"),
+        quality_score(c).alias("quality"),
+        lang_id(c).alias("pred_lang"),
+        fingerprint_md5(c).alias("fingerprint"),
+    )

@@ -1066,3 +1066,296 @@ def scalar_subquery_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("c_custkey", "c_name", "c_acctbal")
         .orderBy("c_custkey")
     )
+
+
+# ===========================================================================
+# Training-data pipeline: text analysis / dedup / similarity (first-class
+# operators beyond the reference's own surface — BASELINE.json north star)
+# ===========================================================================
+
+# Shared SQL fragments mirroring operators/text.py EXACTLY (same op order).
+_TOKENS = r"list_filter(string_split_regex(trim({c}), '\s+'), x -> x != '')"
+_EN_WORDS = "['the','a','and','of','to','in','is','it','that','for','on','with','as']"
+_PUNCT_RE = """[^.,!?;:''"()-]"""
+
+
+def _sw_count(c: str, words: str) -> str:
+    toks = _TOKENS.format(c=f"lower({c})")
+    return f"len(list_filter({toks}, x -> list_contains({words}, x)))"
+
+
+@query(
+    "text_features",
+    f"""
+    WITH f AS (
+      SELECT doc_id,
+             len({_TOKENS.format(c='text')}) AS n_tokens,
+             CAST(length(regexp_replace(text, '{_PUNCT_RE}', '', 'g')) AS DOUBLE)
+               / CAST(greatest(length(text), 1) AS DOUBLE) AS punct_ratio,
+             CAST({_sw_count('text', _EN_WORDS)} AS DOUBLE)
+               / CAST(greatest(len({_TOKENS.format(c='text')}), 1) AS DOUBLE) AS stopword_ratio,
+             least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) AS length_score,
+             md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fingerprint
+      FROM documents
+    )
+    SELECT doc_id, n_tokens, punct_ratio, stopword_ratio,
+           0.4 * stopword_ratio + 0.4 * length_score + 0.2 * (1.0 - punct_ratio)
+             AS quality,
+           fingerprint
+    FROM f
+    ORDER BY doc_id
+    """,
+)
+def text_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text-analysis feature set: token count, punctuation ratio, stopword
+    ratio, composite quality score, md5 fingerprint — all built-in
+    expressions (operators/text.py), zero Python in the row path."""
+    from dca_manager_spark.operators import text as TX
+
+    c = F.col("text")
+    length_score = F.least(F.length(c).cast("double") / 500.0, F.lit(1.0))
+    return (
+        t(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            TX.token_count(c).alias("n_tokens"),
+            TX.punct_ratio(c).alias("punct_ratio"),
+            TX.stopword_ratio(c).alias("stopword_ratio"),
+            (
+                0.4 * TX.stopword_ratio(c)
+                + 0.4 * length_score
+                + 0.2 * (1.0 - TX.punct_ratio(c))
+            ).alias("quality"),
+            TX.fingerprint_md5(c).alias("fingerprint"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "text_lang_id",
+    f"""
+    WITH s AS (
+      SELECT doc_id, lang,
+             {_sw_count('text', "['the','a','and','of','to','in','is']")} AS s_en,
+             {_sw_count('text', "['der','die','das','und','ist','nicht']")} AS s_de,
+             {_sw_count('text', "['le','la','les','et','est','une']")} AS s_fr,
+             {_sw_count('text', "['el','los','las','y','es','una']")} AS s_es,
+             {_sw_count('text', "['的','是','了','在','和']")} AS s_zh
+      FROM documents
+    )
+    SELECT doc_id, lang,
+           CASE WHEN greatest(s_en, s_de, s_fr, s_es, s_zh) = 0 THEN 'und'
+                WHEN s_en = greatest(s_en, s_de, s_fr, s_es, s_zh) THEN 'en'
+                WHEN s_de = greatest(s_en, s_de, s_fr, s_es, s_zh) THEN 'de'
+                WHEN s_fr = greatest(s_en, s_de, s_fr, s_es, s_zh) THEN 'fr'
+                WHEN s_es = greatest(s_en, s_de, s_fr, s_es, s_zh) THEN 'es'
+                ELSE 'zh' END AS pred_lang
+    FROM s
+    ORDER BY doc_id
+    """,
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language ID by marker-stopword argmax (earliest language wins ties;
+    'und' when no markers hit) — operators/text.py lang_id."""
+    from dca_manager_spark.operators.text import lang_id
+
+    return (
+        t(spark, sf_dir, "documents")
+        .select("doc_id", "lang", lang_id(F.col("text")).alias("pred_lang"))
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "dedup_exact_documents",
+    """
+    SELECT doc_id, n_copies
+    FROM (
+        SELECT doc_id,
+               ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn,
+               COUNT(*) OVER (PARTITION BY md5(text)) AS n_copies
+        FROM documents
+    )
+    WHERE rn = 1
+    ORDER BY doc_id
+    """,
+)
+def dedup_exact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact content dedup: hash-group identical texts, keep the lowest
+    doc_id, carry the copy count (operators/dedup.py)."""
+    from dca_manager_spark.operators.dedup import exact_dedup_by_content
+
+    docs = t(spark, sf_dir, "documents")
+    return (
+        exact_dedup_by_content(docs, "text", "doc_id")
+        .select("doc_id", "n_copies")
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "dedup_ngram_jaccard",
+    """
+    WITH d AS (
+      SELECT doc_id, lower(text) AS tx FROM documents WHERE doc_id < 200
+    ),
+    sh AS (
+      SELECT DISTINCT d.doc_id, substring(d.tx, g.i, 3) AS gram
+      FROM d, LATERAL (
+        SELECT unnest(generate_series(1, greatest(length(d.tx) - 2, 1))) AS i
+      ) g
+    ),
+    sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+      FROM sh a JOIN sh b ON a.gram = b.gram AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, n_inter, x.n AS n_a, y.n AS n_b,
+           CAST(n_inter AS DOUBLE) / CAST(x.n + y.n - n_inter AS DOUBLE) AS jaccard
+    FROM inter JOIN sz x ON x.doc_id = id_a JOIN sz y ON y.doc_id = id_b
+    WHERE CAST(n_inter AS DOUBLE) / CAST(x.n + y.n - n_inter AS DOUBLE) >= 0.65
+    ORDER BY id_a, id_b
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact character-3-gram Jaccard near-dup pairs (bounded to doc_id<200:
+    the exact-pairs operator is for candidate verification / bounded sets —
+    the unbounded scale path is dedup_minhash_lsh)."""
+    from dca_manager_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return (
+        ngram_jaccard_pairs(docs, "doc_id", "text", k=3, threshold=0.65)
+        .orderBy("id_a", "id_b")
+    )
+
+
+@query("dedup_minhash_lsh", None)  # xxhash64 has no DuckDB twin -> rows-only
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(64) + 16-band LSH near-dup pairs over word 3-gram shingles,
+    exact-Jaccard-verified on candidates only — the 100 TB dedup path
+    (explode-once + codegen'd min-aggregates, no interpreted HOF folds).
+    Correctness vs brute-force Jaccard is pinned by tests/test_dedup.py."""
+    from dca_manager_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = t(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(
+        docs, "doc_id", "text", num_hashes=64, bands=16, k=3, threshold=0.7, mode="word"
+    ).orderBy("id_a", "id_b")
+
+
+@query("dedup_simhash", None)  # xxhash64-based sketch -> rows-only
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash-64 near-dup candidate pairs (Hamming <= 8) bucketed by
+    12-bit prefix — per-row sketches, equi-join candidates."""
+    from dca_manager_spark.operators.dedup import simhash_pairs
+
+    docs = t(spark, sf_dir, "documents")
+    return simhash_pairs(docs, "doc_id", "text", max_hamming=8, prefix_bits=12).orderBy(
+        "id_a", "id_b"
+    )
+
+
+_QVEC = "embedding::DOUBLE[]"
+
+
+@query(
+    "similarity_cosine_topk",
+    f"""
+    WITH e AS (
+      SELECT vec_id, {_QVEC} AS v,
+             CAST(list_sum(list_transform({_QVEC}, x ->
+                  CAST(FLOOR(x * x * 1000000000000) AS BIGINT))) AS BIGINT) AS nq
+      FROM embeddings
+    ),
+    q AS (SELECT * FROM e WHERE vec_id < 5),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             CAST(CAST(list_sum(list_transform(range(1, len(q.v) + 1), i ->
+                    CAST(FLOOR(q.v[i] * c.v[i] * 1000000000000) AS BIGINT))) AS BIGINT)
+                  AS DOUBLE)
+               / (sqrt(CAST(q.nq AS DOUBLE)) * sqrt(CAST(c.nq AS DOUBLE))) AS cosine
+      FROM e c, q
+      WHERE q.vec_id != c.vec_id
+    )
+    SELECT query_id, neighbor_id, cosine, rank FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id) AS rank
+      FROM scored
+    ) WHERE rank <= 10
+    ORDER BY query_id, rank
+    """,
+)
+def similarity_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 for 5 query vectors — the exact ANN
+    baseline (operators/similarity.py). Integer-quantized products make the
+    scores bit-identical across engines."""
+    from dca_manager_spark.operators.similarity import cosine_topk
+
+    emb = t(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 5)
+    return (
+        cosine_topk(
+            queries_df.select(F.col("vec_id").alias("query_id"), "embedding"),
+            emb.select(F.col("vec_id").alias("neighbor_id"), "embedding"),
+            query_id="query_id",
+            corpus_id="neighbor_id",
+            k=10,
+        )
+        .orderBy("query_id", "rank")
+    )
+
+
+@query(
+    "dedup_embedding_cosine",
+    f"""
+    WITH e AS (
+      SELECT vec_id, {_QVEC} AS v,
+             CAST(list_sum(list_transform({_QVEC}, x ->
+                  CAST(FLOOR(x * x * 1000000000000) AS BIGINT))) AS BIGINT) AS nq
+      FROM embeddings WHERE vec_id < 1000
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           CAST(CAST(list_sum(list_transform(range(1, len(a.v) + 1), i ->
+                  CAST(FLOOR(a.v[i] * b.v[i] * 1000000000000) AS BIGINT))) AS BIGINT)
+                AS DOUBLE)
+             / (sqrt(CAST(a.nq AS DOUBLE)) * sqrt(CAST(b.nq AS DOUBLE))) AS cosine
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    WHERE CAST(CAST(list_sum(list_transform(range(1, len(a.v) + 1), i ->
+                  CAST(FLOOR(a.v[i] * b.v[i] * 1000000000000) AS BIGINT))) AS BIGINT)
+               AS DOUBLE)
+          / (sqrt(CAST(a.nq AS DOUBLE)) * sqrt(CAST(b.nq AS DOUBLE))) >= 0.4
+    ORDER BY id_a, id_b
+    """,
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs: exact quantized cosine >= 0.4 over all
+    (a<b) pairs, bounded to vec_id<1000 (the exact-pairs op is for bounded
+    sets / candidate verification; sign-LSH buckets are the scale variant,
+    similarity.py lsh_ann_topk)."""
+    from dca_manager_spark.operators.similarity import cosine_pairs
+
+    emb = t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 1000)
+    return cosine_pairs(emb, "vec_id", "embedding", threshold=0.4).orderBy(
+        "id_a", "id_b"
+    )
+
+
+@query("similarity_lsh_ann", None)  # approximate + hash-derived planes -> rows-only
+def similarity_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH bucketed approximate top-k (scale path for ANN): candidates
+    share a 12-bit hyperplane-sign bucket; exact quantized cosine ranks
+    them. Recall vs the exact baseline is pinned in tests/test_similarity."""
+    from dca_manager_spark.operators.similarity import lsh_ann_topk
+
+    emb = t(spark, sf_dir, "embeddings")
+    return lsh_ann_topk(
+        emb.filter(F.col("vec_id") < 5).select(F.col("vec_id").alias("query_id"), "embedding"),
+        emb.select(F.col("vec_id").alias("neighbor_id"), "embedding"),
+        query_id="query_id",
+        corpus_id="neighbor_id",
+        k=10,
+        num_planes=12,
+    ).orderBy("query_id", "rank")

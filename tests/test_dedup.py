@@ -1,0 +1,110 @@
+"""Semantic tests for the dedup operator family — constructed duplicates
+with known ground truth, plus LSH recall pinned against exact Jaccard."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from dca_manager_spark.operators.dedup import (
+    exact_dedup,
+    exact_dedup_by_content,
+    hamming64,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash64,
+    simhash_pairs,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = "the quick brown fox jumps over the lazy dog and runs far away home"
+    rows = [
+        (0, base),
+        (1, base),  # exact duplicate of 0
+        (2, base.replace("quick", "rapid")),  # near-duplicate of 0
+        (3, "completely different content about spark query engines at scale"),
+        (4, "completely different content about spark query engines at scale"),
+        (5, "unrelated short text"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_exact_dedup_by_content(docs):
+    out = exact_dedup_by_content(docs, "text", "doc_id").orderBy("doc_id").collect()
+    survivors = {r.doc_id: r.n_copies for r in out}
+    assert survivors == {0: 2, 2: 1, 3: 2, 5: 1}
+
+
+def test_exact_dedup_keyed(spark):
+    df = spark.createDataFrame(
+        [(1, "a", 10), (1, "b", 20), (2, "c", 5)], ["k", "v", "ord"]
+    )
+    kept = exact_dedup(df, ["k"], "ord", keep="max").orderBy("k").collect()
+    assert [(r.k, r.v) for r in kept] == [(1, "b"), (2, "c")]
+    kept_min = exact_dedup(df, ["k"], "ord", keep="min").orderBy("k").collect()
+    assert [(r.k, r.v) for r in kept_min] == [(1, "a"), (2, "c")]
+
+
+def test_ngram_jaccard_finds_near_dup(docs):
+    pairs = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.5).collect()
+    }
+    assert pairs[(0, 1)] == 1.0  # exact dup
+    assert pairs[(3, 4)] == 1.0
+    assert (0, 2) in pairs and pairs[(0, 2)] > 0.7  # near dup
+    assert not any({a, b} == {0, 5} for a, b in pairs)
+
+
+def test_minhash_lsh_recall_vs_exact(spark, sf_dir):
+    """On real testdata: every exact-Jaccard>=0.8 pair must be found by LSH
+    (16 bands of 4 rows => ~100% candidate prob at 0.8); all reported pairs
+    must be true positives (verification step guarantees precision)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(150)
+    exact = {
+        (r.id_a, r.id_b)
+        for r in ngram_jaccard_pairs(
+            docs, "doc_id", "text", threshold=0.8, mode="word"
+        ).collect()
+    }
+    lsh = {
+        (r.id_a, r.id_b)
+        for r in minhash_lsh_pairs(
+            docs, "doc_id", "text", num_hashes=64, bands=16, threshold=0.8, mode="word"
+        ).collect()
+    }
+    assert lsh <= exact or not exact, f"false positives: {lsh - exact}"
+    if exact:
+        recall = len(lsh & exact) / len(exact)
+        assert recall >= 0.9, f"LSH recall {recall} below 0.9 ({exact - lsh} missed)"
+
+
+def test_simhash_identical_and_distance(spark, docs):
+    sk = docs.select("doc_id", simhash64("text").alias("sk")).collect()
+    sketches = {r.doc_id: r.sk for r in sk}
+    assert sketches[0] == sketches[1]  # identical text -> identical sketch
+    assert sketches[3] == sketches[4]
+    near = (
+        docs.alias("a")
+        .join(docs.alias("b"), F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("ia"),
+            F.col("b.doc_id").alias("ib"),
+            hamming64(
+                simhash64("a.text"), simhash64("b.text")
+            ).alias("d"),
+        )
+        .collect()
+    )
+    dist = {(r.ia, r.ib): r.d for r in near}
+    assert dist[(0, 1)] == 0
+    # near-dup pair differs in fewer bits than unrelated pair
+    assert dist[(0, 2)] < dist[(0, 5)]
+
+
+def test_simhash_pairs_bucketed(docs):
+    out = simhash_pairs(docs, "doc_id", "text", max_hamming=10).collect()
+    found = {(r.id_a, r.id_b) for r in out}
+    assert (0, 1) in found and (3, 4) in found

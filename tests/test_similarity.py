@@ -1,0 +1,97 @@
+"""Semantic tests for similarity search: exact top-k correctness against a
+NumPy oracle, and LSH-ANN candidate quality."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from dca_manager_spark.operators.similarity import cosine_pairs, cosine_topk, lsh_ann_topk
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def test_cosine_topk_matches_numpy(spark, emb):
+    rows = emb.orderBy("vec_id").collect()
+    vecs = {r.vec_id: np.array(r.embedding, dtype=np.float64) for r in rows}
+
+    out = cosine_topk(
+        emb.filter(F.col("vec_id") < 3).select(F.col("vec_id").alias("query_id"), "embedding"),
+        emb.select(F.col("vec_id").alias("neighbor_id"), "embedding"),
+        "query_id",
+        "neighbor_id",
+        k=5,
+    ).collect()
+
+    for qid in range(3):
+        got = [r.neighbor_id for r in sorted(
+            (r for r in out if r.query_id == qid), key=lambda r: r.rank
+        )]
+        q = vecs[qid]
+        sims = {
+            cid: float(q @ v / (np.linalg.norm(q) * np.linalg.norm(v)))
+            for cid, v in vecs.items()
+            if cid != qid
+        }
+        want = [cid for cid, _ in sorted(sims.items(), key=lambda kv: (-kv[1], kv[0]))[:5]]
+        assert got == want, f"query {qid}: {got} != numpy {want}"
+
+
+def test_cosine_topk_scores_sane(emb):
+    out = cosine_topk(
+        emb.filter(F.col("vec_id") < 2).select(F.col("vec_id").alias("query_id"), "embedding"),
+        emb.select(F.col("vec_id").alias("neighbor_id"), "embedding"),
+        "query_id",
+        "neighbor_id",
+        k=10,
+    ).collect()
+    assert all(-1.0001 <= r.cosine <= 1.0001 for r in out)
+    # ranks are dense 1..10 per query and ordered by descending cosine
+    for qid in (0, 1):
+        rs = sorted((r for r in out if r.query_id == qid), key=lambda r: r.rank)
+        assert [r.rank for r in rs] == list(range(1, 11))
+        assert all(rs[i].cosine >= rs[i + 1].cosine for i in range(len(rs) - 1))
+
+
+def test_cosine_pairs_symmetric_threshold(spark):
+    vecs = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.999, 0.04, 0.0]),   # ~1.0 cosine with 0
+        (2, [0.0, 1.0, 0.0]),      # orthogonal
+        (3, [-1.0, 0.0, 0.0]),     # opposite
+    ]
+    df = spark.createDataFrame(vecs, ["vec_id", "embedding"]).withColumn(
+        "embedding", F.col("embedding").cast("array<float>")
+    )
+    out = {(r.id_a, r.id_b): r.cosine for r in cosine_pairs(df, "vec_id", threshold=0.9).collect()}
+    assert set(out) == {(0, 1)}
+    assert out[(0, 1)] > 0.99
+
+
+def test_lsh_ann_subset_of_exact_order(emb):
+    """LSH results must be correctly ranked by the same exact cosine; every
+    returned neighbor's score must match the brute-force score."""
+    exact = cosine_topk(
+        emb.filter(F.col("vec_id") < 3).select(F.col("vec_id").alias("query_id"), "embedding"),
+        emb.select(F.col("vec_id").alias("neighbor_id"), "embedding"),
+        "query_id",
+        "neighbor_id",
+        k=1000000,
+    ).collect()
+    exact_scores = {(r.query_id, r.neighbor_id): r.cosine for r in exact}
+
+    approx = lsh_ann_topk(
+        emb.filter(F.col("vec_id") < 3).select(F.col("vec_id").alias("query_id"), "embedding"),
+        emb.select(F.col("vec_id").alias("neighbor_id"), "embedding"),
+        "query_id",
+        "neighbor_id",
+        k=5,
+        num_planes=8,
+    ).collect()
+    assert approx, "LSH returned no candidates at 8 planes"
+    for r in approx:
+        assert exact_scores[(r.query_id, r.neighbor_id)] == r.cosine

@@ -1,0 +1,86 @@
+"""Semantic tests for text-analysis operators on constructed inputs."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from dca_manager_spark.operators import text as TX
+
+
+@pytest.fixture(scope="module")
+def df(spark):
+    rows = [
+        (0, "The quick brown fox is in the yard."),
+        (1, "der hund ist nicht die katze und das haus"),
+        (2, "!!! ??? ;;; ..."),
+        (3, ""),
+        (4, "   spaced    out   tokens   "),
+        (5, "le chat est une belle surprise et la vie"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def feats(df):
+    return {r.doc_id: r for r in TX.with_text_features(df).collect()}
+
+
+def test_token_count(df):
+    f = feats(df)
+    assert f[0].n_tokens == 8
+    assert f[3].n_tokens == 0
+    assert f[4].n_tokens == 3
+
+
+def test_punct_ratio(df):
+    f = feats(df)
+    assert f[3].punct_ratio == 0.0  # empty text guarded by greatest(len,1)
+    assert f[2].punct_ratio > 0.5
+    assert f[0].punct_ratio < 0.1
+
+
+def test_stopword_and_quality(df):
+    f = feats(df)
+    assert f[0].stopword_ratio > 0.3  # 'the' x2, 'is', 'in'
+    assert f[2].stopword_ratio == 0.0
+    assert f[0].quality > f[2].quality
+
+
+def test_lang_id(df):
+    f = feats(df)
+    assert f[0].pred_lang == "en"
+    assert f[1].pred_lang == "de"
+    assert f[5].pred_lang == "fr"
+    assert f[2].pred_lang == "und"
+    assert f[3].pred_lang == "und"
+
+
+def test_fingerprint_md5_matches_python(df):
+    f = feats(df)
+    norm = "thequickbrownfoxisintheyard"
+    assert f[0].fingerprint == hashlib.md5(norm.encode()).hexdigest()
+    # identical normalized content -> identical fingerprint
+    assert f[3].fingerprint == hashlib.md5(b"").hexdigest()
+
+
+def test_rolling_fingerprint_deterministic(spark, df):
+    out = df.select(
+        "doc_id", TX.fingerprint_rolling(F.col("text")).alias("rh")
+    ).collect()
+    vals = {r.doc_id: r.rh for r in out}
+    # matches a direct python fold with the same base/mod
+    base, mod = 31, 1_000_000_007
+    acc = 0
+    for ch in "thequickbrownfoxisintheyard":
+        acc = (acc * base + ord(ch)) % mod
+    assert vals[0] == acc
+    assert vals[3] == 0
+
+
+def test_bpe_ish_token_count(spark):
+    df = spark.createDataFrame([(0, "hello, world42!")], ["doc_id", "text"])
+    n = df.select(TX.bpe_ish_token_count(F.col("text")).alias("n")).collect()[0].n
+    # hello , world 42 ! -> 5 units
+    assert n == 5
