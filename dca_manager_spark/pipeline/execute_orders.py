@@ -1,0 +1,79 @@
+"""EP1: scheduled order execution (cmd/execute_orders/main.go:120-214).
+
+config scan -> enabled filter -> per-order connector call -> partitioned
+JSON sink (pending) + queue publish.
+
+The connector call is an external-API boundary, so the fan-out is a
+driver-side loop over the (tiny) config — exactly the reference's shape
+(main.go:143-211). Config frames are KB-sized; collecting them is O(orders),
+not O(data). The DATA path (everything downstream of the raw JSON) is fully
+distributed.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from pathlib import Path
+from typing import Any
+
+from pyspark.sql import SparkSession
+
+from dca_manager_spark.io.readers import read_dca_config, validate_dca_config
+from dca_manager_spark.pipeline.connectors import Orderer, get_orderers, resolve_orderer
+from dca_manager_spark.streaming.queue_source import FileQueue
+
+PENDING_PREFIX = "transactions/status=pending"  # aws_lambda_execute_orders.tf:6
+
+
+def pending_key(exchange: str, transaction_id: str) -> str:
+    """Exact S3-key layout parity (cmd/execute_orders/main.go:171-176):
+    ``transactions/status=pending/exchange=<lower(exchange)>/<txid>.json``.
+    The Go test pins this literal path (main_test.go:197-230)."""
+    return f"{PENDING_PREFIX}/exchange={exchange.lower()}/{transaction_id}.json"
+
+
+def execute_orders(
+    spark: SparkSession,
+    config_path: str,
+    data_dir: str,
+    queue: FileQueue,
+    allow_real: bool = False,
+    real: bool = False,
+    orderers: dict[str, Orderer] | None = None,
+) -> list[str]:
+    """Run the execute-orders job; returns the written pending-file paths.
+
+    - config fetched + validated (dca.go:49-73 / schema.json)
+    - disabled orders skipped (kraken.go:42-45)
+    - real-vs-fake branch on allow_real (main.go:156-165, DCA_ALLOW_REAL)
+    - result JSON at the exact partitioned key (main.go:171-196)
+    - queue publish with Exchange/TransactionId/Real attrs (main.go:198-208)
+    """
+    problems = validate_dca_config(config_path)
+    if problems:
+        raise ValueError(f"invalid DCA config: {problems}")
+
+    config = read_dca_config(spark, config_path)
+    enabled = [r.asDict() for r in config.filter("enabled OR enabled IS NULL").collect()]
+
+    orderers = orderers or get_orderers(allow_real=allow_real)
+    written: list[str] = []
+    for order in enabled:
+        orderer = resolve_orderer(orderers, order["exchange"])
+        fulfilled = orderer.make_order(order)
+
+        key = pending_key(order["exchange"], fulfilled.transaction_id)
+        target = Path(data_dir) / key
+        target.parent.mkdir(parents=True, exist_ok=True)
+        target.write_text(json.dumps(dataclasses.asdict(fulfilled)))
+        written.append(str(target))
+
+        queue.publish(
+            transaction_id=fulfilled.transaction_id,
+            s3_bucket=data_dir,
+            s3_key=key,
+            exchange=order["exchange"],
+            real=real,
+        )
+    return written

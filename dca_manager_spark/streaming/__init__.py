@@ -1,0 +1,5 @@
+"""Streaming layer: queue emulation + Structured Streaming operators."""
+
+from dca_manager_spark.streaming.queue_source import FileQueue
+
+__all__ = ["FileQueue"]

@@ -1,0 +1,195 @@
+"""Pipeline-parity tests mirroring the reference's Go test assertions
+(SURVEY §5): exact partition paths, skip/ack semantics, guards, and the
+end-to-end execute -> queue -> process -> table flow."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from dca_manager_spark.pipeline.connectors import FakeOrderer, KrakenOrderer, get_orderers
+from dca_manager_spark.pipeline.execute_orders import execute_orders
+from dca_manager_spark.pipeline.load_transactions import (
+    apply_additional_columns,
+    load_transactions,
+)
+from dca_manager_spark.pipeline.process_orders import process_orders
+from dca_manager_spark.streaming.queue_source import FileQueue
+
+CONFIG = {
+    "orders": [
+        {
+            "exchange": "kraken",
+            "pair": "ADAGBP",
+            "order_type": "market",
+            "type": "buy",
+            "volume": "10",
+            "enabled": True,
+        },
+        {
+            "exchange": "kraken",
+            "pair": "BTCGBP",
+            "order_type": "market",
+            "type": "buy",
+            "volume": "1",
+            "enabled": False,  # must be skipped (kraken.go:42-45)
+        },
+    ]
+}
+
+
+@pytest.fixture
+def config_path(tmp_path):
+    p = tmp_path / "config.json"
+    p.write_text(json.dumps(CONFIG))
+    return str(p)
+
+
+def test_execute_orders_writes_exact_pending_key(spark, tmp_path, config_path):
+    """Go test parity (cmd/execute_orders/main_test.go:197-230): the fake
+    path writes exactly status=pending/exchange=kraken/OEBG2U-KIRAN-4U6WHJ.json
+    and only for ENABLED orders."""
+    queue = FileQueue(str(tmp_path / "queue"))
+    written = execute_orders(spark, config_path, str(tmp_path / "data"), queue)
+
+    expect = (
+        tmp_path
+        / "data/transactions/status=pending/exchange=kraken/OEBG2U-KIRAN-4U6WHJ.json"
+    )
+    assert written == [str(expect)]
+    assert expect.exists()
+    payload = json.loads(expect.read_text())
+    assert payload["transaction_id"] == FakeOrderer.FAKE_TXID
+    assert payload["result"]["description"]["pair"] == "ADAGBP"
+
+    msgs = queue.consume()
+    assert len(msgs) == 1  # disabled order produced no message
+    assert msgs[0]["transaction_id"] == FakeOrderer.FAKE_TXID
+    assert msgs[0]["real"] == "false"
+    assert msgs[0]["s3_key"].endswith("exchange=kraken/OEBG2U-KIRAN-4U6WHJ.json")
+
+
+def test_execute_orders_invalid_config(spark, tmp_path):
+    bad = tmp_path / "bad.json"
+    bad.write_text(json.dumps({"orders": [{"exchange": "kraken"}]}))
+    with pytest.raises(ValueError, match="invalid DCA config"):
+        execute_orders(spark, str(bad), str(tmp_path / "d"), FileQueue(str(tmp_path / "q")))
+
+
+def test_process_not_real_message_acked_no_side_effects(spark, tmp_path):
+    """Go test parity (cmd/process_orders/main_test.go:79-132): a
+    Real=='false' message is deleted from the queue and NOTHING is written
+    or loaded."""
+    queue = FileQueue(str(tmp_path / "queue"))
+    queue.publish("TXID", "bucket", "key", exchange="kraken", real=False)
+
+    result = process_orders(
+        spark, queue, str(tmp_path / "data"), str(tmp_path / "table")
+    )
+    assert result is None
+    assert queue.size() == 0  # acked
+    assert not (tmp_path / "data").exists()
+    assert not (tmp_path / "table").exists()
+
+
+def test_process_empty_batch_errors(spark, tmp_path):
+    with pytest.raises(ValueError, match="empty batch"):
+        process_orders(
+            spark,
+            FileQueue(str(tmp_path / "queue")),
+            str(tmp_path / "d"),
+            str(tmp_path / "t"),
+        )
+
+
+def test_process_unknown_exchange_errors(spark, tmp_path):
+    queue = FileQueue(str(tmp_path / "queue"))
+    queue.publish("TXID", "bucket", "key", exchange="binance", real=True)
+    with pytest.raises(KeyError, match="binance"):
+        process_orders(spark, queue, str(tmp_path / "d"), str(tmp_path / "t"))
+    assert queue.size() == 1  # NOT acked -> redelivered (at-least-once)
+
+
+def test_process_happy_path_end_to_end(spark, tmp_path, config_path):
+    """Go happy-path parity (main_test.go:191-252) + EP3: execute ->
+    queue -> process -> normalized partitioned table, all acked."""
+    queue = FileQueue(str(tmp_path / "queue"))
+    execute_orders(spark, config_path, str(tmp_path / "data"), queue, real=True)
+    assert queue.size() == 1
+
+    table = process_orders(
+        spark, queue, str(tmp_path / "data"), str(tmp_path / "table")
+    )
+    assert queue.size() == 0
+
+    complete = (
+        tmp_path
+        / "data/transactions/status=complete/exchange=kraken"
+        / f"{FakeOrderer.FAKE_TXID}.json"
+    )
+    assert complete.exists()
+
+    rows = table.read().collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.transaction_id == FakeOrderer.FAKE_TXID
+    assert r.pair == "ADAGBP"
+    assert r.exchange == "kraken"  # injected literal (additional_columns)
+    assert r.price == 100.23 and r.fee == 1.23 and r.volume == 20.0  # doubles now
+    assert r.close_time.year == 2033  # 2000021133 epoch-s -> timestamp
+    # hive partition layout by pair
+    assert (tmp_path / "table/pair=ADAGBP").is_dir()
+
+
+def test_load_transactions_validates_operation(spark, tmp_path):
+    with pytest.raises(ValueError, match="write_operation"):
+        load_transactions(spark, "whatever", str(tmp_path / "t"), write_operation="merge")
+
+
+def test_additional_columns_none_sentinel(spark):
+    df = spark.range(1)
+    assert apply_additional_columns(df, "none").columns == ["id"]
+    out = apply_additional_columns(df, '{"exchange": "kraken"}')
+    assert out.columns == ["id", "exchange"]
+    assert out.collect()[0].exchange == "kraken"
+
+
+def test_kraken_normalization_field_by_field():
+    """kraken_test.go:164-206 parity: QueryOrders map -> OrderComplete,
+    decimals stay strings, empty txids skipped."""
+    payload = {
+        "TXID": {
+            "status": "closed",
+            "price": "100.23",
+            "fee": "1.23",
+            "vol_exec": "20",
+            "opentm": 2000021133.0,
+            "closetm": 2000021133.0,
+            "descr": {"pair": "ADAGBP", "ordertype": "market", "type": "buy"},
+        },
+        "": {"status": "ignored"},
+    }
+    rows = KrakenOrderer.normalize_response(payload)
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.transaction_id, r.exchange_status, r.pair) == ("TXID", "closed", "ADAGBP")
+    assert (r.order_type, r.type) == ("market", "buy")
+    assert (r.price, r.fee, r.volume) == ("100.23", "1.23", "20")
+    assert r.open_time == r.close_time == 2000021133.0
+
+
+def test_kraken_without_client_raises():
+    k = KrakenOrderer()
+    with pytest.raises(NotImplementedError):
+        k.make_order({})
+    with pytest.raises(NotImplementedError):
+        k.process_transaction("T")
+
+
+def test_factory_real_flag():
+    fake_only = get_orderers(allow_real=False)
+    assert isinstance(fake_only["kraken"], FakeOrderer)
+    real = get_orderers(allow_real=True)
+    assert isinstance(real["kraken"], KrakenOrderer)

@@ -1,0 +1,174 @@
+"""Structured Streaming tests: queue-as-stream with checkpoint-ack,
+windowed aggregations with watermarks, stateful dedup, foreachBatch merge.
+
+Streams read from the FileQueue directory and run with
+``trigger(availableNow=True)`` so each test is a bounded drain."""
+
+from __future__ import annotations
+
+import datetime
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from dca_manager_spark.io.merge import MergeTable
+from dca_manager_spark.streaming.queue_source import FileQueue
+from dca_manager_spark.streaming.windows import (
+    dedup_stream,
+    merge_sink,
+    session_counts,
+    tumbling_counts,
+)
+
+
+def drain(q, checkpoint, sink_fn):
+    query = (
+        q.writeStream.foreachBatch(sink_fn)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination(120)
+    assert not query.isActive
+
+
+def test_queue_stream_checkpoint_is_ack(spark, tmp_path):
+    """Messages drain through the stream exactly once across restarts:
+    offsets live in the checkpoint (ack = commit, SURVEY A12)."""
+    queue = FileQueue(str(tmp_path / "q"))
+    for i in range(5):
+        queue.publish(f"T{i}", "b", f"k{i}", exchange="kraken", real=True)
+
+    seen: list[str] = []
+
+    def collect_sink(df, _):
+        seen.extend(r.transaction_id for r in df.collect())
+
+    ckpt = str(tmp_path / "ckpt")
+    drain(queue.as_stream(spark), ckpt, collect_sink)
+    assert sorted(seen) == [f"T{i}" for i in range(5)]
+
+    # restart with the same checkpoint: nothing redelivered
+    drain(queue.as_stream(spark), ckpt, collect_sink)
+    assert len(seen) == 5
+
+    # new messages flow on the next run
+    queue.publish("T9", "b", "k9", exchange="kraken", real=True)
+    drain(queue.as_stream(spark), ckpt, collect_sink)
+    assert sorted(seen)[-1] == "T9" and len(seen) == 6
+
+
+def test_stream_filter_real_and_merge_sink(spark, tmp_path):
+    """Streaming EP2: filter Real=='false' elements (A6), upsert the rest
+    into the keyed table via foreachBatch (A13/A15). Replaying the same
+    batch must not duplicate rows (idempotent upsert)."""
+    queue = FileQueue(str(tmp_path / "q"))
+    queue.publish("TX1", "b", "k1", exchange="kraken", real=True)
+    queue.publish("TX2", "b", "k2", exchange="kraken", real=False)  # dropped
+
+    table = MergeTable(
+        spark,
+        str(tmp_path / "table"),
+        keys=("transaction_id",),
+        precombine="transaction_id",
+        partition_by=("exchange",),
+    )
+    stream = queue.as_stream(spark).filter(F.col("real") == "true").drop("real")
+    drain(stream, str(tmp_path / "ckpt"), merge_sink(table, "upsert"))
+
+    rows = table.read().collect()
+    assert [r.transaction_id for r in rows] == ["TX1"]
+
+    # replay from scratch (new checkpoint) — same table state, no dupes
+    drain(stream, str(tmp_path / "ckpt2"), merge_sink(table, "upsert"))
+    assert table.read().count() == 1
+
+
+def _event_files(tmp_path, rows):
+    d = tmp_path / "events_in"
+    d.mkdir()
+    for i, r in enumerate(rows):
+        (d / f"{i}.json").write_text("\n".join(json.dumps(x) for x in r))
+    return str(d)
+
+
+def test_tumbling_window_with_watermark(spark, tmp_path):
+    base = datetime.datetime(2024, 1, 1, 10, 0, 0)
+    rows = [
+        [
+            {"ts": (base + datetime.timedelta(minutes=m)).isoformat(), "event_type": "click", "value": 1.0}
+            for m in (0, 10, 50, 70)
+        ]
+    ]
+    src = _event_files(tmp_path, rows)
+
+    def stream():
+        return spark.readStream.schema(
+            "ts timestamp, event_type string, value double"
+        ).json(src)
+
+    out: list = []
+    sink = lambda df, _: out.extend(df.collect())  # noqa: E731
+    ckpt = str(tmp_path / "ckpt")
+    drain(tumbling_counts(stream(), window="1 hour"), ckpt, sink)
+    # append mode: only windows fully below the watermark (11:10 - 10m =
+    # 11:00) are finalized — the open 11:00 window stays in state.
+    assert {(r.window_start.hour, r.n_events) for r in out} == {(10, 3)}
+
+    # a later event advances the watermark past 12:00 -> window 11 closes
+    import datetime as _dt, json as _json, pathlib as _pl
+
+    late = {"ts": "2024-01-01T13:00:00", "event_type": "click", "value": 1.0}
+    _pl.Path(src, "late.json").write_text(_json.dumps(late))
+    drain(tumbling_counts(stream(), window="1 hour"), ckpt, sink)
+    got = {(r.window_start.hour, r.n_events) for r in out}
+    assert got == {(10, 3), (11, 1)}
+
+
+def test_session_window(spark, tmp_path):
+    base = datetime.datetime(2024, 1, 1, 10, 0, 0)
+    rows = [
+        [
+            {"ts": (base + datetime.timedelta(minutes=m)).isoformat(), "user_id": 1, "value": 1.0}
+            for m in (0, 5, 10, 120, 125)  # two sessions: gap > 30m
+        ]
+    ]
+    src = _event_files(tmp_path, rows)
+
+    def stream():
+        return spark.readStream.schema("ts timestamp, user_id long, value double").json(src)
+
+    out: list = []
+    sink = lambda df, _: out.extend(df.collect())  # noqa: E731
+    ckpt = str(tmp_path / "ckpt")
+    drain(session_counts(stream(), gap="30 minutes"), ckpt, sink)
+    # only the first session is sealed below the watermark (12:05 - 10m)
+    assert sorted(r.n_events for r in out) == [3]
+
+    import json as _json, pathlib as _pl
+
+    late = {"ts": "2024-01-01T14:00:00", "user_id": 2, "value": 1.0}
+    _pl.Path(src, "late.json").write_text(_json.dumps(late))
+    drain(session_counts(stream(), gap="30 minutes"), ckpt, sink)
+    assert sorted(r.n_events for r in out) == [2, 3]
+
+
+def test_streaming_dedup(spark, tmp_path):
+    base = datetime.datetime(2024, 1, 1, 10, 0, 0)
+    dup_rows = [
+        [
+            {"ts": base.isoformat(), "transaction_id": "T1"},
+            {"ts": base.isoformat(), "transaction_id": "T1"},  # dup, same ts
+            {"ts": base.isoformat(), "transaction_id": "T2"},
+        ]
+    ]
+    src = _event_files(tmp_path, dup_rows)
+    stream = spark.readStream.schema("ts timestamp, transaction_id string").json(src)
+    out: list = []
+    drain(
+        dedup_stream(stream, ["transaction_id"], "ts"),
+        str(tmp_path / "ckpt"),
+        lambda df, _: out.extend(df.collect()),
+    )
+    assert sorted(r.transaction_id for r in out) == ["T1", "T2"]
