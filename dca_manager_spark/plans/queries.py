@@ -1359,3 +1359,281 @@ def similarity_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=10,
         num_planes=12,
     ).orderBy("query_id", "rank")
+
+
+# ===========================================================================
+# Batch 4: remaining §2B surface — more windows, multiset ops, predicates,
+# explode, join strategy hints, approx aggregates
+# ===========================================================================
+
+@query(
+    "window_ntile_quartiles",
+    """
+    SELECT o_orderkey, o_orderstatus,
+           NTILE(4) OVER (PARTITION BY o_orderstatus
+                          ORDER BY o_totalprice, o_orderkey) AS quartile
+    FROM orders
+    ORDER BY o_orderstatus, o_totalprice, o_orderkey
+    """,
+)
+def window_ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NTILE bucketing with a total order (deterministic tile edges)."""
+    w = Window.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
+    return (
+        t(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_orderstatus", F.ntile(4).over(w).alias("quartile"))
+        .orderBy("o_orderstatus", F.col("quartile"), "o_orderkey")
+        .select("o_orderkey", "o_orderstatus", "quartile")
+        .orderBy("o_orderstatus", "o_orderkey")
+    )
+
+
+@query(
+    "window_first_last",
+    """
+    SELECT DISTINCT o_custkey,
+           FIRST_VALUE(o_orderdate) OVER w AS first_order,
+           LAST_VALUE(o_orderdate) OVER w AS last_order,
+           LAST_VALUE(o_totalprice) OVER w AS latest_price
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    ORDER BY o_custkey
+    """,
+)
+def window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first/last analytic functions over an unbounded frame."""
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return (
+        t(spark, sf_dir, "orders")
+        .select(
+            "o_custkey",
+            F.first("o_orderdate").over(w).alias("first_order"),
+            F.last("o_orderdate").over(w).alias("last_order"),
+            F.last("o_totalprice").over(w).alias("latest_price"),
+        )
+        .distinct()
+        .orderBy("o_custkey")
+    )
+
+
+@query(
+    "window_range_frame",
+    """
+    SELECT o_custkey, o_orderkey,
+           CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS DECIMAL(38,0)))
+                OVER (PARTITION BY o_custkey ORDER BY CAST(epoch(o_orderdate) AS BIGINT)
+                      RANGE BETWEEN 7776000 PRECEDING AND CURRENT ROW)
+                AS DOUBLE) / 100 AS spend_90d
+    FROM orders
+    ORDER BY o_custkey, o_orderkey
+    """,
+)
+def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame over event time: rolling 90-day spend per customer —
+    the time-frame window from SURVEY §2B (rangeBetween on epoch seconds;
+    ties in the same second share the frame, so the output is a function
+    of the row, not the sort order)."""
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.unix_timestamp("o_orderdate"))
+        .rangeBetween(-7776000, 0)
+    )
+    return (
+        t(spark, sf_dir, "orders")
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            (F.sum(cents(F.col("o_totalprice"))).over(w).cast("double") / 100).alias(
+                "spend_90d"
+            ),
+        )
+        .orderBy("o_custkey", "o_orderkey")
+    )
+
+
+@query(
+    "set_except_all",
+    """
+    SELECT o_custkey AS custkey FROM orders
+    EXCEPT ALL
+    SELECT c_custkey AS custkey FROM customer
+    ORDER BY custkey
+    """,
+)
+def set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset EXCEPT ALL: order multiplicity minus customer multiplicity."""
+    o = t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("custkey"))
+    c = t(spark, sf_dir, "customer").select(F.col("c_custkey").alias("custkey"))
+    return o.exceptAll(c).orderBy("custkey")
+
+
+@query(
+    "set_intersect_all",
+    """
+    SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+    INTERSECT ALL
+    SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O'
+    ORDER BY custkey
+    """,
+)
+def set_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset INTERSECT ALL: min multiplicity per key across branches."""
+    f = (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select(F.col("o_custkey").alias("custkey"))
+    )
+    o = (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "O")
+        .select(F.col("o_custkey").alias("custkey"))
+    )
+    return f.intersectAll(o).orderBy("custkey")
+
+
+@query(
+    "filter_predicate_family",
+    """
+    SELECT o_orderkey, o_orderpriority, o_totalprice
+    FROM orders
+    WHERE o_orderstatus IN ('O', 'F')
+      AND o_totalprice BETWEEN 50000 AND 100000
+      AND o_orderpriority LIKE '%URGENT%'
+      AND o_orderdate IS NOT NULL
+    ORDER BY o_orderkey
+    """,
+)
+def filter_predicate_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN / BETWEEN / LIKE / IS NULL predicate family (SURVEY §2B filter
+    row) — all push down to the parquet scan."""
+    o = t(spark, sf_dir, "orders")
+    return (
+        o.filter(
+            F.col("o_orderstatus").isin("O", "F")
+            & F.col("o_totalprice").between(50000, 100000)
+            & F.col("o_orderpriority").like("%URGENT%")
+            & F.col("o_orderdate").isNotNull()
+        )
+        .select("o_orderkey", "o_orderpriority", "o_totalprice")
+        .orderBy("o_orderkey")
+    )
+
+
+@query(
+    "explode_word_counts",
+    """
+    SELECT word, COUNT(*) AS n
+    FROM (SELECT unnest(string_split(p_name, ' ')) AS word FROM part)
+    WHERE word != ''
+    GROUP BY word
+    ORDER BY word
+    """,
+)
+def explode_word_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """explode over a split array — the UDTF-equivalent surface
+    (SURVEY §2 UDF note: explode + mapInPandas stand in for UDTFs)."""
+    return (
+        t(spark, sf_dir, "part")
+        .select(F.explode(F.split("p_name", " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("word")
+    )
+
+
+@query(
+    "join_sort_merge_hint",
+    f"""
+    SELECT o.o_orderstatus,
+           COUNT(*) AS n_lines,
+           {o_dsum('l.l_extendedprice')} AS total_price
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderstatus
+    ORDER BY o.o_orderstatus
+    """,
+)
+def join_sort_merge_hint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit sort-merge-join hint: the strategy for large-large joins
+    where neither side broadcasts (results identical, physical plan pinned
+    in tests/test_plans.py)."""
+    l = t(spark, sf_dir, "lineitem").hint("merge")
+    o = t(spark, sf_dir, "orders")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            dsum(F.col("l_extendedprice")).alias("total_price"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+@query(
+    "join_shuffle_hash_hint",
+    """
+    SELECT s.s_nationkey, COUNT(*) AS n_parts
+    FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    GROUP BY s.s_nationkey
+    ORDER BY s.s_nationkey
+    """,
+)
+def join_shuffle_hash_hint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffled-hash-join hint: avoids the sort phase when one side is
+    modest but above broadcast threshold."""
+    l = t(spark, sf_dir, "lineitem")
+    s = t(spark, sf_dir, "supplier").hint("shuffle_hash")
+    return (
+        l.join(s, l.l_suppkey == s.s_suppkey)
+        .groupBy("s_nationkey")
+        .agg(F.count(F.lit(1)).alias("n_parts"))
+        .orderBy("s_nationkey")
+    )
+
+
+@query("agg_approx_distinct", None)  # HLL sketch — approximate by design
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HyperLogLog++): the constant-memory distinct
+    count for 100 TB cardinalities. Accuracy vs exact is pinned in
+    tests/test_operators.py (rsd 5%); rows-only here because the sketch
+    value is engine-specific."""
+    return (
+        t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx_orders"),
+            F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "union_missing_columns",
+    """
+    SELECT c_custkey AS entity_key, c_name AS name, c_acctbal AS acctbal
+    FROM customer
+    UNION ALL
+    SELECT n_nationkey AS entity_key, n_name AS name, NULL AS acctbal
+    FROM nation
+    ORDER BY entity_key, name
+    """,
+)
+def union_missing_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """unionByName(allowMissingColumns=True): heterogeneous schemas align
+    by name, absent columns become typed nulls."""
+    c = t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("entity_key"),
+        F.col("c_name").alias("name"),
+        F.col("c_acctbal").alias("acctbal"),
+    )
+    n = t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("entity_key"), F.col("n_name").alias("name")
+    )
+    return c.unionByName(n, allowMissingColumns=True).orderBy("entity_key", "name")

@@ -1,0 +1,97 @@
+"""Unit tests for relational operator edge cases not covered by the
+oracle-checked catalog: as-of direction/misses, unbucketed range join
+equivalence, approx-distinct accuracy."""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from dca_manager_spark.operators.relational import asof_join, range_join, top_k
+
+
+def ts(minute):
+    return datetime.datetime(2024, 1, 1, 10, minute, 0)
+
+
+@pytest.fixture(scope="module")
+def trades(spark):
+    return spark.createDataFrame(
+        [("A", ts(5), 100.0), ("A", ts(20), 200.0), ("B", ts(10), 300.0)],
+        "sym string, trade_ts timestamp, qty double",
+    )
+
+
+@pytest.fixture(scope="module")
+def quotes(spark):
+    return spark.createDataFrame(
+        [
+            ("A", ts(0), 9.0),
+            ("A", ts(5), 10.0),   # equal ts: inclusive backward match
+            ("A", ts(15), 11.0),
+            ("B", ts(30), 50.0),  # only AFTER B's trade
+        ],
+        "sym string, quote_ts timestamp, px double",
+    )
+
+
+def test_asof_backward_inclusive_and_miss(trades, quotes):
+    out = {
+        (r.sym, r.trade_ts.minute): (r.quote_ts.minute if r.quote_ts else None, r.px)
+        for r in asof_join(trades, quotes, "trade_ts", "quote_ts", by=["sym"]).collect()
+    }
+    assert out[("A", 5)] == (5, 10.0)     # equal-ts quote matches (inclusive)
+    assert out[("A", 20)] == (15, 11.0)   # latest at-or-before
+    assert out[("B", 10)] == (None, None) # no earlier quote -> null payload
+
+
+def test_asof_forward(trades, quotes):
+    out = {
+        (r.sym, r.trade_ts.minute): (r.quote_ts.minute if r.quote_ts else None)
+        for r in asof_join(
+            trades, quotes, "trade_ts", "quote_ts", by=["sym"], direction="forward"
+        ).collect()
+    }
+    assert out[("A", 5)] == 5      # inclusive forward
+    assert out[("A", 20)] is None  # nothing at-or-after for A
+    assert out[("B", 10)] == 30
+
+
+def test_asof_rejects_bad_direction(trades, quotes):
+    with pytest.raises(ValueError):
+        asof_join(trades, quotes, "trade_ts", "quote_ts", direction="sideways")
+
+
+def test_range_join_bucketed_equals_plain(spark):
+    """The bucketized range join must return exactly the plain non-equi
+    join's rows (the residual predicate keeps it exact)."""
+    left = spark.createDataFrame(
+        [(1, ts(m)) for m in (0, 7, 14, 29, 45)], "k int, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [(1, ts(5), ts(30), "w1"), (1, ts(40), ts(50), "w2")],
+        "k int, lo timestamp, hi timestamp, tag string",
+    )
+    plain = range_join(left, right, ["k"], "ts", "lo", "hi")
+    bucketed = range_join(left, right, ["k"], "ts", "lo", "hi", bucket_width_seconds=600)
+    key = lambda r: (r.k, r.ts, r.tag)  # noqa: E731
+    assert sorted(map(key, plain.collect())) == sorted(map(key, bucketed.collect()))
+    assert {(r.ts.minute, r.tag) for r in bucketed.collect()} == {
+        (7, "w1"), (14, "w1"), (29, "w1"), (45, "w2"),
+    }
+
+
+def test_top_k_exact(spark):
+    df = spark.range(1000).withColumn("v", F.col("id") % 17)
+    got = [r.id for r in top_k(df, 5, F.col("v").desc(), F.col("id")).collect()]
+    # v==16 at ids 16, 33, 50, 67, 84
+    assert got == [16, 33, 50, 67, 84]
+
+
+def test_approx_distinct_accuracy(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    exact = li.select(F.countDistinct("l_orderkey")).collect()[0][0]
+    approx = li.select(F.approx_count_distinct("l_orderkey", rsd=0.02)).collect()[0][0]
+    assert abs(approx - exact) / exact < 0.05

@@ -1,0 +1,132 @@
+"""Physical-plan shape tests: the catalog queries must compile to the plans
+that survive 100 TB — filters pushed into scans, pruned read schemas,
+broadcast joins for dims, TakeOrderedAndProject for top-k, whole-stage
+codegen in the hot path. A correct result from a bad plan is a bug here."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from dca_manager_spark.plans.inspect import (
+    explain_formatted,
+    has_pushed_filter,
+    read_schema_columns,
+    uses,
+)
+from dca_manager_spark.plans.queries import QUERIES
+from tests.conftest import SF_SMOKE
+
+
+def q(name, spark):
+    return QUERIES[name].fn(spark, SF_SMOKE)
+
+
+def test_q1_pushdown_and_pruning(spark):
+    df = q("q1_pricing_summary", spark)
+    assert has_pushed_filter(df, "l_shipdate"), "shipdate filter not pushed to scan"
+    cols = set(read_schema_columns(df))
+    assert "l_comment" not in cols  # nothing extraneous
+    # only the 7 needed columns are read
+    assert {"l_returnflag", "l_linestatus", "l_quantity", "l_shipdate"} <= cols
+    assert "l_orderkey" not in cols, "column pruning failed: reading unused key"
+
+
+def test_q1_whole_stage_codegen(spark):
+    """After execution (AQE finalizes the plan), the aggregate pipeline must
+    be inside whole-stage-codegen stages ('*(n)' markers)."""
+    df = q("q1_pricing_summary", spark)
+    df.collect()  # executes THIS dataset's QueryExecution; AQE finalizes
+    from dca_manager_spark.plans.inspect import physical_plan
+
+    assert "*(1)" in physical_plan(df)
+
+
+def test_q1_single_shuffle_partial_final_agg(spark):
+    """Partial+final HashAggregate pair — map-side combine is on, the
+    data shuffle carries only group partials (the second Exchange is the
+    6-row range partition for the final ORDER BY, which is noise)."""
+    from dca_manager_spark.plans.inspect import physical_plan
+
+    df = q("q1_pricing_summary", spark)
+    plan = physical_plan(df)
+    assert plan.count("HashAggregate") == 2
+    assert "partial_sum" in plan
+
+
+def test_q3_broadcasts_filtered_dim(spark):
+    df = q("q3_shipping_priority", spark)
+    assert uses(df, "BroadcastHashJoin")
+    assert has_pushed_filter(df, "c_mktsegment")
+
+
+def test_topk_is_take_ordered(spark):
+    df = q("topk_global_lineitems", spark)
+    assert uses(df, "TakeOrderedAndProject"), "top-k compiled to a full sort"
+
+
+def test_q3_topk_no_global_sort_before_limit(spark):
+    assert uses(q("q3_shipping_priority", spark), "TakeOrderedAndProject")
+
+
+def test_merge_hint_respected(spark):
+    assert uses(q("join_sort_merge_hint", spark), "SortMergeJoin")
+
+
+def test_shuffle_hash_hint_respected(spark):
+    assert uses(q("join_shuffle_hash_hint", spark), "ShuffledHashJoin")
+
+
+def test_broadcast_dim_join(spark):
+    df = q("join_broadcast_dim", spark)
+    assert uses(df, "BroadcastHashJoin")
+    assert has_pushed_filter(df, "p_size")
+
+
+def test_semi_anti_compile_to_joins(spark):
+    assert uses(q("join_left_semi", spark), "LeftSemi")
+    assert uses(q("join_left_anti", spark), "LeftAnti")
+
+
+def test_theta_join_is_bnlj_with_broadcast(spark):
+    assert uses(q("theta_join_regions", spark), "BroadcastNestedLoopJoin")
+
+
+def test_range_join_is_equi_not_bnlj(spark):
+    """The bucketized range join must compile to an equi join (hash/sort-
+    merge), NOT BroadcastNestedLoopJoin — that's its entire point."""
+    df = q("range_join_purchase_clicks", spark)
+    plan = explain_formatted(df)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Join" in plan
+
+
+def test_asof_join_single_shuffle_no_explosion(spark):
+    """The union+window as-of join must contain exactly one Window and no
+    join node at all (no pair explosion)."""
+    df = q("asof_join_purchase_view", spark)
+    plan = explain_formatted(df)
+    assert "Window" in plan
+    assert "Join" not in plan, "as-of join degenerated into a pair join"
+    assert "Union" in plan
+
+
+def test_scalar_subquery_no_collect(spark):
+    """The above-average filter must stay a broadcast join of a 1-row agg,
+    not a driver-side collect baked into a literal."""
+    df = q("scalar_subquery_above_avg", spark)
+    assert uses(df, "BroadcastNestedLoopJoin") or uses(df, "BroadcastHashJoin")
+
+
+def test_predicates_pushed(spark):
+    df = q("filter_predicate_family", spark)
+    for frag in ("o_orderstatus", "o_totalprice", "o_orderpriority"):
+        assert has_pushed_filter(df, frag), f"{frag} not pushed"
+
+
+def test_partition_overwrite_mode_dynamic(spark):
+    assert spark.conf.get("spark.sql.sources.partitionOverwriteMode") == "dynamic"
+
+
+def test_aqe_enabled(spark):
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
