@@ -280,6 +280,41 @@ def hamming64(a: Column, b: Column) -> Column:
     return F.bit_count(a.bitwiseXOR(b))
 
 
+def simhash_sketches(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """SimHash-64 per document via the scale formulation: explode tokens,
+    one xxhash64 per token, then 64 codegen'd sum-aggregates for the bit
+    votes (CASE on shiftright with literal shifts) — no interpreted HOF
+    fold. Returns (__id, __sk). Token-free documents sketch to 0, matching
+    the fold definition (all votes 0 -> all bits 0)."""
+    from dca_manager_spark.operators.text import tokens
+
+    tok = df.select(
+        F.col(id_col).alias("__id"),
+        F.explode(tokens(F.lower(F.col(text_col)))).alias("__w"),
+    ).withColumn("__h", F.xxhash64("__w"))
+    votes = tok.groupBy("__id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("__h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"v{i}")
+            for i in range(64)
+        ]
+    )
+    sig = F.lit(0).cast("long")
+    for i in range(64):
+        sig = sig.bitwiseOR(
+            F.when(F.col(f"v{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(
+                F.lit(0).cast("long")
+            )
+        )
+    sketches = votes.select("__id", sig.alias("__sk"))
+    all_ids = df.select(F.col(id_col).alias("__id"))
+    return (
+        all_ids.join(sketches, "__id", "left")
+        .withColumn("__sk", F.coalesce(F.col("__sk"), F.lit(0).cast("long")))
+    )
+
+
 def simhash_pairs(
     df: DataFrame, id_col: str, text_col: str, max_hamming: int = 8, prefix_bits: int = 12
 ) -> DataFrame:
@@ -287,9 +322,9 @@ def simhash_pairs(
     the sketch (scale path — equi join), then filter by Hamming distance.
     Note prefix bucketing is approximate: pairs differing inside the prefix
     are missed; run multiple rotations for higher recall."""
-    sk = df.select(
-        F.col(id_col).alias("__id"), simhash64(F.col(text_col)).alias("__sk")
-    ).withColumn("__bucket", F.shiftrightunsigned(F.col("__sk"), 64 - prefix_bits))
+    sk = simhash_sketches(df, id_col, text_col).withColumn(
+        "__bucket", F.shiftrightunsigned(F.col("__sk"), 64 - prefix_bits)
+    )
     pairs = (
         sk.alias("x")
         .join(

@@ -108,3 +108,18 @@ def test_simhash_pairs_bucketed(docs):
     out = simhash_pairs(docs, "doc_id", "text", max_hamming=10).collect()
     found = {(r.id_a, r.id_b) for r in out}
     assert (0, 1) in found and (3, 4) in found
+
+
+def test_simhash_sketches_match_expression_form(spark, docs):
+    """The distributed explode+groupBy sketches must equal the per-row
+    expression fold bit-for-bit (vote sums are order-independent)."""
+    from dca_manager_spark.operators.dedup import simhash_sketches
+
+    expr_form = {
+        r.doc_id: r.sk
+        for r in docs.select("doc_id", simhash64("text").alias("sk")).collect()
+    }
+    dist_form = {
+        r["__id"]: r["__sk"] for r in simhash_sketches(docs, "doc_id", "text").collect()
+    }
+    assert expr_form == dist_form

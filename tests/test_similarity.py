@@ -95,3 +95,14 @@ def test_lsh_ann_subset_of_exact_order(emb):
     assert approx, "LSH returned no candidates at 8 planes"
     for r in approx:
         assert exact_scores[(r.query_id, r.neighbor_id)] == r.cosine
+
+
+def test_arrow_and_expr_cosine_identical(emb):
+    """The pandas-UDF quantized dot must equal the expression fold
+    bit-for-bit on real embeddings."""
+    small = emb.filter(F.col("vec_id") < 60)
+    a = {(r.id_a, r.id_b): r.cosine
+         for r in cosine_pairs(small, "vec_id", threshold=-2.0, use_arrow=True).collect()}
+    b = {(r.id_a, r.id_b): r.cosine
+         for r in cosine_pairs(small, "vec_id", threshold=-2.0, use_arrow=False).collect()}
+    assert a == b and len(a) == 60 * 59 // 2
