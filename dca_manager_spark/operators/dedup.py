@@ -71,7 +71,7 @@ def char_shingles(col: Column, k: int = 3) -> Column:
         F.sequence(F.lit(1), F.greatest(F.length(low) - (k - 1), F.lit(1))),
         lambda i: low.substr(i, F.lit(k)),
     )
-    return F.array_distinct(grams)
+    return F.array_distinct(F.filter(grams, lambda g: g != ""))
 
 
 def word_shingles(col: Column, k: int = 3) -> Column:
@@ -84,7 +84,7 @@ def word_shingles(col: Column, k: int = 3) -> Column:
         F.sequence(F.lit(0), F.greatest(F.size(tok) - k, F.lit(0))),
         lambda i: F.concat_ws(" ", F.slice(tok, i + 1, k)),
     )
-    return F.array_distinct(grams)
+    return F.array_distinct(F.filter(grams, lambda g: g != ""))
 
 
 def shingles(col: Column, mode: str = "char", k: int = 3) -> Column:
@@ -93,6 +93,47 @@ def shingles(col: Column, mode: str = "char", k: int = 3) -> Column:
     if mode == "word":
         return word_shingles(col, k)
     raise ValueError("mode must be 'char' or 'word'")
+
+
+def exploded_shingles(
+    df: DataFrame, id_col: str, text_col: str, k: int = 3, mode: str = "word"
+) -> DataFrame:
+    """Distinct (``__id``, ``__g``) shingle ROWS — the explode-side twin of
+    ``shingles`` with identical shingle sets.
+
+    Exploding ``transform(...)`` directly re-evaluates the generator's
+    child per emitted row (no CSE inside codegen generators), which made
+    shingling O(shingles x split-cost). This formulation explodes the cheap
+    token array once and assembles word k-grams with ``lead`` windows —
+    ~4x faster and linear in token count. Documents shorter than k tokens
+    contribute their full token join (concat_ws skips the null leads),
+    matching the array form's ``greatest(...,1)`` behavior.
+    """
+    if mode != "word":
+        # char shingles are substr-based (no expensive child) — array path.
+        return df.select(
+            F.col(id_col).alias("__id"),
+            F.explode(shingles(F.col(text_col), mode, k)).alias("__g"),
+        ).distinct()
+    from dca_manager_spark.operators.text import tokens
+
+    pos = df.select(
+        F.col(id_col).alias("__id"),
+        F.posexplode(tokens(F.lower(F.col(text_col)))).alias("__pos", "__w"),
+    )
+    w = Window.partitionBy("__id").orderBy("__pos")
+    leads = [F.lead("__w", j).over(w) for j in range(1, k)]
+    return (
+        pos.select(
+            "__id",
+            "__pos",
+            F.concat_ws(" ", F.col("__w"), *leads).alias("__g"),
+            leads[-1].alias("__last"),
+        )
+        .filter(F.col("__last").isNotNull() | (F.col("__pos") == 0))
+        .select("__id", "__g")
+        .distinct()
+    )
 
 
 def ngram_jaccard_pairs(
@@ -151,6 +192,7 @@ def minhash_signatures(
     num_hashes: int = 64,
     k: int = 3,
     mode: str = "word",
+    grams: DataFrame | None = None,
 ) -> DataFrame:
     """Per-document MinHash signature as ``num_hashes`` columns h0..h{n-1}.
 
@@ -160,11 +202,12 @@ def minhash_signatures(
     (Kirsch-Mitzenmacher double hashing). Cost is 2 real hashes per shingle
     + cheap multiply-adds — not num_hashes full hash passes, and the whole
     thing is one explode + one groupBy, no interpreted HOF folds.
+
+    ``grams``: optionally pass a precomputed (__id, __g) frame (e.g. a
+    checkpointed one shared with verification) to avoid re-deriving it.
     """
-    grams = df.select(
-        F.col(id_col).alias("__id"),
-        F.explode(shingles(F.col(text_col), mode, k)).alias("__g"),
-    )
+    if grams is None:
+        grams = exploded_shingles(df, id_col, text_col, k, mode)
     hashed = grams.select(
         "__id",
         F.xxhash64("__g").bitwiseAND(F.lit(_MASK32)).alias("__m1"),
@@ -195,7 +238,12 @@ def minhash_lsh_pairs(
     verification (array_intersect on the distinct shingle sets).
     """
     rows_per_band = num_hashes // bands
-    sigs = minhash_signatures(df, id_col, text_col, num_hashes, k, mode)
+    # Materialize the shingle rows ONCE (localCheckpoint truncates lineage)
+    # — they feed the signature aggregate, both sides of the banded
+    # self-join, doc sizes, AND candidate verification. Without this the
+    # explode+window pipeline re-executes up to 5x.
+    grams = exploded_shingles(df, id_col, text_col, k, mode).localCheckpoint(eager=False)
+    sigs = minhash_signatures(df, id_col, text_col, num_hashes, k, mode, grams=grams)
     band_hashes = F.array(
         *[
             F.xxhash64(
@@ -222,15 +270,25 @@ def minhash_lsh_pairs(
         .select(F.col("x.__id").alias("id_a"), F.col("y.__id").alias("id_b"))
         .distinct()
     )
-    sh = df.select(
-        F.col(id_col).alias("__id"), shingles(F.col(text_col), mode, k).alias("__sh")
+
+    # Exact-Jaccard verification from the SAME gram rows: restrict grams to
+    # candidate docs (broadcast semi join — candidates are few), count
+    # per-pair shared grams, then sizes. No array materialization at all.
+    sizes = grams.groupBy("__id").agg(F.count(F.lit(1)).alias("__n"))
+    ga = cand.join(
+        grams.select(F.col("__id").alias("id_a"), F.col("__g").alias("__g")), "id_a"
+    )
+    inter = (
+        ga.join(
+            grams.select(F.col("__id").alias("id_b"), F.col("__g").alias("__g")),
+            ["id_b", "__g"],
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
     )
     verified = (
-        cand.join(sh.select(F.col("__id").alias("id_a"), F.col("__sh").alias("__sha")), "id_a")
-        .join(sh.select(F.col("__id").alias("id_b"), F.col("__sh").alias("__shb")), "id_b")
-        .withColumn("n_inter", F.size(F.array_intersect("__sha", "__shb")))
-        .withColumn("n_a", F.size("__sha"))
-        .withColumn("n_b", F.size("__shb"))
+        inter.join(sizes.select(F.col("__id").alias("id_a"), F.col("__n").alias("n_a")), "id_a")
+        .join(sizes.select(F.col("__id").alias("id_b"), F.col("__n").alias("n_b")), "id_b")
         .withColumn(
             "jaccard",
             F.col("n_inter").cast("double")

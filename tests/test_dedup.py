@@ -123,3 +123,27 @@ def test_simhash_sketches_match_expression_form(spark, docs):
         r["__id"]: r["__sk"] for r in simhash_sketches(docs, "doc_id", "text").collect()
     }
     assert expr_form == dist_form
+
+
+def test_exploded_shingles_match_array_form(spark, sf_dir):
+    """The lead-window exploded shingles must equal the array form's
+    shingle sets exactly (same grams per doc), including short docs."""
+    from dca_manager_spark.operators.dedup import exploded_shingles, shingles as sh_arr
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(100)
+    extra = spark.createDataFrame(
+        [(100001, "one two"), (100002, "single"), (100003, "")], ["doc_id", "text"]
+    )
+    both = docs.select("doc_id", "text").unionByName(extra)
+
+    arr = {
+        r.doc_id: set(r.g)
+        for r in both.select(
+            "doc_id", sh_arr(F.col("text"), "word", 3).alias("g")
+        ).collect()
+    }
+    expl = {}
+    for r in exploded_shingles(both, "doc_id", "text", 3, "word").collect():
+        expl.setdefault(r["__id"], set()).add(r["__g"])
+    for doc_id, grams in arr.items():
+        assert expl.get(doc_id, set()) == grams, f"doc {doc_id} shingle mismatch"
