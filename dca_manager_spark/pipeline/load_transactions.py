@@ -30,18 +30,25 @@ from dca_manager_spark.schemas import REFERENCE_TS_FORMAT, TRANSACTION_RAW_SCHEM
 NONE_SENTINEL = "none"  # load_transactions.py:99 — literal skip marker
 
 
-def normalize_transactions(df: DataFrame) -> DataFrame:
+def normalize_transactions(df: DataFrame, decimal: bool = False) -> DataFrame:
     """The A4 transform (load_transactions.py:90-94): unix seconds ->
     timestamp through the exact 'yyyy-MM-dd HH:mm:ss.SS' format string
     (centisecond truncation parity — from_unixtime floors to seconds first,
-    so the fraction is always .00), decimal strings -> double."""
+    so the fraction is always .00), decimal strings -> numeric.
+
+    Numeric policy (SURVEY §1.3 decimal note): the reference keeps exact
+    shopspring decimals operationally and degrades to double in the lake.
+    ``decimal=False`` (default) is lake parity; ``decimal=True`` keeps
+    DecimalType(38,18) — exact quoted-string ingestion, no float round-trip.
+    """
+    num_type = "decimal(38,18)" if decimal else "double"
     out = df
     for c in ("close_time", "open_time"):
         out = out.withColumn(
             c, F.from_unixtime(F.col(c), REFERENCE_TS_FORMAT).cast("timestamp")
         )
     for c in ("fee", "price", "volume"):
-        out = out.withColumn(c, F.col(c).cast("double"))
+        out = out.withColumn(c, F.col(c).cast(num_type))
     return out
 
 
@@ -71,6 +78,7 @@ def load_transactions(
     table_name: str = "transactions",
     database: str = "dca_manager",
     infer_schema: bool = False,
+    decimal: bool = False,
 ) -> MergeTable:
     """Run the load; returns the MergeTable handle.
 
@@ -88,7 +96,7 @@ def load_transactions(
     if "_corrupt_record" in df.columns:
         df = df.filter(F.col("_corrupt_record").isNull()).drop("_corrupt_record")
 
-    df = normalize_transactions(df)
+    df = normalize_transactions(df, decimal=decimal)
     df = apply_additional_columns(df, additional_columns)
 
     table = MergeTable(

@@ -1637,3 +1637,118 @@ def union_missing_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_nationkey").alias("entity_key"), F.col("n_name").alias("name")
     )
     return c.unionByName(n, allowMissingColumns=True).orderBy("entity_key", "name")
+
+
+# ===========================================================================
+# Batch 5: scalar math, array ops, batch session windows, from_json
+# ===========================================================================
+
+@query(
+    "scalar_math_funcs",
+    """
+    SELECT l_orderkey, l_linenumber,
+           abs(l_extendedprice - 30000.0) AS abs_dev,
+           ceil(l_quantity / 7.0) AS ceil_batches,
+           floor(l_quantity / 7.0) AS floor_batches,
+           sqrt(l_extendedprice) AS price_sqrt,
+           CAST(l_quantity AS BIGINT) % 5 AS qty_mod,
+           l_extendedprice * l_extendedprice AS price_sq
+    FROM lineitem
+    WHERE l_orderkey < 100
+    ORDER BY l_orderkey, l_linenumber
+    """,
+)
+def scalar_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math family: abs/ceil/floor/sqrt/mod/square — all IEEE-exact ops
+    (sqrt is correctly-rounded per IEEE-754, so cross-engine safe; pow/exp
+    /log are NOT and stay out of oracle-checked queries)."""
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 100)
+    return (
+        li.select(
+            "l_orderkey",
+            "l_linenumber",
+            F.abs(F.col("l_extendedprice") - 30000.0).alias("abs_dev"),
+            F.ceil(F.col("l_quantity") / 7.0).alias("ceil_batches"),
+            F.floor(F.col("l_quantity") / 7.0).alias("floor_batches"),
+            F.sqrt("l_extendedprice").alias("price_sqrt"),
+            (F.col("l_quantity").cast("bigint") % 5).alias("qty_mod"),
+            (F.col("l_extendedprice") * F.col("l_extendedprice")).alias("price_sq"),
+        )
+        .orderBy("l_orderkey", "l_linenumber")
+    )
+
+
+@query(
+    "array_functions",
+    """
+    WITH w AS (
+      SELECT p_partkey, string_split(p_name, ' ') AS words FROM part
+      WHERE p_partkey < 300
+    )
+    SELECT p_partkey,
+           len(words) AS n_words,
+           list_contains(words, 'spark') AS has_spark,
+           words[1] AS first_word,
+           list_sort(words) AS sorted_words,
+           array_to_string(list_reverse(list_sort(words)), '-') AS rev_joined
+    FROM w
+    ORDER BY p_partkey
+    """,
+)
+def array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array family: size/contains/element_at/sort/reverse/join
+    (SURVEY §2B array row — transaction_ids arrays in the reference)."""
+    p = t(spark, sf_dir, "part").filter(F.col("p_partkey") < 300)
+    words = F.split("p_name", " ")
+    return (
+        p.select(
+            "p_partkey",
+            F.size(words).alias("n_words"),
+            F.array_contains(words, "spark").alias("has_spark"),
+            F.element_at(words, 1).alias("first_word"),
+            F.array_sort(words).alias("sorted_words"),
+            F.concat_ws("-", F.reverse(F.array_sort(words))).alias("rev_joined"),
+        )
+        .orderBy("p_partkey")
+    )
+
+
+@query(
+    "from_json_typed",
+    """
+    SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+           event_type
+    FROM events
+    WHERE event_id < 500
+    ORDER BY event_id
+    """,
+)
+def from_json_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """from_json with an explicit schema (the canonical-schema variant of
+    A1's inference; reference parses JSON payloads everywhere)."""
+    ev = t(spark, sf_dir, "events").filter(F.col("event_id") < 500)
+    parsed = F.from_json(F.col("props"), "k BIGINT")
+    return (
+        ev.select("event_id", parsed.getField("k").alias("k"), "event_type")
+        .orderBy("event_id")
+    )
+
+
+@query("session_window_batch", None)  # no DuckDB session-window equivalent
+def session_window_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch session windows (30-min gap) per user over events — the batch
+    twin of streaming/windows.py session_counts (DuckDB has no session
+    window; sessionization is pinned by tests instead)."""
+    ev = t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), F.col("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum(F.col("value")).alias("total_value"))
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "user_id",
+            "n_events",
+            "total_value",
+        )
+        .orderBy("user_id", "session_start")
+    )

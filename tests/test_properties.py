@@ -1,0 +1,176 @@
+"""Property-based tests (hypothesis): invariants that hold for ARBITRARY
+inputs, not just fixtures — the test layer the reference lacks entirely
+(SURVEY §5 implication).
+
+- as-of join == pandas.merge_asof on random event sets (an independent
+  reference implementation as oracle)
+- upsert is last-writer-wins and idempotent for random batch sequences
+- bulk_insert row count is exactly additive
+- Jaccard pairs are symmetric-free (a<b), bounded, and exact
+"""
+
+from __future__ import annotations
+
+import datetime
+
+import pandas as pd
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from dca_manager_spark.io.merge import MergeTable
+from dca_manager_spark.operators.relational import asof_join
+
+BASE = datetime.datetime(2024, 1, 1)
+
+H_SETTINGS = dict(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+
+events = st.lists(
+    st.tuples(
+        st.sampled_from(["u1", "u2"]),
+        st.integers(min_value=0, max_value=500),  # seconds offset
+        st.floats(min_value=-100, max_value=100, allow_nan=False),
+    ),
+    min_size=0,
+    max_size=25,
+)
+
+
+@given(left=events, right=events)
+@settings(**H_SETTINGS)
+def test_asof_join_matches_pandas_merge_asof(spark, left, right):
+    ldf_rows = [
+        (k, BASE + datetime.timedelta(seconds=s), v) for k, s, v in left
+    ]
+    # de-dup right timestamps per key: at equal (key, ts) the winning row is
+    # tie-broken differently by the two engines; the contract only covers
+    # unique (key, ts) right sides.
+    seen = set()
+    rdf_rows = []
+    for k, s, v in right:
+        if (k, s) in seen:
+            continue
+        seen.add((k, s))
+        rdf_rows.append((k, BASE + datetime.timedelta(seconds=s), v))
+
+    if not ldf_rows:
+        return
+    ldf = spark.createDataFrame(ldf_rows, "k string, lts timestamp, lv double")
+    rdf = spark.createDataFrame(
+        rdf_rows or [("__none__", BASE, 0.0)], "k string, rts timestamp, rv double"
+    )
+
+    got = asof_join(ldf, rdf, "lts", "rts", by=["k"]).collect()
+
+    lpd = pd.DataFrame(ldf_rows, columns=["k", "lts", "lv"]).sort_values("lts")
+    rpd = pd.DataFrame(
+        rdf_rows or [("__none__", BASE, 0.0)], columns=["k", "rts", "rv"]
+    ).sort_values("rts")
+    want = pd.merge_asof(
+        lpd, rpd, left_on="lts", right_on="rts", by="k", direction="backward"
+    )
+
+    got_map = {}
+    for r in got:
+        got_map.setdefault((r.k, r.lts, r.lv), []).append((r.rts, r.rv))
+    for row in want.itertuples():
+        key = (row.k, row.lts.to_pydatetime(), row.lv)
+        assert key in got_map
+        rts = None if pd.isna(row.rts) else row.rts.to_pydatetime()
+        rv = None if pd.isna(row.rv) else row.rv
+        assert (rts, rv) in got_map[key], f"{key}: {got_map[key]} missing {(rts, rv)}"
+
+
+batches = st.lists(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["T1", "T2", "T3"]),
+            st.sampled_from(["BTCGBP", "ETHGBP"]),
+            st.integers(min_value=0, max_value=1000),
+        ),
+        min_size=1,
+        max_size=5,
+    ),
+    min_size=1,
+    max_size=4,
+)
+
+
+@given(seq=batches)
+@settings(**H_SETTINGS)
+def test_upsert_last_writer_wins(spark, tmp_path_factory, seq):
+    """After any sequence of upsert batches, the table holds exactly one
+    row per live key, and its value comes from the LAST batch that touched
+    the key (within a batch: the precombine winner)."""
+    path = tmp_path_factory.mktemp("merge") / "t"
+    table = MergeTable(
+        spark, str(path), keys=("transaction_id",), precombine="price",
+        partition_by=("pair",),
+    )
+    expected: dict[str, tuple[str, int]] = {}
+    for batch in seq:
+        df = spark.createDataFrame(
+            batch, "transaction_id string, pair string, price long"
+        )
+        table.write(df, "upsert")
+        winners: dict[str, tuple[str, int]] = {}
+        for txid, pair, price in batch:
+            cur = winners.get(txid)
+            if cur is None or price > cur[1]:
+                winners[txid] = (pair, price)
+        expected.update(winners)
+
+    got = {
+        r.transaction_id: (r.pair, r.price) for r in table.read().collect()
+    }
+    assert got == expected
+
+
+@given(
+    n1=st.integers(min_value=0, max_value=6), n2=st.integers(min_value=0, max_value=6)
+)
+@settings(**H_SETTINGS)
+def test_bulk_insert_additive(spark, tmp_path_factory, n1, n2):
+    path = tmp_path_factory.mktemp("bulk") / "t"
+    table = MergeTable(
+        spark, str(path), keys=("transaction_id",), precombine="transaction_id",
+        partition_by=(),
+    )
+    for n in (n1, n2):
+        if n:
+            df = spark.createDataFrame(
+                [("T", float(i)) for i in range(n)], "transaction_id string, v double"
+            )
+            table.write(df, "bulk_insert")
+    if n1 + n2:
+        assert table.read().count() == n1 + n2
+
+
+texts = st.lists(
+    st.text(alphabet="ab ", min_size=0, max_size=30), min_size=2, max_size=8
+)
+
+
+@given(docs=texts)
+@settings(**H_SETTINGS)
+def test_jaccard_pairs_properties(spark, docs):
+    from dca_manager_spark.operators.dedup import ngram_jaccard_pairs
+
+    df = spark.createDataFrame(list(enumerate(docs)), ["doc_id", "text"])
+    pairs = ngram_jaccard_pairs(df, "doc_id", "text", k=2, threshold=0.0).collect()
+    for r in pairs:
+        assert r.id_a < r.id_b
+        assert 0.0 < r.jaccard <= 1.0
+        assert r.n_inter <= min(r.n_a, r.n_b)
+    # identical non-trivial docs must appear with jaccard == 1
+    for i in range(len(docs)):
+        for j in range(i + 1, len(docs)):
+            if docs[i] == docs[j] and len(docs[i].replace(" ", "")) >= 2:
+                assert any(
+                    r.id_a == i and r.id_b == j and r.jaccard == 1.0 for r in pairs
+                )

@@ -172,3 +172,54 @@ def test_streaming_dedup(spark, tmp_path):
         lambda df, _: out.extend(df.collect()),
     )
     assert sorted(r.transaction_id for r in out) == ["T1", "T2"]
+
+
+def test_stateful_lifecycle_across_batches(spark, tmp_path):
+    """pending in micro-batch 1, complete in micro-batch 2: the state must
+    survive between batches and the settlement row must carry the cross-
+    batch latency (SURVEY §2B arbitrary-state row)."""
+    from dca_manager_spark.streaming.stateful import track_order_lifecycle
+
+    src = tmp_path / "lifecycle_in"
+    src.mkdir()
+    base = datetime.datetime(2024, 1, 1, 10, 0, 0)
+    # file names control arrival order; maxFilesPerTrigger=1 => one file
+    # per micro-batch
+    (src / "a_batch1.json").write_text(
+        json.dumps({"transaction_id": "T1", "status": "pending", "ts": base.isoformat()})
+        + "\n"
+        + json.dumps({"transaction_id": "T2", "status": "pending", "ts": base.isoformat()})
+    )
+    (src / "b_batch2.json").write_text(
+        json.dumps(
+            {
+                "transaction_id": "T1",
+                "status": "complete",
+                "ts": (base + datetime.timedelta(seconds=90)).isoformat(),
+            }
+        )
+    )
+    # FileStreamSource orders micro-batches by modification time — pin
+    # mtimes so batch1 is guaranteed to precede batch2.
+    import os
+
+    now = 1_700_000_000
+    os.utime(src / "a_batch1.json", (now, now))
+    os.utime(src / "b_batch2.json", (now + 10, now + 10))
+
+    stream = (
+        spark.readStream.schema("transaction_id string, status string, ts timestamp")
+        .option("maxFilesPerTrigger", "1")
+        .json(str(src))
+    )
+    out: list = []
+    drain(
+        track_order_lifecycle(stream),
+        str(tmp_path / "ckpt"),
+        lambda df, _: out.extend(df.collect()),
+    )
+    settled = {r.transaction_id: r for r in out}
+    assert set(settled) == {"T1"}  # T2 still pending, no emission
+    assert settled["T1"].latency_s == 90.0
+    assert settled["T1"].outcome == "completed"
+    assert settled["T1"].pending_ts == base
