@@ -25,6 +25,60 @@ from dca_manager_spark.streaming.queue_source import FileQueue
 
 PENDING_PREFIX = "transactions/status=pending"  # aws_lambda_execute_orders.tf:6
 
+FULFILLED_SCHEMA = (
+    "exchange string, transaction_id string, timestamp long, result_json string"
+)
+
+
+def execute_orders_distributed(
+    spark: SparkSession,
+    config_path: str,
+    allow_real: bool = False,
+):
+    """A8's scale path: dispatch connector calls from EXECUTORS via
+    mapInPandas — for configs with thousands of orders, the driver loop in
+    ``execute_orders`` serializes on API latency; here each partition runs
+    its orders concurrently (one connector instance per partition, Arrow
+    batches in/out). Returns a DataFrame of fulfilled orders; callers sink
+    it with ``write_partitioned_json`` + publish from ``foreachPartition``.
+
+    The deterministic fake connector is used unless ``allow_real`` — and a
+    real deployment injects a picklable connector factory the same way.
+    """
+    import json as _json
+    from typing import Iterator
+
+    import pandas as pd
+
+    from dca_manager_spark.io.readers import read_dca_config, validate_dca_config
+    from dca_manager_spark.pipeline.connectors import get_orderers, resolve_orderer
+
+    problems = validate_dca_config(config_path)
+    if problems:
+        raise ValueError(f"invalid DCA config: {problems}")
+    config = read_dca_config(spark, config_path).filter("enabled OR enabled IS NULL")
+
+    def dispatch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        orderers = get_orderers(allow_real=allow_real)  # one per partition
+        for pdf in batches:
+            out = []
+            for row in pdf.to_dict("records"):
+                orderer = resolve_orderer(orderers, row["exchange"])
+                fulfilled = orderer.make_order(row)
+                out.append(
+                    {
+                        "exchange": row["exchange"],
+                        "transaction_id": fulfilled.transaction_id,
+                        "timestamp": fulfilled.timestamp,
+                        "result_json": _json.dumps(fulfilled.result),
+                    }
+                )
+            yield pd.DataFrame(out, columns=["exchange", "transaction_id", "timestamp", "result_json"])
+
+    return config.repartition(max(spark.sparkContext.defaultParallelism, 1)).mapInPandas(
+        dispatch, schema=FULFILLED_SCHEMA
+    )
+
 
 def pending_key(exchange: str, transaction_id: str) -> str:
     """Exact S3-key layout parity (cmd/execute_orders/main.go:171-176):

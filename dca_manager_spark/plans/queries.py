@@ -1752,3 +1752,142 @@ def session_window_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "session_start")
     )
+
+
+# ===========================================================================
+# Batch 6: pivot / unpivot, map functions, regexp extraction
+# ===========================================================================
+
+@query(
+    "pivot_status_by_priority",
+    """
+    SELECT o_orderpriority,
+           SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS status_f,
+           SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS status_o,
+           SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS status_p
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def pivot_status_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: long->wide on a known value set (explicit values list keeps
+    the plan single-pass; unlisted-values pivot needs a distinct scan
+    first — avoid at scale)."""
+    return (
+        t(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .count()
+        .na.fill(0)
+        .select(
+            "o_orderpriority",
+            F.col("F").alias("status_f"),
+            F.col("O").alias("status_o"),
+            F.col("P").alias("status_p"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
+    "unpivot_balances",
+    """
+    SELECT n_nationkey AS nationkey, 'customer' AS side,
+           CAST(SUM(CAST(FLOOR(c_acctbal * 100) AS DECIMAL(38,0))) AS DOUBLE) / 100 AS total
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_nationkey
+    UNION ALL
+    SELECT n_nationkey AS nationkey, 'supplier' AS side,
+           CAST(SUM(CAST(FLOOR(s_acctbal * 100) AS DECIMAL(38,0))) AS DOUBLE) / 100 AS total
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    GROUP BY n_nationkey
+    ORDER BY nationkey, side
+    """,
+)
+def unpivot_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (wide->long) via DataFrame.unpivot/melt over a two-sided
+    aggregate."""
+    c = (
+        t(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(dsum(F.col("c_acctbal")).alias("customer"))
+    )
+    s = (
+        t(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("nationkey"))
+        .agg(dsum(F.col("s_acctbal")).alias("supplier"))
+    )
+    nat = t(spark, sf_dir, "nation").select(F.col("n_nationkey").alias("nationkey"))
+    wide = nat.join(c, "nationkey", "left").join(s, "nationkey", "left")
+    return (
+        wide.unpivot("nationkey", ["customer", "supplier"], "side", "total")
+        .filter(F.col("total").isNotNull())
+        .orderBy("nationkey", "side")
+    )
+
+
+@query(
+    "map_functions",
+    """
+    SELECT o_custkey,
+           COALESCE(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 END), 0) AS n_open,
+           COALESCE(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 END), 0) AS n_full,
+           COUNT(DISTINCT o_orderstatus) AS n_statuses
+    FROM orders
+    WHERE o_custkey < 200
+    GROUP BY o_custkey
+    ORDER BY o_custkey
+    """,
+)
+def map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map family (SURVEY §2B map row): build a status->count map per
+    customer with map_from_entries, then read it back via element_at /
+    map_keys. The oracle computes the same result relationally — the map
+    is internal plumbing, outputs are plain columns."""
+    o = t(spark, sf_dir, "orders").filter(F.col("o_custkey") < 200)
+    per_status = o.groupBy("o_custkey", "o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    mapped = per_status.groupBy("o_custkey").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("o_orderstatus", "n"))
+        ).alias("status_map")
+    )
+    return (
+        mapped.select(
+            "o_custkey",
+            F.coalesce(F.element_at("status_map", "O"), F.lit(0)).alias("n_open"),
+            F.coalesce(F.element_at("status_map", "F"), F.lit(0)).alias("n_full"),
+            F.size(F.map_keys("status_map")).alias("n_statuses"),
+        )
+        .orderBy("o_custkey")
+    )
+
+
+@query(
+    "regexp_extract_parts",
+    """
+    SELECT p_partkey,
+           regexp_extract(p_name, '^([a-z]+)', 1) AS first_token,
+           regexp_extract(p_brand, '([0-9]+)', 1) AS brand_num,
+           regexp_matches(p_type, '[A-Z]') AS has_upper
+    FROM part
+    WHERE p_partkey < 300
+    ORDER BY p_partkey
+    """,
+)
+def regexp_extract_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regexp family: extract groups + boolean match (patterns restricted
+    to the Java-regex / RE2 common subset)."""
+    return (
+        t(spark, sf_dir, "part")
+        .filter(F.col("p_partkey") < 300)
+        .select(
+            "p_partkey",
+            F.regexp_extract("p_name", "^([a-z]+)", 1).alias("first_token"),
+            F.regexp_extract("p_brand", "([0-9]+)", 1).alias("brand_num"),
+            F.col("p_type").rlike("[A-Z]").alias("has_upper"),
+        )
+        .orderBy("p_partkey")
+    )

@@ -193,3 +193,17 @@ def test_factory_real_flag():
     assert isinstance(fake_only["kraken"], FakeOrderer)
     real = get_orderers(allow_real=True)
     assert isinstance(real["kraken"], KrakenOrderer)
+
+
+def test_execute_orders_distributed(spark, tmp_path, config_path):
+    """A8 scale path: connector fan-out on executors via mapInPandas —
+    same results as the driver loop, as a DataFrame."""
+    from dca_manager_spark.pipeline.execute_orders import execute_orders_distributed
+
+    out = execute_orders_distributed(spark, config_path).collect()
+    assert len(out) == 1  # disabled order filtered
+    r = out[0]
+    assert r.exchange == "kraken"
+    assert r.transaction_id == FakeOrderer.FAKE_TXID
+    payload = json.loads(r.result_json)
+    assert payload["description"]["pair"] == "ADAGBP"
