@@ -1891,3 +1891,79 @@ def regexp_extract_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("p_partkey")
     )
+
+
+# ===========================================================================
+# Batch 7: SQL-text surface (the Athena-parity claim exercised through
+# spark.sql itself) + null-handling scalar family
+# ===========================================================================
+
+@query(
+    "sql_correlated_exists",
+    """
+    SELECT c.c_custkey, c.c_name
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_totalprice > 300000)
+      AND NOT EXISTS (SELECT 1 FROM orders o2
+                      WHERE o2.o_custkey = c.c_custkey
+                        AND o2.o_orderstatus = 'P')
+    ORDER BY c.c_custkey
+    """,
+)
+def sql_correlated_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS / NOT EXISTS through the SQL-text surface —
+    Catalyst decorrelates both into semi/anti joins (the engine's 'Athena
+    parity' is spark.sql itself, not just the DataFrame API)."""
+    from dca_manager_spark.io.readers import register_tables
+
+    register_tables(spark, sf_dir, ("customer", "orders"))
+    return spark.sql(
+        """
+        SELECT c.c_custkey, c.c_name
+        FROM customer c
+        WHERE EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_totalprice > 300000)
+          AND NOT EXISTS (SELECT 1 FROM orders o2
+                          WHERE o2.o_custkey = c.c_custkey
+                            AND o2.o_orderstatus = 'P')
+        ORDER BY c.c_custkey
+        """
+    )
+
+
+@query(
+    "null_handling_family",
+    """
+    SELECT c_custkey,
+           COALESCE(NULLIF(c_mktsegment, 'MACHINERY'), 'OTHER') AS segment_or_other,
+           c_acctbal IS NOT DISTINCT FROM 0.0 AS is_exactly_zero,
+           CASE WHEN c_acctbal < 0 THEN NULL ELSE c_acctbal END AS bal_or_null,
+           COALESCE(CASE WHEN c_acctbal < 0 THEN NULL ELSE c_acctbal END, -1.0)
+             AS bal_defaulted
+    FROM customer
+    WHERE c_custkey < 300
+    ORDER BY c_custkey
+    """,
+)
+def null_handling_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL semantics family: coalesce / nullif / null-safe equality
+    (eqNullSafe == IS NOT DISTINCT FROM) / conditional nulls."""
+    c = t(spark, sf_dir, "customer").filter(F.col("c_custkey") < 300)
+    bal_or_null = F.when(F.col("c_acctbal") < 0, F.lit(None)).otherwise(
+        F.col("c_acctbal")
+    )
+    return (
+        c.select(
+            "c_custkey",
+            F.coalesce(
+                F.nullif(F.col("c_mktsegment"), F.lit("MACHINERY")), F.lit("OTHER")
+            ).alias("segment_or_other"),
+            F.col("c_acctbal").eqNullSafe(F.lit(0.0)).alias("is_exactly_zero"),
+            bal_or_null.alias("bal_or_null"),
+            F.coalesce(bal_or_null, F.lit(-1.0)).alias("bal_defaulted"),
+        )
+        .orderBy("c_custkey")
+    )

@@ -95,3 +95,19 @@ def test_approx_distinct_accuracy(spark, sf_dir):
     exact = li.select(F.countDistinct("l_orderkey")).collect()[0][0]
     approx = li.select(F.approx_count_distinct("l_orderkey", rsd=0.02)).collect()[0][0]
     assert abs(approx - exact) / exact < 0.05
+
+
+def test_sort_within_partitions(spark):
+    """Partition-local sort (SURVEY §2B sorts row): rows are ordered inside
+    each partition without a global shuffle."""
+    df = spark.range(100).withColumn("v", (F.col("id") * 37) % 100).repartition(4)
+    local = df.sortWithinPartitions(F.col("v"))
+    # no Exchange added by the sort itself (only the explicit repartition)
+    from dca_manager_spark.plans.inspect import physical_plan
+
+    assert physical_plan(local).count("Exchange") == 1
+    parts = local.rdd.glom().collect()
+    for part in parts:
+        vs = [r.v for r in part]
+        assert vs == sorted(vs)
+    assert sum(len(p) for p in parts) == 100

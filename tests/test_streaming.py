@@ -223,3 +223,30 @@ def test_stateful_lifecycle_across_batches(spark, tmp_path):
     assert settled["T1"].latency_s == 90.0
     assert settled["T1"].outcome == "completed"
     assert settled["T1"].pending_ts == base
+
+
+def test_sliding_window(spark, tmp_path):
+    from dca_manager_spark.streaming.windows import sliding_counts
+
+    base = datetime.datetime(2024, 1, 1, 10, 0, 0)
+    rows = [[{"ts": (base + datetime.timedelta(minutes=m)).isoformat(), "value": 1.0}
+             for m in (0, 20, 40)]]
+    src = _event_files(tmp_path, rows)
+
+    def stream():
+        return spark.readStream.schema("ts timestamp, value double").json(src)
+
+    out: list = []
+    ckpt = str(tmp_path / "ckpt")
+    drain(sliding_counts(stream(), window="1 hour", slide="30 minutes"), ckpt,
+          lambda df, _: out.extend(df.collect()))
+    # advance watermark so all panes close
+    import json as _json, pathlib as _pl
+    _pl.Path(src, "late.json").write_text(
+        _json.dumps({"ts": "2024-01-01T13:00:00", "value": 1.0}))
+    drain(sliding_counts(stream(), window="1 hour", slide="30 minutes"), ckpt,
+          lambda df, _: out.extend(df.collect()))
+    got = {(r.window_start.strftime("%H:%M"), r.n_events) for r in out}
+    # events at 10:00,10:20,10:40 -> pane [09:30,10:30) holds 2, [10:00,11:00) holds 3,
+    # [10:30,11:30) holds 1
+    assert ("09:30", 2) in got and ("10:00", 3) in got and ("10:30", 1) in got
