@@ -398,3 +398,103 @@ def simhash_pairs(
         .filter(F.col("hamming") <= max_hamming)
     )
     return pairs
+
+
+# ---------------------------------------------------------------------------
+# Near-dup clustering: pairs -> connected components -> canonical survivor
+# ---------------------------------------------------------------------------
+
+def connected_components(
+    pairs: DataFrame,
+    ids: DataFrame,
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components over a near-dup pair graph by iterative
+    min-label propagation: every vertex's component becomes the smallest id
+    reachable from it. Returns (__id, component).
+
+    ``pairs``: (id_a, id_b) edges; ``ids``: one-column frame of ALL vertex
+    ids (isolated docs become singleton components).
+
+    Scale: each iteration is one join + one aggregate, shuffled on the
+    vertex id; lineage is truncated per iteration (localCheckpoint) so the
+    plan doesn't grow with iterations. Converges in O(graph diameter)
+    rounds — near-dup graphs are unions of small cliques, so 2-3 rounds in
+    practice; ``max_iter`` bounds pathological chains.
+    """
+    id_name = ids.columns[0]
+    labels = ids.select(
+        F.col(id_name).alias("__id"), F.col(id_name).cast("long").alias("component")
+    ).localCheckpoint(eager=False)
+    edges = (
+        pairs.select(F.col("id_a").alias("__src"), F.col("id_b").alias("__dst"))
+        .unionByName(
+            pairs.select(
+                F.col("id_b").alias("__src"), F.col("id_a").alias("__dst")
+            )
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(
+                labels.select(
+                    F.col("__id").alias("__dst"), F.col("component").alias("__nc")
+                ),
+                "__dst",
+            )
+            .groupBy("__src")
+            .agg(F.min("__nc").alias("__best_neighbor"))
+        )
+        updated = (
+            labels.join(
+                neighbor_min.select(
+                    F.col("__src").alias("__id"), F.col("__best_neighbor")
+                ),
+                "__id",
+                "left",
+            )
+            .select(
+                "__id",
+                F.least(
+                    F.col("component"), F.coalesce("__best_neighbor", F.col("component"))
+                ).alias("component"),
+            )
+            .localCheckpoint(eager=False)
+        )
+        changed = (
+            updated.alias("u")
+            .join(labels.alias("l"), "__id")
+            .filter(F.col("u.component") != F.col("l.component"))
+            .limit(1)
+            .count()
+        )
+        labels = updated
+        if changed == 0:
+            break
+    return labels
+
+
+def dedup_keep_canonical(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+) -> DataFrame:
+    """Full near-dup dedup: cluster the pair graph, keep the smallest id of
+    each component (the canonical document), annotate survivors with their
+    cluster size."""
+    comps = connected_components(pairs, df.select(id_col), max_iter=20)
+    sizes = comps.groupBy("component").agg(F.count(F.lit(1)).alias("cluster_size"))
+    survivors = comps.filter(F.col("__id") == F.col("component"))
+    return (
+        df.join(
+            survivors.select(F.col("__id").alias(id_col)), id_col, "inner"
+        )
+        .join(
+            sizes.select(F.col("component").alias(id_col), "cluster_size"),
+            id_col,
+            "left",
+        )
+        .withColumn("cluster_size", F.coalesce("cluster_size", F.lit(1)))
+    )

@@ -1,0 +1,69 @@
+"""Deterministic sampling / splitting for training-data pipelines.
+
+Seeded-random sampling (``df.sample``) is reproducible only for a fixed
+partitioning — repartition the input and the sample changes. At 100 TB,
+splits must be a FUNCTION OF THE ROW, not of the physical layout, so both
+operators here hash a stable id: every engine, every cluster size, every
+rerun produces the same assignment (and the DuckDB oracle can verify it
+exactly: md5 is identical everywhere).
+
+bucket(id) = conv(md5(salt || id)[0:8], 16, 10) % 10_000
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+BUCKETS = 10_000
+
+
+def hash_bucket(id_col: Column, salt: str = "") -> Column:
+    """Stable [0, 10000) bucket from the md5 of the salted id string."""
+    key = F.concat(F.lit(salt), id_col.cast("string"))
+    return F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("bigint") % BUCKETS
+
+
+def o_hash_bucket(id_expr: str, salt: str = "") -> str:
+    """The DuckDB-equivalent SQL fragment (bit-identical buckets)."""
+    return (
+        f"CAST(concat('0x', substring(md5(concat('{salt}', "
+        f"CAST({id_expr} AS VARCHAR))), 1, 8)) AS BIGINT) % {BUCKETS}"
+    )
+
+
+def train_val_test_split(
+    df: DataFrame,
+    id_col: str,
+    train: float = 0.8,
+    val: float = 0.1,
+    salt: str = "split",
+) -> DataFrame:
+    """Adds a ``split`` column in {train, val, test} by hash range —
+    layout-independent, rerun-stable, and join-free."""
+    b = hash_bucket(F.col(id_col), salt)
+    t_edge = int(train * BUCKETS)
+    v_edge = int((train + val) * BUCKETS)
+    split = (
+        F.when(b < t_edge, "train").when(b < v_edge, "val").otherwise("test")
+    )
+    return df.withColumn("split", split)
+
+
+def stratified_hash_sample(
+    df: DataFrame,
+    id_col: str,
+    fractions: dict[str, float],
+    strata_col: str,
+    salt: str = "sample",
+) -> DataFrame:
+    """Per-stratum deterministic sampling: keep a row iff its hash bucket
+    falls under the stratum's fraction. Unlike ``sampleBy``, assignment
+    does not depend on partitioning or seed plumbing."""
+    b = hash_bucket(F.col(id_col), salt)
+    keep = F.lit(False)
+    for stratum, frac in fractions.items():
+        keep = keep | (
+            (F.col(strata_col) == stratum) & (b < int(frac * BUCKETS))
+        )
+    return df.filter(keep)

@@ -1967,3 +1967,146 @@ def null_handling_family(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_custkey")
     )
+
+
+# ===========================================================================
+# Batch 8: deterministic splits, grouped-map UDF with exact oracle,
+# near-dup clustering
+# ===========================================================================
+
+@query(
+    "train_val_test_split",
+    f"""
+    WITH b AS (
+      SELECT doc_id, lang,
+             CAST(concat('0x', substring(md5(concat('split',
+                  CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT) % 10000 AS bucket
+      FROM documents
+    )
+    SELECT lang,
+           CASE WHEN bucket < 8000 THEN 'train'
+                WHEN bucket < 9000 THEN 'val'
+                ELSE 'test' END AS split,
+           COUNT(*) AS n_docs
+    FROM b
+    GROUP BY 1, 2
+    ORDER BY lang, split
+    """,
+)
+def train_val_test_split_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-based train/val/test split (80/10/10): assignment
+    is a function of the row id (md5 bucket), not of partitioning or seeds
+    — rerun-stable on any cluster, and exactly reproducible by the oracle
+    (operators/sampling.py)."""
+    from dca_manager_spark.operators.sampling import train_val_test_split
+
+    docs = t(spark, sf_dir, "documents")
+    return (
+        train_val_test_split(docs, "doc_id", train=0.8, val=0.1, salt="split")
+        .groupBy("lang", "split")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("lang", "split")
+    )
+
+
+@query(
+    "stratified_hash_sample",
+    f"""
+    SELECT doc_id, lang
+    FROM documents
+    WHERE (lang = 'en' AND
+           CAST(concat('0x', substring(md5(concat('sample',
+                CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT) % 10000 < 1000)
+       OR (lang = 'de' AND
+           CAST(concat('0x', substring(md5(concat('sample',
+                CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT) % 10000 < 5000)
+    ORDER BY doc_id
+    """,
+)
+def stratified_hash_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified deterministic sampling: 10% of English docs, 50% of
+    German docs, by hash range per stratum — layout-independent, exactly
+    verifiable."""
+    from dca_manager_spark.operators.sampling import stratified_hash_sample
+
+    docs = t(spark, sf_dir, "documents")
+    return (
+        stratified_hash_sample(
+            docs, "doc_id", {"en": 0.10, "de": 0.50}, "lang", salt="sample"
+        )
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "applyinpandas_zscore",
+    """
+    WITH s AS (
+      SELECT lang, COUNT(*) AS n,
+             CAST(SUM(n_chars) AS DOUBLE) AS s,
+             CAST(SUM(n_chars * n_chars) AS DOUBLE) AS sq
+      FROM documents GROUP BY lang
+    )
+    SELECT d.doc_id, d.lang, d.n_chars,
+           CASE WHEN s.n > 1 AND (s.sq / s.n - (s.s / s.n) * (s.s / s.n)) > 0
+                THEN (d.n_chars - s.s / s.n)
+                     / sqrt(s.sq / s.n - (s.s / s.n) * (s.s / s.n))
+                ELSE 0.0 END AS z
+    FROM documents d JOIN s ON d.lang = s.lang
+    ORDER BY d.doc_id
+    """,
+)
+def applyinpandas_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map UDF surface (applyInPandas): per-language z-score of
+    document length, computed in pandas per group. Oracle-EXACT because the
+    stats are exact integer sums cast to double and every per-row op is the
+    same IEEE double sequence as the SQL. The reference's UDF-shaped logic
+    (connectors) has no analytics analogue, so this stands in for grouped-
+    map custom logic (SURVEY §2 UDF note)."""
+    import pandas as pd
+
+    def zscore(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        import math
+
+        n = len(pdf)
+        x = pdf["n_chars"]
+        s = float(int(x.sum()))          # exact integer sum -> double
+        sq = float(int((x * x).sum()))   # exact integer sum of squares
+        mean = s / n
+        var = sq / n - mean * mean
+        if n > 1 and var > 0:
+            std = math.sqrt(var)
+            z = (x - mean) / std
+        else:
+            z = x * 0.0
+        return pd.DataFrame(
+            {"doc_id": pdf["doc_id"], "lang": pdf["lang"], "n_chars": x, "z": z}
+        )
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    return (
+        docs.groupBy("lang")
+        .applyInPandas(zscore, schema="doc_id long, lang string, n_chars long, z double")
+        .orderBy("doc_id")
+    )
+
+
+@query("dedup_cluster_canonical", None)  # iterative algorithm -> rows-only
+def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full near-dup dedup pipeline: MinHash-LSH pairs -> connected
+    components (iterative min-label propagation) -> keep the canonical
+    (smallest-id) doc per cluster with its cluster size. The end-to-end
+    '100 TB dedup' story in one query; component semantics pinned in
+    tests/test_dedup.py."""
+    from dca_manager_spark.operators.dedup import dedup_keep_canonical, minhash_lsh_pairs
+
+    docs = t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(
+        docs, "doc_id", "text", num_hashes=64, bands=16, threshold=0.7, mode="word"
+    )
+    return (
+        dedup_keep_canonical(docs, pairs, "doc_id")
+        .select("doc_id", "lang", "source", "cluster_size")
+        .orderBy("doc_id")
+    )

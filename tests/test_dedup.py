@@ -147,3 +147,30 @@ def test_exploded_shingles_match_array_form(spark, sf_dir):
         expl.setdefault(r["__id"], set()).add(r["__g"])
     for doc_id, grams in arr.items():
         assert expl.get(doc_id, set()) == grams, f"doc {doc_id} shingle mismatch"
+
+
+def test_connected_components_known_graph(spark):
+    from dca_manager_spark.operators.dedup import connected_components
+
+    ids = spark.createDataFrame([(i,) for i in range(8)], ["doc_id"])
+    # components: {0,1,2,3} (chain), {4,5} — 6,7 isolated
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (4, 5)], ["id_a", "id_b"]
+    )
+    comps = {
+        r["__id"]: r.component
+        for r in connected_components(pairs, ids, max_iter=10).collect()
+    }
+    assert comps == {0: 0, 1: 0, 2: 0, 3: 0, 4: 4, 5: 4, 6: 6, 7: 7}
+
+
+def test_dedup_keep_canonical(spark):
+    from dca_manager_spark.operators.dedup import dedup_keep_canonical
+
+    df = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(6)], ["doc_id", "text"]
+    )
+    pairs = spark.createDataFrame([(0, 3), (3, 5), (1, 2)], ["id_a", "id_b"])
+    out = {r.doc_id: r.cluster_size for r in dedup_keep_canonical(df, pairs, "doc_id").collect()}
+    # clusters {0,3,5} -> keep 0 (size 3); {1,2} -> keep 1 (size 2); {4} -> keep 4
+    assert out == {0: 3, 1: 2, 4: 1}
