@@ -49,8 +49,11 @@ def main() -> None:
         except Exception:
             pass
 
+    import gc
+
     timings: dict[str, float] = {}
     for name in names:
+        gc.collect()  # release prior queries' localCheckpoint RDDs
         start = time.perf_counter()
         qs[name](spark, sf_dir).count()
         timings[name] = round(time.perf_counter() - start, 3)

@@ -2110,3 +2110,51 @@ def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "lang", "source", "cluster_size")
         .orderBy("doc_id")
     )
+
+
+@query(
+    "stat_corr_manual",
+    """
+    WITH q AS (
+      SELECT CAST(FLOOR(o_totalprice * 100) AS HUGEINT) AS x,
+             CAST(epoch(o_orderdate) AS HUGEINT) AS y
+      FROM orders
+    ),
+    s AS (
+      SELECT COUNT(*) AS n,
+             CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+             CAST(SUM(x * y) AS DOUBLE) AS sxy,
+             CAST(SUM(x * x) AS DOUBLE) AS sxx,
+             CAST(SUM(y * y) AS DOUBLE) AS syy
+      FROM q
+    )
+    SELECT (n * sxy - sx * sy)
+           / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) AS corr_price_date
+    FROM s
+    """,
+)
+def stat_corr_manual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation with EXACT integer-quantized moment sums —
+    ``F.corr`` accumulates doubles (order-dependent low bits), so the
+    engine computes the five moments as exact decimal sums and applies one
+    deterministic double formula. The df.stat surface, made reproducible."""
+    o = t(spark, sf_dir, "orders")
+    x = F.floor(F.col("o_totalprice") * 100).cast("decimal(38,0)")
+    y = F.unix_timestamp("o_orderdate").cast("decimal(38,0)")
+    s = o.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).cast("double").alias("sx"),
+        F.sum(y).cast("double").alias("sy"),
+        F.sum((x * y).cast("decimal(38,0)")).cast("double").alias("sxy"),
+        F.sum((x * x).cast("decimal(38,0)")).cast("double").alias("sxx"),
+        F.sum((y * y).cast("decimal(38,0)")).cast("double").alias("syy"),
+    )
+    return s.select(
+        (
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            / (
+                F.sqrt(F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+                * F.sqrt(F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+            )
+        ).alias("corr_price_date")
+    )
