@@ -207,3 +207,26 @@ def test_execute_orders_distributed(spark, tmp_path, config_path):
     assert r.transaction_id == FakeOrderer.FAKE_TXID
     payload = json.loads(r.result_json)
     assert payload["description"]["pair"] == "ADAGBP"
+
+
+def test_cli_contract(tmp_path, config_path):
+    """CLI argument-contract parity: execute-orders then process-orders
+    then a standalone load —  all through the __main__ surface."""
+    from dca_manager_spark.pipeline.cli import build_parser, main
+
+    # parser accepts the Glue-contract args
+    ns = build_parser().parse_args(
+        ["load-transactions", "--input_path", "x", "--table_path", "y",
+         "--write_operation", "bulk_insert", "--additional_columns", "none"]
+    )
+    assert ns.write_operation == "bulk_insert"
+
+    rc = main(["execute-orders", "--config", config_path,
+               "--data_dir", str(tmp_path / "d"), "--queue_dir", str(tmp_path / "q"),
+               "--real"])
+    assert rc == 0
+    rc = main(["process-orders", "--queue_dir", str(tmp_path / "q"),
+               "--data_dir", str(tmp_path / "d"), "--table_path", str(tmp_path / "t")])
+    assert rc == 0
+    import glob
+    assert glob.glob(str(tmp_path / "t" / "pair=ADAGBP" / "*.parquet"))

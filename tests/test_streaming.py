@@ -250,3 +250,38 @@ def test_sliding_window(spark, tmp_path):
     # events at 10:00,10:20,10:40 -> pane [09:30,10:30) holds 2, [10:00,11:00) holds 3,
     # [10:30,11:30) holds 1
     assert ("09:30", 2) in got and ("10:00", 3) in got and ("10:30", 1) in got
+
+
+def test_streaming_pipeline_end_to_end(spark, tmp_path):
+    """SURVEY §7 step 5: the whole EP2 as one streaming query — publish
+    pending messages, drain, table holds normalized completed orders;
+    re-drain with same checkpoint is a no-op."""
+    from dca_manager_spark.streaming.pipeline import run_streaming_pipeline
+
+    queue = FileQueue(str(tmp_path / "q"))
+    queue.publish("TXA", "b", "ka", exchange="kraken", real=True)
+    queue.publish("TXB", "b", "kb", exchange="kraken", real=False)  # filtered
+
+    q = run_streaming_pipeline(
+        spark, queue,
+        data_dir=str(tmp_path / "data"),
+        table_path=str(tmp_path / "table"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(120)
+
+    table = spark.read.parquet(str(tmp_path / "table"))
+    rows = table.collect()
+    assert [r.transaction_id for r in rows] == ["TXA"]
+    assert rows[0].exchange == "kraken" and rows[0].pair == "ADAGBP"
+    assert (tmp_path / "data/transactions/status=complete/exchange=kraken/TXA.json").exists()
+
+    # idempotent re-drain on the same checkpoint
+    q2 = run_streaming_pipeline(
+        spark, queue,
+        data_dir=str(tmp_path / "data"),
+        table_path=str(tmp_path / "table"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    q2.awaitTermination(120)
+    assert spark.read.parquet(str(tmp_path / "table")).count() == 1
