@@ -1609,6 +1609,7 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx_orders"),
             F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
+            F.percentile_approx("l_extendedprice", 0.5, 10000).alias("approx_median_price"),
         )
         .orderBy("l_returnflag")
     )
@@ -2157,4 +2158,69 @@ def stat_corr_manual(spark: SparkSession, sf_dir: str) -> DataFrame:
                 * F.sqrt(F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
             )
         ).alias("corr_price_date")
+    )
+
+
+# ===========================================================================
+# Batch 9: multimodal columns in the catalog + approx percentile
+# ===========================================================================
+
+def _fake_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents reinterpreted as a media table: text bytes as the opaque
+    binary payload, n_chars as duration_ms — the decode is stubbed anyway
+    (no codecs in this container), so the PLUMBING (binary columns, typed
+    metadata, Arrow batching) is what's exercised."""
+    d = t(spark, sf_dir, "documents")
+    return d.select(
+        F.col("doc_id").alias("media_id"),
+        F.col("text").cast("binary").alias("content"),
+        F.struct(
+            F.lit("video").alias("media_type"),
+            F.lit("fake").alias("format"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.col("n_chars").cast("long").alias("duration_ms"),
+            F.lit(None).cast("int").alias("sample_rate"),
+        ).alias("meta"),
+    )
+
+
+@query(
+    "multimodal_frame_plan",
+    """
+    SELECT doc_id AS media_id,
+           unnest(generate_series(0, greatest(n_chars - 1, 0), 500))
+             AS frame_ts_ms
+    FROM documents
+    ORDER BY media_id, frame_ts_ms
+    """,
+)
+def multimodal_frame_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling plan (operators/multimodal.frame_sample_plan):
+    one row per (media, frame timestamp) derived purely from metadata — no
+    decode, exact oracle. The decode stage joins this plan into
+    extract_features with a real codec."""
+    from dca_manager_spark.operators.multimodal import frame_sample_plan
+
+    media = _fake_media(spark, sf_dir)
+    return frame_sample_plan(media, every_ms=500).orderBy("media_id", "frame_ts_ms")
+
+
+@query("multimodal_features", None)  # binary payload features -> rows-only
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched media feature extraction (mapInPandas) over binary
+    content with the deterministic fake decoder — schema, batching, and
+    byte-budget partitioning are real; the codec is the stub
+    (operators/multimodal.py)."""
+    from dca_manager_spark.operators.multimodal import (
+        extract_features,
+        fake_image_decoder,
+        repartition_by_bytes,
+    )
+
+    media = repartition_by_bytes(_fake_media(spark, sf_dir), target_partition_bytes=1 << 20)
+    return (
+        extract_features(media, decoder=fake_image_decoder)
+        .select("media_id", "n_bytes", F.element_at("feature", 1).alias("f0"))
+        .orderBy("media_id")
     )
