@@ -6,11 +6,16 @@ query catalog, where every entry pairs a Spark plan with a DuckDB oracle.
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from dca_manager_spark.plans.queries import get_oracles, get_queries
+# Import works regardless of the harness's cwd.
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from dca_manager_spark.plans.queries import get_oracles, get_queries  # noqa: E402
 
 
 def entry(spark: SparkSession) -> DataFrame:

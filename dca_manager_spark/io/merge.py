@@ -80,12 +80,22 @@ class MergeTable:
         keys: tuple[str, ...] = ("transaction_id", "close_time"),
         precombine: str = "transaction_id",
         partition_by: tuple[str, ...] = ("pair",),
+        global_index: bool = False,
     ) -> None:
+        """``global_index`` mirrors Hudi's index scoping: False (default,
+        = Hudi's partition-scoped BLOOM/SIMPLE index and therefore
+        reference parity) resolves keys only within the incoming row's
+        partition — a key that ARRIVES with a new partition value becomes a
+        second row, the old partition's row survives. True (= Hudi
+        GLOBAL_* index) resolves keys across all partitions: the old row is
+        removed wherever it lives. Global costs one extra key-locate pass
+        over the table (broadcast semi join, key-pushdown-friendly)."""
         self.spark = spark
         self.path = path
         self.keys = list(keys)
         self.precombine = precombine
         self.partition_by = list(partition_by)
+        self.global_index = global_index
 
     # -- read side ----------------------------------------------------------
     def exists(self) -> bool:
@@ -93,7 +103,10 @@ class MergeTable:
         return p.exists() and any(p.rglob("*.parquet"))
 
     def read(self) -> DataFrame:
-        return self.spark.read.parquet(self.path)
+        # mergeSchema: schema evolution support — batches may add columns
+        # over the table's life (Hudi evolves schemas too); older files
+        # surface the new columns as nulls.
+        return self.spark.read.option("mergeSchema", "true").parquet(self.path)
 
     def register(self, name: str) -> None:
         """Catalog sync (A14 parity, load_transactions.py:73-79): make the
@@ -130,24 +143,51 @@ class MergeTable:
     def _merge_existing(self, batch: DataFrame, keep_batch: bool) -> None:
         """Rewrite affected partitions as (existing - batch keys) [+ batch]."""
         existing = self.read()
+        keys_df = batch.select(*self.keys).distinct()
         if self.partition_by:
             # Prune the rewrite to partitions the batch touches. The batch is
             # small relative to the table; collecting its distinct partition
             # values is bounded by the partition count, not the data size.
-            parts = batch.select(*self.partition_by).distinct().collect()
+            part_rows = {
+                tuple(row[c] for c in self.partition_by)
+                for row in batch.select(*self.partition_by).distinct().collect()
+            }
+            if self.global_index:
+                # Global key resolution: also rewrite partitions where OLD
+                # versions of the batch's keys live (key moved partitions).
+                located = (
+                    self.read()
+                    .alias("e")
+                    .join(F.broadcast(keys_df.alias("b")), self._key_predicate(), "left_semi")
+                    .select(*self.partition_by)
+                    .distinct()
+                    .collect()
+                )
+                part_rows |= {
+                    tuple(row[c] for c in self.partition_by) for row in located
+                }
             pred = F.lit(False)
-            for row in parts:
+            for values in part_rows:
                 clause = F.lit(True)
-                for col in self.partition_by:
-                    clause = clause & F.col(col).eqNullSafe(F.lit(row[col]))
+                for col, value in zip(self.partition_by, values):
+                    clause = clause & F.col(col).eqNullSafe(F.lit(value))
                 pred = pred | clause
             existing = existing.filter(pred)
-
-        keys_df = batch.select(*self.keys).distinct()
         survivors = existing.alias("e").join(
             F.broadcast(keys_df.alias("b")), self._key_predicate(), "left_anti"
         )
-        merged = survivors.unionByName(batch) if keep_batch else survivors
+        merged = (
+            survivors.unionByName(batch, allowMissingColumns=True)
+            if keep_batch
+            else survivors
+        )
+
+        if merged.isEmpty():
+            # Every affected partition lost all rows (e.g. a full-partition
+            # delete): nothing to write — just clear the directories.
+            if self.partition_by:
+                self._delete_partition_dirs(part_rows)
+            return
 
         # COPY_ON_WRITE rewrite: stage to a temp dir (a plan cannot overwrite
         # its own input path), then dynamic-partition-overwrite the table so
@@ -157,8 +197,33 @@ class MergeTable:
             self._writer(merged, "overwrite").save(str(stage))
             staged = self.spark.read.parquet(str(stage))
             self._writer(staged, "overwrite").save(self.path)
+            if self.partition_by:
+                # Dynamic overwrite only replaces partitions PRESENT in the
+                # output — an affected partition whose rows were all removed
+                # (key moved under a global index, or a full-partition
+                # delete) must be cleared explicitly.
+                remaining = {
+                    tuple(row[c] for c in self.partition_by)
+                    for row in staged.select(*self.partition_by).distinct().collect()
+                }
+                self._delete_partition_dirs(part_rows - remaining)
         finally:
             shutil.rmtree(stage, ignore_errors=True)
+
+    def _delete_partition_dirs(self, parts: set[tuple]) -> None:
+        """Remove emptied partition directories via the Hadoop FS API (works
+        on any supported filesystem, not just local)."""
+        if not parts:
+            return
+        jvm = self.spark._jvm  # type: ignore[attr-defined]
+        conf = self.spark._jsc.hadoopConfiguration()  # type: ignore[attr-defined]
+        for values in parts:
+            subdir = "/".join(
+                f"{col}={value}" for col, value in zip(self.partition_by, values)
+            )
+            hpath = jvm.org.apache.hadoop.fs.Path(f"{self.path}/{subdir}")
+            fs = hpath.getFileSystem(conf)
+            fs.delete(hpath, True)
 
     def _upsert(self, df: DataFrame) -> None:
         batch = precombine_dedup(df, self.keys, self.precombine)
@@ -166,6 +231,29 @@ class MergeTable:
             self._append(batch)
             return
         self._merge_existing(batch, keep_batch=True)
+
+    # -- maintenance --------------------------------------------------------
+    def compact(self, target_files_per_partition: int = 1) -> None:
+        """Small-file compaction: rewrite every partition into N files.
+
+        The reference's load pattern (one Glue run per order file,
+        cmd/process_orders/main.go:241) grows tiny files without bound;
+        Hudi compacts internally — here compaction is an explicit rewrite.
+        At scale, run per-partition on a schedule; content is unchanged.
+        """
+        current = self.read().repartition(
+            target_files_per_partition, *(self.partition_by or self.keys)
+        )
+        stage = Path(tempfile.gettempdir()) / f"mergetable-compact-{uuid.uuid4().hex}"
+        try:
+            self._writer(current, "overwrite").save(str(stage))
+            staged = self.spark.read.parquet(str(stage))
+            self._writer(staged, "overwrite").save(self.path)
+        finally:
+            shutil.rmtree(stage, ignore_errors=True)
+
+    def file_count(self) -> int:
+        return sum(1 for _ in Path(self.path).rglob("*.parquet"))
 
     def _delete(self, df: DataFrame) -> None:
         if not self.exists():

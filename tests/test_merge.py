@@ -138,3 +138,73 @@ def test_precombine_dedup_tiebreak(spark):
     )
     out = precombine_dedup(df, ["k"], "pc", tiebreaks=["v"]).collect()
     assert len(out) == 1 and out[0].v == "c"  # max pc, then max tiebreak
+
+
+def test_compact_reduces_files(spark, table):
+    for i in range(4):  # four appends -> many small files
+        table.write(make_df(spark, [(f"T{i}", TS1, "BTCGBP", float(i))]), "bulk_insert")
+    before = table.file_count()
+    table.compact(target_files_per_partition=1)
+    after = table.file_count()
+    assert after < before
+    assert table.read().count() == 4  # content unchanged
+
+
+def test_schema_evolution_on_upsert(spark, table):
+    """A later batch may carry a NEW column: old rows surface it as null,
+    the merge does not fail (Hudi-style schema evolution)."""
+    table.write(make_df(spark, [("T1", TS1, "BTCGBP", 1.0)]), "upsert")
+    evolved = spark.createDataFrame(
+        [("T2", TS2, "ETHGBP", 2.0, "limit")],
+        "transaction_id string, close_time timestamp, pair string, "
+        "price double, order_type string",
+    )
+    table.write(evolved, "upsert")
+    got = {r.transaction_id: r.asDict() for r in table.read().collect()}
+    assert got["T2"]["order_type"] == "limit"
+    assert got["T1"]["order_type"] is None
+
+
+def test_partition_scoped_index_keeps_moved_key(spark, tmp_path):
+    """Hudi-default (partition-scoped index) parity: a key arriving with a
+    NEW partition value becomes a second row; the old partition's row
+    survives (SURVEY §1.5 / Hudi BLOOM index semantics)."""
+    table = MergeTable(
+        spark, str(tmp_path / "t"), keys=("transaction_id",),
+        precombine="price", partition_by=("pair",), global_index=False,
+    )
+    table.write(make_df(spark, [("T1", TS1, "ETHGBP", 1.0)]), "upsert")
+    table.write(make_df(spark, [("T1", TS1, "BTCGBP", 2.0)]), "upsert")
+    got = sorted((r.pair, r.price) for r in table.read().collect())
+    assert got == [("BTCGBP", 2.0), ("ETHGBP", 1.0)]  # both rows live
+
+
+def test_global_index_moves_key_across_partitions(spark, tmp_path):
+    """Hudi GLOBAL index parity: the same sequence leaves exactly one row,
+    in the new partition."""
+    table = MergeTable(
+        spark, str(tmp_path / "t"), keys=("transaction_id",),
+        precombine="price", partition_by=("pair",), global_index=True,
+    )
+    table.write(make_df(spark, [("T1", TS1, "ETHGBP", 1.0)]), "upsert")
+    table.write(make_df(spark, [("T1", TS1, "BTCGBP", 2.0)]), "upsert")
+    got = [(r.pair, r.price) for r in table.read().collect()]
+    assert got == [("BTCGBP", 2.0)]
+    # the old partition directory holds no parquet rows anymore
+    import pathlib
+    old = pathlib.Path(tmp_path / "t" / "pair=ETHGBP")
+    if old.exists():
+        assert spark.read.parquet(str(tmp_path / "t")).filter("pair='ETHGBP'").count() == 0
+
+
+def test_delete_can_empty_a_partition(spark, table, tmp_path):
+    """Deleting every row of a partition must clear it — dynamic overwrite
+    alone cannot empty a partition (latent bug class caught by hypothesis's
+    moved-key example)."""
+    table.write(
+        make_df(spark, [("T1", TS1, "BTCGBP", 1.0), ("T2", TS1, "ETHGBP", 2.0)]),
+        "bulk_insert",
+    )
+    table.write(make_df(spark, [("T2", TS1, "ETHGBP", 0.0)]), "delete")
+    assert {r.transaction_id for r in table.read().collect()} == {"T1"}
+    assert table.read().filter("pair='ETHGBP'").count() == 0

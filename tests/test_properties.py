@@ -108,9 +108,13 @@ def test_upsert_last_writer_wins(spark, tmp_path_factory, seq):
     row per live key, and its value comes from the LAST batch that touched
     the key (within a batch: the precombine winner)."""
     path = tmp_path_factory.mktemp("merge") / "t"
+    # global_index: last-writer-wins must hold even when a key's partition
+    # value changes between batches (hypothesis found exactly that case —
+    # the default partition-scoped index keeps the old partition's row,
+    # which is Hudi-default behavior, tested separately in test_merge).
     table = MergeTable(
         spark, str(path), keys=("transaction_id",), precombine="price",
-        partition_by=("pair",),
+        partition_by=("pair",), global_index=True,
     )
     expected: dict[str, tuple[str, int]] = {}
     for batch in seq:
