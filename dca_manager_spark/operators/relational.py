@@ -39,6 +39,11 @@ def asof_join(
     truly absent right rows, never mixes fields across rows).
 
     ``direction='forward'`` gives the smallest ``right_on >= left_on``.
+
+    Scale note: with ``by=[]`` the window has no partition key and the
+    whole union sorts on ONE reducer — fine for small frames, never for
+    big ones. Always pass ``by`` keys at scale (and sub-bucket a hot key
+    by time range if one key dominates).
     """
     if direction not in ("backward", "forward"):
         raise ValueError("direction must be 'backward' or 'forward'")
