@@ -79,6 +79,7 @@ def load_transactions(
     database: str = "dca_manager",
     infer_schema: bool = False,
     decimal: bool = False,
+    max_corrupt_fraction: float = 0.0,
 ) -> MergeTable:
     """Run the load; returns the MergeTable handle.
 
@@ -94,7 +95,22 @@ def load_transactions(
         schema=None if infer_schema else TRANSACTION_RAW_SCHEMA,
     )
     if "_corrupt_record" in df.columns:
+        # Data-quality gate: count corrupt rows in the same pass via the
+        # Observation API (no second scan), fail the load if the corrupt
+        # fraction exceeds the budget instead of silently dropping a
+        # mangled batch.
+        from pyspark.sql import Observation
+
+        obs = Observation("load_quality")
+        df = df.observe(
+            obs,
+            F.count(F.lit(1)).alias("n_total"),
+            F.count(F.col("_corrupt_record")).alias("n_corrupt"),
+        )
         df = df.filter(F.col("_corrupt_record").isNull()).drop("_corrupt_record")
+        _quality_obs = obs
+    else:
+        _quality_obs = None
 
     df = normalize_transactions(df, decimal=decimal)
     df = apply_additional_columns(df, additional_columns)
@@ -107,5 +123,15 @@ def load_transactions(
         partition_by=("pair",),  # :56
     )
     table.write(df, op)
+    if _quality_obs is not None:
+        metrics = _quality_obs.get  # available after the write action
+        total, corrupt = metrics["n_total"], metrics["n_corrupt"]
+        if total and corrupt / total > max_corrupt_fraction:
+            raise ValueError(
+                f"load quality gate: {corrupt}/{total} corrupt rows exceeds "
+                f"max_corrupt_fraction={max_corrupt_fraction} "
+                f"(the bad rows were NOT loaded, but the table now contains "
+                f"this batch's clean rows — investigate the source)"
+            )
     table.register(f"{database}_{table_name}" if database else table_name)
     return table

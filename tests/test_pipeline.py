@@ -230,3 +230,23 @@ def test_cli_contract(tmp_path, config_path):
     assert rc == 0
     import glob
     assert glob.glob(str(tmp_path / "t" / "pair=ADAGBP" / "*.parquet"))
+
+
+def test_load_quality_gate(spark, tmp_path):
+    """Corrupt rows are counted in-pass (Observation API): within budget
+    they are dropped silently; over budget the load raises."""
+    good = '{"transaction_id": "T1", "pair": "BTCGBP", "price": "1.5", "close_time": 100.0}'
+    bad = '{"transaction_id": "T2", BROKEN'
+    src = tmp_path / "in.json"
+    src.write_text(good + "\n" + bad + "\n")
+
+    # 50% corrupt > 0% budget -> gate trips
+    with pytest.raises(ValueError, match="quality gate"):
+        load_transactions(spark, str(src), str(tmp_path / "t1"))
+
+    # generous budget -> loads the clean row
+    table = load_transactions(
+        spark, str(src), str(tmp_path / "t2"), max_corrupt_fraction=0.9
+    )
+    rows = table.read().collect()
+    assert [r.transaction_id for r in rows] == ["T1"]

@@ -178,3 +178,48 @@ def test_jaccard_pairs_properties(spark, docs):
                 assert any(
                     r.id_a == i and r.id_b == j and r.jaccard == 1.0 for r in pairs
                 )
+
+
+intervals = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=400),   # lo offset seconds
+        st.integers(min_value=1, max_value=200),   # width seconds
+        st.text(alphabet="xyz", min_size=1, max_size=3),
+    ),
+    min_size=0,
+    max_size=8,
+)
+
+
+@given(points=events, wins=intervals)
+@settings(**H_SETTINGS)
+def test_range_join_matches_python(spark, points, wins):
+    """Bucketized range join vs a direct python filter on arbitrary
+    point/interval sets."""
+    from dca_manager_spark.operators.relational import range_join
+
+    if not points or not wins:
+        return
+    left_rows = [
+        (k, BASE + datetime.timedelta(seconds=s), v) for k, s, v in points
+    ]
+    right_rows = [
+        ("u1", BASE + datetime.timedelta(seconds=lo),
+         BASE + datetime.timedelta(seconds=lo + w), tag)
+        for lo, w, tag in wins
+    ]
+    left = spark.createDataFrame(left_rows, "k string, ts timestamp, v double")
+    right = spark.createDataFrame(right_rows, "k string, lo timestamp, hi timestamp, tag string")
+    got = sorted(
+        (r.k, r.ts, r.v, r.tag)
+        for r in range_join(
+            left, right, ["k"], "ts", "lo", "hi", bucket_width_seconds=60
+        ).collect()
+    )
+    want = sorted(
+        (lk, lts, lv, tag)
+        for (lk, lts, lv) in left_rows
+        for (rk, lo, hi, tag) in right_rows
+        if lk == rk and lo <= lts < hi
+    )
+    assert got == want

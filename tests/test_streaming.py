@@ -285,3 +285,49 @@ def test_streaming_pipeline_end_to_end(spark, tmp_path):
     )
     q2.awaitTermination(120)
     assert spark.read.parquet(str(tmp_path / "table")).count() == 1
+
+
+def test_stream_stream_join_bounded(spark, tmp_path):
+    """Stream-stream join with watermarks + time-range state bound:
+    purchase joined to its preceding clicks."""
+    from dca_manager_spark.streaming.joins import stream_stream_join
+
+    base = datetime.datetime(2024, 1, 1, 10, 0, 0)
+    clicks_dir, purch_dir = tmp_path / "clicks", tmp_path / "purch"
+    clicks_dir.mkdir(), purch_dir.mkdir()
+    (clicks_dir / "c.json").write_text(
+        "\n".join(
+            json.dumps({"user_id": 1, "cts": (base + datetime.timedelta(minutes=m)).isoformat()})
+            for m in (0, 30, 200)  # the 200-min click is outside the 1h lookback
+        )
+    )
+    (purch_dir / "p.json").write_text(
+        json.dumps({"user_id": 1, "pts": (base + datetime.timedelta(minutes=45)).isoformat()})
+    )
+    clicks = spark.readStream.schema("user_id long, cts timestamp").json(str(clicks_dir))
+    purch = spark.readStream.schema("user_id long, pts timestamp").json(str(purch_dir))
+    joined = stream_stream_join(
+        purch, clicks, on=["user_id"], left_ts="pts", right_ts="cts", lookback="1 hour"
+    )
+    out: list = []
+    drain(
+        joined.select("pts", "cts"),
+        str(tmp_path / "ckpt"),
+        lambda df, _: out.extend(df.collect()),
+    )
+    assert sorted(r.cts.minute for r in out) == [0, 30]
+
+
+def test_stream_static_enrich(spark, tmp_path):
+    from dca_manager_spark.streaming.joins import stream_static_enrich
+
+    queue = FileQueue(str(tmp_path / "q"))
+    queue.publish("T1", "b", "k", exchange="kraken", real=True)
+    dim = spark.createDataFrame([("kraken", "EU")], "exchange string, region string")
+    out: list = []
+    drain(
+        stream_static_enrich(queue.as_stream(spark), dim, ["exchange"]),
+        str(tmp_path / "ckpt"),
+        lambda df, _: out.extend(df.collect()),
+    )
+    assert out[0].region == "EU"
