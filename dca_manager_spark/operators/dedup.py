@@ -374,20 +374,45 @@ def simhash_sketches(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def simhash_pairs(
-    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 8, prefix_bits: int = 12
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 8,
+    prefix_bits: int = 12,
+    rotations: int = 4,
 ) -> DataFrame:
     """Near-dup candidates by SimHash: bucket on the top ``prefix_bits`` of
     the sketch (scale path — equi join), then filter by Hamming distance.
-    Note prefix bucketing is approximate: pairs differing inside the prefix
-    are missed; run multiple rotations for higher recall."""
-    sk = simhash_sketches(df, id_col, text_col).withColumn(
-        "__bucket", F.shiftrightunsigned(F.col("__sk"), 64 - prefix_bits)
+
+    A single prefix misses pairs whose differing bits fall inside it;
+    ``rotations`` buckets on several bit-rotations of the sketch and unions
+    the candidates (posexplode of the rotated prefixes — one equi join, not
+    R joins). A pair within ``max_hamming`` is found unless every rotation
+    lands a differing bit in the prefix — probability drops geometrically
+    with R.
+    """
+    sketches = simhash_sketches(df, id_col, text_col).localCheckpoint(eager=False)
+    step = max(1, 64 // max(rotations, 1))
+
+    def rot_prefix(col: Column, r: int) -> Column:
+        rotated = F.shiftleft(col, r * step).bitwiseOR(
+            F.shiftrightunsigned(col, 64 - r * step)
+        ) if r else col
+        return F.shiftrightunsigned(rotated, 64 - prefix_bits)
+
+    buckets = sketches.select(
+        "__id",
+        "__sk",
+        F.posexplode(
+            F.array(*[rot_prefix(F.col("__sk"), r) for r in range(max(rotations, 1))])
+        ).alias("__rot", "__bucket"),
     )
     pairs = (
-        sk.alias("x")
+        buckets.alias("x")
         .join(
-            sk.alias("y"),
-            (F.col("x.__bucket") == F.col("y.__bucket"))
+            buckets.alias("y"),
+            (F.col("x.__rot") == F.col("y.__rot"))
+            & (F.col("x.__bucket") == F.col("y.__bucket"))
             & (F.col("x.__id") < F.col("y.__id")),
         )
         .select(
@@ -396,6 +421,7 @@ def simhash_pairs(
             hamming64(F.col("x.__sk"), F.col("y.__sk")).alias("hamming"),
         )
         .filter(F.col("hamming") <= max_hamming)
+        .distinct()
     )
     return pairs
 
@@ -436,7 +462,7 @@ def connected_components(
         .distinct()
         .localCheckpoint(eager=False)
     )
-    for _ in range(max_iter):
+    for it in range(max_iter):
         neighbor_min = (
             edges.join(
                 labels.select(
@@ -463,16 +489,21 @@ def connected_components(
             )
             .localCheckpoint(eager=False)
         )
-        changed = (
-            updated.alias("u")
-            .join(labels.alias("l"), "__id")
-            .filter(F.col("u.component") != F.col("l.component"))
-            .limit(1)
-            .count()
-        )
-        labels = updated
-        if changed == 0:
-            break
+        # The first round always changes something for any non-empty edge
+        # set — skip its convergence job; check on later rounds only.
+        if it > 0:
+            changed = (
+                updated.alias("u")
+                .join(labels.alias("l"), "__id")
+                .filter(F.col("u.component") != F.col("l.component"))
+                .limit(1)
+                .count()
+            )
+            labels = updated
+            if changed == 0:
+                break
+        else:
+            labels = updated
     return labels
 
 

@@ -168,12 +168,13 @@ def _hyperplane_component(plane: int, dim_index: Column) -> Column:
     return (h % F.lit(1_000_003)).cast("double") / F.lit(1_000_003.0)
 
 
-def sign_lsh_signature(vec: Column, num_planes: int = 16) -> Column:
+def sign_lsh_signature(vec: Column, num_planes: int = 16, plane_offset: int = 0) -> Column:
     """b-bit random-hyperplane signature as a long: bit p = sign of
-    dot(vec, plane_p)."""
+    dot(vec, plane_{offset+p}). ``plane_offset`` selects an independent
+    plane set (multi-table OR-amplification)."""
     dv = as_double_vec(vec)
     bits = []
-    for p in range(num_planes):
+    for p in range(plane_offset, plane_offset + num_planes):
         dot = F.aggregate(
             F.zip_with(
                 dv,
@@ -187,7 +188,7 @@ def sign_lsh_signature(vec: Column, num_planes: int = 16) -> Column:
             lambda acc, v: acc + v,
         )
         bits.append(
-            F.when(dot > 0, F.shiftleft(F.lit(1).cast("long"), p)).otherwise(
+            F.when(dot > 0, F.shiftleft(F.lit(1).cast("long"), p - plane_offset)).otherwise(
                 F.lit(0).cast("long")
             )
         )
@@ -205,30 +206,44 @@ def lsh_ann_topk(
     vec_col: str = "embedding",
     k: int = 10,
     num_planes: int = 12,
+    num_tables: int = 1,
 ) -> DataFrame:
-    """Approximate top-k: candidates share the full LSH bucket; exact
-    quantized cosine ranks candidates. Recall rises with fewer planes
-    (bigger buckets) or multiple tables; this single-table form is the
-    building block."""
+    """Approximate top-k: candidates share an LSH bucket in ANY of
+    ``num_tables`` independent hash tables (OR-amplification: recall rises
+    geometrically with tables at linear cost — each table uses its own
+    hash-derived plane set); exact quantized cosine ranks the deduplicated
+    candidates."""
+    tables = max(num_tables, 1)
+
+    def sigs(vec: Column) -> Column:
+        return F.array(
+            *[
+                sign_lsh_signature(vec, num_planes, plane_offset=t * 1009)
+                for t in range(tables)
+            ]
+        )
+
     q = queries.select(
         F.col(query_id).alias("__qid"),
         F.col(vec_col).alias("__qv"),
         qnorm(F.col(vec_col)).alias("__qn"),
-        sign_lsh_signature(F.col(vec_col), num_planes).alias("__sig"),
+        F.posexplode(sigs(F.col(vec_col))).alias("__table", "__sig"),
     )
     c = corpus.select(
         F.col(corpus_id).alias("__cid"),
         F.col(vec_col).alias("__cv"),
         qnorm(F.col(vec_col)).alias("__cn"),
-        sign_lsh_signature(F.col(vec_col), num_planes).alias("__sig"),
+        F.posexplode(sigs(F.col(vec_col))).alias("__table", "__sig"),
     )
-    scored = (
-        c.join(F.broadcast(q), on="__sig")
+    cand = (
+        c.join(F.broadcast(q), on=["__table", "__sig"])
         .filter(F.col("__qid") != F.col("__cid"))
-        .withColumn(
-            "cosine",
-            qcosine(qdot(F.col("__qv"), F.col("__cv")), F.col("__qn"), F.col("__cn")),
-        )
+        .select("__qid", "__qv", "__qn", "__cid", "__cv", "__cn")
+        .distinct()
+    )
+    scored = cand.withColumn(
+        "cosine",
+        qcosine(qdot(F.col("__qv"), F.col("__cv")), F.col("__qn"), F.col("__cn")),
     )
     w = Window.partitionBy("__qid").orderBy(F.col("cosine").desc(), F.col("__cid"))
     return (

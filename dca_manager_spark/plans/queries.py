@@ -1346,8 +1346,9 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query("similarity_lsh_ann", None)  # approximate + hash-derived planes -> rows-only
 def similarity_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sign-LSH bucketed approximate top-k (scale path for ANN): candidates
-    share a 12-bit hyperplane-sign bucket; exact quantized cosine ranks
-    them. Recall vs the exact baseline is pinned in tests/test_similarity."""
+    share a 12-bit hyperplane-sign bucket in either of two independent
+    tables (OR-amplification); exact quantized cosine ranks them. Recall
+    vs the exact baseline is pinned in tests/test_similarity."""
     from dca_manager_spark.operators.similarity import lsh_ann_topk
 
     emb = t(spark, sf_dir, "embeddings")
@@ -1358,6 +1359,7 @@ def similarity_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         corpus_id="neighbor_id",
         k=10,
         num_planes=12,
+        num_tables=2,
     ).orderBy("query_id", "rank")
 
 

@@ -174,3 +174,14 @@ def test_dedup_keep_canonical(spark):
     out = {r.doc_id: r.cluster_size for r in dedup_keep_canonical(df, pairs, "doc_id").collect()}
     # clusters {0,3,5} -> keep 0 (size 3); {1,2} -> keep 1 (size 2); {4} -> keep 4
     assert out == {0: 3, 1: 2, 4: 1}
+
+
+def test_simhash_rotations_superset(spark, sf_dir):
+    """Multi-rotation bucketing must find at least the single-rotation
+    pairs (rotation 0 is the identity prefix)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(200)
+    single = {(r.id_a, r.id_b) for r in simhash_pairs(
+        docs, "doc_id", "text", max_hamming=20, prefix_bits=10, rotations=1).collect()}
+    multi = {(r.id_a, r.id_b) for r in simhash_pairs(
+        docs, "doc_id", "text", max_hamming=20, prefix_bits=10, rotations=4).collect()}
+    assert single <= multi

@@ -106,3 +106,18 @@ def test_arrow_and_expr_cosine_identical(emb):
     b = {(r.id_a, r.id_b): r.cosine
          for r in cosine_pairs(small, "vec_id", threshold=-2.0, use_arrow=False).collect()}
     assert a == b and len(a) == 60 * 59 // 2
+
+
+def test_lsh_multi_table_recall_geq_single(emb):
+    """OR-amplification: candidates found by 3 tables must be a superset
+    of the single-table candidates (same plane set for table 0)."""
+    qdf = emb.filter(F.col("vec_id") < 3).select(F.col("vec_id").alias("query_id"), "embedding")
+    cdf = emb.select(F.col("vec_id").alias("neighbor_id"), "embedding")
+    one = {(r.query_id, r.neighbor_id)
+           for r in lsh_ann_topk(qdf, cdf, "query_id", "neighbor_id", k=10**6,
+                                 num_planes=10, num_tables=1).collect()}
+    three = {(r.query_id, r.neighbor_id)
+             for r in lsh_ann_topk(qdf, cdf, "query_id", "neighbor_id", k=10**6,
+                                   num_planes=10, num_tables=3).collect()}
+    assert one <= three
+    assert len(three) >= len(one)
