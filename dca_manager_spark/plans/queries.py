@@ -2282,3 +2282,32 @@ def profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     for nxt in per_col[1:]:
         out = out.unionByName(nxt)
     return out.orderBy("column_name")
+
+
+@query(
+    "scalar_interval_arith",
+    """
+    SELECT o_orderkey,
+           o_orderdate + INTERVAL 30 DAY AS due_date,
+           o_orderdate + INTERVAL 3 MONTH AS quarter_later,
+           datediff('day', TIMESTAMP '1995-01-01', o_orderdate) AS days_since_epoch_start
+    FROM orders
+    WHERE o_orderkey < 400
+    ORDER BY o_orderkey
+    """,
+)
+def scalar_interval_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval arithmetic: day/month addition (month-end clamping
+    semantics agree across engines) and day difference."""
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 400)
+    return (
+        o.select(
+            "o_orderkey",
+            (F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")).alias("due_date"),
+            F.add_months(F.col("o_orderdate"), 3).cast("timestamp").alias("quarter_later"),
+            F.datediff(
+                F.col("o_orderdate"), F.lit("1995-01-01").cast("timestamp")
+            ).cast("bigint").alias("days_since_epoch_start"),
+        )
+        .orderBy("o_orderkey")
+    )
