@@ -1,5 +1,28 @@
 """Operator layer: relational extensions + training-data-pipeline operators."""
 
 from dca_manager_spark.operators.relational import asof_join, range_join, top_k
+from dca_manager_spark.operators.dedup import (
+    connected_components,
+    dedup_keep_canonical,
+    exact_dedup,
+    exact_dedup_by_content,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
+from dca_manager_spark.operators.sampling import (
+    stratified_hash_sample,
+    train_val_test_split,
+)
+from dca_manager_spark.operators.similarity import cosine_pairs, cosine_topk, lsh_ann_topk
+from dca_manager_spark.operators.skew import salted_join, salted_sum
 
-__all__ = ["asof_join", "range_join", "top_k"]
+__all__ = [
+    "asof_join", "range_join", "top_k",
+    "exact_dedup", "exact_dedup_by_content", "ngram_jaccard_pairs",
+    "minhash_lsh_pairs", "simhash_pairs", "connected_components",
+    "dedup_keep_canonical",
+    "cosine_topk", "cosine_pairs", "lsh_ann_topk",
+    "train_val_test_split", "stratified_hash_sample",
+    "salted_sum", "salted_join",
+]

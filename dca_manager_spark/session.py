@@ -49,7 +49,9 @@ def get_session(app_name: str = "dca-manager-spark", master: str | None = None,
                 shuffle_partitions: int = DEFAULT_SHUFFLE_PARTITIONS) -> SparkSession:
     """Create (or reuse) a tuned SparkSession."""
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
-    master = master or f"local[{cpus}]"
+    # SPARK_GRAFT_MASTER lets a cluster deployment point at yarn/k8s/
+    # standalone without code changes; default is local dev.
+    master = master or os.environ.get("SPARK_GRAFT_MASTER") or f"local[{cpus}]"
     builder = SparkSession.builder.appName(app_name).master(master)
     return _apply_common(builder, shuffle_partitions).getOrCreate()
 
