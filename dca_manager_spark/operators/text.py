@@ -132,3 +132,49 @@ def with_text_features(df: DataFrame, text_col: str = "text") -> DataFrame:
         lang_id(c).alias("pred_lang"),
         fingerprint_md5(c).alias("fingerprint"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Cleaning / masking / repetition (LLM-corpus preprocessing)
+# ---------------------------------------------------------------------------
+
+URL_RE = r"https?://\S+"
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+
+
+def strip_urls(col: Column) -> Column:
+    return F.regexp_replace(col, URL_RE, " ")
+
+
+def mask_emails(col: Column, mask: str = "<EMAIL>") -> Column:
+    return F.regexp_replace(col, EMAIL_RE, mask)
+
+
+def mask_digits(col: Column, mask: str = "#") -> Column:
+    return F.regexp_replace(col, r"[0-9]", mask)
+
+
+def collapse_whitespace(col: Column) -> Column:
+    return F.trim(F.regexp_replace(col, r"\s+", " "))
+
+
+def clean_text(col: Column) -> Column:
+    """Standard cleaning chain: drop URLs, mask emails, collapse runs of
+    whitespace — composed left-to-right so each stage sees the previous
+    stage's output (fixed op order => cross-engine exact)."""
+    return collapse_whitespace(mask_emails(strip_urls(col)))
+
+
+def sentence_repetition_ratio(col: Column, sep: str = r"\.\s+") -> Column:
+    """Intra-document repetition: 1 - distinct/total over sentence-ish
+    units (Gopher/RefinedWeb-style quality signal — boilerplate and
+    template spam repeat internally). Empty/one-sentence docs score 0."""
+    units = F.filter(
+        F.transform(F.split(F.lower(col), sep), lambda s: F.trim(s)),
+        lambda s: s != "",
+    )
+    n = F.size(units)
+    distinct_n = F.size(F.array_distinct(units))
+    return F.when(n <= 1, F.lit(0.0)).otherwise(
+        1.0 - distinct_n.cast("double") / n.cast("double")
+    )

@@ -2311,3 +2311,65 @@ def scalar_interval_arith(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderkey")
     )
+
+
+@query(
+    "text_cleaning",
+    r"""
+    SELECT doc_id,
+           trim(regexp_replace(
+                regexp_replace(
+                    regexp_replace(text, 'https?://\S+', ' ', 'g'),
+                    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                '\s+', ' ', 'g')) AS cleaned,
+           regexp_replace(text, '[0-9]', '#', 'g') AS digits_masked
+    FROM documents
+    WHERE doc_id < 300
+    ORDER BY doc_id
+    """,
+)
+def text_cleaning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LLM-corpus cleaning chain: URL strip -> email mask -> whitespace
+    collapse, plus digit masking (operators/text.py). Fixed left-to-right
+    op order makes the oracle exact."""
+    from dca_manager_spark.operators.text import clean_text, mask_digits
+
+    d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    return (
+        d.select(
+            "doc_id",
+            clean_text(F.col("text")).alias("cleaned"),
+            mask_digits(F.col("text")).alias("digits_masked"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "text_repetition_ratio",
+    r"""
+    WITH u AS (
+      SELECT doc_id,
+             list_filter(list_transform(string_split_regex(lower(text), '\.\s+'),
+                                        s -> trim(s)),
+                         s -> s != '') AS units
+      FROM documents
+    )
+    SELECT doc_id,
+           CASE WHEN len(units) <= 1 THEN 0.0
+                ELSE 1.0 - CAST(len(list_distinct(units)) AS DOUBLE)
+                           / CAST(len(units) AS DOUBLE) END AS repetition
+    FROM u
+    ORDER BY doc_id
+    """,
+)
+def text_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repetition score (boilerplate/template detection) —
+    1 - distinct/total sentence units."""
+    from dca_manager_spark.operators.text import sentence_repetition_ratio
+
+    return (
+        t(spark, sf_dir, "documents")
+        .select("doc_id", sentence_repetition_ratio(F.col("text")).alias("repetition"))
+        .orderBy("doc_id")
+    )

@@ -84,3 +84,30 @@ def test_bpe_ish_token_count(spark):
     n = df.select(TX.bpe_ish_token_count(F.col("text")).alias("n")).collect()[0].n
     # hello , world 42 ! -> 5 units
     assert n == 5
+
+
+def test_clean_text_chain(spark):
+    rows = [(0, "See https://example.com/x?y=1 and mail me@you.org  now   ok")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = df.select(TX.clean_text(F.col("text")).alias("c")).collect()[0].c
+    assert out == "See and mail <EMAIL> now ok"
+    masked = df.select(TX.mask_digits(F.col("text")).alias("m")).collect()[0].m
+    assert "y=#" in masked
+
+
+def test_sentence_repetition_ratio(spark):
+    rows = [
+        (0, "buy now. buy now. buy now. call today"),  # 2 distinct / 4 units
+        (1, "one sentence only"),
+        (2, ""),
+        (3, "alpha. beta. gamma"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r.doc_id: r.rep
+        for r in df.select(
+            "doc_id", TX.sentence_repetition_ratio(F.col("text")).alias("rep")
+        ).collect()
+    }
+    assert got[0] == 0.5
+    assert got[1] == 0.0 and got[2] == 0.0 and got[3] == 0.0
