@@ -2373,3 +2373,59 @@ def text_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", sentence_repetition_ratio(F.col("text")).alias("repetition"))
         .orderBy("doc_id")
     )
+
+
+@query(
+    "vocabulary_oov",
+    r"""
+    WITH tok AS (
+      SELECT doc_id, unnest(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                                        x -> x != '')) AS w
+      FROM documents
+    ),
+    vocab AS (
+      SELECT w FROM (
+        SELECT w, COUNT(*) AS c,
+               ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, w) AS rnk
+        FROM tok GROUP BY w
+      ) WHERE rnk <= 20
+    )
+    SELECT t.doc_id,
+           COUNT(*) AS n_tokens,
+           COUNT(*) - COUNT(v.w) AS n_oov,
+           CAST(COUNT(*) - COUNT(v.w) AS DOUBLE) / COUNT(*) AS oov_ratio
+    FROM tok t LEFT JOIN vocab v ON t.w = v.w
+    GROUP BY t.doc_id
+    ORDER BY t.doc_id
+    """,
+)
+def vocabulary_oov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary + out-of-vocabulary rate: build the top-20 token
+    vocabulary (count desc, token asc — total order), then per-document
+    OOV ratio via a broadcast vocab join. The canonical corpus-statistics
+    map-reduce, deterministic end to end."""
+    from dca_manager_spark.operators.text import tokens
+
+    d = t(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(tokens(F.lower(F.col("text")))).alias("w"))
+    w = Window.orderBy(F.col("c").desc(), F.col("w"))
+    vocab = (
+        tok.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 20)
+        .select("w")
+    )
+    joined = tok.join(F.broadcast(vocab.withColumn("__in", F.lit(1))), "w", "left")
+    return (
+        joined.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            (F.count(F.lit(1)) - F.count("__in")).alias("n_oov"),
+            (
+                (F.count(F.lit(1)) - F.count("__in")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("oov_ratio"),
+        )
+        .orderBy("doc_id")
+    )
