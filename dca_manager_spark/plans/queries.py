@@ -1384,8 +1384,6 @@ def window_ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         t(spark, sf_dir, "orders")
         .select("o_orderkey", "o_orderstatus", F.ntile(4).over(w).alias("quartile"))
-        .orderBy("o_orderstatus", F.col("quartile"), "o_orderkey")
-        .select("o_orderkey", "o_orderstatus", "quartile")
         .orderBy("o_orderstatus", "o_orderkey")
     )
 
@@ -2408,12 +2406,14 @@ def vocabulary_oov(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = t(spark, sf_dir, "documents")
     tok = d.select("doc_id", F.explode(tokens(F.lower(F.col("text")))).alias("w"))
-    w = Window.orderBy(F.col("c").desc(), F.col("w"))
+    # top-K via orderBy+limit => TakeOrderedAndProject (per-partition
+    # heaps), NOT a single-partition global window — vocab selection stays
+    # scalable when the distinct-token count is millions.
     vocab = (
         tok.groupBy("w")
         .agg(F.count(F.lit(1)).alias("c"))
-        .withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= 20)
+        .orderBy(F.col("c").desc(), F.col("w"))
+        .limit(20)
         .select("w")
     )
     joined = tok.join(F.broadcast(vocab.withColumn("__in", F.lit(1))), "w", "left")
