@@ -97,3 +97,24 @@ def test_contract_shapes():
     oracles = mod.oracle_sql()
     assert qs, "queries() must not be empty"
     assert set(oracles) <= set(qs), "every oracle key must exist in queries()"
+
+
+def test_comparator_detects_mismatches():
+    """Meta-test: the canonicalizer + comparison logic must actually flag
+    value, count, and column differences (guards against a vacuous gate)."""
+    cols = ["b", "a"]
+    rows = [(1.0, "x"), (2.0, "y")]
+    c1, r1 = _canon(cols, rows)
+    assert c1 == ["a", "b"]  # sorted columns
+    # value drift detected
+    _, r2 = _canon(cols, [(1.0, "x"), (2.000001, "y")])
+    assert r1 != r2
+    # row-count drift detected
+    _, r3 = _canon(cols, rows + [(3.0, "z")])
+    assert len(r3) != len(r1)
+    # column-name drift detected
+    c4, _ = _canon(["b", "A"], rows)
+    assert c4 != c1
+    # order-insensitivity: permuted rows canonicalize identically
+    _, r5 = _canon(cols, [rows[1], rows[0]])
+    assert r5 == r1

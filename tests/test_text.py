@@ -111,3 +111,33 @@ def test_sentence_repetition_ratio(spark):
     }
     assert got[0] == 0.5
     assert got[1] == 0.0 and got[2] == 0.0 and got[3] == 0.0
+
+
+def test_corpus_pipeline_composition(spark, sf_dir):
+    """End-to-end corpus prep: clean -> features -> near-dup dedup ->
+    deterministic split, composed from the public operators — the 'user
+    switches to this engine' workflow in one flow."""
+    from dca_manager_spark.operators import (
+        dedup_keep_canonical,
+        minhash_lsh_pairs,
+        train_val_test_split,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    cleaned = docs.select(
+        "doc_id", "lang", TX.clean_text(F.col("text")).alias("text")
+    )
+    featured = TX.with_text_features(cleaned)
+    pairs = minhash_lsh_pairs(featured, "doc_id", "text", threshold=0.7, mode="word")
+    unique_docs = dedup_keep_canonical(featured, pairs, "doc_id")
+    final = train_val_test_split(unique_docs, "doc_id")
+
+    rows = final.collect()
+    assert 0 < len(rows) <= docs.count()
+    splits = {r.split for r in rows}
+    assert splits <= {"train", "val", "test"}
+    assert all(r.n_tokens > 0 for r in rows)
+    assert all(r.cluster_size >= 1 for r in rows)
+    # split is stable across recomputation
+    again = {(r.doc_id, r.split) for r in final.collect()}
+    assert again == {(r.doc_id, r.split) for r in rows}
