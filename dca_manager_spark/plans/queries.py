@@ -824,7 +824,7 @@ def scalar_case_banding(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     SELECT event_type,
            COUNT(*) AS n_events,
-           SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
            {o_dsum('value')} AS total_value
     FROM events
     GROUP BY event_type
