@@ -185,6 +185,28 @@ def ngram_jaccard_pairs(
 _MASK32 = 0xFFFFFFFF
 
 
+def _base_hashes(g: Column, hash_fn: str) -> tuple[Column, Column]:
+    """Two independent 32-bit base hashes of a shingle.
+
+    hash_fn="md5" (default): the two halves of ONE md5's first 16 hex chars
+    — md5 is implemented identically in every engine (Spark, DuckDB,
+    Python), so signatures are cross-engine reproducible and oracle-
+    checkable. hash_fn="xxhash64": two seeded xxhash64 calls masked to 32
+    bits — cheaper per shingle, but Spark-only (no portable twin).
+    """
+    if hash_fn == "md5":
+        hexd = F.md5(g)
+        m1 = F.conv(F.substring(hexd, 1, 8), 16, 10).cast("long")
+        m2 = F.conv(F.substring(hexd, 9, 8), 16, 10).cast("long")
+        return m1, m2
+    if hash_fn == "xxhash64":
+        return (
+            F.xxhash64(g).bitwiseAND(F.lit(_MASK32)),
+            F.xxhash64(g, F.lit(1)).bitwiseAND(F.lit(_MASK32)),
+        )
+    raise ValueError("hash_fn must be 'md5' or 'xxhash64'")
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str,
@@ -193,13 +215,14 @@ def minhash_signatures(
     k: int = 3,
     mode: str = "word",
     grams: DataFrame | None = None,
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """Per-document MinHash signature as ``num_hashes`` columns h0..h{n-1}.
 
     Scale formulation: explode distinct shingles once, compute TWO base
-    hashes per shingle (xxhash64 masked to 32 bits), then derive every
+    hashes per shingle (see ``_base_hashes``), then derive every
     permutation as ``min(m1 + s*m2)`` via codegen'd min-aggregates
-    (Kirsch-Mitzenmacher double hashing). Cost is 2 real hashes per shingle
+    (Kirsch-Mitzenmacher double hashing). Cost is one real hash per shingle
     + cheap multiply-adds — not num_hashes full hash passes, and the whole
     thing is one explode + one groupBy, no interpreted HOF folds.
 
@@ -208,11 +231,8 @@ def minhash_signatures(
     """
     if grams is None:
         grams = exploded_shingles(df, id_col, text_col, k, mode)
-    hashed = grams.select(
-        "__id",
-        F.xxhash64("__g").bitwiseAND(F.lit(_MASK32)).alias("__m1"),
-        F.xxhash64("__g", F.lit(1)).bitwiseAND(F.lit(_MASK32)).alias("__m2"),
-    )
+    m1, m2 = _base_hashes(F.col("__g"), hash_fn)
+    hashed = grams.select("__id", m1.alias("__m1"), m2.alias("__m2"))
     aggs = [
         F.min(F.col("__m1") + s * F.col("__m2")).alias(f"h{s}")
         for s in range(num_hashes)
@@ -229,6 +249,7 @@ def minhash_lsh_pairs(
     k: int = 3,
     threshold: float = 0.6,
     mode: str = "word",
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """Near-dup pairs via MinHash banding, verified with exact Jaccard.
 
@@ -243,21 +264,24 @@ def minhash_lsh_pairs(
     # self-join, doc sizes, AND candidate verification. Without this the
     # explode+window pipeline re-executes up to 5x.
     grams = exploded_shingles(df, id_col, text_col, k, mode).localCheckpoint(eager=False)
-    sigs = minhash_signatures(df, id_col, text_col, num_hashes, k, mode, grams=grams)
-    band_hashes = F.array(
-        *[
-            F.xxhash64(
-                F.concat_ws(
-                    ",",
-                    *[
-                        F.col(f"h{b * rows_per_band + r}").cast("string")
-                        for r in range(rows_per_band)
-                    ],
-                )
-            )
-            for b in range(bands)
-        ]
+    sigs = minhash_signatures(
+        df, id_col, text_col, num_hashes, k, mode, grams=grams, hash_fn=hash_fn
     )
+
+    def band_key(b: int) -> Column:
+        joined = F.concat_ws(
+            ",",
+            *[
+                F.col(f"h{b * rows_per_band + r}").cast("string")
+                for r in range(rows_per_band)
+            ],
+        )
+        # 64-bit bucket key; md5-hex-prefix when portability matters.
+        if hash_fn == "md5":
+            return F.substring(F.md5(joined), 1, 16)
+        return F.xxhash64(joined).cast("string")
+
+    band_hashes = F.array(*[band_key(b) for b in range(bands)])
     banded = sigs.select("__id", F.posexplode(band_hashes).alias("__band", "__bh"))
     cand = (
         banded.alias("x")
@@ -303,9 +327,12 @@ def minhash_lsh_pairs(
 # SimHash
 # ---------------------------------------------------------------------------
 
-def simhash64(col: Column | str) -> Column:
+def simhash64(col: Column | str, hash_fn: str = "md5") -> Column:
     """64-bit SimHash of the token set, as a long — pure expression fold:
-    per token, xxhash64; per bit, +1/-1 vote; sign of each vote -> bit.
+    per token, a 64-bit token hash; per bit, +1/-1 vote; sign of each vote
+    -> bit. hash_fn="md5" uses the two 32-bit halves of md5's first 16 hex
+    chars (cross-engine reproducible, oracle-checkable); "xxhash64" is the
+    cheaper Spark-only path.
 
     Built as a SQL expression because shift-by-a-lambda-variable is only
     expressible in SQL (the Python shiftleft/shiftright wrappers require a
@@ -313,6 +340,17 @@ def simhash64(col: Column | str) -> Column:
     """
     name = col if isinstance(col, str) else col._jc.toString()
     toks = rf"filter(split(trim(lower({name})), '\\s+'), x -> x != '')"
+    if hash_fn == "md5":
+        bit = (
+            "IF(i < 32,"
+            " shiftright(CAST(conv(substring(md5(w), 1, 8), 16, 10) AS BIGINT), i),"
+            " shiftright(CAST(conv(substring(md5(w), 9, 8), 16, 10) AS BIGINT), i - 32))"
+            " & 1"
+        )
+    elif hash_fn == "xxhash64":
+        bit = "shiftright(xxhash64(w), i) & 1"
+    else:
+        raise ValueError("hash_fn must be 'md5' or 'xxhash64'")
     votes = f"""
       aggregate(
         {toks},
@@ -320,7 +358,7 @@ def simhash64(col: Column | str) -> Column:
         (acc, w) -> zip_with(
           acc,
           transform(sequence(0, 63),
-                    i -> IF((shiftright(xxhash64(w), i) & 1) = 1, 1L, -1L)),
+                    i -> IF(({bit}) = 1, 1L, -1L)),
           (a, v) -> a + v))
     """
     return F.expr(
@@ -338,9 +376,11 @@ def hamming64(a: Column, b: Column) -> Column:
     return F.bit_count(a.bitwiseXOR(b))
 
 
-def simhash_sketches(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+def simhash_sketches(
+    df: DataFrame, id_col: str, text_col: str, hash_fn: str = "md5"
+) -> DataFrame:
     """SimHash-64 per document via the scale formulation: explode tokens,
-    one xxhash64 per token, then 64 codegen'd sum-aggregates for the bit
+    one real hash per token, then 64 codegen'd sum-aggregates for the bit
     votes (CASE on shiftright with literal shifts) — no interpreted HOF
     fold. Returns (__id, __sk). Token-free documents sketch to 0, matching
     the fold definition (all votes 0 -> all bits 0)."""
@@ -349,12 +389,25 @@ def simhash_sketches(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     tok = df.select(
         F.col(id_col).alias("__id"),
         F.explode(tokens(F.lower(F.col(text_col)))).alias("__w"),
-    ).withColumn("__h", F.xxhash64("__w"))
+    )
+    if hash_fn == "md5":
+        # Bits 0-31 from the first md5 half, 32-63 from the second —
+        # identical to simhash64(hash_fn="md5") and to the DuckDB oracle.
+        hexd = F.md5(F.col("__w"))
+        tok = tok.withColumn(
+            "__h1", F.conv(F.substring(hexd, 1, 8), 16, 10).cast("long")
+        ).withColumn("__h2", F.conv(F.substring(hexd, 9, 8), 16, 10).cast("long"))
+        bit_of = lambda i: (  # noqa: E731
+            F.shiftright(F.col("__h1"), i) if i < 32 else F.shiftright(F.col("__h2"), i - 32)
+        ).bitwiseAND(F.lit(1))
+    elif hash_fn == "xxhash64":
+        tok = tok.withColumn("__h", F.xxhash64("__w"))
+        bit_of = lambda i: F.shiftright(F.col("__h"), i).bitwiseAND(F.lit(1))  # noqa: E731
+    else:
+        raise ValueError("hash_fn must be 'md5' or 'xxhash64'")
     votes = tok.groupBy("__id").agg(
         *[
-            F.sum(
-                F.when(F.shiftright(F.col("__h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-            ).alias(f"v{i}")
+            F.sum(F.when(bit_of(i) == 1, 1).otherwise(-1)).alias(f"v{i}")
             for i in range(64)
         ]
     )
@@ -380,6 +433,7 @@ def simhash_pairs(
     max_hamming: int = 8,
     prefix_bits: int = 12,
     rotations: int = 4,
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """Near-dup candidates by SimHash: bucket on the top ``prefix_bits`` of
     the sketch (scale path — equi join), then filter by Hamming distance.
@@ -391,7 +445,9 @@ def simhash_pairs(
     lands a differing bit in the prefix — probability drops geometrically
     with R.
     """
-    sketches = simhash_sketches(df, id_col, text_col).localCheckpoint(eager=False)
+    sketches = simhash_sketches(df, id_col, text_col, hash_fn=hash_fn).localCheckpoint(
+        eager=False
+    )
     step = max(1, 64 // max(rotations, 1))
 
     def rot_prefix(col: Column, r: int) -> Column:

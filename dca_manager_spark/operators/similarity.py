@@ -160,18 +160,39 @@ def cosine_pairs(
 # ---------------------------------------------------------------------------
 # Sign-LSH bucketed ANN (the scale path)
 # ---------------------------------------------------------------------------
+#
+# Hyperplanes are md5-derived (not xxhash64): md5 exists in every engine
+# (Spark, DuckDB, Python/NumPy), so the planes — and therefore the buckets
+# and the final candidate sets — are oracle-checkable cross-engine. The
+# per-plane dot is INTEGER-quantized (floor(x*w*1e12) summed as int64), so
+# the bit is order-of-summation-independent and bit-identical everywhere.
+
+
+def _plane_weight_py(plane: int, dim: int) -> float:
+    """Python twin of _hyperplane_component: w(plane, dim) in [-1, 1)."""
+    import hashlib
+
+    h = int(hashlib.md5(f"p{plane},{dim}".encode()).hexdigest()[:8], 16)
+    return (h % 2_000_003) / 1_000_003.0 - 1.0
+
 
 def _hyperplane_component(plane: int, dim_index: Column) -> Column:
     """Deterministic pseudo-random hyperplane component in [-1, 1):
-    xxhash64(plane, dim) scaled. Reproducible everywhere, no stored model."""
-    h = F.xxhash64(F.lit(plane), dim_index)
-    return (h % F.lit(1_000_003)).cast("double") / F.lit(1_000_003.0)
+    md5-hex-prefix of 'p{plane},{dim}' scaled. Reproducible in every
+    engine, no stored model."""
+    key = F.concat(F.lit(f"p{plane},"), dim_index.cast("string"))
+    h = F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("long")
+    return (h % F.lit(2_000_003)).cast("double") / F.lit(1_000_003.0) - F.lit(1.0)
 
 
 def sign_lsh_signature(vec: Column, num_planes: int = 16, plane_offset: int = 0) -> Column:
-    """b-bit random-hyperplane signature as a long: bit p = sign of
-    dot(vec, plane_{offset+p}). ``plane_offset`` selects an independent
-    plane set (multi-table OR-amplification)."""
+    """b-bit random-hyperplane signature as a long: bit p = 1 iff the
+    quantized dot(vec, plane_{offset+p}) > 0. ``plane_offset`` selects an
+    independent plane set (multi-table OR-amplification).
+
+    Pure-expression form (reference semantics; interpreted HOF folds).
+    The hot path is ``sign_lsh_signature_arrow`` — same bits, ~10x faster.
+    """
     dv = as_double_vec(vec)
     bits = []
     for p in range(plane_offset, plane_offset + num_planes):
@@ -182,9 +203,9 @@ def sign_lsh_signature(vec: Column, num_planes: int = 16, plane_offset: int = 0)
                     F.sequence(F.lit(0), F.size(dv) - 1),
                     lambda i, p=p: _hyperplane_component(p, i),
                 ),
-                lambda x, w: x * w,
+                lambda x, w: F.floor(x * w * F.lit(SCALE)).cast("long"),
             ),
-            F.lit(0.0),
+            F.lit(0).cast("long"),
             lambda acc, v: acc + v,
         )
         bits.append(
@@ -198,6 +219,43 @@ def sign_lsh_signature(vec: Column, num_planes: int = 16, plane_offset: int = 0)
     return sig
 
 
+def sign_lsh_signature_arrow(num_planes: int = 16, plane_offset: int = 0):
+    """Arrow-vectorized twin of ``sign_lsh_signature``: one pandas_udf call
+    computes the whole signature per row via a NumPy (batch x planes x dim)
+    quantized product — floor((x*w)*1e12) per element, int64 sum, sign —
+    BIT-IDENTICAL to the expression form and to the DuckDB oracle, without
+    num_planes interpreted HOF folds per row."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    cache: dict[int, "np.ndarray"] = {}
+
+    @pandas_udf("long", PandasUDFType.SCALAR)
+    def _sig(v):
+        A = np.vstack(v.to_numpy()).astype(np.float64)  # (N, D)
+        dim = A.shape[1]
+        W = cache.get(dim)
+        if W is None:
+            W = np.array(
+                [
+                    [_plane_weight_py(plane_offset + p, i) for i in range(dim)]
+                    for p in range(num_planes)
+                ],
+                dtype=np.float64,
+            )
+            cache[dim] = W
+        q = (
+            np.floor((A[:, None, :] * W[None, :, :]) * float(SCALE))
+            .astype(np.int64)
+            .sum(axis=2)
+        )  # (N, P)
+        sig = ((q > 0).astype(np.int64) << np.arange(num_planes, dtype=np.int64)).sum(axis=1)
+        return pd.Series(sig)
+
+    return _sig
+
+
 def lsh_ann_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -207,15 +265,24 @@ def lsh_ann_topk(
     k: int = 10,
     num_planes: int = 12,
     num_tables: int = 1,
+    use_arrow: bool = True,
 ) -> DataFrame:
     """Approximate top-k: candidates share an LSH bucket in ANY of
     ``num_tables`` independent hash tables (OR-amplification: recall rises
     geometrically with tables at linear cost — each table uses its own
     hash-derived plane set); exact quantized cosine ranks the deduplicated
-    candidates."""
+    candidates. ``use_arrow`` picks the vectorized signature path (default;
+    identical bits to the expression form)."""
     tables = max(num_tables, 1)
 
     def sigs(vec: Column) -> Column:
+        if use_arrow:
+            return F.array(
+                *[
+                    sign_lsh_signature_arrow(num_planes, plane_offset=t * 1009)(vec)
+                    for t in range(tables)
+                ]
+            )
         return F.array(
             *[
                 sign_lsh_signature(vec, num_planes, plane_offset=t * 1009)

@@ -1232,12 +1232,67 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("dedup_minhash_lsh", None)  # xxhash64 has no DuckDB twin -> rows-only
+@query(
+    "dedup_minhash_lsh",
+    r"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                         x -> x != '') AS tk
+      FROM documents
+    ),
+    grams AS (
+      SELECT DISTINCT doc_id, array_to_string(tk[i.i + 1 : i.i + 3], ' ') AS g
+      FROM toks, LATERAL (
+        SELECT unnest(range(0, greatest(len(tk) - 2, 1))) AS i
+      ) i
+      WHERE array_to_string(tk[i.i + 1 : i.i + 3], ' ') != ''
+    ),
+    hashed AS (
+      SELECT doc_id,
+             CAST(concat('0x', substring(md5(g), 1, 8)) AS BIGINT) AS m1,
+             CAST(concat('0x', substring(md5(g), 9, 8)) AS BIGINT) AS m2
+      FROM grams
+    ),
+    sig AS (
+      SELECT doc_id, s.s AS s, MIN(m1 + s.s * m2) AS h
+      FROM hashed, (SELECT unnest(range(0, 64)) AS s) s
+      GROUP BY doc_id, s.s
+    ),
+    bands AS (
+      SELECT doc_id, s // 4 AS band,
+             substring(md5(string_agg(CAST(h AS VARCHAR), ',' ORDER BY s)), 1, 16) AS bh
+      FROM sig GROUP BY doc_id, s // 4
+    ),
+    cand AS (
+      SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+      FROM bands x
+      JOIN bands y ON x.band = y.band AND x.bh = y.bh AND x.doc_id < y.doc_id
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY doc_id),
+    inter AS (
+      SELECT c.id_a, c.id_b, COUNT(*) AS n_inter
+      FROM cand c
+      JOIN grams ga ON ga.doc_id = c.id_a
+      JOIN grams gb ON gb.doc_id = c.id_b AND gb.g = ga.g
+      GROUP BY c.id_a, c.id_b
+    )
+    SELECT id_a, id_b, n_inter, sa.n AS n_a, sb.n AS n_b,
+           CAST(n_inter AS DOUBLE) / CAST(sa.n + sb.n - n_inter AS DOUBLE) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE CAST(n_inter AS DOUBLE) / CAST(sa.n + sb.n - n_inter AS DOUBLE) >= 0.7
+    ORDER BY id_a, id_b
+    """,
+)
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(64) + 16-band LSH near-dup pairs over word 3-gram shingles,
     exact-Jaccard-verified on candidates only — the 100 TB dedup path
     (explode-once + codegen'd min-aggregates, no interpreted HOF folds).
-    Correctness vs brute-force Jaccard is pinned by tests/test_dedup.py."""
+    Base hashes are md5-derived, so the ENTIRE pipeline — signatures,
+    banded candidates, verification — is replicated exactly by the DuckDB
+    oracle. Recall vs brute-force Jaccard is pinned by tests/test_dedup.py."""
     from dca_manager_spark.operators.dedup import minhash_lsh_pairs
 
     docs = t(spark, sf_dir, "documents")
@@ -1246,10 +1301,62 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
-@query("dedup_simhash", None)  # xxhash64-based sketch -> rows-only
+@query(
+    "dedup_simhash",
+    r"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                                x -> x != '')) AS w
+      FROM documents
+    ),
+    h AS (
+      SELECT doc_id,
+             CAST(concat('0x', substring(md5(w), 1, 8)) AS BIGINT) AS h1,
+             CAST(concat('0x', substring(md5(w), 9, 8)) AS BIGINT) AS h2
+      FROM toks
+    ),
+    votes AS (
+      SELECT doc_id, i.i AS i,
+             SUM(CASE WHEN ((CASE WHEN i.i < 32 THEN h1 >> i.i
+                             ELSE h2 >> (i.i - 32) END) & 1) = 1
+                 THEN 1 ELSE -1 END) AS v
+      FROM h, (SELECT unnest(range(0, 64)) AS i) i
+      GROUP BY doc_id, i.i
+    ),
+    bits0 AS (
+      SELECT doc_id, list(CASE WHEN v > 0 THEN 1 ELSE 0 END ORDER BY i) AS b
+      FROM votes GROUP BY doc_id
+    ),
+    bits AS (
+      SELECT d.doc_id, COALESCE(b.b, list_transform(range(0, 64), x -> 0)) AS b
+      FROM documents d LEFT JOIN bits0 b USING (doc_id)
+    ),
+    buck AS (
+      -- rotated-prefix bucket: bit t of the bucket is sketch bit
+      -- (52 + t - r*16); rotations=4, step=16, prefix_bits=12.
+      SELECT doc_id, b, r.r AS r,
+             list_sum(list_transform(range(0, 12),
+                                     t -> b[53 + t - r.r * 16] * (1 << t))) AS bucket
+      FROM bits, (SELECT unnest(range(0, 4)) AS r) r
+    ),
+    cand AS (
+      SELECT x.doc_id AS id_a, y.doc_id AS id_b,
+             list_sum(list_transform(range(1, 65),
+                      i -> CASE WHEN x.b[i] != y.b[i] THEN 1 ELSE 0 END)) AS hd
+      FROM buck x
+      JOIN buck y ON x.r = y.r AND x.bucket = y.bucket AND x.doc_id < y.doc_id
+    )
+    SELECT DISTINCT id_a, id_b, CAST(hd AS INTEGER) AS hamming
+    FROM cand WHERE hd <= 8
+    ORDER BY id_a, id_b
+    """,
+)
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash-64 near-dup candidate pairs (Hamming <= 8) bucketed by
-    12-bit prefix — per-row sketches, equi-join candidates."""
+    12-bit prefix over 4 sketch rotations — per-row sketches, equi-join
+    candidates. md5-derived token hashes make the sketch (and thus the
+    candidate set) exactly reproducible by the DuckDB oracle."""
     from dca_manager_spark.operators.dedup import simhash_pairs
 
     docs = t(spark, sf_dir, "documents")
@@ -1343,12 +1450,68 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("similarity_lsh_ann", None)  # approximate + hash-derived planes -> rows-only
+@query(
+    "similarity_lsh_ann",
+    f"""
+    WITH planes AS (
+      SELECT t.t AS tbl, p.p AS p, i.i AS i,
+             (CAST(concat('0x', substring(md5(concat('p',
+                    CAST(t.t * 1009 + p.p AS VARCHAR), ',',
+                    CAST(i.i AS VARCHAR))), 1, 8)) AS BIGINT)
+              % 2000003) / 1000003.0 - 1.0 AS w
+      FROM (SELECT unnest(range(0, 2)) AS t) t,
+           (SELECT unnest(range(0, 12)) AS p) p,
+           (SELECT unnest(range(0, 64)) AS i) i
+    ),
+    vecs AS (
+      SELECT vec_id, {_QVEC} AS v,
+             CAST(list_sum(list_transform({_QVEC}, x ->
+                  CAST(FLOOR(x * x * 1000000000000) AS BIGINT))) AS BIGINT) AS nq
+      FROM embeddings
+    ),
+    dots AS (
+      SELECT v.vec_id, pl.tbl, pl.p,
+             CAST(SUM(CAST(FLOOR(v.v[pl.i + 1] * pl.w * 1000000000000) AS BIGINT))
+                  AS BIGINT) AS dq
+      FROM vecs v, planes pl
+      GROUP BY v.vec_id, pl.tbl, pl.p
+    ),
+    sigs AS (
+      SELECT vec_id, tbl,
+             CAST(SUM(CASE WHEN dq > 0 THEN (1::BIGINT << p) ELSE 0 END)
+                  AS BIGINT) AS sig
+      FROM dots GROUP BY vec_id, tbl
+    ),
+    cand AS (
+      SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+      FROM sigs q JOIN sigs c ON q.tbl = c.tbl AND q.sig = c.sig
+      WHERE q.vec_id < 5 AND q.vec_id != c.vec_id
+    ),
+    scored AS (
+      SELECT cd.query_id, cd.neighbor_id,
+             CAST(CAST(list_sum(list_transform(range(1, len(a.v) + 1), i ->
+                    CAST(FLOOR(a.v[i] * b.v[i] * 1000000000000) AS BIGINT))) AS BIGINT)
+                  AS DOUBLE)
+               / (sqrt(CAST(a.nq AS DOUBLE)) * sqrt(CAST(b.nq AS DOUBLE))) AS cosine
+      FROM cand cd
+      JOIN vecs a ON a.vec_id = cd.query_id
+      JOIN vecs b ON b.vec_id = cd.neighbor_id
+    )
+    SELECT query_id, neighbor_id, cosine, rank FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id) AS rank
+      FROM scored
+    ) WHERE rank <= 10
+    ORDER BY query_id, rank
+    """,
+)
 def similarity_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sign-LSH bucketed approximate top-k (scale path for ANN): candidates
     share a 12-bit hyperplane-sign bucket in either of two independent
-    tables (OR-amplification); exact quantized cosine ranks them. Recall
-    vs the exact baseline is pinned in tests/test_similarity."""
+    tables (OR-amplification); exact quantized cosine ranks them. Planes
+    are md5-derived and dots integer-quantized, so buckets, candidates and
+    scores are bit-identical in the DuckDB oracle. Recall vs the exact
+    baseline is pinned in tests/test_similarity."""
     from dca_manager_spark.operators.similarity import lsh_ann_topk
 
     emb = t(spark, sf_dir, "embeddings")
