@@ -188,11 +188,13 @@ _MASK32 = 0xFFFFFFFF
 def _base_hashes(g: Column, hash_fn: str) -> tuple[Column, Column]:
     """Two independent 32-bit base hashes of a shingle.
 
-    hash_fn="md5" (default): the two halves of ONE md5's first 16 hex chars
-    — md5 is implemented identically in every engine (Spark, DuckDB,
-    Python), so signatures are cross-engine reproducible and oracle-
-    checkable. hash_fn="xxhash64": two seeded xxhash64 calls masked to 32
-    bits — cheaper per shingle, but Spark-only (no portable twin).
+    hash_fn="xxhash64" (default — the production/scale path): two seeded
+    xxhash64 calls masked to 32 bits; cheapest per shingle, Spark-only.
+    hash_fn="md5": the two halves of ONE md5's first 16 hex chars — md5 is
+    implemented identically in every engine (Spark, DuckDB, Python), so
+    signatures are cross-engine reproducible and oracle-checkable. Use md5
+    for parity/verification runs; the oracle-checked catalog queries pass
+    it explicitly (plans/queries.py).
     """
     if hash_fn == "md5":
         hexd = F.md5(g)
@@ -215,7 +217,7 @@ def minhash_signatures(
     k: int = 3,
     mode: str = "word",
     grams: DataFrame | None = None,
-    hash_fn: str = "md5",
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Per-document MinHash signature as ``num_hashes`` columns h0..h{n-1}.
 
@@ -249,7 +251,7 @@ def minhash_lsh_pairs(
     k: int = 3,
     threshold: float = 0.6,
     mode: str = "word",
-    hash_fn: str = "md5",
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Near-dup pairs via MinHash banding, verified with exact Jaccard.
 
@@ -327,35 +329,44 @@ def minhash_lsh_pairs(
 # SimHash
 # ---------------------------------------------------------------------------
 
-def simhash64(col: Column | str, hash_fn: str = "md5") -> Column:
+def simhash64(col: Column | str, hash_fn: str = "xxhash64") -> Column:
     """64-bit SimHash of the token set, as a long — pure expression fold:
     per token, a 64-bit token hash; per bit, +1/-1 vote; sign of each vote
-    -> bit. hash_fn="md5" uses the two 32-bit halves of md5's first 16 hex
-    chars (cross-engine reproducible, oracle-checkable); "xxhash64" is the
-    cheaper Spark-only path.
+    -> bit. hash_fn="xxhash64" (default) is the cheap Spark-only path;
+    "md5" uses the two 32-bit halves of md5's first 16 hex chars
+    (cross-engine reproducible, oracle-checkable).
 
     Built as a SQL expression because shift-by-a-lambda-variable is only
     expressible in SQL (the Python shiftleft/shiftright wrappers require a
     literal int shift). Still 100% JVM-side, no UDF.
+
+    The real hash runs ONCE per token: Spark does no CSE inside HOF
+    lambdas, so the token array is first mapped to its hash values
+    (one transform) and the per-bit vote lambda only shifts those — a
+    naive per-bit ``md5(w)`` would cost 2 x 64 hash evaluations per token.
     """
     name = col if isinstance(col, str) else col._jc.toString()
     toks = rf"filter(split(trim(lower({name})), '\\s+'), x -> x != '')"
     if hash_fn == "md5":
-        bit = (
-            "IF(i < 32,"
-            " shiftright(CAST(conv(substring(md5(w), 1, 8), 16, 10) AS BIGINT), i),"
-            " shiftright(CAST(conv(substring(md5(w), 9, 8), 16, 10) AS BIGINT), i - 32))"
-            " & 1"
+        # One md5 per token, two conv's per digest; bit i reads the
+        # precomputed halves (h.a = bits 0-31, h.b = bits 32-63).
+        hashes = (
+            f"transform(transform({toks}, w -> md5(w)),"
+            " d -> named_struct("
+            "'a', CAST(conv(substring(d, 1, 8), 16, 10) AS BIGINT),"
+            " 'b', CAST(conv(substring(d, 9, 8), 16, 10) AS BIGINT)))"
         )
+        bit = "IF(i < 32, shiftright(h.a, i), shiftright(h.b, i - 32)) & 1"
     elif hash_fn == "xxhash64":
-        bit = "shiftright(xxhash64(w), i) & 1"
+        hashes = f"transform({toks}, w -> xxhash64(w))"
+        bit = "shiftright(h, i) & 1"
     else:
         raise ValueError("hash_fn must be 'md5' or 'xxhash64'")
     votes = f"""
       aggregate(
-        {toks},
+        {hashes},
         array_repeat(0L, 64),
-        (acc, w) -> zip_with(
+        (acc, h) -> zip_with(
           acc,
           transform(sequence(0, 63),
                     i -> IF(({bit}) = 1, 1L, -1L)),
@@ -377,7 +388,7 @@ def hamming64(a: Column, b: Column) -> Column:
 
 
 def simhash_sketches(
-    df: DataFrame, id_col: str, text_col: str, hash_fn: str = "md5"
+    df: DataFrame, id_col: str, text_col: str, hash_fn: str = "xxhash64"
 ) -> DataFrame:
     """SimHash-64 per document via the scale formulation: explode tokens,
     one real hash per token, then 64 codegen'd sum-aggregates for the bit
@@ -433,7 +444,7 @@ def simhash_pairs(
     max_hamming: int = 8,
     prefix_bits: int = 12,
     rotations: int = 4,
-    hash_fn: str = "md5",
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Near-dup candidates by SimHash: bucket on the top ``prefix_bits`` of
     the sketch (scale path — equi join), then filter by Hamming distance.

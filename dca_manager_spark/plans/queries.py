@@ -1296,8 +1296,12 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dca_manager_spark.operators.dedup import minhash_lsh_pairs
 
     docs = t(spark, sf_dir, "documents")
+    # hash_fn="md5" is passed EXPLICITLY: the operator default is the fast
+    # Spark-only xxhash64; md5 is the oracle-checkable parity mode this
+    # catalog query exists to exercise.
     return minhash_lsh_pairs(
-        docs, "doc_id", "text", num_hashes=64, bands=16, k=3, threshold=0.7, mode="word"
+        docs, "doc_id", "text", num_hashes=64, bands=16, k=3, threshold=0.7,
+        mode="word", hash_fn="md5",
     ).orderBy("id_a", "id_b")
 
 
@@ -1360,9 +1364,10 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dca_manager_spark.operators.dedup import simhash_pairs
 
     docs = t(spark, sf_dir, "documents")
-    return simhash_pairs(docs, "doc_id", "text", max_hamming=8, prefix_bits=12).orderBy(
-        "id_a", "id_b"
-    )
+    # md5 explicitly — oracle parity mode; operator default is xxhash64.
+    return simhash_pairs(
+        docs, "doc_id", "text", max_hamming=8, prefix_bits=12, hash_fn="md5"
+    ).orderBy("id_a", "id_b")
 
 
 _QVEC = "embedding::DOUBLE[]"
@@ -2266,8 +2271,11 @@ def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dca_manager_spark.operators.dedup import dedup_keep_canonical, minhash_lsh_pairs
 
     docs = t(spark, sf_dir, "documents")
+    # md5 explicitly — keeps the pair set (and thus components/cluster
+    # sizes) identical to the dedup_minhash_lsh oracle pipeline.
     pairs = minhash_lsh_pairs(
-        docs, "doc_id", "text", num_hashes=64, bands=16, threshold=0.7, mode="word"
+        docs, "doc_id", "text", num_hashes=64, bands=16, threshold=0.7,
+        mode="word", hash_fn="md5",
     )
     return (
         dedup_keep_canonical(docs, pairs, "doc_id")
