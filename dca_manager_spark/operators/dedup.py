@@ -514,7 +514,16 @@ def connected_components(
     plan doesn't grow with iterations. Converges in O(graph diameter)
     rounds — near-dup graphs are unions of small cliques, so 2-3 rounds in
     practice; ``max_iter`` bounds pathological chains.
+
+    Convergence detection is FREE: min-label propagation only ever lowers
+    a label, so "changed this round" == sum(new < old), observed as a
+    DataFrame metric (``Observation``) collected by the SAME action that
+    materializes the round's localCheckpoint — no separate per-round
+    count job (the r1/r2 formulation paid one `.limit(1).count()` job per
+    round after the first).
     """
+    from pyspark.sql import Observation
+
     id_name = ids.columns[0]
     labels = ids.select(
         F.col(id_name).alias("__id"), F.col(id_name).cast("long").alias("component")
@@ -529,7 +538,7 @@ def connected_components(
         .distinct()
         .localCheckpoint(eager=False)
     )
-    for it in range(max_iter):
+    for _ in range(max_iter):
         neighbor_min = (
             edges.join(
                 labels.select(
@@ -540,37 +549,30 @@ def connected_components(
             .groupBy("__src")
             .agg(F.min("__nc").alias("__best_neighbor"))
         )
-        updated = (
-            labels.join(
-                neighbor_min.select(
-                    F.col("__src").alias("__id"), F.col("__best_neighbor")
-                ),
-                "__id",
-                "left",
-            )
-            .select(
-                "__id",
-                F.least(
-                    F.col("component"), F.coalesce("__best_neighbor", F.col("component"))
-                ).alias("component"),
-            )
-            .localCheckpoint(eager=False)
+        updated = labels.join(
+            neighbor_min.select(F.col("__src").alias("__id"), F.col("__best_neighbor")),
+            "__id",
+            "left",
+        ).select(
+            "__id",
+            F.col("component").alias("__old"),
+            F.least(
+                F.col("component"), F.coalesce("__best_neighbor", F.col("component"))
+            ).alias("component"),
         )
-        # The first round always changes something for any non-empty edge
-        # set — skip its convergence job; check on later rounds only.
-        if it > 0:
-            changed = (
-                updated.alias("u")
-                .join(labels.alias("l"), "__id")
-                .filter(F.col("u.component") != F.col("l.component"))
-                .limit(1)
-                .count()
+        obs = Observation()
+        labels = (
+            updated.observe(
+                obs,
+                F.sum((F.col("component") < F.col("__old")).cast("long")).alias(
+                    "changed"
+                ),
             )
-            labels = updated
-            if changed == 0:
-                break
-        else:
-            labels = updated
+            .select("__id", "component")
+            .localCheckpoint(eager=True)  # one job: materialize + observe
+        )
+        if not obs.get["changed"]:
+            break
     return labels
 
 
