@@ -26,9 +26,6 @@ Spark-first design (no Hudi/Delta jars needed):
 
 from __future__ import annotations
 
-import shutil
-import tempfile
-import uuid
 from enum import Enum
 from pathlib import Path
 
@@ -108,10 +105,40 @@ class MergeTable:
         # surface the new columns as nulls.
         return self.spark.read.option("mergeSchema", "true").parquet(self.path)
 
-    def register(self, name: str) -> None:
-        """Catalog sync (A14 parity, load_transactions.py:73-79): make the
-        table addressable from ``spark.sql``."""
-        self.read().createOrReplaceTempView(name)
+    def register(self, name: str, durable: bool = True) -> None:
+        """Catalog sync (A14 parity): make the table addressable from
+        ``spark.sql``.
+
+        ``durable=True`` (default) registers an EXTERNAL table entry in the
+        session catalog — the engine analogue of the reference's Hudi
+        hive-sync into the Glue catalog (glue/scripts/load_transactions.py:73-79,
+        database ``dca_manager`` terraform/glue.tf:119-122). The entry
+        outlives this SparkSession: any session sharing the metastore
+        (``spark.sql.catalogImplementation=hive`` -> a NEW process over the
+        same metastore; in-memory catalog -> any ``newSession()``) can
+        ``spark.sql`` the table by name. Drop-and-recreate keeps the sync
+        idempotent and re-infers evolved schemas; MSCK repair discovers
+        hive-style partitions — both metadata-only, exactly what hive-sync
+        redoes on every reference Glue run.
+
+        ``durable=False`` is the session-scoped temp-view registration.
+        """
+        if not durable:
+            self.read().createOrReplaceTempView(name)
+            return
+        parts = name.split(".")
+        quoted = ".".join(f"`{p}`" for p in parts)
+        if len(parts) > 1:
+            self.spark.sql(f"CREATE DATABASE IF NOT EXISTS `{parts[0]}`")
+        location = (
+            self.path
+            if "://" in self.path
+            else str(Path(self.path).absolute())
+        )
+        self.spark.sql(f"DROP TABLE IF EXISTS {quoted}")
+        self.spark.sql(f"CREATE TABLE {quoted} USING PARQUET LOCATION '{location}'")
+        if self.partition_by:
+            self.spark.sql(f"MSCK REPAIR TABLE {quoted}")
 
     # -- write side ---------------------------------------------------------
     def write(self, df: DataFrame, operation: str | WriteOperation) -> None:
@@ -182,33 +209,45 @@ class MergeTable:
             else survivors
         )
 
+        # COPY_ON_WRITE rewrite, SINGLE write: materialize the merged rows
+        # to executor-local storage first (localCheckpoint truncates the
+        # lineage back to the table's own files — a plan cannot overwrite
+        # its input), then dynamic-partition-overwrite the table in one
+        # write so only the affected partitions are replaced. r1/r2 staged
+        # to a temp dir and rewrote — 2x write amplification per merge.
+        #
+        # Failure semantics: the overwrite commits partition directories at
+        # job commit (Hadoop commit protocol) — a task/job failure before
+        # commit leaves the table intact, and losing the (non-replicated)
+        # checkpoint blocks fails the job rather than corrupting the table;
+        # the caller retries the whole merge. On object stores dir-commit
+        # is copy-based and not atomic across partitions — a production S3
+        # deployment wants a manifest/table format (Delta/Hudi/Iceberg)
+        # commit instead; see the sketch in SCALE.md.
+        merged = merged.localCheckpoint(eager=True)
         if merged.isEmpty():
             # Every affected partition lost all rows (e.g. a full-partition
             # delete): nothing to write — just clear the directories.
             if self.partition_by:
                 self._delete_partition_dirs(part_rows)
             return
-
-        # COPY_ON_WRITE rewrite: stage to a temp dir (a plan cannot overwrite
-        # its own input path), then dynamic-partition-overwrite the table so
-        # ONLY the affected partitions are replaced.
-        stage = Path(tempfile.gettempdir()) / f"mergetable-stage-{uuid.uuid4().hex}"
-        try:
-            self._writer(merged, "overwrite").save(str(stage))
-            staged = self.spark.read.parquet(str(stage))
-            self._writer(staged, "overwrite").save(self.path)
-            if self.partition_by:
-                # Dynamic overwrite only replaces partitions PRESENT in the
-                # output — an affected partition whose rows were all removed
-                # (key moved under a global index, or a full-partition
-                # delete) must be cleared explicitly.
-                remaining = {
-                    tuple(row[c] for c in self.partition_by)
-                    for row in staged.select(*self.partition_by).distinct().collect()
-                }
-                self._delete_partition_dirs(part_rows - remaining)
-        finally:
-            shutil.rmtree(stage, ignore_errors=True)
+        (
+            self._writer(merged, "overwrite")
+            # Per-write option: correctness must not depend on session conf
+            # (the reference's job sets its Hudi write configs per-write too).
+            .option("partitionOverwriteMode", "dynamic")
+            .save(self.path)
+        )
+        if self.partition_by:
+            # Dynamic overwrite only replaces partitions PRESENT in the
+            # output — an affected partition whose rows were all removed
+            # (key moved under a global index, or a full-partition
+            # delete) must be cleared explicitly.
+            remaining = {
+                tuple(row[c] for c in self.partition_by)
+                for row in merged.select(*self.partition_by).distinct().collect()
+            }
+            self._delete_partition_dirs(part_rows - remaining)
 
     def _delete_partition_dirs(self, parts: set[tuple]) -> None:
         """Remove emptied partition directories via the Hadoop FS API (works
@@ -243,14 +282,13 @@ class MergeTable:
         """
         current = self.read().repartition(
             target_files_per_partition, *(self.partition_by or self.keys)
+        ).localCheckpoint(eager=True)  # single write; see _merge_existing
+        (
+            self._writer(current, "overwrite")
+            # Full-table rewrite: static overwrite truncates the whole path.
+            .option("partitionOverwriteMode", "static")
+            .save(self.path)
         )
-        stage = Path(tempfile.gettempdir()) / f"mergetable-compact-{uuid.uuid4().hex}"
-        try:
-            self._writer(current, "overwrite").save(str(stage))
-            staged = self.spark.read.parquet(str(stage))
-            self._writer(staged, "overwrite").save(self.path)
-        finally:
-            shutil.rmtree(stage, ignore_errors=True)
 
     def file_count(self) -> int:
         return sum(1 for _ in Path(self.path).rglob("*.parquet"))

@@ -133,5 +133,7 @@ def load_transactions(
                 f"(the bad rows were NOT loaded, but the table now contains "
                 f"this batch's clean rows — investigate the source)"
             )
-    table.register(f"{database}_{table_name}" if database else table_name)
+    # Durable catalog sync — the analogue of hive-sync into the Glue
+    # database `dca_manager` (load_transactions.py:73-79, glue.tf:119-122).
+    table.register(f"{database}.{table_name}" if database else table_name)
     return table

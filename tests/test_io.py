@@ -48,8 +48,10 @@ def test_save_as_table_sql_surface(spark, tmp_path):
         ).collect()
         assert [(r.pair, r.total) for r in out] == [("BTCGBP", 2.0)]
     finally:
+        # Drop only OUR table: the dca_manager database is shared with the
+        # durable A14 registration (load_transactions registers
+        # dca_manager.transactions), so the database may not be empty.
         spark.sql("DROP TABLE IF EXISTS dca_manager.transactions_t")
-        spark.sql("DROP DATABASE IF EXISTS dca_manager")
 
 
 def test_streaming_parquet_sink(spark, tmp_path):

@@ -208,3 +208,111 @@ def test_delete_can_empty_a_partition(spark, table, tmp_path):
     table.write(make_df(spark, [("T2", TS1, "ETHGBP", 0.0)]), "delete")
     assert {r.transaction_id for r in table.read().collect()} == {"T1"}
     assert table.read().filter("pair='ETHGBP'").count() == 0
+
+
+def test_merge_single_write_per_upsert(spark, table, monkeypatch):
+    """COW merge performs exactly ONE physical write of the merged data
+    (the staged-dir formulation wrote every affected partition twice)."""
+    table.write(make_df(spark, [("T1", TS1, "BTCGBP", 1.0)]), "bulk_insert")
+    modes = []
+    orig = MergeTable._writer
+
+    def counting(self, df, mode):
+        modes.append(mode)
+        return orig(self, df, mode)
+
+    monkeypatch.setattr(MergeTable, "_writer", counting)
+    table.write(
+        make_df(spark, [("T1", TS1, "BTCGBP", 2.0), ("T9", TS1, "BTCGBP", 3.0)]),
+        "upsert",
+    )
+    assert modes == ["overwrite"]  # one write, no staging copy
+    rows = {r.transaction_id: r.price for r in table.read().collect()}
+    assert rows == {"T1": 2.0, "T9": 3.0}
+
+
+def test_register_durable_survives_new_session(spark, table):
+    """A14 catalog sync: durable registration is visible from a NEW
+    session over the same catalog (temp views are not — negative control),
+    is partition-aware, re-syncs after partition-adding writes, and is
+    EXTERNAL (drop does not delete data)."""
+    table.write(
+        make_df(spark, [("T1", TS1, "BTCGBP", 1.0), ("T2", TS1, "ETHGBP", 2.0)]),
+        "bulk_insert",
+    )
+    table.register("dca_reg_test.transactions")
+    ns = spark.newSession()
+    rows = ns.sql(
+        "SELECT pair, count(*) AS n FROM dca_reg_test.transactions "
+        "GROUP BY pair ORDER BY pair"
+    ).collect()
+    assert [(r.pair, r.n) for r in rows] == [("BTCGBP", 1), ("ETHGBP", 1)]
+
+    # Partition pruning works through the catalog entry.
+    plan = ns.sql(
+        "SELECT * FROM dca_reg_test.transactions WHERE pair = 'BTCGBP'"
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+
+    # Temp-view registration stays session-scoped.
+    table.register("reg_temp_view", durable=False)
+    assert "reg_temp_view" in [t.name for t in spark.catalog.listTables()]
+    assert "reg_temp_view" not in [t.name for t in ns.catalog.listTables()]
+
+    # Re-register after a partition-adding write re-syncs partitions.
+    table.write(make_df(spark, [("T3", TS1, "SOLGBP", 3.0)]), "upsert")
+    table.register("dca_reg_test.transactions")
+    assert ns.sql("SELECT count(*) FROM dca_reg_test.transactions").collect()[0][0] == 3
+
+    # External: dropping the catalog entry must not delete table data.
+    spark.sql("DROP TABLE dca_reg_test.transactions")
+    assert table.read().count() == 3
+
+
+def test_register_durable_cross_process(tmp_path):
+    """The reference's hive-sync contract end-to-end: one process writes
+    the table and registers `dca_manager.transactions`; a brand-new
+    SparkSession in a SEPARATE process (hive metastore in the same cwd)
+    queries it by name (glue/scripts/load_transactions.py:73-79)."""
+    import os
+    import subprocess
+    import sys
+    import textwrap
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = {**os.environ, "PYTHONPATH": repo}
+    hive = '.config("spark.sql.catalogImplementation", "hive")'
+    writer = textwrap.dedent(
+        f"""
+        from pyspark.sql import SparkSession
+        from dca_manager_spark.io.merge import MergeTable
+        spark = (SparkSession.builder.master("local[2]").appName("w"){hive}
+                 .config("spark.ui.enabled", "false").getOrCreate())
+        df = spark.createDataFrame(
+            [("T1", "BTCGBP", 1.0), ("T2", "ETHGBP", 2.0)],
+            "transaction_id string, pair string, price double")
+        t = MergeTable(spark, "{tmp_path}/tbl", keys=("transaction_id",),
+                       precombine="transaction_id", partition_by=("pair",))
+        t.write(df, "upsert")
+        t.register("dca_manager.transactions")
+        spark.stop()
+        """
+    )
+    reader = textwrap.dedent(
+        f"""
+        from pyspark.sql import SparkSession
+        spark = (SparkSession.builder.master("local[2]").appName("r"){hive}
+                 .config("spark.ui.enabled", "false").getOrCreate())
+        n = spark.sql("SELECT count(*) FROM dca_manager.transactions").collect()[0][0]
+        print("CATALOG_ROWS=" + str(n))
+        spark.stop()
+        """
+    )
+    subprocess.run(
+        [sys.executable, "-c", writer], cwd=tmp_path, env=env, check=True, timeout=300
+    )
+    out = subprocess.run(
+        [sys.executable, "-c", reader], cwd=tmp_path, env=env, check=True,
+        timeout=300, capture_output=True, text=True,
+    )
+    assert "CATALOG_ROWS=2" in out.stdout
