@@ -331,3 +331,46 @@ def test_stream_static_enrich(spark, tmp_path):
         lambda df, _: out.extend(df.collect()),
     )
     assert out[0].region == "EU"
+
+
+def test_streaming_pipeline_no_row_collect(spark, tmp_path, monkeypatch):
+    """EP2's micro-batch hot path is distributed (mapInPandas enrichment):
+    the driver only ever collects bounded METADATA frames (distinct
+    exchange values, merge partition values — all single-column), never
+    row data. The r1/r2 formulation collected every message row."""
+    # Patch the CONCRETE DataFrame class (pyspark 4: pyspark.sql.DataFrame
+    # is an ABC whose subclass overrides collect).
+    from pyspark.sql.classic.dataframe import DataFrame
+
+    from dca_manager_spark.streaming.pipeline import run_streaming_pipeline
+
+    collected = []
+    orig = DataFrame.collect
+
+    def spying(self):
+        collected.append(list(self.columns))
+        return orig(self)
+
+    monkeypatch.setattr(DataFrame, "collect", spying)
+
+    queue = FileQueue(str(tmp_path / "q"))
+    for i in range(5):
+        queue.publish(f"TX{i}", "b", f"k{i}", exchange="kraken", real=True)
+    q = run_streaming_pipeline(
+        spark,
+        queue,
+        data_dir=str(tmp_path / "data"),
+        table_path=str(tmp_path / "table"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(120)
+
+    assert collected, "expected bounded metadata collects"
+    for cols in collected:
+        assert len(cols) == 1, f"row-data collect on the hot path: {cols}"
+    # the work itself happened, distributed
+    assert spark.read.parquet(str(tmp_path / "table")).count() == 5
+    for i in range(5):
+        assert (
+            tmp_path / f"data/transactions/status=complete/exchange=kraken/TX{i}.json"
+        ).exists()
