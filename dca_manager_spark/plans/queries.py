@@ -1903,11 +1903,39 @@ def from_json_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("session_window_batch", None)  # no DuckDB session-window equivalent
+@query(
+    "session_window_batch",
+    f"""
+    WITH gaps AS (
+      SELECT user_id, ts, value,
+             CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                    OR ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       >= INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+    ),
+    sess AS (
+      SELECT user_id, ts, value,
+             SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS sess_id
+      FROM gaps
+    )
+    SELECT MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+           user_id,
+           COUNT(*) AS n_events,
+           {o_dsum('value')} AS total_value
+    FROM sess
+    GROUP BY user_id, sess_id
+    ORDER BY user_id, session_start
+    """,
+)
 def session_window_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch session windows (30-min gap) per user over events — the batch
-    twin of streaming/windows.py session_counts (DuckDB has no session
-    window; sessionization is pinned by tests instead)."""
+    twin of streaming/windows.py session_counts. Spark's session_window
+    merges an event into the session iff it falls strictly inside
+    [start, last_ts + gap); the oracle replicates that with the classic
+    lag/gap-flag + running-sum sessionization, session_end = last + gap."""
     ev = t(spark, sf_dir, "events")
     return (
         ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), F.col("user_id"))
@@ -2261,13 +2289,88 @@ def applyinpandas_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("dedup_cluster_canonical", None)  # iterative algorithm -> rows-only
+@query(
+    "dedup_cluster_canonical",
+    r"""
+    WITH RECURSIVE toks AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                         x -> x != '') AS tk
+      FROM documents
+    ),
+    grams AS (
+      SELECT DISTINCT doc_id, array_to_string(tk[i.i + 1 : i.i + 3], ' ') AS g
+      FROM toks, LATERAL (
+        SELECT unnest(range(0, greatest(len(tk) - 2, 1))) AS i
+      ) i
+      WHERE array_to_string(tk[i.i + 1 : i.i + 3], ' ') != ''
+    ),
+    hashed AS (
+      SELECT doc_id,
+             CAST(concat('0x', substring(md5(g), 1, 8)) AS BIGINT) AS m1,
+             CAST(concat('0x', substring(md5(g), 9, 8)) AS BIGINT) AS m2
+      FROM grams
+    ),
+    sig AS (
+      SELECT doc_id, s.s AS s, MIN(m1 + s.s * m2) AS h
+      FROM hashed, (SELECT unnest(range(0, 64)) AS s) s
+      GROUP BY doc_id, s.s
+    ),
+    bands AS (
+      SELECT doc_id, s // 4 AS band,
+             substring(md5(string_agg(CAST(h AS VARCHAR), ',' ORDER BY s)), 1, 16) AS bh
+      FROM sig GROUP BY doc_id, s // 4
+    ),
+    cand AS (
+      SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+      FROM bands x
+      JOIN bands y ON x.band = y.band AND x.bh = y.bh AND x.doc_id < y.doc_id
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY doc_id),
+    inter AS (
+      SELECT c.id_a, c.id_b, COUNT(*) AS n_inter
+      FROM cand c
+      JOIN grams ga ON ga.doc_id = c.id_a
+      JOIN grams gb ON gb.doc_id = c.id_b AND gb.g = ga.g
+      GROUP BY c.id_a, c.id_b
+    ),
+    pairs AS (
+      SELECT id_a, id_b
+      FROM inter
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+      WHERE CAST(n_inter AS DOUBLE) / CAST(sa.n + sb.n - n_inter AS DOUBLE) >= 0.7
+    ),
+    edges AS (
+      SELECT id_a AS s, id_b AS d FROM pairs
+      UNION
+      SELECT id_b AS s, id_a AS d FROM pairs
+    ),
+    reach(id, comp) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.d, reach.comp FROM edges e JOIN reach ON reach.id = e.s
+    ),
+    comp AS (SELECT id AS doc_id, MIN(comp) AS component FROM reach GROUP BY id),
+    csize AS (SELECT component, COUNT(*) AS cluster_size FROM comp GROUP BY component)
+    SELECT d.doc_id, d.lang, d.source, z.cluster_size
+    FROM comp c
+    JOIN documents d ON d.doc_id = c.doc_id
+    JOIN csize z ON z.component = c.component
+    WHERE c.doc_id = c.component
+    ORDER BY d.doc_id
+    """,
+)
 def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full near-dup dedup pipeline: MinHash-LSH pairs -> connected
     components (iterative min-label propagation) -> keep the canonical
     (smallest-id) doc per cluster with its cluster size. The end-to-end
-    '100 TB dedup' story in one query; component semantics pinned in
-    tests/test_dedup.py."""
+    '100 TB dedup' story in one query. The oracle replicates the ENTIRE
+    pipeline: the md5 MinHash/banding/verify chain (same CTEs as
+    dedup_minhash_lsh at threshold 0.7) plus min-label components via a
+    recursive transitive-closure CTE (tractable in the oracle — component
+    sizes are small cliques; Spark runs the scalable iterative
+    propagation). Component semantics also pinned in tests/test_dedup.py."""
     from dca_manager_spark.operators.dedup import dedup_keep_canonical, minhash_lsh_pairs
 
     docs = t(spark, sf_dir, "documents")
