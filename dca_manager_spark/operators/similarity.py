@@ -224,7 +224,13 @@ def sign_lsh_signature_arrow(num_planes: int = 16, plane_offset: int = 0):
     computes the whole signature per row via a NumPy (batch x planes x dim)
     quantized product — floor((x*w)*1e12) per element, int64 sum, sign —
     BIT-IDENTICAL to the expression form and to the DuckDB oracle, without
-    num_planes interpreted HOF folds per row."""
+    num_planes interpreted HOF folds per row.
+
+    Input contract: non-null, fixed-width, finite vectors. Invalid input
+    fails LOUDLY (the expression form also errors on NaN/Inf under ANSI
+    mode via long overflow in the fold; a silent np.floor(NaN)->INT64_MIN
+    cast would instead produce garbage bits) — filter or impute upstream.
+    """
     import numpy as np
     import pandas as pd
     from pyspark.sql.functions import PandasUDFType, pandas_udf
@@ -233,7 +239,25 @@ def sign_lsh_signature_arrow(num_planes: int = 16, plane_offset: int = 0):
 
     @pandas_udf("long", PandasUDFType.SCALAR)
     def _sig(v):
-        A = np.vstack(v.to_numpy()).astype(np.float64)  # (N, D)
+        arrs = v.to_numpy()
+        if any(a is None for a in arrs):
+            raise ValueError(
+                "sign_lsh_signature_arrow: null embedding vectors are not "
+                "supported — filter them out before hashing"
+            )
+        try:
+            A = np.vstack(arrs).astype(np.float64)  # (N, D)
+        except ValueError as exc:
+            raise ValueError(
+                "sign_lsh_signature_arrow: ragged embedding vectors (mixed "
+                "dimensions) are not supported"
+            ) from exc
+        if not np.isfinite(A).all():
+            raise ValueError(
+                "sign_lsh_signature_arrow: non-finite elements (NaN/Inf) in "
+                "embedding vectors — the signature would be undefined (the "
+                "expression form errors on these too); clean the column first"
+            )
         dim = A.shape[1]
         W = cache.get(dim)
         if W is None:

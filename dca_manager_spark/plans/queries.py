@@ -1458,15 +1458,20 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "similarity_lsh_ann",
     f"""
-    WITH planes AS (
+    WITH dim AS (
+      -- plane dimensionality DERIVED from the data (a hardcoded bound
+      -- would silently truncate the dot if the corpus dim ever changed)
+      SELECT MAX(len({_QVEC})) AS d FROM embeddings
+    ),
+    planes AS (
       SELECT t.t AS tbl, p.p AS p, i.i AS i,
              (CAST(concat('0x', substring(md5(concat('p',
                     CAST(t.t * 1009 + p.p AS VARCHAR), ',',
                     CAST(i.i AS VARCHAR))), 1, 8)) AS BIGINT)
               % 2000003) / 1000003.0 - 1.0 AS w
-      FROM (SELECT unnest(range(0, 2)) AS t) t,
-           (SELECT unnest(range(0, 12)) AS p) p,
-           (SELECT unnest(range(0, 64)) AS i) i
+      FROM (SELECT unnest(range(0, 4)) AS t) t,
+           (SELECT unnest(range(0, 8)) AS p) p,
+           (SELECT unnest(range(0, (SELECT d FROM dim))) AS i) i
     ),
     vecs AS (
       SELECT vec_id, {_QVEC} AS v,
@@ -1490,7 +1495,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand AS (
       SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
       FROM sigs q JOIN sigs c ON q.tbl = c.tbl AND q.sig = c.sig
-      WHERE q.vec_id < 5 AND q.vec_id != c.vec_id
+      WHERE q.vec_id < 50 AND q.vec_id != c.vec_id
     ),
     scored AS (
       SELECT cd.query_id, cd.neighbor_id,
@@ -1512,22 +1517,26 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def similarity_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sign-LSH bucketed approximate top-k (scale path for ANN): candidates
-    share a 12-bit hyperplane-sign bucket in either of two independent
+    share an 8-bit hyperplane-sign bucket in any of FOUR independent
     tables (OR-amplification); exact quantized cosine ranks them. Planes
     are md5-derived and dots integer-quantized, so buckets, candidates and
-    scores are bit-identical in the DuckDB oracle. Recall vs the exact
-    baseline is pinned in tests/test_similarity."""
+    scores are bit-identical in the DuckDB oracle (whose plane dim is
+    derived from the data, not hardcoded). 8 bits x 4 tables at 50 query
+    vectors yields a multi-row ranked result at every test SF, so the
+    candidate-dedup/cosine-ranking/top-k path is actually exercised —
+    12 bits over random 64-d vectors collided almost never. Recall vs the
+    exact baseline is pinned in tests/test_similarity."""
     from dca_manager_spark.operators.similarity import lsh_ann_topk
 
     emb = t(spark, sf_dir, "embeddings")
     return lsh_ann_topk(
-        emb.filter(F.col("vec_id") < 5).select(F.col("vec_id").alias("query_id"), "embedding"),
+        emb.filter(F.col("vec_id") < 50).select(F.col("vec_id").alias("query_id"), "embedding"),
         emb.select(F.col("vec_id").alias("neighbor_id"), "embedding"),
         query_id="query_id",
         corpus_id="neighbor_id",
         k=10,
-        num_planes=12,
-        num_tables=2,
+        num_planes=8,
+        num_tables=4,
     ).orderBy("query_id", "rank")
 
 
