@@ -130,3 +130,23 @@ def test_partition_overwrite_mode_dynamic(spark):
 
 def test_aqe_enabled(spark):
     assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+
+
+def test_driver_window_rotation():
+    """The driver scores the first 50 entries of queries(): the curated
+    window must be exactly 50 valid, distinct names, lead the emitted
+    order, and never lose a catalog query."""
+    from dca_manager_spark.plans.queries import (
+        _DRIVER_WINDOW,
+        QUERIES,
+        get_oracles,
+        get_queries,
+    )
+
+    assert len(_DRIVER_WINDOW) == 50
+    assert len(set(_DRIVER_WINDOW)) == 50
+    assert all(n in QUERIES for n in _DRIVER_WINDOW)
+    names = list(get_queries())
+    assert names[:50] == _DRIVER_WINDOW
+    assert set(names) == set(QUERIES)
+    assert set(get_oracles()) <= set(names)
