@@ -1,0 +1,133 @@
+"""ManifestTable: the object-store-safe commit protocol — write-op parity
+with MergeTable, atomic publish, crash invisibility, manifest-level
+pruning, vacuum."""
+
+from __future__ import annotations
+
+import datetime
+import json
+from pathlib import Path
+
+import pytest
+
+from dca_manager_spark.io.manifest import ManifestTable
+
+TS1 = datetime.datetime(2024, 1, 1, 12, 0, 0)
+
+
+def make_df(spark, rows):
+    return spark.createDataFrame(
+        rows, "transaction_id string, close_time timestamp, pair string, price double"
+    )
+
+
+@pytest.fixture
+def table(spark, tmp_path):
+    return ManifestTable(
+        spark,
+        str(tmp_path / "mtbl"),
+        keys=("transaction_id", "close_time"),
+        precombine="transaction_id",
+        partition_by=("pair",),
+    )
+
+
+def test_bulk_insert_preserves_duplicates(spark, table):
+    df = make_df(spark, [("T1", TS1, "BTCGBP", 1.0), ("T1", TS1, "BTCGBP", 2.0)])
+    table.write(df, "bulk_insert")
+    table.write(df, "insert")
+    assert table.read().count() == 4
+
+
+def test_upsert_precombine_and_update(spark, table):
+    table.write(
+        make_df(spark, [("T1", TS1, "BTCGBP", 1.0), ("T2", TS1, "ETHGBP", 5.0)]),
+        "upsert",
+    )
+    # same-key rows collapse (larger precombine wins), existing key updates
+    table.write(
+        make_df(spark, [("T1", TS1, "BTCGBP", 9.0), ("T3", TS1, "BTCGBP", 3.0)]),
+        "upsert",
+    )
+    rows = {r.transaction_id: r.price for r in table.read().collect()}
+    assert rows == {"T1": 9.0, "T2": 5.0, "T3": 3.0}
+
+
+def test_upsert_is_idempotent(spark, table):
+    df = make_df(spark, [("T1", TS1, "BTCGBP", 1.0)])
+    table.write(df, "upsert")
+    table.write(df, "upsert")
+    assert table.read().count() == 1
+
+
+def test_delete_and_empty_table_stays_readable(spark, table):
+    table.write(make_df(spark, [("T1", TS1, "BTCGBP", 1.0)]), "upsert")
+    table.write(make_df(spark, [("T1", TS1, "BTCGBP", 0.0)]), "delete")
+    empty = table.read()
+    assert empty.count() == 0
+    assert "price" in empty.columns  # schema survives via the manifest
+    # and the table accepts new writes afterwards
+    table.write(make_df(spark, [("T2", TS1, "ETHGBP", 2.0)]), "upsert")
+    assert table.read().count() == 1
+
+
+def test_cow_touches_only_affected_partitions(spark, table):
+    table.write(
+        make_df(spark, [("T1", TS1, "BTCGBP", 1.0), ("T2", TS1, "ETHGBP", 2.0)]),
+        "upsert",
+    )
+    first = {f["path"] for f in table._latest_manifest()[1]["files"]}
+    table.write(make_df(spark, [("T3", TS1, "BTCGBP", 3.0)]), "upsert")
+    second = table._latest_manifest()[1]["files"]
+    eth = [f["path"] for f in second if f["partition"] == {"pair": "ETHGBP"}]
+    # the untouched ETH partition's files are carried over verbatim
+    assert eth and set(eth) <= first
+    btc = [f["path"] for f in second if f["partition"] == {"pair": "BTCGBP"}]
+    assert btc and not (set(btc) & first)  # BTC rewritten
+
+
+def test_manifest_level_partition_pruning(spark, table):
+    table.write(
+        make_df(spark, [("T1", TS1, "BTCGBP", 1.0), ("T2", TS1, "ETHGBP", 2.0)]),
+        "upsert",
+    )
+    out = table.read(partition_filter={"pair": "ETHGBP"})
+    assert [r.transaction_id for r in out.collect()] == ["T2"]
+    assert table.read(partition_filter={"pair": "NOPE"}).count() == 0
+
+
+def test_crash_before_publish_is_invisible_and_vacuumable(spark, table):
+    df1 = make_df(spark, [("T1", TS1, "BTCGBP", 1.0)])
+    table.write(df1, "upsert")
+    # Simulate a writer crashing AFTER writing data files but BEFORE
+    # publishing the manifest: the files exist, no manifest references them.
+    table._write_commit_files(make_df(spark, [("TX", TS1, "BTCGBP", 99.0)]))
+    rows = table.read().collect()
+    assert [r.transaction_id for r in rows] == ["T1"]  # reader sees old state
+    removed = table.vacuum()
+    assert removed >= 1
+    assert [r.transaction_id for r in table.read().collect()] == ["T1"]
+
+
+def test_vacuum_removes_replaced_cow_files(spark, table):
+    table.write(make_df(spark, [("T1", TS1, "BTCGBP", 1.0)]), "upsert")
+    table.write(make_df(spark, [("T1", TS1, "BTCGBP", 2.0)]), "upsert")
+    assert table.vacuum() >= 1  # the superseded BTC files
+    assert {r.price for r in table.read().collect()} == {2.0}
+
+
+def test_publish_is_put_if_absent(spark, table):
+    table.write(make_df(spark, [("T1", TS1, "BTCGBP", 1.0)]), "upsert")
+    latest_id, doc = table._latest_manifest()
+    with pytest.raises(FileExistsError):
+        table._publish(latest_id - 1, doc["files"], doc["schema"])
+
+
+def test_manifest_documents_are_json(spark, table):
+    table.write(make_df(spark, [("T1", TS1, "BTCGBP", 1.0)]), "upsert")
+    mdir = Path(table.path) / "_manifests"
+    docs = sorted(mdir.glob("*.json"))
+    assert docs
+    doc = json.loads(docs[-1].read_text())
+    assert set(doc) == {"id", "files", "schema"}
+    assert all(set(f) == {"path", "partition"} for f in doc["files"])
