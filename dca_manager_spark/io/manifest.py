@@ -82,18 +82,26 @@ class ManifestTable:
     def _manifest_dir(self) -> Path:
         return Path(self.path) / _MANIFEST_DIR
 
-    def _latest_manifest(self) -> tuple[int, dict] | None:
+    def _manifest_ids(self) -> list[int]:
         mdir = self._manifest_dir()
         if not mdir.is_dir():
-            return None
-        ids = sorted(
-            int(p.stem) for p in mdir.glob("*.json") if p.stem.isdigit()
-        )
+            return []
+        return sorted(int(p.stem) for p in mdir.glob("*.json") if p.stem.isdigit())
+
+    def _load_manifest(self, mid: int) -> dict:
+        with open(self._manifest_dir() / f"{mid:012d}.json") as fh:
+            return json.load(fh)
+
+    def _latest_manifest(self) -> tuple[int, dict] | None:
+        ids = self._manifest_ids()
         if not ids:
             return None
-        latest = ids[-1]
-        with open(mdir / f"{latest:012d}.json") as fh:
-            return latest, json.load(fh)
+        return ids[-1], self._load_manifest(ids[-1])
+
+    def commits(self) -> list[int]:
+        """Committed manifest ids, oldest first — the table's timeline
+        (Hudi-timeline analogue)."""
+        return self._manifest_ids()
 
     def _publish(
         self, prev_id: int | None, files: list[dict], schema_json: str
@@ -150,14 +158,29 @@ class ManifestTable:
     def exists(self) -> bool:
         return self._latest_manifest() is not None
 
-    def read(self, partition_filter: dict[str, object] | None = None) -> DataFrame:
-        """Read the table as of the newest manifest. ``partition_filter``
-        ({col: value}) prunes at the manifest level — no storage listing,
-        no directory parsing."""
-        latest = self._latest_manifest()
-        if latest is None:
-            raise FileNotFoundError(f"no committed manifest under {self.path}")
-        _, doc = latest
+    def read(
+        self,
+        partition_filter: dict[str, object] | None = None,
+        as_of: int | None = None,
+    ) -> DataFrame:
+        """Read the table as of the newest manifest (or a historical one
+        via ``as_of`` — manifests are retained until vacuumed, so any
+        still-referenced commit is readable: time travel, Hudi-timeline /
+        Delta VERSION AS OF analogue). ``partition_filter`` ({col: value})
+        prunes at the manifest level — no storage listing, no directory
+        parsing."""
+        if as_of is not None:
+            if as_of not in self._manifest_ids():
+                raise FileNotFoundError(
+                    f"no manifest {as_of} under {self.path} "
+                    f"(available: {self._manifest_ids()})"
+                )
+            doc = self._load_manifest(as_of)
+        else:
+            latest = self._latest_manifest()
+            if latest is None:
+                raise FileNotFoundError(f"no committed manifest under {self.path}")
+            _, doc = latest
         files = doc["files"]
         if partition_filter:
             files = [
@@ -264,12 +287,15 @@ class ManifestTable:
     # -- maintenance --------------------------------------------------------
     def vacuum(self) -> int:
         """Delete data files not referenced by the newest manifest (orphans
-        from pre-publish crashes + files replaced by COW commits). Returns
-        the number of files removed. Run after a retention window in
-        production so in-flight reads of older manifests finish first."""
+        from pre-publish crashes + files replaced by COW commits) and the
+        superseded manifests themselves — time travel reaches back only to
+        the oldest unvacuumed commit. Returns the number of data files
+        removed. Run after a retention window in production so in-flight
+        reads of older manifests finish first."""
         latest = self._latest_manifest()
         if latest is None:
             return 0
+        latest_id = latest[0]
         live = {f["path"] for f in latest[1]["files"]}
         removed = 0
         data_root = Path(self.path) / _DATA_DIR
@@ -285,4 +311,8 @@ class ManifestTable:
                 ):
                     sub.unlink() if sub.is_file() else sub.rmdir()
                 d.rmdir()
+        # superseded manifests reference vacuumed files — drop them
+        for mid in self._manifest_ids():
+            if mid != latest_id:
+                (self._manifest_dir() / f"{mid:012d}.json").unlink()
         return removed

@@ -91,12 +91,22 @@ def run_streaming_pipeline(
     write_operation: str = "upsert",
     orderers: dict[str, Orderer] | None = None,
     available_now: bool = True,
+    dead_letter_dir: str | None = None,
 ) -> StreamingQuery:
     """Start (and with ``available_now`` drain) the streaming EP2. Returns
-    the StreamingQuery; callers awaitTermination as needed."""
+    the StreamingQuery; callers awaitTermination as needed.
+
+    ``dead_letter_dir``: the reference silently deletes non-real messages
+    (ack+skip, main.go:143-158); pass a directory to also QUARANTINE them
+    as JSON for audit/replay — the engine analogue of an SQS dead-letter
+    queue (the reference's queue declares none)."""
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         real = batch_df.filter(F.col("real") == "true")  # A6, main.go:143-158
+        if dead_letter_dir:
+            batch_df.filter(
+                F.col("real").isNull() | (F.col("real") != "true")
+            ).write.mode("append").json(dead_letter_dir)
         enriched = enrich_orders_distributed(real, data_dir, orderers=orderers)
         # Bounded metadata collect: distinct exchange values only —
         # O(#exchanges), never O(rows).

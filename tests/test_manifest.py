@@ -131,3 +131,17 @@ def test_manifest_documents_are_json(spark, table):
     doc = json.loads(docs[-1].read_text())
     assert set(doc) == {"id", "files", "schema"}
     assert all(set(f) == {"path", "partition"} for f in doc["files"])
+
+
+def test_time_travel_reads(spark, table):
+    table.write(make_df(spark, [("T1", TS1, "BTCGBP", 1.0)]), "upsert")
+    v0 = table.commits()[-1]
+    table.write(make_df(spark, [("T1", TS1, "BTCGBP", 2.0)]), "upsert")
+    assert {r.price for r in table.read().collect()} == {2.0}
+    assert {r.price for r in table.read(as_of=v0).collect()} == {1.0}
+    # vacuum reclaims replaced files AND invalidates superseded manifests
+    table.vacuum()
+    assert table.commits() == [table.commits()[-1]]
+    with pytest.raises(FileNotFoundError):
+        table.read(as_of=v0)
+    assert {r.price for r in table.read().collect()} == {2.0}

@@ -374,3 +374,26 @@ def test_streaming_pipeline_no_row_collect(spark, tmp_path, monkeypatch):
         assert (
             tmp_path / f"data/transactions/status=complete/exchange=kraken/TX{i}.json"
         ).exists()
+
+
+def test_streaming_pipeline_dead_letter(spark, tmp_path):
+    """Non-real messages are acked+skipped like the reference, and with
+    dead_letter_dir set they are also quarantined as JSON for audit."""
+    from dca_manager_spark.streaming.pipeline import run_streaming_pipeline
+
+    queue = FileQueue(str(tmp_path / "q"))
+    queue.publish("TXR", "b", "kr", exchange="kraken", real=True)
+    queue.publish("TXF", "b", "kf", exchange="kraken", real=False)
+    q = run_streaming_pipeline(
+        spark,
+        queue,
+        data_dir=str(tmp_path / "data"),
+        table_path=str(tmp_path / "table"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        dead_letter_dir=str(tmp_path / "dlq"),
+    )
+    q.awaitTermination(120)
+
+    assert [r.transaction_id for r in spark.read.parquet(str(tmp_path / "table")).collect()] == ["TXR"]
+    dlq = spark.read.json(str(tmp_path / "dlq"))
+    assert [r.transaction_id for r in dlq.collect()] == ["TXF"]
