@@ -202,6 +202,33 @@ class ManifestTable:
             *[str(Path(self.path) / f["path"]) for f in files]
         )
 
+    def read_incremental(self, since: int) -> DataFrame:
+        """Rows added or rewritten AFTER commit ``since`` — the Hudi
+        incremental-query analogue (the reference's lake table supports
+        incremental pulls by commit time; here the unit is the manifest
+        id). Returns the content of data files present in the newest
+        manifest but absent from ``since`` — under COW that is every
+        partition touched by any later commit. Consumers resume from
+        ``commits()[-1]``."""
+        if since not in self._manifest_ids():
+            raise FileNotFoundError(
+                f"no manifest {since} under {self.path} "
+                f"(available: {self._manifest_ids()}); "
+                "vacuum may have pruned it — fall back to a full read"
+            )
+        old = {f["path"] for f in self._load_manifest(since)["files"]}
+        latest = self._latest_manifest()
+        assert latest is not None
+        new_files = [f for f in latest[1]["files"] if f["path"] not in old]
+        if not new_files:
+            from pyspark.sql.types import StructType
+
+            schema = StructType.fromJson(json.loads(latest[1]["schema"]))
+            return self.spark.createDataFrame([], schema)
+        return self.spark.read.parquet(
+            *[str(Path(self.path) / f["path"]) for f in new_files]
+        )
+
     # -- write side ---------------------------------------------------------
     def write(self, df: DataFrame, operation: str | WriteOperation) -> None:
         op = WriteOperation.parse(

@@ -1123,6 +1123,54 @@ def tumbling_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sliding_window_events",
+    f"""
+    WITH panes AS (
+      -- Spark's sliding window: event t belongs to window/slide = 2
+      -- epoch-aligned panes, starts = bucket30(t) - i*30min, i in 0..1.
+      SELECT to_timestamp(FLOOR(epoch(ts) / 1800) * 1800
+                          - i.i * 1800) AS window_start,
+             event_type, value
+      FROM events, (SELECT unnest(range(0, 2)) AS i) i
+    )
+    SELECT window_start,
+           window_start + INTERVAL 60 MINUTE AS window_end,
+           event_type,
+           COUNT(*) AS n_events,
+           {o_dsum('value')} AS total_value
+    FROM panes
+    GROUP BY window_start, event_type
+    ORDER BY window_start, event_type
+    """,
+)
+def sliding_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding (1h window / 30min slide) event-time aggregation — each
+    event lands in window/slide panes; the batch shape of the streaming
+    sliding windowed agg (SURVEY §2B streaming table). The oracle expands
+    panes explicitly via epoch arithmetic (Spark aligns window starts to
+    the epoch-aligned slide grid)."""
+    return (
+        t(spark, sf_dir, "events")
+        .groupBy(
+            F.window("ts", "60 minutes", "30 minutes").alias("w"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum(F.col("value")).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+        .orderBy("window_start", "event_type")
+    )
+
+
+@query(
     "scalar_subquery_above_avg",
     f"""
     SELECT c_custkey, c_name, c_acctbal

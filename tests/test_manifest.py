@@ -145,3 +145,20 @@ def test_time_travel_reads(spark, table):
     with pytest.raises(FileNotFoundError):
         table.read(as_of=v0)
     assert {r.price for r in table.read().collect()} == {2.0}
+
+
+def test_incremental_read(spark, table):
+    """Hudi incremental-query analogue: rows from commits after a given
+    manifest id; untouched partitions are not re-emitted."""
+    table.write(
+        make_df(spark, [("T1", TS1, "BTCGBP", 1.0), ("T2", TS1, "ETHGBP", 2.0)]),
+        "upsert",
+    )
+    v0 = table.commits()[-1]
+    assert table.read_incremental(v0).count() == 0  # nothing new yet
+    table.write(make_df(spark, [("T3", TS1, "BTCGBP", 3.0)]), "upsert")
+    inc = table.read_incremental(v0)
+    # COW: the touched BTC partition is re-emitted in full, ETH is not
+    assert {r.transaction_id for r in inc.collect()} == {"T1", "T3"}
+    with pytest.raises(FileNotFoundError):
+        table.read_incremental(999)
