@@ -80,12 +80,19 @@ def load_transactions(
     infer_schema: bool = False,
     decimal: bool = False,
     max_corrupt_fraction: float = 0.0,
-) -> MergeTable:
-    """Run the load; returns the MergeTable handle.
+    table_format: str = "merge",
+):
+    """Run the load; returns the table handle.
 
     ``infer_schema=True`` reproduces the reference's bare inference
     (:84); default is the canonical-schema scan (single pass, robust to
     single-file inference drift — SURVEY §7 hard part #3).
+
+    ``table_format``: "merge" (default) = directory-swap COW
+    (io/merge.MergeTable — rename-capable filesystems); "manifest" =
+    atomic-manifest commits (io/manifest.ManifestTable — object-store
+    safe, time travel + incremental reads; no durable catalog
+    registration, readers go through the handle).
     """
     op = WriteOperation.parse(write_operation)
 
@@ -115,7 +122,17 @@ def load_transactions(
     df = normalize_transactions(df, decimal=decimal)
     df = apply_additional_columns(df, additional_columns)
 
-    table = MergeTable(
+    if table_format == "manifest":
+        from dca_manager_spark.io.manifest import ManifestTable
+
+        table_cls = ManifestTable
+    elif table_format == "merge":
+        table_cls = MergeTable
+    else:
+        raise ValueError(
+            f"table_format must be 'merge' or 'manifest', got {table_format!r}"
+        )
+    table = table_cls(
         spark,
         table_path,
         keys=("transaction_id", "close_time"),  # ComplexKeyGenerator :57,:68
@@ -135,5 +152,8 @@ def load_transactions(
             )
     # Durable catalog sync — the analogue of hive-sync into the Glue
     # database `dca_manager` (load_transactions.py:73-79, glue.tf:119-122).
-    table.register(f"{database}.{table_name}" if database else table_name)
+    # Manifest tables are read through the handle (their file set is named
+    # by the manifest, not discoverable by a catalog's directory listing).
+    if hasattr(table, "register"):
+        table.register(f"{database}.{table_name}" if database else table_name)
     return table

@@ -250,3 +250,42 @@ def test_load_quality_gate(spark, tmp_path):
     )
     rows = table.read().collect()
     assert [r.transaction_id for r in rows] == ["T1"]
+
+
+def test_load_transactions_manifest_format(spark, tmp_path):
+    """EP3 with table_format='manifest': same load semantics over the
+    object-store-safe commit protocol; idempotent re-upsert converges."""
+    import json as _json
+
+    from dca_manager_spark.pipeline.load_transactions import load_transactions
+
+    src = tmp_path / "in"
+    src.mkdir()
+    (src / "a.json").write_text(
+        _json.dumps(
+            {
+                "transaction_id": "T1",
+                "exchange_status": "closed",
+                "pair": "ADAGBP",
+                "order_type": "market",
+                "type": "buy",
+                "price": "100.23",
+                "fee": "1.23",
+                "volume": "20",
+                "open_time": 2000021133.0,
+                "close_time": 2000021133.0,
+            }
+        )
+    )
+    for _ in range(2):  # replay converges
+        table = load_transactions(
+            spark,
+            input_path=str(src),
+            table_path=str(tmp_path / "mtbl"),
+            write_operation="upsert",
+            additional_columns={"exchange": "kraken"},
+            table_format="manifest",
+        )
+    rows = table.read().collect()
+    assert len(rows) == 1 and rows[0].pair == "ADAGBP" and rows[0].exchange == "kraken"
+    assert len(table.commits()) == 2
