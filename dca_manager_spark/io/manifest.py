@@ -236,7 +236,12 @@ class ManifestTable:
         )
         if op in (WriteOperation.INSERT, WriteOperation.BULK_INSERT):
             self._append(df)
-        elif op == WriteOperation.UPSERT:
+            return
+        # Pin the batch: the merge path consumes it several times (key
+        # set, partition values, union) — a nondeterministic input would
+        # otherwise be re-evaluated differently per consumer.
+        df = df.localCheckpoint(eager=True)
+        if op == WriteOperation.UPSERT:
             self._merge(df, keep_batch=True)
         else:
             self._merge(precombine_dedup(df, self.keys, self.precombine),

@@ -264,8 +264,17 @@ class MergeTable:
             fs = hpath.getFileSystem(conf)
             fs.delete(hpath, True)
 
+    def _pin(self, df: DataFrame) -> DataFrame:
+        """Materialize the incoming batch once. The merge path consumes the
+        batch several times (key set, partition values, union); without
+        pinning, a nondeterministic input (sample/limit/shuffled source)
+        would be re-evaluated differently per consumer and silently
+        corrupt the merge. Hudi materializes incoming batches too. The
+        batch is small relative to the table — this is O(batch)."""
+        return df.localCheckpoint(eager=True)
+
     def _upsert(self, df: DataFrame) -> None:
-        batch = precombine_dedup(df, self.keys, self.precombine)
+        batch = precombine_dedup(self._pin(df), self.keys, self.precombine)
         if not self.exists():
             self._append(batch)
             return
@@ -296,5 +305,5 @@ class MergeTable:
     def _delete(self, df: DataFrame) -> None:
         if not self.exists():
             return
-        batch = precombine_dedup(df, self.keys, self.precombine)
+        batch = precombine_dedup(self._pin(df), self.keys, self.precombine)
         self._merge_existing(batch, keep_batch=False)

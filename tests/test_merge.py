@@ -316,3 +316,27 @@ def test_register_durable_cross_process(tmp_path):
         timeout=300, capture_output=True, text=True,
     )
     assert "CATALOG_ROWS=2" in out.stdout
+
+
+def test_upsert_pins_nondeterministic_batch(spark, table):
+    """The merge path consumes the batch frame several times; a
+    NONDETERMINISTIC batch (here: random per-evaluation sampling in a
+    mapInPandas) must still merge consistently — the batch is pinned
+    (materialized once) before use. Without pinning, the key-set and the
+    union would see different samples: rows lost and/or duplicated."""
+    base = make_df(spark, [(f"T{i:02d}", TS1, "BTCGBP", float(i)) for i in range(20)])
+    table.write(base, "bulk_insert")
+
+    def jitter(batches):
+        import numpy as np
+
+        for pdf in batches:
+            yield pdf[np.random.rand(len(pdf)) < 0.5]
+
+    nondet = base.mapInPandas(jitter, schema=base.schema).withColumn(
+        "price", F.lit(0.0)
+    )
+    table.write(nondet, "upsert")
+    rows = table.read().collect()
+    assert len(rows) == 20
+    assert {r.transaction_id for r in rows} == {f"T{i:02d}" for i in range(20)}
