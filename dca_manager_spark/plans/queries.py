@@ -2613,12 +2613,37 @@ def multimodal_frame_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frame_sample_plan(media, every_ms=500).orderBy("media_id", "frame_ts_ms")
 
 
-@query("multimodal_features", None)  # binary payload features -> rows-only
+@query(
+    "multimodal_features",
+    """
+    WITH m AS (
+      SELECT doc_id AS media_id, encode(text) AS b FROM documents
+    ),
+    bytes AS (
+      SELECT media_id, octet_length(b) AS n,
+             CAST(concat('0x', substring(hex(b), 2 * i.i - 1, 2)) AS BIGINT)
+               AS byte
+      FROM m, LATERAL (
+        SELECT unnest(range(1, octet_length(b) + 1)) AS i
+      ) i
+    )
+    SELECT media_id,
+           CAST(MAX(n) AS BIGINT) AS n_bytes,
+           CAST(CAST(COUNT(*) FILTER (byte % 16 = 0) AS DOUBLE)
+                / GREATEST(MAX(n), 1) AS REAL) AS f0
+    FROM bytes
+    GROUP BY media_id
+    ORDER BY media_id
+    """,
+)
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-batched media feature extraction (mapInPandas) over binary
     content with the deterministic fake decoder — schema, batching, and
     byte-budget partitioning are real; the codec is the stub
-    (operators/multimodal.py)."""
+    (operators/multimodal.py). The fake decoder is a byte-mod-16
+    histogram, so even the BINARY-payload stage is oracle-exact: DuckDB
+    reproduces bin 0 per byte from hex(blob) and float32-casts the same
+    double division (content is the UTF-8 text bytes, encode(text))."""
     from dca_manager_spark.operators.multimodal import (
         extract_features,
         fake_image_decoder,
