@@ -1,6 +1,7 @@
 """IO layer: sources and sinks."""
 
 from dca_manager_spark.io.bucketed import bucketed_join, write_bucketed_table
+from dca_manager_spark.io.manifest import ManifestTable
 from dca_manager_spark.io.merge import MergeTable, WriteOperation, precombine_dedup
 from dca_manager_spark.io.readers import (
     TABLE_NAMES,
