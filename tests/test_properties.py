@@ -223,3 +223,50 @@ def test_range_join_matches_python(spark, points, wins):
         if lk == rk and lo <= lts < hi
     )
     assert got == want
+
+
+mixed_ops = st.lists(
+    st.tuples(
+        st.sampled_from(["upsert", "delete", "bulk_insert"]),
+        st.lists(
+            st.tuples(
+                st.sampled_from(["T1", "T2", "T3", "T4"]),
+                st.sampled_from(["AAA", "BBB"]),
+                st.integers(min_value=0, max_value=50),
+            ),
+            min_size=1,
+            max_size=4,
+        ),
+    ),
+    min_size=1,
+    max_size=3,
+)
+
+
+@given(seq=mixed_ops)
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow,
+                                 HealthCheck.function_scoped_fixture])
+def test_manifest_table_matches_merge_table(spark, tmp_path_factory, seq):
+    """The two commit protocols are interchangeable: after ANY sequence of
+    upsert/delete/bulk_insert batches, MergeTable (directory-swap COW) and
+    ManifestTable (atomic-manifest COW) hold exactly the same rows."""
+    from dca_manager_spark.io.manifest import ManifestTable
+
+    base = tmp_path_factory.mktemp("parity")
+    kwargs = dict(keys=("transaction_id",), precombine="price",
+                  partition_by=("pair",))
+    mt = MergeTable(spark, str(base / "merge"), **kwargs)
+    man = ManifestTable(spark, str(base / "manifest"), **kwargs)
+    for op, batch in seq:
+        df = spark.createDataFrame(
+            batch, "transaction_id string, pair string, price long"
+        )
+        mt.write(df, op)
+        man.write(df, op)
+    if not mt.exists():
+        assert not man.exists() or man.read().count() == 0
+        return
+    rows_mt = sorted(map(tuple, mt.read().collect()))
+    rows_man = sorted(map(tuple, man.read().select(*mt.read().columns).collect()))
+    assert rows_mt == rows_man
