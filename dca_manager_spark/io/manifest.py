@@ -282,7 +282,10 @@ class ManifestTable:
                 if tuple(f["partition"].get(c) for c in self.partition_by)
                 in touched
             ]
-            kept = [f for f in prev_files if f not in replaced]
+            replaced_paths = {f["path"] for f in replaced}
+            # set-membership, not list scans — manifests are O(live files)
+            # and a 100 TB table has ~200k entries
+            kept = [f for f in prev_files if f["path"] not in replaced_paths]
             filt = None
             for values in touched:
                 clause = F.lit(True)

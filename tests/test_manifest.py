@@ -162,3 +162,29 @@ def test_incremental_read(spark, table):
     assert {r.transaction_id for r in inc.collect()} == {"T1", "T3"}
     with pytest.raises(FileNotFoundError):
         table.read_incremental(999)
+
+
+def test_manifest_at_testdata_volume(spark, tmp_path):
+    """Protocol behavior on a real table (sf0.001 lineitem, 6k rows, 3
+    partitions): bulk load parity, manifest-level pruned reads, and a
+    full-partition delete that leaves the partition empty but the table
+    consistent."""
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    t = ManifestTable(
+        spark,
+        str(tmp_path / "li"),
+        keys=("l_orderkey", "l_linenumber"),
+        precombine="l_orderkey",
+        partition_by=("l_returnflag",),
+    )
+    t.write(li, "bulk_insert")
+    n = li.count()
+    assert t.read().count() == n
+
+    n_r = li.filter("l_returnflag = 'R'").count()
+    assert t.read(partition_filter={"l_returnflag": "R"}).count() == n_r
+
+    # full-partition delete: every distinct R key
+    t.write(li.filter("l_returnflag = 'R'"), "delete")
+    assert t.read(partition_filter={"l_returnflag": "R"}).count() == 0
+    assert t.read().count() == n - n_r
