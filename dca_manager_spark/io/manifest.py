@@ -286,17 +286,20 @@ class ManifestTable:
             # set-membership, not list scans — manifests are O(live files)
             # and a 100 TB table has ~200k entries
             kept = [f for f in prev_files if f["path"] not in replaced_paths]
-            filt = None
-            for values in touched:
-                clause = F.lit(True)
-                for col, value in zip(self.partition_by, values):
-                    clause = clause & (F.col(col).cast("string") == F.lit(value))
-                filt = clause if filt is None else (filt | clause)
-            existing = (
-                self.read().filter(filt)
-                if replaced
-                else self.read().limit(0)
-            )
+            # Read ONLY the replaced files — the manifest already names the
+            # touched partitions' file set, so the survivors scan never
+            # lists or opens untouched partitions (a full-read + filter
+            # would touch every live file's footer).
+            if replaced:
+                existing = self.spark.read.parquet(
+                    *[str(Path(self.path) / f["path"]) for f in replaced]
+                )
+            else:
+                from pyspark.sql.types import StructType
+
+                existing = self.spark.createDataFrame(
+                    [], StructType.fromJson(json.loads(prev_doc["schema"]))
+                )
         else:
             replaced, kept = prev_files, []
             existing = self.read()
