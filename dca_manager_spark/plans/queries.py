@@ -122,7 +122,9 @@ _DRIVER_WINDOW = [
     "agg_collect_sorted",
     "scalar_json_extract",
     "window_range_frame",
-    "set_intersect_all",
+    # sliding_window_events is NEW in r3 (never driver-scored) — it takes
+    # the slot of set_intersect_all (unchanged code, driver-green twice).
+    "sliding_window_events",
     "filter_predicate_family",
     "text_features",
     "text_lang_id",
