@@ -280,6 +280,113 @@ def sign_lsh_signature_arrow(num_planes: int = 16, plane_offset: int = 0):
     return _sig
 
 
+def ivf_ann_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    query_id: str,
+    corpus_id: str,
+    vec_col: str = "embedding",
+    k: int = 10,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    seeds: DataFrame | None = None,
+) -> DataFrame:
+    """IVF-style ANN (the second scale path besides sign-LSH): corpus
+    vectors are COARSE-QUANTIZED to their nearest of ``n_cells`` centroid
+    seeds; each query probes its ``n_probe`` nearest cells; exact
+    quantized cosine re-ranks only the probed cells' members.
+
+    Scale shape: seeds are tiny and BROADCAST to both assignment passes
+    (no shuffle to quantize); the candidate join is an equi join on the
+    cell id; per-query work is |probed cells| x avg cell size instead of
+    |corpus|. n_probe = n_cells degrades gracefully to exact brute force.
+
+    ``seeds``: optional (cell_id, vector) frame — e.g. k-means centroids
+    from pyspark.ml trained offline. Default = the ``n_cells``
+    lowest-id corpus vectors: a data-deterministic quantizer (no training
+    step, identical in every engine) so the whole operator is
+    oracle-checkable; swap in learned centroids for better cell balance
+    at identical plan shape. Assignment ties break on cell id (total
+    order), so results are exact-reproducible either way.
+    """
+    if seeds is None:
+        # TakeOrderedAndProject for the n_cells lowest ids (distributed
+        # top-n, no global window over the corpus); the row_number window
+        # then runs on an n_cells-row frame only.
+        seeds = (
+            corpus.select(F.col(corpus_id), F.col(vec_col))
+            .orderBy(F.col(corpus_id))
+            .limit(n_cells)
+            .withColumn(
+                "__cell", F.row_number().over(Window.orderBy(F.col(corpus_id))) - 1
+            )
+            .select("__cell", F.col(vec_col).alias("__seed_v"))
+        )
+    else:
+        cid, cvec = seeds.columns[0], seeds.columns[1]
+        seeds = seeds.select(
+            F.col(cid).alias("__cell"), F.col(cvec).alias("__seed_v")
+        )
+    seeds = seeds.withColumn("__seed_n", qnorm(F.col("__seed_v")))
+
+    def nearest_cells(df: DataFrame, id_alias: str, keep: int) -> DataFrame:
+        """Rank cells per vector by quantized cosine (desc, cell asc)."""
+        scored = df.crossJoin(F.broadcast(seeds)).withColumn(
+            "__sim",
+            qcosine(
+                qdot(F.col("__v"), F.col("__seed_v")),
+                F.col("__n"),
+                F.col("__seed_n"),
+            ),
+        )
+        w = Window.partitionBy(id_alias).orderBy(
+            F.col("__sim").desc(), F.col("__cell")
+        )
+        return (
+            scored.withColumn("__cr", F.row_number().over(w))
+            .filter(F.col("__cr") <= keep)
+            .select(id_alias, "__v", "__n", "__cell")
+        )
+
+    c = corpus.select(
+        F.col(corpus_id).alias("__cid"),
+        F.col(vec_col).alias("__v"),
+        qnorm(F.col(vec_col)).alias("__n"),
+    )
+    q = queries.select(
+        F.col(query_id).alias("__qid"),
+        F.col(vec_col).alias("__v"),
+        qnorm(F.col(vec_col)).alias("__n"),
+    )
+    assigned = nearest_cells(c, "__cid", 1).select(
+        F.col("__cid"), F.col("__v").alias("__cv"), F.col("__n").alias("__cn"), "__cell"
+    )
+    probes = nearest_cells(q, "__qid", max(n_probe, 1)).select(
+        F.col("__qid"), F.col("__v").alias("__qv"), F.col("__n").alias("__qn"), "__cell"
+    )
+    cand = (
+        assigned.join(F.broadcast(probes), "__cell")
+        .filter(F.col("__qid") != F.col("__cid"))
+        .select("__qid", "__qv", "__qn", "__cid", "__cv", "__cn")
+        .distinct()
+    )
+    scored = cand.withColumn(
+        "cosine",
+        qcosine(qdot(F.col("__qv"), F.col("__cv")), F.col("__qn"), F.col("__cn")),
+    )
+    w = Window.partitionBy("__qid").orderBy(F.col("cosine").desc(), F.col("__cid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("__qid").alias(query_id),
+            F.col("__cid").alias(corpus_id),
+            "cosine",
+            "rank",
+        )
+    )
+
+
 def lsh_ann_topk(
     queries: DataFrame,
     corpus: DataFrame,

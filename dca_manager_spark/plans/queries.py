@@ -122,10 +122,12 @@ _DRIVER_WINDOW = [
     "agg_collect_sorted",
     "scalar_json_extract",
     "window_range_frame",
-    # sliding_window_events is NEW in r3 (never driver-scored) — it takes
-    # the slot of set_intersect_all (unchanged code, driver-green twice).
+    # sliding_window_events and similarity_ivf_ann are NEW in r3 (never
+    # driver-scored) — they take the slots of set_intersect_all and
+    # filter_predicate_family (both unchanged, driver-green twice), so
+    # after r3 every catalog query has appeared on the scoreboard.
     "sliding_window_events",
-    "filter_predicate_family",
+    "similarity_ivf_ann",
     "text_features",
     "text_lang_id",
     "dedup_exact_documents",
@@ -1663,6 +1665,78 @@ def similarity_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=10,
         num_planes=8,
         num_tables=4,
+    ).orderBy("query_id", "rank")
+
+
+@query(
+    "similarity_ivf_ann",
+    f"""
+    WITH vecs AS (
+      SELECT vec_id, {_QVEC} AS v,
+             CAST(list_sum(list_transform({_QVEC}, x ->
+                  CAST(FLOOR(x * x * 1000000000000) AS BIGINT))) AS BIGINT) AS nq
+      FROM embeddings
+    ),
+    seeds AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cell, v AS sv, nq AS sn
+      FROM vecs ORDER BY vec_id LIMIT 16
+    ),
+    simm AS (
+      SELECT x.vec_id, s.cell,
+             CAST(CAST(list_sum(list_transform(range(1, len(x.v) + 1), i ->
+                    CAST(FLOOR(x.v[i] * s.sv[i] * 1000000000000) AS BIGINT))) AS BIGINT)
+                  AS DOUBLE)
+               / (sqrt(CAST(x.nq AS DOUBLE)) * sqrt(CAST(s.sn AS DOUBLE))) AS sim
+      FROM vecs x, seeds s
+    ),
+    ranked AS (
+      SELECT vec_id, cell,
+             ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, cell) AS cr
+      FROM simm
+    ),
+    assigned AS (SELECT vec_id, cell FROM ranked WHERE cr = 1),
+    probes AS (SELECT vec_id, cell FROM ranked WHERE cr <= 4 AND vec_id < 50),
+    cand AS (
+      SELECT DISTINCT p.vec_id AS query_id, a.vec_id AS neighbor_id
+      FROM probes p JOIN assigned a ON a.cell = p.cell
+      WHERE p.vec_id != a.vec_id
+    ),
+    scored AS (
+      SELECT cd.query_id, cd.neighbor_id,
+             CAST(CAST(list_sum(list_transform(range(1, len(a.v) + 1), i ->
+                    CAST(FLOOR(a.v[i] * b.v[i] * 1000000000000) AS BIGINT))) AS BIGINT)
+                  AS DOUBLE)
+               / (sqrt(CAST(a.nq AS DOUBLE)) * sqrt(CAST(b.nq AS DOUBLE))) AS cosine
+      FROM cand cd
+      JOIN vecs a ON a.vec_id = cd.query_id
+      JOIN vecs b ON b.vec_id = cd.neighbor_id
+    )
+    SELECT query_id, neighbor_id, cosine, rank FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id) AS rank
+      FROM scored
+    ) WHERE rank <= 10
+    ORDER BY query_id, rank
+    """,
+)
+def similarity_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN (second scale path besides sign-LSH): corpus coarse-
+    quantized to its nearest of 16 deterministic centroid seeds (lowest-id
+    vectors — no training step, so the whole operator is oracle-exact);
+    queries probe their 4 nearest cells; exact quantized cosine re-ranks
+    probed members only. Learned k-means centroids slot into the same plan
+    via the seeds parameter (recall pinned in tests/test_similarity)."""
+    from dca_manager_spark.operators.similarity import ivf_ann_topk
+
+    emb = t(spark, sf_dir, "embeddings")
+    return ivf_ann_topk(
+        emb.filter(F.col("vec_id") < 50).select(F.col("vec_id").alias("query_id"), "embedding"),
+        emb.select(F.col("vec_id").alias("neighbor_id"), "embedding"),
+        query_id="query_id",
+        corpus_id="neighbor_id",
+        k=10,
+        n_cells=16,
+        n_probe=4,
     ).orderBy("query_id", "rank")
 
 

@@ -121,3 +121,56 @@ def test_lsh_multi_table_recall_geq_single(emb):
                                    num_planes=10, num_tables=3).collect()}
     assert one <= three
     assert len(three) >= len(one)
+
+
+def test_ivf_ann_probe_all_equals_brute_force(spark):
+    """Probing every cell degrades IVF gracefully to the exact result."""
+    from dca_manager_spark.operators.similarity import cosine_topk, ivf_ann_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.filter("vec_id < 5").selectExpr("vec_id AS query_id", "embedding")
+    c = emb.selectExpr("vec_id AS neighbor_id", "embedding")
+    exact = {
+        (r.query_id, r.rank): r.neighbor_id
+        for r in cosine_topk(q, c, "query_id", "neighbor_id", k=5).collect()
+    }
+    probed_all = {
+        (r.query_id, r.rank): r.neighbor_id
+        for r in ivf_ann_topk(
+            q, c, "query_id", "neighbor_id", k=5, n_cells=8, n_probe=8
+        ).collect()
+    }
+    assert probed_all == exact
+
+
+def test_ivf_ann_recall_and_learned_seeds(spark):
+    """Partial probing keeps recall well above random, and externally
+    learned centroids (k-means or any (cell, vector) frame) slot into the
+    same plan."""
+    from dca_manager_spark.operators.similarity import cosine_topk, ivf_ann_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.filter("vec_id < 20").selectExpr("vec_id AS query_id", "embedding")
+    c = emb.selectExpr("vec_id AS neighbor_id", "embedding")
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in cosine_topk(q, c, "query_id", "neighbor_id", k=5).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in ivf_ann_topk(
+            q, c, "query_id", "neighbor_id", k=5, n_cells=8, n_probe=4
+        ).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, recall  # 4/8 cells probed
+
+    # injected seeds: any (cell_id, vector) frame — here 8 spread-out
+    # corpus vectors standing in for trained centroids
+    seeds = emb.filter("vec_id % 60 = 0").limit(8).selectExpr(
+        "vec_id AS cell", "embedding AS centroid"
+    )
+    with_seeds = ivf_ann_topk(
+        q, c, "query_id", "neighbor_id", k=5, n_probe=4, seeds=seeds
+    )
+    assert with_seeds.count() == 20 * 5
