@@ -174,3 +174,32 @@ def test_ivf_ann_recall_and_learned_seeds(spark):
         q, c, "query_id", "neighbor_id", k=5, n_probe=4, seeds=seeds
     )
     assert with_seeds.count() == 20 * 5
+
+
+def test_ivf_trained_seeds_end_to_end(spark):
+    """k-means-trained centroids (pyspark.ml) drive the same IVF plan and
+    reach at least the recall of the deterministic lowest-id seeds."""
+    from dca_manager_spark.operators.similarity import (
+        cosine_topk,
+        ivf_ann_topk,
+        train_ivf_seeds,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.filter("vec_id < 20").selectExpr("vec_id AS query_id", "embedding")
+    c = emb.selectExpr("vec_id AS neighbor_id", "embedding")
+    seeds = train_ivf_seeds(c, n_cells=8)
+    assert seeds.count() == 8
+
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in cosine_topk(q, c, "query_id", "neighbor_id", k=5).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in ivf_ann_topk(
+            q, c, "query_id", "neighbor_id", k=5, n_probe=4, seeds=seeds
+        ).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, recall
