@@ -80,6 +80,63 @@ def execute_orders_distributed(
     )
 
 
+def sink_pending_distributed(
+    fulfilled: DataFrame,
+    data_dir: str,
+    queue_dir: str,
+    real: bool = False,
+) -> int:
+    """Executor-side sink for ``execute_orders_distributed`` output: each
+    partition writes its pending-JSON side files at the exact reference
+    keys (A10) and publishes the queue envelopes (A11) — no fulfilled row
+    ever returns to the driver. Returns the number of orders sunk (from a
+    count over the same frame, O(1) result).
+
+    The queue publish is atomic per message (FileQueue tmp+rename), so a
+    partially-failed task retry re-publishes only its own rows — the
+    at-least-once contract EP2's keyed upsert already absorbs. The input
+    is pinned (localCheckpoint) BEFORE sinking: the connector stage has
+    external side effects, so it must evaluate exactly once across the
+    sink and the count.
+    """
+
+    def sink(rows) -> None:
+        from dca_manager_spark.streaming.queue_source import FileQueue
+
+        queue = FileQueue(queue_dir)
+        for row in rows:
+            key = pending_key(row["exchange"], row["transaction_id"])
+            target = Path(data_dir) / key
+            target.parent.mkdir(parents=True, exist_ok=True)
+            target.write_text(
+                json.dumps(
+                    {
+                        "transaction_id": row["transaction_id"],
+                        "timestamp": row["timestamp"],
+                        "result": _json_loads_safe(row["result_json"]),
+                    }
+                )
+            )
+            queue.publish(
+                transaction_id=row["transaction_id"],
+                s3_bucket=data_dir,
+                s3_key=key,
+                exchange=row["exchange"],
+                real=real,
+            )
+
+    pinned = fulfilled.localCheckpoint(eager=True)  # evaluate ONCE
+    pinned.foreachPartition(sink)
+    return pinned.count()
+
+
+def _json_loads_safe(payload: str | None):
+    try:
+        return json.loads(payload) if payload else None
+    except ValueError:
+        return payload
+
+
 def pending_key(exchange: str, transaction_id: str) -> str:
     """Exact S3-key layout parity (cmd/execute_orders/main.go:171-176):
     ``transactions/status=pending/exchange=<lower(exchange)>/<txid>.json``.

@@ -289,3 +289,35 @@ def test_load_transactions_manifest_format(spark, tmp_path):
     rows = table.read().collect()
     assert len(rows) == 1 and rows[0].pair == "ADAGBP" and rows[0].exchange == "kraken"
     assert len(table.commits()) == 2
+
+
+def test_sink_pending_distributed_end_to_end(spark, tmp_path, config_path):
+    """Fully-distributed EP1: connector fan-out (mapInPandas) then
+    executor-side pending-JSON + queue publish (foreachPartition) — the
+    exact reference key layout and queue envelope, no fulfilled row on
+    the driver; the output feeds EP2 unchanged."""
+    from dca_manager_spark.pipeline.execute_orders import (
+        execute_orders_distributed,
+        sink_pending_distributed,
+    )
+    from dca_manager_spark.streaming.queue_source import FileQueue
+
+    fulfilled = execute_orders_distributed(spark, config_path)
+    n = sink_pending_distributed(
+        fulfilled, data_dir=str(tmp_path / "data"), queue_dir=str(tmp_path / "q")
+    )
+    assert n == 1
+
+    pending = (
+        tmp_path
+        / "data/transactions/status=pending/exchange=kraken"
+        / f"{FakeOrderer.FAKE_TXID}.json"
+    )
+    assert pending.exists()
+    doc = json.loads(pending.read_text())
+    assert doc["result"]["description"]["pair"] == "ADAGBP"
+
+    msgs = FileQueue(str(tmp_path / "q")).consume()
+    assert len(msgs) == 1
+    assert msgs[0]["transaction_id"] == FakeOrderer.FAKE_TXID
+    assert msgs[0]["exchange"] == "kraken" and msgs[0]["real"] == "false"
