@@ -38,10 +38,13 @@ TABLE_NAMES = (
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one testdata table, normalizing physical quirks.
 
-    ``events.ts`` is stored as INT64 TIMESTAMP(NANOS), which Spark 4 rejects;
-    we read it via the legacy nanos-as-long path and truncate to microsecond
-    timestamps — exactly what DuckDB's native read does, so both engines see
-    identical values.
+    ``events.ts`` has shipped in two physical formats across testdata
+    generations: INT64 TIMESTAMP(NANOS) (which Spark 4 rejects unless read
+    via the legacy nanos-as-long path, then truncated to microseconds) and
+    plain ``timestamp[us]`` (which Spark reads natively as TIMESTAMP_NTZ).
+    We set the legacy conf before the read so the nanos format loads at all,
+    then convert only when ``ts`` actually arrives as a long — either way the
+    values match DuckDB's native read exactly.
     """
     # Pin UTC regardless of who built the session (the driver harness builds
     # its own): timestamps must render identically to DuckDB's naive reads.
@@ -50,10 +53,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         from pyspark.sql import functions as F
 
-        return (
-            spark.read.parquet(f"{sf_dir}/{name}.parquet")
-            .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        )
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        if isinstance(df.schema["ts"].dataType, T.LongType):
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 

@@ -82,6 +82,10 @@ def typed_equal(a, b) -> bool:
     if isinstance(a, datetime.datetime) or isinstance(b, datetime.datetime):
         if not (isinstance(a, datetime.datetime) and isinstance(b, datetime.datetime)):
             return False
+        # Missing == missing, mirroring the NaN rule above (pd.NaT is a
+        # datetime subclass but NaT != NaT under ==).
+        if pd.isna(a) or pd.isna(b):
+            return bool(pd.isna(a) and pd.isna(b))
         if (a.tzinfo is None) != (b.tzinfo is None):
             return False
         return a == b

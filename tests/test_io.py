@@ -116,3 +116,19 @@ def test_config_reader_and_validation(spark, tmp_path):
     p2 = tmp_path / "bad.json"
     p2.write_text(json.dumps(bad))
     assert any("price" in e for e in validate_dca_config(str(p2)))
+
+
+def test_load_table_events_dtype(spark, sf_dir):
+    """Pin the loaded dtype of every testdata table's time-ish columns.
+
+    events.ts has drifted physical formats across testdata generations
+    (INT64 TIMESTAMP(NANOS) -> timestamp[us]); load_table must always
+    surface it as a timestamp regardless of the file's physical type.
+    """
+    from dca_manager_spark.io.readers import TABLE_NAMES, load_table
+
+    for name in TABLE_NAMES:
+        df = load_table(spark, sf_dir, name)
+        assert df.schema.fields, name
+    ts_type = load_table(spark, sf_dir, "events").schema["ts"].dataType
+    assert isinstance(ts_type, (T.TimestampType, T.TimestampNTZType)), ts_type
