@@ -157,6 +157,79 @@ def cosine_pairs(
     )
 
 
+def cosine_pairs_lsh(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str = "embedding",
+    threshold: float = 0.4,
+    num_planes: int = 8,
+    num_tables: int = 4,
+    use_arrow: bool = True,
+) -> DataFrame:
+    """Embedding near-dup pairs, scale path: candidates are (a < b) pairs
+    sharing a sign-LSH bucket in ANY of ``num_tables`` independent tables;
+    exact quantized cosine verifies only those candidates against the
+    threshold. Zero false positives by construction (every emitted pair is
+    exact-verified); recall is the standard hyperplane-LSH curve — for a
+    pair at cosine c, P(caught) = 1 - (1 - p^b)^T with p = 1 - acos(c)/pi,
+    so tune (b=num_planes, T=num_tables) to the dedup threshold: 8x4
+    catches ~75% at c=0.9 and intentionally lets low-similarity pairs go.
+
+    Plan shape: per-table signatures -> equi self-join on (table, sig)
+    with the a<b inequality as a cheap post-filter inside the equi join,
+    candidate distinct, then per-candidate exact cosine. Cost tracks
+    sum(bucket_size^2) per table, never corpus^2 — unlike ``cosine_pairs``
+    (the exact bounded-set baseline), this never materializes an all-pairs
+    theta self-join, so it survives a 100x corpus.
+    """
+    tables = max(num_tables, 1)
+
+    def sigs(vec: Column) -> Column:
+        if use_arrow:
+            return F.array(
+                *[
+                    sign_lsh_signature_arrow(num_planes, plane_offset=t * 1009)(vec)
+                    for t in range(tables)
+                ]
+            )
+        return F.array(
+            *[
+                sign_lsh_signature(vec, num_planes, plane_offset=t * 1009)
+                for t in range(tables)
+            ]
+        )
+
+    sig = df.select(
+        F.col(id_col).alias("__id"),
+        F.col(vec_col).alias("__v"),
+        qnorm(F.col(vec_col)).alias("__n"),
+        F.posexplode(sigs(F.col(vec_col))).alias("__table", "__sig"),
+    )
+    a, b = sig.alias("a"), sig.alias("b")
+    cand = (
+        a.join(b, on=["__table", "__sig"])
+        .filter(F.col("a.__id") < F.col("b.__id"))
+        .select(
+            F.col("a.__id").alias("__ida"),
+            F.col("a.__v").alias("__va"),
+            F.col("a.__n").alias("__na"),
+            F.col("b.__id").alias("__idb"),
+            F.col("b.__v").alias("__vb"),
+            F.col("b.__n").alias("__nb"),
+        )
+        .distinct()
+    )
+    if use_arrow:
+        dot = qdot_arrow()(F.col("__va"), F.col("__vb"))
+    else:
+        dot = qdot(F.col("__va"), F.col("__vb"))
+    return (
+        cand.withColumn("cosine", qcosine(dot, F.col("__na"), F.col("__nb")))
+        .filter(F.col("cosine") >= threshold)
+        .select(F.col("__ida").alias("id_a"), F.col("__idb").alias("id_b"), "cosine")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Sign-LSH bucketed ANN (the scale path)
 # ---------------------------------------------------------------------------

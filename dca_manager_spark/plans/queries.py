@@ -72,71 +72,67 @@ def query(name: str, oracle: str | None):
 
 # Driver-window rotation. The round driver's correctness harness records
 # the FIRST 50 entries of queries() (CORRECTNESS_r01/r02 both captured
-# exactly registration-order[0:50]), so rounds 1-2 never put the last 25
-# registered queries on the official scoreboard (they were only verified
-# by scripts/driver_sim.py). get_queries() therefore emits a curated
-# order: the 25 previously-unwindowed queries FIRST, then the 25 most
-# change-sensitive of the already-driver-green set (the whole sketch/ANN
-# family — whose hash plumbing changed in round 3 — plus the flagship
-# joins/aggs), then the 25 twice-proven untouched queries. After round 3
-# every catalog query has appeared in some CORRECTNESS_r*.json.
+# exactly registration-order[0:50]), so get_queries() emits a curated
+# order and we rotate which queries occupy the scored window each round:
+# stalest evidence first, plus everything whose code changed this round.
+# The full catalog is still verified every round by scripts/driver_sim.py
+# regardless of window membership.
 _DRIVER_WINDOW = [
-    # -- 25 queries the driver has never scored (registration order 51-75)
-    "join_shuffle_hash_hint",
-    "agg_approx_distinct",
-    "union_missing_columns",
-    "scalar_math_funcs",
-    "array_functions",
-    "from_json_typed",
+    # Round-6 rotation (r4 task #2, r5 task #3): the 27 queries last
+    # driver-scored in round 2 plus the new exact-pairs baseline go FIRST,
+    # then the 7 events queries red in r5 (loader fix must get driver-
+    # scored), then this round's changed entry (dedup_embedding_cosine,
+    # now LSH-candidate) and 14 flagship/sketch keepers.
+    "agg_distinct_per_segment",
+    "join_left_semi",
+    "join_left_anti",
+    "join_full_outer",
+    "window_rank_orders",
+    "window_running_invested",
+    "window_lag_lead",
+    "topk_global_lineitems",
+    "set_union_entities",
+    "set_intersect_nations",
+    "set_except_parts",
+    "distinct_projection",
+    "agg_rollup_region_nation",
+    "agg_cube_status_priority",
+    "agg_grouping_sets",
+    "scalar_string_funcs",
+    "scalar_date_funcs",
+    "scalar_case_banding",
+    "theta_join_regions",
+    "cross_join_region_types",
+    "dedup_embedding_cosine_exact",
+    "window_ntile_quartiles",
+    "window_first_last",
+    "set_except_all",
+    "set_intersect_all",
+    "filter_predicate_family",
+    "explode_word_counts",
+    "join_sort_merge_hint",
+    "asof_join_purchase_view",
+    "range_join_purchase_clicks",
+    "tumbling_window_events",
+    "sliding_window_events",
     "session_window_batch",
-    "pivot_status_by_priority",
-    "unpivot_balances",
-    "map_functions",
-    "regexp_extract_parts",
-    "sql_correlated_exists",
-    "null_handling_family",
-    "train_val_test_split",
-    "stratified_hash_sample",
-    "applyinpandas_zscore",
-    "dedup_cluster_canonical",
-    "stat_corr_manual",
-    "multimodal_frame_plan",
-    "multimodal_features",
-    "profile_orders",
-    "scalar_interval_arith",
-    "text_cleaning",
-    "text_repetition_ratio",
-    "vocabulary_oov",
-    # -- 25 keepers: everything whose code changed this round + flagships
+    "scalar_json_extract",
+    "from_json_typed",
+    "dedup_embedding_cosine",
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
     "q10_returned_items",
     "join_broadcast_dim",
-    "asof_join_purchase_view",
-    "range_join_purchase_clicks",
-    "precombine_dedup_lineitem",
-    "tumbling_window_events",
-    "scalar_subquery_above_avg",
-    "agg_median_price",
-    "agg_collect_sorted",
-    "scalar_json_extract",
-    "window_range_frame",
-    # sliding_window_events and similarity_ivf_ann are NEW in r3 (never
-    # driver-scored) — they take the slots of set_intersect_all and
-    # filter_predicate_family (both unchanged, driver-green twice), so
-    # after r3 every catalog query has appeared on the scoreboard.
-    "sliding_window_events",
-    "similarity_ivf_ann",
-    "text_features",
-    "text_lang_id",
-    "dedup_exact_documents",
-    "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "dedup_simhash",
-    "similarity_cosine_topk",
-    "dedup_embedding_cosine",
+    "dedup_cluster_canonical",
     "similarity_lsh_ann",
+    "precombine_dedup_lineitem",
+    "similarity_cosine_topk",
+    "dedup_exact_documents",
+    "dedup_ngram_jaccard",
+    "agg_median_price",
 ]
 
 
@@ -1553,6 +1549,77 @@ def similarity_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "dedup_embedding_cosine",
     f"""
+    WITH dim AS (
+      SELECT MAX(len({_QVEC})) AS d FROM embeddings
+    ),
+    planes AS (
+      SELECT t.t AS tbl, p.p AS p, i.i AS i,
+             (CAST(concat('0x', substring(md5(concat('p',
+                    CAST(t.t * 1009 + p.p AS VARCHAR), ',',
+                    CAST(i.i AS VARCHAR))), 1, 8)) AS BIGINT)
+              % 2000003) / 1000003.0 - 1.0 AS w
+      FROM (SELECT unnest(range(0, 4)) AS t) t,
+           (SELECT unnest(range(0, 8)) AS p) p,
+           (SELECT unnest(range(0, (SELECT d FROM dim))) AS i) i
+    ),
+    vecs AS (
+      SELECT vec_id, {_QVEC} AS v,
+             CAST(list_sum(list_transform({_QVEC}, x ->
+                  CAST(FLOOR(x * x * 1000000000000) AS BIGINT))) AS BIGINT) AS nq
+      FROM embeddings WHERE vec_id < 1000
+    ),
+    dots AS (
+      SELECT v.vec_id, pl.tbl, pl.p,
+             CAST(SUM(CAST(FLOOR(v.v[pl.i + 1] * pl.w * 1000000000000) AS BIGINT))
+                  AS BIGINT) AS dq
+      FROM vecs v, planes pl
+      GROUP BY v.vec_id, pl.tbl, pl.p
+    ),
+    sigs AS (
+      SELECT vec_id, tbl,
+             CAST(SUM(CASE WHEN dq > 0 THEN (1::BIGINT << p) ELSE 0 END)
+                  AS BIGINT) AS sig
+      FROM dots GROUP BY vec_id, tbl
+    ),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM sigs a JOIN sigs b ON a.tbl = b.tbl AND a.sig = b.sig
+      WHERE a.vec_id < b.vec_id
+    )
+    SELECT id_a, id_b, cosine FROM (
+      SELECT cd.id_a, cd.id_b,
+             CAST(CAST(list_sum(list_transform(range(1, len(a.v) + 1), i ->
+                    CAST(FLOOR(a.v[i] * b.v[i] * 1000000000000) AS BIGINT))) AS BIGINT)
+                  AS DOUBLE)
+               / (sqrt(CAST(a.nq AS DOUBLE)) * sqrt(CAST(b.nq AS DOUBLE))) AS cosine
+      FROM cand cd
+      JOIN vecs a ON a.vec_id = cd.id_a
+      JOIN vecs b ON b.vec_id = cd.id_b
+    ) WHERE cosine >= 0.4
+    ORDER BY id_a, id_b
+    """,
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs, scale path: sign-LSH bucket candidates
+    (8 bits x 4 independent tables, md5-derived planes) -> exact quantized
+    cosine >= 0.4 verified on candidates ONLY. Never an all-pairs theta
+    self-join — the candidate join is an equi join on (table, signature),
+    so cost tracks bucket collisions, not corpus^2. The oracle replicates
+    the planes/buckets bit-for-bit (same md5 formula as similarity_lsh_ann),
+    so candidates and scores match DuckDB exactly. Recall-vs-exact is the
+    hyperplane-LSH curve; dedup_embedding_cosine_exact is the bounded-set
+    exact baseline it is measured against (tests/test_similarity)."""
+    from dca_manager_spark.operators.similarity import cosine_pairs_lsh
+
+    emb = t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 1000)
+    return cosine_pairs_lsh(
+        emb, "vec_id", "embedding", threshold=0.4, num_planes=8, num_tables=4
+    ).orderBy("id_a", "id_b")
+
+
+@query(
+    "dedup_embedding_cosine_exact",
+    f"""
     WITH e AS (
       SELECT vec_id, {_QVEC} AS v,
              CAST(list_sum(list_transform({_QVEC}, x ->
@@ -1572,11 +1639,11 @@ def similarity_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY id_a, id_b
     """,
 )
-def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-dup pairs: exact quantized cosine >= 0.4 over all
-    (a<b) pairs, bounded to vec_id<1000 (the exact-pairs op is for bounded
-    sets / candidate verification; sign-LSH buckets are the scale variant,
-    similarity.py lsh_ann_topk)."""
+def dedup_embedding_cosine_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact all-pairs cosine >= 0.4, EXPLICITLY bounded to vec_id<1000:
+    the ground-truth baseline for candidate verification and LSH recall
+    measurement. The n^2/2 theta self-join is the point here (exactness on
+    a bounded set); for unbounded corpora use dedup_embedding_cosine."""
     from dca_manager_spark.operators.similarity import cosine_pairs
 
     emb = t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 1000)

@@ -150,3 +150,14 @@ def test_driver_window_rotation():
     assert names[:50] == _DRIVER_WINDOW
     assert set(names) == set(QUERIES)
     assert set(get_oracles()) <= set(names)
+
+
+def test_embedding_dedup_is_equi_join_not_allpairs(spark):
+    """The catalog near-dup entry must candidate via an equi join on
+    (table, signature) — never a BroadcastNestedLoopJoin / cartesian
+    all-pairs self-join (the r3-r5 scale blocker)."""
+    df = q("dedup_embedding_cosine", spark)
+    plan = explain_formatted(df)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Join" in plan

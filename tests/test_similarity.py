@@ -203,3 +203,47 @@ def test_ivf_trained_seeds_end_to_end(spark):
     }
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.5, recall
+
+
+def test_cosine_pairs_lsh_zero_fp_and_subset(spark, emb):
+    """The LSH pair-dedup path must emit ONLY pairs the exact baseline
+    emits (zero false positives — every candidate is exact-verified), with
+    identical cosine bits on the shared pairs."""
+    from dca_manager_spark.operators.similarity import cosine_pairs_lsh
+
+    bounded = emb.filter(F.col("vec_id") < 300)
+    exact = {(r.id_a, r.id_b): r.cosine
+             for r in cosine_pairs(bounded, "vec_id", threshold=0.4).collect()}
+    lsh = {(r.id_a, r.id_b): r.cosine
+           for r in cosine_pairs_lsh(bounded, "vec_id", threshold=0.4).collect()}
+    assert set(lsh) <= set(exact), "LSH emitted a pair failing the exact threshold"
+    for k in lsh:
+        assert lsh[k] == exact[k], f"cosine bits differ on {k}"
+
+
+def test_cosine_pairs_lsh_recall_rises_with_tables(spark, emb):
+    """OR-amplification: more independent tables can only add candidates,
+    so recall is monotone in num_tables (and with planted near-identical
+    vectors, multi-table catches them)."""
+    from dca_manager_spark.operators.similarity import cosine_pairs_lsh
+
+    base = [r.embedding for r in emb.limit(20).collect()]
+    # Plant 10 near-identical pairs (cosine ~0.9999): ids 2i / 2i+1.
+    rows = []
+    for i, v in enumerate(base[:10]):
+        bumped = [x * 1.0001 + 0.0001 for x in v]
+        rows.append((2 * i, [float(x) for x in v]))
+        rows.append((2 * i + 1, [float(x) for x in bumped]))
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<float>")
+    planted = {(2 * i, 2 * i + 1) for i in range(10)}
+
+    def pairs(tables):
+        got = cosine_pairs_lsh(df, "vec_id", threshold=0.9,
+                               num_planes=8, num_tables=tables).collect()
+        return {(r.id_a, r.id_b) for r in got}
+
+    one, four = pairs(1), pairs(4)
+    assert one <= four, "adding tables must never drop candidates"
+    assert len(four & planted) >= 9, (
+        f"8x4 LSH should catch near-identical pairs: got {len(four & planted)}/10"
+    )
