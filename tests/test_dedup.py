@@ -185,3 +185,19 @@ def test_simhash_rotations_superset(spark, sf_dir):
     multi = {(r.id_a, r.id_b) for r in simhash_pairs(
         docs, "doc_id", "text", max_hamming=20, prefix_bits=10, rotations=4).collect()}
     assert single <= multi
+
+
+def test_simhash64_md5_hoisted_once(spark):
+    """The md5 direct-call path must hash each token ONCE (one md5 in the
+    expression tree, mapped over the token array) — never per bit. A
+    per-bit formulation would put 64 md5 calls in the plan."""
+    from dca_manager_spark.operators.dedup import simhash64
+
+    df = spark.createDataFrame([("a", "hello world")], "id string, text string")
+    plan = (
+        df.select(simhash64("text", hash_fn="md5").alias("sk"))
+        ._jdf.queryExecution()
+        .analyzed()
+        .toString()
+    )
+    assert plan.count("md5(") == 1, f"md5 evaluated {plan.count('md5(')}x in plan"
