@@ -109,8 +109,15 @@ class KrakenOrderer:
     OrderComplete rows, kraken.go:84-112) lives in ``normalize_response``
     so it is testable without any network."""
 
-    def __init__(self, client: Any | None = None) -> None:
+    def __init__(self, client: Any | None = None,
+                 credentials: Any | None = None) -> None:
+        # ``credentials``: ExchangeCredentials resolved by a
+        # CredentialsProvider (pipeline/credentials.py) — the seam the
+        # reference fills from its parameter store
+        # (pkg/configuration/kraken.go:25-45). Held for the injected
+        # client's auth; never serialized into tasks.
         self.client = client
+        self.credentials = credentials
 
     def make_order(self, order: dict[str, Any]) -> OrderFulfilled:
         if self.client is None:
@@ -159,14 +166,31 @@ class KrakenOrderer:
         return self.normalize_response(self.client.query_orders(transaction_id))
 
 
-def get_orderers(allow_real: bool = False, kraken_client: Any | None = None) -> dict[str, Orderer]:
+def get_orderers(
+    allow_real: bool = False,
+    kraken_client: Any | None = None,
+    credentials_provider: Any | None = None,
+) -> dict[str, Orderer]:
     """Factory (pkg/orders/factory.go:21-36): exchange name -> connector.
     ``allow_real`` mirrors the DCA_ALLOW_REAL env branch
     (cmd/execute_orders/main.go:156-165): off => every exchange resolves to
-    the deterministic fake."""
+    the deterministic fake.
+
+    ``credentials_provider``: a pipeline.credentials.CredentialsProvider;
+    when real orderers are requested, Kraken credentials are resolved
+    through it at construction time (reference: GetKrakenDetails before
+    building the client, cmd/execute_orders/main.go + kraken.go:25-45).
+    Resolution failures raise CredentialsError here — loudly, before any
+    order flow starts — rather than at first API call."""
     if not allow_real:
         return {"kraken": FakeOrderer(), "fake": FakeOrderer()}
-    return {"kraken": KrakenOrderer(kraken_client), "fake": FakeOrderer()}
+    creds = None
+    if credentials_provider is not None:
+        creds = credentials_provider.get_credentials("kraken")
+    return {
+        "kraken": KrakenOrderer(kraken_client, credentials=creds),
+        "fake": FakeOrderer(),
+    }
 
 
 def resolve_orderer(orderers: dict[str, Orderer], exchange: str) -> Orderer:
