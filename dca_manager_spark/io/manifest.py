@@ -53,16 +53,38 @@ from dca_manager_spark.io.merge import WriteOperation, precombine_dedup
 _MANIFEST_DIR = "_manifests"
 _DATA_DIR = "data"
 
+# Spark/Hive's partition-directory conventions: special characters are
+# %XX-escaped by escapePathName, nulls become a sentinel directory name.
+_HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
+
+
+def _hive_unescape(value: str) -> str:
+    """Invert Hive/Spark escapePathName: decode every %XX hex escape.
+    Well-defined because a literal '%' is itself written as %25."""
+    import re
+
+    return re.sub(
+        r"%([0-9A-Fa-f]{2})", lambda m: chr(int(m.group(1), 16)), value
+    )
+
+
+def _partition_key(value: object) -> str | None:
+    """Canonical manifest-side form of a partition value: None for null,
+    str() otherwise — what both the write path (from directory names) and
+    the match paths (from filters / batch rows) normalize to."""
+    return None if value is None else str(value)
+
 
 class ManifestTable:
     """A keyed, partitioned, copy-on-write Parquet table committed via
     atomic manifest publish (see module doc).
 
-    Partition values must be non-null and free of characters the hive
-    layout escapes (the manifest's file->partition mapping is derived from
-    the commit directory names); the reference's partition column (`pair`,
-    e.g. XXBTZGBP) satisfies this. MergeTable remains the null-tolerant
-    variant."""
+    Partition values may be null or contain hive-escaped characters
+    (``/ = % space`` ...): directory names are unescaped back to the real
+    value when the manifest is built, and nulls round-trip through the
+    ``__HIVE_DEFAULT_PARTITION__`` sentinel as JSON null — so manifest
+    pruning and upsert partition-replacement match on the TRUE value,
+    never the escaped directory string."""
 
     def __init__(
         self,
@@ -147,10 +169,12 @@ class ManifestTable:
         entries: list[dict] = []
         for p in sorted(out_dir.rglob("*.parquet")):
             rel = p.relative_to(Path(self.path)).as_posix()
-            partition: dict[str, str] = {}
+            partition: dict[str, str | None] = {}
             for part in p.relative_to(out_dir).parts[:-1]:
                 col, _, value = part.partition("=")
-                partition[col.removeprefix("__part_")] = value
+                partition[col.removeprefix("__part_")] = (
+                    None if value == _HIVE_NULL else _hive_unescape(value)
+                )
             entries.append({"path": rel, "partition": partition})
         return entries
 
@@ -187,7 +211,7 @@ class ManifestTable:
                 f
                 for f in files
                 if all(
-                    f["partition"].get(c) == str(v)
+                    f["partition"].get(c) == _partition_key(v)
                     for c, v in partition_filter.items()
                 )
             ]
@@ -273,7 +297,7 @@ class ManifestTable:
         # (bounded metadata collect, O(partitions) — same as MergeTable).
         if self.partition_by:
             touched = {
-                tuple(str(row[c]) for c in self.partition_by)
+                tuple(_partition_key(row[c]) for c in self.partition_by)
                 for row in batch.select(*self.partition_by).distinct().collect()
             }
             replaced = [
