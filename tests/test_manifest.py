@@ -188,3 +188,35 @@ def test_manifest_at_testdata_volume(spark, tmp_path):
     t.write(li.filter("l_returnflag = 'R'"), "delete")
     assert t.read(partition_filter={"l_returnflag": "R"}).count() == 0
     assert t.read().count() == n - n_r
+
+
+def test_partition_values_escaped_and_null_round_trip(spark, table):
+    """Hive-escaped characters (/ = % space) and NULL partition values
+    must round-trip: manifest pruning matches the TRUE value and upsert
+    replaces the right partition instead of duplicating it (the escaped
+    directory name must never leak into manifest matching)."""
+    weird = ["a/b", "k=v", "50%", "two words", None, "plain"]
+    rows = [(f"t{i}", TS1, p, 1.0) for i, p in enumerate(weird)]
+    table.write(make_df(spark, rows), "bulk_insert")
+
+    # Pruning by true value (and by null) returns exactly that partition.
+    for p in weird:
+        got = table.read(partition_filter={"pair": p}).collect()
+        assert len(got) == 1 and got[0].pair == p, f"pruning broke for {p!r}"
+
+    # Manifest JSON stores the unescaped value / null, never %XX.
+    import json as _json
+    mdir = Path(table.path) / "_manifests"
+    doc = _json.loads(sorted(mdir.glob("*.json"))[-1].read_text())
+    stored = {f["partition"]["pair"] for f in doc["files"]}
+    assert stored == {"a/b", "k=v", "50%", "two words", None, "plain"}
+
+    # Upsert into the escaped and null partitions REPLACES them
+    # (same key -> one row, new price), no phantom duplicates.
+    table.write(
+        make_df(spark, [("t0", TS1, "a/b", 9.0), ("t4", TS1, None, 9.0)]),
+        "upsert",
+    )
+    out = {r.pair: r.price for r in table.read().collect()}
+    assert len(table.read().collect()) == 6
+    assert out["a/b"] == 9.0 and out[None] == 9.0

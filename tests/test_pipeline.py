@@ -321,3 +321,180 @@ def test_sink_pending_distributed_end_to_end(spark, tmp_path, config_path):
     assert len(msgs) == 1
     assert msgs[0]["transaction_id"] == FakeOrderer.FAKE_TXID
     assert msgs[0]["exchange"] == "kraken" and msgs[0]["real"] == "false"
+
+
+# ---------------------------------------------------------------------------
+# Credentials provider seam (reference: pkg/configuration/kraken.go:25-45,
+# error semantics pinned by kraken_test.go:17-88)
+# ---------------------------------------------------------------------------
+
+def test_credentials_env_provider_resolves_and_errors():
+    from dca_manager_spark.pipeline.credentials import (
+        CredentialsError,
+        EnvCredentialsProvider,
+    )
+
+    env = {"DCA_KRAKEN_KEY": "k1", "DCA_KRAKEN_SECRET": "s1"}
+    creds = EnvCredentialsProvider(env=env).get_credentials("kraken")
+    assert (creds.key, creds.secret) == ("k1", "s1")
+
+    # Either lookup failing is an error (kraken_test.go: key error case,
+    # secret error case).
+    with pytest.raises(CredentialsError, match="KRAKEN_KEY"):
+        EnvCredentialsProvider(env={"DCA_KRAKEN_SECRET": "s"}).get_credentials("kraken")
+    with pytest.raises(CredentialsError, match="KRAKEN_SECRET"):
+        EnvCredentialsProvider(env={"DCA_KRAKEN_KEY": "k"}).get_credentials("kraken")
+
+
+def test_credentials_file_provider(tmp_path):
+    from dca_manager_spark.pipeline.credentials import (
+        CredentialsError,
+        FileCredentialsProvider,
+    )
+
+    p = tmp_path / "creds.json"
+    p.write_text(json.dumps({"kraken": {"key": "fk", "secret": "fs"}}))
+    creds = FileCredentialsProvider(str(p)).get_credentials("kraken")
+    assert (creds.key, creds.secret) == ("fk", "fs")
+
+    with pytest.raises(CredentialsError, match="binance/key"):
+        FileCredentialsProvider(str(p)).get_credentials("binance")
+    with pytest.raises(CredentialsError, match="cannot read"):
+        FileCredentialsProvider(str(tmp_path / "nope.json")).get_credentials("kraken")
+
+
+def test_get_orderers_resolves_credentials_into_kraken():
+    from dca_manager_spark.pipeline.connectors import KrakenOrderer, get_orderers
+    from dca_manager_spark.pipeline.credentials import (
+        CredentialsError,
+        StaticCredentialsProvider,
+    )
+
+    provider = StaticCredentialsProvider({"kraken": ("api-key", "api-secret")})
+    orderers = get_orderers(allow_real=True, credentials_provider=provider)
+    kraken = orderers["kraken"]
+    assert isinstance(kraken, KrakenOrderer)
+    assert kraken.credentials.key == "api-key"
+    assert kraken.credentials.secret == "api-secret"
+
+    # Missing credentials fail at FACTORY time, not first API call.
+    with pytest.raises(CredentialsError):
+        get_orderers(
+            allow_real=True,
+            credentials_provider=StaticCredentialsProvider({}),
+        )
+
+    # The fake path never touches the provider (DCA_ALLOW_REAL off).
+    class Exploding:
+        def get_credentials(self, exchange):
+            raise AssertionError("provider must not be called for fakes")
+
+    fakes = get_orderers(allow_real=False, credentials_provider=Exploding())
+    assert fakes["kraken"].make_order({"pair": "ADAGBP"}).transaction_id
+
+
+# ---------------------------------------------------------------------------
+# EP1 scheduler shim (reference: terraform/aws_lambda_execute_orders.tf:
+# 138-146 cron rules -> {"operation": "ExecuteOrders"}, retry 0, max age 60s;
+# defaults terraform/variables.tf:10-20)
+# ---------------------------------------------------------------------------
+
+def test_cron_schedule_reference_defaults():
+    import datetime as dt
+
+    from dca_manager_spark.pipeline.scheduler import (
+        DEFAULT_EXECUTE_ORDERS_SCHEDULES,
+    )
+
+    fri, wed = DEFAULT_EXECUTE_ORDERS_SCHEDULES
+    # 2026-08-13 is a Thursday.
+    after = dt.datetime(2026, 8, 13, 12, 0)
+    assert fri.next_fire(after) == dt.datetime(2026, 8, 14, 6, 0)
+    assert wed.next_fire(after) == dt.datetime(2026, 8, 19, 19, 45)
+    # Fire-time enumeration over a fortnight: two Fridays.
+    fires = fri.fires_between(after, after + dt.timedelta(days=14))
+    assert fires == [dt.datetime(2026, 8, 14, 6, 0), dt.datetime(2026, 8, 21, 6, 0)]
+
+
+def test_cron_schedule_field_forms():
+    import datetime as dt
+
+    from dca_manager_spark.pipeline.scheduler import CronSchedule
+
+    # */15 minute steps, plain 5-field form, ranges and lists.
+    s = CronSchedule("*/15 9-10 * * *")
+    after = dt.datetime(2026, 1, 5, 9, 50)
+    assert s.next_fire(after) == dt.datetime(2026, 1, 5, 10, 0)
+    assert CronSchedule("cron(0 12 1,15 * ? *)").next_fire(
+        dt.datetime(2026, 1, 2, 0, 0)
+    ) == dt.datetime(2026, 1, 15, 12, 0)
+
+
+def test_schedule_runner_fires_execute_orders(spark, tmp_path, config_path):
+    """The verdict's done-criterion: a scheduled firing runs the real
+    execute-orders job and produces the exact pending key + queue message
+    the direct invocation produces."""
+    import datetime as dt
+
+    from dca_manager_spark.pipeline.scheduler import (
+        CronSchedule,
+        ScheduleRule,
+        ScheduleRunner,
+    )
+
+    queue = FileQueue(str(tmp_path / "queue"))
+    runner = ScheduleRunner(
+        rules=[ScheduleRule(CronSchedule("cron(0 6 ? * FRI *)"))],
+        dispatch={
+            "ExecuteOrders": lambda: execute_orders(
+                spark, config_path, str(tmp_path / "data"), queue
+            )
+        },
+    )
+    # Friday 2026-08-14 06:00:30 UTC — 30s after the scheduled minute.
+    fired = runner.run_due(dt.datetime(2026, 8, 14, 6, 0, 30))
+    assert [f["status"] for f in fired] == ["ok"]
+    expect = (
+        tmp_path
+        / "data/transactions/status=pending/exchange=kraken/OEBG2U-KIRAN-4U6WHJ.json"
+    )
+    assert fired[0]["result"] == [str(expect)]
+    assert expect.exists()
+    msgs = queue.consume()
+    assert len(msgs) == 1 and msgs[0]["transaction_id"] == FakeOrderer.FAKE_TXID
+
+    # Re-check later the same day: nothing new fires (at most once per
+    # fire time).
+    assert runner.run_due(dt.datetime(2026, 8, 14, 12, 0)) == []
+
+
+def test_schedule_runner_drops_stale_and_never_retries():
+    import datetime as dt
+
+    from dca_manager_spark.pipeline.scheduler import (
+        CronSchedule,
+        ScheduleRule,
+        ScheduleRunner,
+    )
+
+    calls = []
+
+    def boom():
+        calls.append(1)
+        raise RuntimeError("handler failed")
+
+    runner = ScheduleRunner(
+        rules=[ScheduleRule(CronSchedule("cron(0 6 ? * FRI *)"))],
+        dispatch={"ExecuteOrders": boom},
+    )
+    # Observed 10 minutes late -> dropped (maximum_event_age_in_seconds=60),
+    # handler never invoked.
+    runner.last_checked = dt.datetime(2026, 8, 14, 5, 0)
+    fired = runner.run_due(dt.datetime(2026, 8, 14, 6, 10))
+    assert [f["status"] for f in fired] == ["dropped_stale"] and calls == []
+
+    # On-time firing: handler raises, status=error, exactly ONE call
+    # (maximum_retry_attempts=0).
+    runner.last_checked = dt.datetime(2026, 8, 21, 5, 59)
+    fired = runner.run_due(dt.datetime(2026, 8, 21, 6, 0, 20))
+    assert [f["status"] for f in fired] == ["error"] and len(calls) == 1
