@@ -355,6 +355,200 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q6_forecast_revenue",
+    f"""
+    SELECT {o_dsum('l_extendedprice * l_discount')} AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate < TIMESTAMP '1998-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: pure filter + global agg — the predicate-pushdown
+    showcase. All four conjuncts reach the parquet scan as PushedFilters;
+    the agg is a single partial+final pair over the pruned 4-column read.
+    At 100 TB this is a scan-bound query: its speed IS pushdown + pruning.
+    """
+    l = t(spark, sf_dir, "lineitem")
+    lo = F.lit("1997-01-01").cast("timestamp")
+    hi = F.lit("1998-01-01").cast("timestamp")
+    return (
+        l.filter(
+            (F.col("l_shipdate") >= lo)
+            & (F.col("l_shipdate") < hi)
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            dsum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@query(
+    "q4_late_order_priority",
+    """
+    SELECT o.o_orderpriority, COUNT(*) AS n_orders
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o.o_orderdate < TIMESTAMP '1997-07-01'
+      AND EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey
+          AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+      )
+    GROUP BY o.o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def q4_late_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS decorrelated to a left-semi join, then a
+    low-cardinality agg. (The canonical Q4 compares commit vs receipt
+    dates; this testdata carries neither, so 'late' = shipped >60 days
+    after order date — same semi-join + agg plan.) The semi join keeps
+    the orders side from duplicating per matching lineitem — no distinct
+    needed, no row explosion."""
+    o = t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-07-01").cast("timestamp"))
+    )
+    l = t(spark, sf_dir, "lineitem")
+    late = o.join(
+        l,
+        (l.l_orderkey == o.o_orderkey)
+        & (l.l_shipdate > F.expr("o_orderdate + INTERVAL 60 DAY")),
+        "left_semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
+    "q14_promo_revenue_ratio",
+    f"""
+    SELECT 100.0 * ({o_dsum("CASE WHEN p.p_type LIKE 'PROMO%' THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0.0 END")})
+             / ({o_dsum('l.l_extendedprice * (1 - l.l_discount)')}) AS promo_revenue_pct
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1997-09-01'
+      AND l.l_shipdate < TIMESTAMP '1997-10-01'
+    """,
+)
+def q14_promo_revenue_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: fact->dim equi join + conditional-aggregate ratio.
+    The part side is broadcast (dim ≪ fact at every SF); both sums are
+    cent-quantized so the final ratio is one deterministic double divide.
+    """
+    l = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-09-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-10-01").cast("timestamp"))
+    )
+    p = t(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type").like("PROMO%"), rev).otherwise(F.lit(0.0))
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .agg(
+            (F.lit(100.0) * dsum(promo) / dsum(rev)).alias("promo_revenue_pct")
+        )
+    )
+
+
+@query(
+    "q18_large_volume_customers",
+    f"""
+    SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+           {o_dsum('o.o_totalprice')} AS total_price,
+           {o_dsum('l.l_quantity')} AS total_qty
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderkey IN (
+      SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+      HAVING SUM(CAST(FLOOR(l_quantity * 100) AS DECIMAL(38,0))) / 100 > 150
+    )
+    GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate
+    ORDER BY total_price DESC, o_orderkey
+    LIMIT 100
+    """,
+)
+def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: agg-derived IN-subquery (HAVING over the fact
+    table) feeding a 3-way join + re-agg + top-k. The qualifying-orders
+    set is computed ONCE (partial+final agg), left-semi-joined into
+    lineitem — never re-aggregated per row — and the limit compiles to
+    TakeOrderedAndProject."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    l = t(spark, sf_dir, "lineitem")
+    big = (
+        l.groupBy("l_orderkey")
+        .agg((F.sum(cents(F.col("l_quantity"))) / 100).alias("__q"))
+        .filter(F.col("__q") > 150)
+        .select("l_orderkey")
+    )
+    return (
+        l.join(big, "l_orderkey", "left_semi")
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate")
+        .agg(
+            dsum(F.col("o_totalprice")).alias("total_price"),
+            dsum(F.col("l_quantity")).alias("total_qty"),
+        )
+        .select("c_name", "c_custkey", "o_orderkey", "o_orderdate",
+                "total_price", "total_qty")
+        .orderBy(F.col("total_price").desc(), F.col("o_orderkey"))
+        .limit(100)
+    )
+
+
+@query(
+    "q19_disjunctive_revenue",
+    f"""
+    SELECT {o_dsum('l.l_extendedprice * (1 - l.l_discount)')} AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity >= 1 AND l.l_quantity <= 11)
+       OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 1 AND 25
+           AND l.l_quantity >= 10 AND l.l_quantity <= 20)
+       OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 35
+           AND l.l_quantity >= 20 AND l.l_quantity <= 30)
+    """,
+)
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: OR-of-ANDs across join sides. Catalyst extracts
+    the common l_quantity/p_size bounds where it can and keeps the
+    disjunction as a post-join filter on a plain equi join — NOT a
+    nested-loop: the join key stays l_partkey = p_partkey."""
+    l = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part")
+    q, sz, br = F.col("l_quantity"), F.col("p_size"), F.col("p_brand")
+    cond = (
+        ((br == "Brand#1") & sz.between(1, 15) & q.between(1, 11))
+        | ((br == "Brand#2") & sz.between(1, 25) & q.between(10, 20))
+        | ((br == "Brand#3") & sz.between(1, 35) & q.between(20, 30))
+    )
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .filter(cond)
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@query(
     "join_left_semi",
     """
     SELECT c_mktsegment, COUNT(*) AS n_customers_with_orders
@@ -1283,12 +1477,21 @@ def text_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language ID by marker-stopword argmax (earliest language wins ties;
-    'und' when no markers hit) — operators/text.py lang_id."""
-    from dca_manager_spark.operators.text import lang_id
+    'und' when no markers hit) — operators/text.py lang_id. The token
+    array is materialized once behind a Generate barrier so the 5 marker
+    scores share one tokenization instead of re-splitting per score
+    (interpreted HOF; see operators/corpus.py for the same pattern)."""
+    from dca_manager_spark.operators.text import lang_id_from_tokens, tokens
 
     return (
         t(spark, sf_dir, "documents")
-        .select("doc_id", "lang", lang_id(F.col("text")).alias("pred_lang"))
+        .select(
+            "doc_id", "lang",
+            F.explode(F.array(tokens(F.lower(F.col("text"))))).alias("__tl"),
+        )
+        .select(
+            "doc_id", "lang", lang_id_from_tokens(F.col("__tl")).alias("pred_lang")
+        )
         .orderBy("doc_id")
     )
 
@@ -2523,6 +2726,81 @@ def train_val_test_split_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_docs"))
         .orderBy("lang", "split")
     )
+
+
+_CLEAN_SQL = r"""trim(regexp_replace(
+              regexp_replace(
+                  regexp_replace(text, 'https?://\S+', ' ', 'g'),
+                  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+              '\s+', ' ', 'g'))"""
+
+
+@query(
+    "corpus_prep_pipeline",
+    f"""
+    WITH c AS (
+      SELECT doc_id, {_CLEAN_SQL} AS clean FROM documents
+    ),
+    f AS (
+      SELECT doc_id, clean,
+             {_sw_count('clean', "['the','a','and','of','to','in','is']")} AS s_en,
+             {_sw_count('clean', "['der','die','das','und','ist','nicht']")} AS s_de,
+             {_sw_count('clean', "['le','la','les','et','est','une']")} AS s_fr,
+             {_sw_count('clean', "['el','los','las','y','es','una']")} AS s_es,
+             {_sw_count('clean', "['的','是','了','在','和']")} AS s_zh,
+             len({_TOKENS.format(c='clean')}) AS n_tokens,
+             0.4 * (CAST({_sw_count('clean', _EN_WORDS)} AS DOUBLE)
+                    / CAST(greatest(len({_TOKENS.format(c='clean')}), 1) AS DOUBLE))
+             + 0.4 * least(CAST(length(clean) AS DOUBLE) / 500.0, 1.0)
+             + 0.2 * (1.0 - CAST(length(regexp_replace(clean, '{_PUNCT_RE}', '', 'g')) AS DOUBLE)
+                            / CAST(greatest(length(clean), 1) AS DOUBLE)) AS quality
+      FROM c
+    ),
+    l AS (
+      SELECT *,
+             CASE WHEN greatest(s_en, s_de, s_fr, s_es, s_zh) = 0 THEN 'und'
+                  WHEN s_en = greatest(s_en, s_de, s_fr, s_es, s_zh) THEN 'en'
+                  WHEN s_de = greatest(s_en, s_de, s_fr, s_es, s_zh) THEN 'de'
+                  WHEN s_fr = greatest(s_en, s_de, s_fr, s_es, s_zh) THEN 'fr'
+                  WHEN s_es = greatest(s_en, s_de, s_fr, s_es, s_zh) THEN 'es'
+                  ELSE 'zh' END AS pred_lang
+      FROM f
+    ),
+    k AS (
+      SELECT * FROM l
+      WHERE pred_lang = 'en' AND quality >= 0.3 AND n_tokens >= 5
+    ),
+    d AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY md5(clean) ORDER BY doc_id) AS rn
+      FROM k
+    )
+    SELECT doc_id, pred_lang, n_tokens, quality,
+           CASE WHEN CAST(concat('0x', substring(md5(concat('split',
+                     CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT) % 10000 < 8000
+                  THEN 'train'
+                WHEN CAST(concat('0x', substring(md5(concat('split',
+                     CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT) % 10000 < 9000
+                  THEN 'val'
+                ELSE 'test' END AS split
+    FROM d WHERE rn = 1
+    ORDER BY doc_id
+    """,
+)
+def corpus_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPOSED training-data pipeline: clean -> language-ID ->
+    quality/token gates -> exact dedup (first-id survivor on cleaned
+    content) -> hash split, as ONE declarative plan
+    (operators/corpus.prepare_corpus). Every stage reuses an
+    individually-oracled operator, so the whole chain stays value-exact;
+    the only wide op is the dedup window over surviving rows."""
+    from dca_manager_spark.operators.corpus import prepare_corpus
+
+    return prepare_corpus(
+        t(spark, sf_dir, "documents"),
+        lang="en",
+        min_quality=0.3,
+        min_tokens=5,
+    ).orderBy("doc_id")
 
 
 @query(

@@ -161,3 +161,33 @@ def test_embedding_dedup_is_equi_join_not_allpairs(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "Join" in plan
+
+
+def test_q6_all_predicates_pushed(spark):
+    """Q6 is the pushdown showcase: shipdate/discount/quantity filters must
+    reach the parquet scan, and only the 4 needed columns are read."""
+    df = q("q6_forecast_revenue", spark)
+    assert has_pushed_filter(df, "l_shipdate")
+    assert has_pushed_filter(df, "l_discount")
+    assert has_pushed_filter(df, "l_quantity")
+    cols = set(read_schema_columns(df))
+    assert cols == {"l_shipdate", "l_discount", "l_quantity", "l_extendedprice"}
+
+
+def test_q4_exists_compiles_to_semi_join(spark):
+    assert uses(q("q4_late_order_priority", spark), "LeftSemi")
+
+
+def test_q18_having_subquery_is_semi_join_no_bnlj(spark):
+    plan = explain_formatted(q("q18_large_volume_customers", spark))
+    assert "LeftSemi" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_q19_disjunction_stays_equi_join(spark):
+    """OR-of-ANDs across join sides must not degrade the equi join to a
+    nested loop — the l_partkey = p_partkey key survives."""
+    plan = explain_formatted(q("q19_disjunctive_revenue", spark))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
