@@ -53,9 +53,17 @@ def punct_ratio(col: Column) -> Column:
     return puncts.cast("double") / F.greatest(F.length(col), F.lit(1)).cast("double")
 
 
+def count_in_tokens(toks_lower: Column, words_list: list[str]) -> Column:
+    """Hits of a small word list in a LOWERCASED token array — the shared
+    kernel of stopword counting and language scoring. Takes the token
+    array so callers that reuse one tokenization (operators/corpus.py)
+    don't re-tokenize per score."""
+    words = F.array(*[F.lit(w) for w in words_list])
+    return F.size(F.filter(toks_lower, lambda x: F.array_contains(words, x)))
+
+
 def stopword_count(col: Column, stopwords: list[str] | None = None) -> Column:
-    words = F.array(*[F.lit(w) for w in (stopwords or EN_STOPWORDS)])
-    return F.size(F.filter(tokens(F.lower(col)), lambda x: F.array_contains(words, x)))
+    return count_in_tokens(tokens(F.lower(col)), stopwords or EN_STOPWORDS)
 
 
 def stopword_ratio(col: Column, stopwords: list[str] | None = None) -> Column:
@@ -64,34 +72,62 @@ def stopword_ratio(col: Column, stopwords: list[str] | None = None) -> Column:
     ).cast("double")
 
 
+def quality_score_from_tokens(
+    col: Column, toks: Column, toks_lower: Column
+) -> Column:
+    """quality_score with the tokenizations supplied by the caller — the
+    identical formula and op order, minus the re-tokenizations (see
+    quality_score; bit-equality pinned in tests)."""
+    sw_ratio = count_in_tokens(toks_lower, EN_STOPWORDS).cast("double") / F.greatest(
+        F.size(toks), F.lit(1)
+    ).cast("double")
+    length_score = F.least(F.length(col).cast("double") / 500.0, F.lit(1.0))
+    return 0.4 * sw_ratio + 0.4 * length_score + 0.2 * (1.0 - punct_ratio(col))
+
+
 def quality_score(col: Column) -> Column:
     """Composite quality heuristic in [0,1]-ish: rewards stopword presence
     (naturalness) and mid-range length, penalizes punctuation soup.
     Deterministic double arithmetic (fixed op order, no accumulation).
     """
-    length_score = F.least(F.length(col).cast("double") / 500.0, F.lit(1.0))
-    return (
-        0.4 * stopword_ratio(col) + 0.4 * length_score + 0.2 * (1.0 - punct_ratio(col))
-    )
+    return quality_score_from_tokens(col, tokens(col), tokens(F.lower(col)))
+
+
+def lang_scores_from_tokens(toks_lower: Column) -> dict[str, Column]:
+    """Per-language marker hit counts over one lowercased token array."""
+    return {
+        lang: count_in_tokens(toks_lower, words)
+        for lang, words in LANG_MARKERS.items()
+    }
 
 
 def lang_scores(col: Column) -> dict[str, Column]:
     """Per-language marker-stopword hit counts."""
-    low = F.lower(col)
-    return {lang: stopword_count(low, words) for lang, words in LANG_MARKERS.items()}
+    return lang_scores_from_tokens(tokens(F.lower(col)))
+
+
+def lang_id_from_tokens(toks_lower: Column) -> Column:
+    """lang_id over a caller-supplied lowercased token array — identical
+    argmax/tie semantics, one tokenization.
+
+    Array-based argmax, NOT a chained-when fold: the when-chain embeds
+    each score expression in every later branch (~2^n duplication — 58
+    interpreted array_contains per row measured for 5 languages); here
+    each score appears once in a literal array, array_max picks the best
+    and array_position's first-match IS the earlier-language tie-break.
+    """
+    scores = F.array(*lang_scores_from_tokens(toks_lower).values())
+    langs = F.array(*[F.lit(lang) for lang in LANG_MARKERS])
+    best = F.array_max(scores)
+    return F.when(best <= 0, F.lit("und")).otherwise(
+        F.element_at(langs, F.array_position(scores, best).cast("int"))
+    )
 
 
 def lang_id(col: Column) -> Column:
     """Argmax language by marker hits; deterministic tie order (iteration
     order of LANG_MARKERS); 'und' when nothing matches."""
-    scores = lang_scores(col)
-    best_lang = F.lit("und")
-    best_score = F.lit(0)
-    for lang, score in scores.items():
-        is_better = score > best_score
-        best_lang = F.when(is_better, F.lit(lang)).otherwise(best_lang)
-        best_score = F.when(is_better, score).otherwise(best_score)
-    return best_lang
+    return lang_id_from_tokens(tokens(F.lower(col)))
 
 
 def normalize_text(col: Column) -> Column:

@@ -141,3 +141,45 @@ def test_corpus_pipeline_composition(spark, sf_dir):
     # split is stable across recomputation
     again = {(r.doc_id, r.split) for r in final.collect()}
     assert again == {(r.doc_id, r.split) for r in rows}
+
+
+def test_prepare_corpus_stage_semantics(spark, sf_dir):
+    """The composed pipeline must equal its stages run independently:
+    every survivor is English, above both gates, the first id of its
+    cleaned-content group, and split assignment is id-stable."""
+    from dca_manager_spark.operators.corpus import prepare_corpus
+    from dca_manager_spark.operators.sampling import train_val_test_split
+    from dca_manager_spark.operators.text import (
+        clean_text,
+        lang_id,
+        quality_score,
+        token_count,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = prepare_corpus(docs, lang="en", min_quality=0.3, min_tokens=5).collect()
+    assert out, "pipeline produced no survivors at this SF"
+    assert all(r.pred_lang == "en" and r.quality >= 0.3 and r.n_tokens >= 5
+               for r in out)
+
+    # Independent stage replay.
+    feats = docs.select(
+        "doc_id",
+        clean_text(F.col("text")).alias("clean"),
+        lang_id(clean_text(F.col("text"))).alias("pl"),
+        quality_score(clean_text(F.col("text"))).alias("q"),
+        token_count(clean_text(F.col("text"))).alias("nt"),
+    ).collect()
+    kept = [r for r in feats if r.pl == "en" and r.q >= 0.3 and r.nt >= 5]
+    first_by_content: dict[str, int] = {}
+    for r in sorted(kept, key=lambda r: r.doc_id):
+        first_by_content.setdefault(r.clean, r.doc_id)
+    expect_ids = set(first_by_content.values())
+    assert {r.doc_id for r in out} == expect_ids
+
+    # Split matches the standalone splitter for the same ids.
+    splits = {
+        r.doc_id: r.split
+        for r in train_val_test_split(docs, "doc_id").select("doc_id", "split").collect()
+    }
+    assert all(splits[r.doc_id] == r.split for r in out)
