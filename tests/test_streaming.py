@@ -397,3 +397,59 @@ def test_streaming_pipeline_dead_letter(spark, tmp_path):
     assert [r.transaction_id for r in spark.read.parquet(str(tmp_path / "table")).collect()] == ["TXR"]
     dlq = spark.read.json(str(tmp_path / "dlq"))
     assert [r.transaction_id for r in dlq.collect()] == ["TXF"]
+
+
+def test_stream_upsert_into_manifest_table(spark, tmp_path):
+    """readStream -> stream_upsert -> ManifestTable: two micro-batches
+    merge by key (precombine on replay-identical data), the second batch
+    UPDATES the first's key, and a drained re-run with the same checkpoint
+    writes nothing new (exactly-once table state)."""
+    import os
+
+    from dca_manager_spark.io.manifest import ManifestTable
+    from dca_manager_spark.streaming.ingest import stream_upsert
+
+    src = tmp_path / "src"
+    src.mkdir()
+    ts = "2024-01-01T12:00:00"
+    (src / "a_b1.json").write_text(
+        json.dumps({"transaction_id": "T1", "close_time": ts, "pair": "ADAGBP", "price": 1.0})
+        + "\n"
+        + json.dumps({"transaction_id": "T2", "close_time": ts, "pair": "BTCGBP", "price": 2.0})
+    )
+    (src / "b_b2.json").write_text(
+        json.dumps({"transaction_id": "T1", "close_time": ts, "pair": "ADAGBP", "price": 9.0})
+    )
+    now = 1_700_000_000
+    os.utime(src / "a_b1.json", (now, now))
+    os.utime(src / "b_b2.json", (now + 10, now + 10))
+
+    table = ManifestTable(
+        spark,
+        str(tmp_path / "tbl"),
+        keys=("transaction_id", "close_time"),
+        precombine="transaction_id",
+        partition_by=("pair",),
+    )
+    stream = (
+        spark.readStream.schema(
+            "transaction_id string, close_time timestamp, pair string, price double"
+        )
+        .option("maxFilesPerTrigger", "1")
+        .json(str(src))
+    )
+    stream_upsert(stream, table, str(tmp_path / "ckpt")).awaitTermination()
+
+    out = {r.transaction_id: r.price for r in table.read().collect()}
+    assert out == {"T1": 9.0, "T2": 2.0}  # batch 2 updated T1
+    commits_after_drain = table.commits()
+
+    # Re-run over the SAME checkpoint: backlog already consumed -> no new
+    # commits, table state unchanged.
+    stream_upsert(stream, table, str(tmp_path / "ckpt")).awaitTermination()
+    assert table.commits() == commits_after_drain
+    assert {r.transaction_id: r.price for r in table.read().collect()} == out
+
+    # insert-mode replay hazard is guarded.
+    with pytest.raises(ValueError, match="replays"):
+        stream_upsert(stream, table, str(tmp_path / "ckpt2"), operation="insert")
