@@ -12,6 +12,12 @@ Timing policy: warm-up pass at sf0.001 (JIT/codegen compile), then
 best-of-3 per query (single runs at these sizes are dominated by GC and
 scheduler noise; the minimum is the steady-state figure).
 
+Timing sink: ``df.write.format("noop")`` — a JVM-side sink that forces
+FULL evaluation of every output row. ``.count()`` (used through round 5)
+let Catalyst prune unreferenced projections, so projection-heavy queries
+timed as bare scans (text_lang_id: 0.27s counted vs 2.25s real). Totals
+from round 6 on are therefore HIGHER and honest, not slower.
+
 Besides the full catalog (whose sketch entries pin the md5 oracle-parity
 mode), three `*_xxh64` variants time the PRODUCTION hash path
 (operator-API default); `total_md5_parity` vs `total_production` report
@@ -88,10 +94,14 @@ def main() -> None:
         n for n in sorted(qs) if n not in HEADLINE
     ]
 
+    def run_full(df) -> None:
+        # noop sink: full evaluation of every row, no output cost.
+        df.write.format("noop").mode("overwrite").save()
+
     warm_dir = os.environ.get("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
     for name in names:
         try:
-            qs[name](spark, warm_dir).count()
+            run_full(qs[name](spark, warm_dir))
         except Exception:
             pass
 
@@ -101,7 +111,7 @@ def main() -> None:
         for _ in range(RUNS):
             gc.collect()  # release prior queries' localCheckpoint RDDs
             start = time.perf_counter()
-            qs[name](spark, sf_dir).count()
+            run_full(qs[name](spark, sf_dir))
             best = min(best, time.perf_counter() - start)
         timings[name] = round(best, 3)
 
@@ -133,6 +143,7 @@ def main() -> None:
                 "unit": "sec",
                 "sf": sf,
                 "runs_per_query": RUNS,
+                "timing_sink": "noop",
                 "total_md5_parity": total_md5_parity,
                 "total_production": total_production,
                 "queries": timings,
@@ -155,6 +166,7 @@ def main() -> None:
         "unit": "sec",
         "sf": sf,
         "n_queries": len(timings),
+        "timing_sink": "noop",
         "total_md5_parity": total_md5_parity,
         "total_production": total_production,
         "queries": compact,
