@@ -164,6 +164,7 @@ def cosine_pairs_lsh(
     threshold: float = 0.4,
     num_planes: int = 8,
     num_tables: int = 4,
+    probe_bits: int = 0,
     use_arrow: bool = True,
 ) -> DataFrame:
     """Embedding near-dup pairs, scale path: candidates are (a < b) pairs
@@ -181,6 +182,13 @@ def cosine_pairs_lsh(
     sum(bucket_size^2) per table, never corpus^2 — unlike ``cosine_pairs``
     (the exact bounded-set baseline), this never materializes an all-pairs
     theta self-join, so it survives a 100x corpus.
+
+    ``probe_bits``: multi-probe — one join side also emits its signature
+    XOR every mask of popcount <= probe_bits, so two vectors whose table
+    signatures differ by up to that many bits still become candidates.
+    probe_bits=1 at 8x4 roughly triples recall at moderate thresholds for
+    a 9x expansion of ONE side's bucket rows (asymmetric: the other side
+    stays raw, so pairs are not double-expanded).
     """
     tables = max(num_tables, 1)
 
@@ -205,7 +213,25 @@ def cosine_pairs_lsh(
         qnorm(F.col(vec_col)).alias("__n"),
         F.posexplode(sigs(F.col(vec_col))).alias("__table", "__sig"),
     )
-    a, b = sig.alias("a"), sig.alias("b")
+    probed = sig
+    if probe_bits > 0:
+        from itertools import combinations
+
+        masks = [0] + [
+            sum(1 << p for p in combo)
+            for k in range(1, probe_bits + 1)
+            for combo in combinations(range(num_planes), k)
+        ]
+        probed = sig.select(
+            "__id",
+            "__v",
+            "__n",
+            "__table",
+            F.explode(
+                F.array(*[F.col("__sig").bitwiseXOR(F.lit(m)) for m in masks])
+            ).alias("__sig"),
+        )
+    a, b = probed.alias("a"), sig.alias("b")
     cand = (
         a.join(b, on=["__table", "__sig"])
         .filter(F.col("a.__id") < F.col("b.__id"))

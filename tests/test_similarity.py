@@ -247,3 +247,21 @@ def test_cosine_pairs_lsh_recall_rises_with_tables(spark, emb):
     assert len(four & planted) >= 9, (
         f"8x4 LSH should catch near-identical pairs: got {len(four & planted)}/10"
     )
+
+
+def test_cosine_pairs_lsh_multiprobe_monotone_no_fp(spark, emb):
+    """1-bit multi-probe must be a superset of no-probe (masks include the
+    identity), still zero false positives, and strictly sub-quadratic in
+    candidates (the probe side expands 9x, the raw side doesn't)."""
+    from dca_manager_spark.operators.similarity import cosine_pairs, cosine_pairs_lsh
+
+    bounded = emb.filter(F.col("vec_id") < 300)
+    exact = {(r.id_a, r.id_b)
+             for r in cosine_pairs(bounded, "vec_id", threshold=0.4).collect()}
+    p0 = {(r.id_a, r.id_b)
+          for r in cosine_pairs_lsh(bounded, "vec_id", threshold=0.4).collect()}
+    p1 = {(r.id_a, r.id_b)
+          for r in cosine_pairs_lsh(bounded, "vec_id", threshold=0.4,
+                                    probe_bits=1).collect()}
+    assert p0 <= p1, "identity mask missing: probe dropped base candidates"
+    assert p1 <= exact, "probe introduced a false positive"
