@@ -215,14 +215,19 @@ class ManifestTable:
                     for c, v in partition_filter.items()
                 )
             ]
+        from pyspark.sql.types import StructType
+
+        schema = StructType.fromJson(json.loads(doc["schema"]))
         if not files:
             # Empty table / empty selection: typed empty frame from the
             # manifest's schema.
-            from pyspark.sql.types import StructType
-
-            schema = StructType.fromJson(json.loads(doc["schema"]))
             return self.spark.createDataFrame([], schema)
-        return self.spark.read.parquet(
+        # Read under the COMMITTED schema, not parquet footers (the
+        # Delta/Iceberg read path): columns added by later commits are
+        # null-filled in older files, dropped columns stay dropped, and no
+        # footer-merging pass is needed — at 200k files, mergeSchema would
+        # read every footer before the first row.
+        return self.spark.read.schema(schema).parquet(
             *[str(Path(self.path) / f["path"]) for f in files]
         )
 
@@ -243,13 +248,13 @@ class ManifestTable:
         old = {f["path"] for f in self._load_manifest(since)["files"]}
         latest = self._latest_manifest()
         assert latest is not None
+        from pyspark.sql.types import StructType
+
+        schema = StructType.fromJson(json.loads(latest[1]["schema"]))
         new_files = [f for f in latest[1]["files"] if f["path"] not in old]
         if not new_files:
-            from pyspark.sql.types import StructType
-
-            schema = StructType.fromJson(json.loads(latest[1]["schema"]))
             return self.spark.createDataFrame([], schema)
-        return self.spark.read.parquet(
+        return self.spark.read.schema(schema).parquet(
             *[str(Path(self.path) / f["path"]) for f in new_files]
         )
 
@@ -347,6 +352,47 @@ class ManifestTable:
         self._publish(prev_id, kept + new_files, merged.schema.json())
 
     # -- maintenance --------------------------------------------------------
+    def compact(
+        self,
+        partition_filter: dict[str, object] | None = None,
+        target_files_per_partition: int = 1,
+    ) -> int:
+        """Small-file compaction as an ordinary manifest commit: rewrite
+        the selected partitions' live files into ``target`` files each,
+        publish a manifest swapping old entries for new — logical content
+        unchanged, readers never see a partial state, vacuum reclaims the
+        replaced files after the retention window (the Hudi-compaction
+        analogue; MergeTable.compact is the directory-swap variant).
+
+        ``partition_filter`` bounds the rewrite (run per partition on a
+        schedule at scale; None = whole table). Returns the number of
+        files replaced."""
+        latest = self._latest_manifest()
+        if latest is None:
+            return 0
+        prev_id, doc = latest
+
+        def selected(f: dict) -> bool:
+            return not partition_filter or all(
+                f["partition"].get(c) == _partition_key(v)
+                for c, v in partition_filter.items()
+            )
+
+        replaced = [f for f in doc["files"] if selected(f)]
+        if not replaced:
+            return 0
+        kept = [f for f in doc["files"] if not selected(f)]
+        current = self.read(partition_filter=partition_filter).repartition(
+            target_files_per_partition, *(self.partition_by or self.keys)
+        ).localCheckpoint(eager=True)  # one write (see _merge)
+        new_files = self._write_commit_files(current)
+        self._publish(prev_id, kept + new_files, doc["schema"])
+        return len(replaced)
+
+    def file_count(self) -> int:
+        latest = self._latest_manifest()
+        return len(latest[1]["files"]) if latest else 0
+
     def vacuum(self) -> int:
         """Delete data files not referenced by the newest manifest (orphans
         from pre-publish crashes + files replaced by COW commits) and the

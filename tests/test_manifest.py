@@ -220,3 +220,58 @@ def test_partition_values_escaped_and_null_round_trip(spark, table):
     out = {r.pair: r.price for r in table.read().collect()}
     assert len(table.read().collect()) == 6
     assert out["a/b"] == 9.0 and out[None] == 9.0
+
+
+def test_schema_evolution_add_column(spark, table):
+    """A later commit may carry a NEW column: reads use the committed
+    manifest schema (not parquet footers), so old files null-fill the new
+    column, and time travel reads each commit under its own schema."""
+    table.write(make_df(spark, [("t1", TS1, "ADAGBP", 1.0)]), "bulk_insert")
+    first_commit = table.commits()[-1]
+
+    evolved = spark.createDataFrame(
+        [("t2", TS1, "BTCGBP", 2.0, "kraken")],
+        "transaction_id string, close_time timestamp, pair string, "
+        "price double, exchange string",
+    )
+    table.write(evolved, "upsert")
+
+    out = {r.transaction_id: r for r in table.read().collect()}
+    assert set(out) == {"t1", "t2"}
+    assert out["t2"].exchange == "kraken"
+    assert out["t1"].exchange is None  # old file null-fills the new column
+
+    # Time travel: the pre-evolution commit has no 'exchange' column.
+    old = table.read(as_of=first_commit)
+    assert "exchange" not in old.columns
+
+
+def test_compaction_is_a_commit_and_preserves_content(spark, table):
+    """Compaction rewrites many small files into one per partition as an
+    ordinary manifest commit: content identical, untouched partitions'
+    files untouched, old files reclaimed only by vacuum."""
+    for i in range(4):  # 4 commits -> 4 files in ADAGBP, 1 in BTCGBP
+        table.write(make_df(spark, [(f"a{i}", TS1, "ADAGBP", float(i))]), "insert")
+    table.write(make_df(spark, [("b0", TS1, "BTCGBP", 9.0)]), "insert")
+
+    before = {r.transaction_id: r.price for r in table.read().collect()}
+    latest = table._latest_manifest()[1]
+    btc_paths_before = {
+        f["path"] for f in latest["files"] if f["partition"]["pair"] == "BTCGBP"
+    }
+    assert table.file_count() >= 5
+
+    replaced = table.compact(partition_filter={"pair": "ADAGBP"})
+    assert replaced == 4
+    after_doc = table._latest_manifest()[1]
+    ada_files = [f for f in after_doc["files"] if f["partition"]["pair"] == "ADAGBP"]
+    btc_files = {
+        f["path"] for f in after_doc["files"] if f["partition"]["pair"] == "BTCGBP"
+    }
+    assert len(ada_files) == 1  # compacted to one file
+    assert btc_files == btc_paths_before  # untouched partition: same files
+    assert {r.transaction_id: r.price for r in table.read().collect()} == before
+
+    # Old files survive for in-flight readers until vacuum.
+    assert table.vacuum() >= 4
+    assert {r.transaction_id: r.price for r in table.read().collect()} == before
