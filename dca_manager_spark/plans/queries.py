@@ -1430,7 +1430,10 @@ def _sw_count(c: str, words: str) -> str:
 def text_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Text-analysis feature set: token count, punctuation ratio, stopword
     ratio, composite quality score, md5 fingerprint — all built-in
-    expressions (operators/text.py), zero Python in the row path."""
+    expressions (operators/text.py), zero Python in the row path.
+    (A Generate-barrier variant was measured SLOWER here — the duplication
+    is mild, unlike corpus_prep_pipeline — so the plain projection stays.)
+    """
     from dca_manager_spark.operators import text as TX
 
     c = F.col("text")
