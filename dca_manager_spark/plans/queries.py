@@ -2281,15 +2281,28 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     literal TRUE. A `no_oracle` entry scores as a driver error (r1/r3
     lesson), so the sketch is exercised *and* scored this way."""
     bound = 0.10  # 5x rsd — HLL++ at rsd=0.02 stays well inside this
+    # Each exact distinct runs as its OWN distinct -> count plan, joined
+    # on the tiny group key, NOT as fused count_distincts: fusing N
+    # distinct aggregates compiles to an Expand that multiplies every row
+    # N+1 times before the shuffle, while a per-column distinct gets a
+    # map-side partial dedup first (measured 6x at sf0.1; the gap widens
+    # with row count). The HLL sketches stay fused — they are partials.
+    l = t(spark, sf_dir, "lineitem")
+    exact_o = (
+        l.select("l_returnflag", "l_orderkey").distinct()
+        .groupBy("l_returnflag").agg(F.count(F.lit(1)).alias("exact_orders"))
+    )
+    exact_p = (
+        l.select("l_returnflag", "l_partkey").distinct()
+        .groupBy("l_returnflag").agg(F.count(F.lit(1)).alias("exact_parts"))
+    )
+    hll = l.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey", rsd=0.02).alias("__ao"),
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("__ap"),
+    )
     return (
-        t(spark, sf_dir, "lineitem")
-        .groupBy("l_returnflag")
-        .agg(
-            F.count_distinct("l_orderkey").alias("exact_orders"),
-            F.count_distinct("l_partkey").alias("exact_parts"),
-            F.approx_count_distinct("l_orderkey", rsd=0.02).alias("__ao"),
-            F.approx_count_distinct("l_partkey", rsd=0.02).alias("__ap"),
-        )
+        exact_o.join(exact_p, "l_returnflag")
+        .join(hll, "l_returnflag")
         .select(
             "l_returnflag",
             "exact_orders",
