@@ -512,6 +512,114 @@ def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q7_volume_shipping",
+    f"""
+    SELECT supp_nation, cust_nation, l_year,
+           {o_dsum('volume')} AS revenue
+    FROM (
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             EXTRACT(year FROM l.l_shipdate) AS l_year,
+             l.l_extendedprice * (1 - l.l_discount) AS volume
+      FROM supplier s
+      JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+      JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+      WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+         OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+    ) shipping
+    GROUP BY supp_nation, cust_nation, l_year
+    ORDER BY supp_nation, cust_nation, l_year
+    """,
+)
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: two fact tables + customer + a DOUBLE nation join
+    (the same broadcast dim joined under two roles) with a cross-side
+    disjunctive filter, then year bucketing. Both nation sides broadcast;
+    the only shuffles are the fact-fact joins and the final small agg."""
+    s = t(spark, sf_dir, "supplier")
+    l = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    n = t(spark, sf_dir, "nation")
+    n1 = n.select(F.col("n_nationkey").alias("__sn_key"), F.col("n_name").alias("supp_nation"))
+    n2 = n.select(F.col("n_nationkey").alias("__cn_key"), F.col("n_name").alias("cust_nation"))
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    return (
+        l.join(s, l.l_suppkey == s.s_suppkey)
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("__sn_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("__cn_key"))
+        .filter(pair)
+        .groupBy(
+            "supp_nation", "cust_nation",
+            F.year("l_shipdate").alias("l_year"),
+        )
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+@query(
+    "q8_market_share",
+    f"""
+    SELECT o_year,
+           ({o_dsum('nation_volume')}) / ({o_dsum('volume')}) AS mkt_share
+    FROM (
+      SELECT EXTRACT(year FROM o.o_orderdate) AS o_year,
+             l.l_extendedprice * (1 - l.l_discount) AS volume,
+             CASE WHEN n2.n_name = 'NATION_5'
+                  THEN l.l_extendedprice * (1 - l.l_discount)
+                  ELSE 0.0 END AS nation_volume
+      FROM part p
+      JOIN lineitem l ON p.p_partkey = l.l_partkey
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n1 ON c.c_nationkey = n1.n_nationkey
+      JOIN region r ON n1.n_regionkey = r.r_regionkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation n2 ON s.s_nationkey = n2.n_nationkey
+      WHERE r.r_name = 'EUROPE' AND p.p_type = 'ECONOMY'
+    ) all_nations
+    GROUP BY o_year
+    ORDER BY o_year
+    """,
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: a 7-table snowflake (fact -> part/orders/customer ->
+    nation -> region, plus supplier -> nation) with a conditional-share
+    aggregate. All dims broadcast; the selective part/region filters cut
+    the fact stream before the wide joins."""
+    p = t(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    l = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    s = t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    n1 = n.select(F.col("n_nationkey").alias("__cn_key"), F.col("n_regionkey").alias("__cn_region"))
+    n2 = n.select(F.col("n_nationkey").alias("__sn_key"), F.col("n_name").alias("supp_nation"))
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    nation_vol = F.when(F.col("supp_nation") == "NATION_5", vol).otherwise(F.lit(0.0))
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("__cn_key"))
+        .join(F.broadcast(r), F.col("__cn_region") == F.col("r_regionkey"))
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("__sn_key"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg((dsum(nation_vol) / dsum(vol)).alias("mkt_share"))
+        .orderBy("o_year")
+    )
+
+
+@query(
     "q19_disjunctive_revenue",
     f"""
     SELECT {o_dsum('l.l_extendedprice * (1 - l.l_discount)')} AS revenue,
@@ -981,6 +1089,56 @@ def agg_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             (F.expr("percentile(FLOOR(l_extendedprice * 100), 0.5)") / 100).alias("median_price"),
             (F.expr("percentile(FLOOR(l_quantity * 100), 0.5)") / 100).alias("median_qty"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "agg_approx_percentile",
+    """
+    SELECT l_returnflag,
+           quantile_cont(FLOOR(l_extendedprice * 100), 0.50) / 100 AS exact_p50,
+           quantile_cont(FLOOR(l_extendedprice * 100), 0.95) / 100 AS exact_p95,
+           TRUE AS p50_within_bounds,
+           TRUE AS p95_within_bounds
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile (GK quantile summaries): the bounded-memory
+    percentile for 100 TB columns — `percentile` buffers every value per
+    group; the sketch keeps O(1/eps) entries and merges partials. Like
+    agg_approx_distinct, the sketch value is engine-specific, so the
+    oracle-checked output is the EXACT quantile plus a boolean asserting
+    the estimate landed within a generous relative bound (the sketch's
+    rank error is 1/accuracy; 5% value error at accuracy=10000 holds with
+    wide margin on any partitioning)."""
+    li = t(spark, sf_dir, "lineitem")
+    cents_price = F.floor(F.col("l_extendedprice") * 100)
+    # Array-percentile forms: ONE value buffer / ONE sketch per group for
+    # both quantiles, not one per requested percentile.
+    grouped = li.groupBy("l_returnflag").agg(
+        F.expr("percentile(FLOOR(l_extendedprice * 100), array(0.50, 0.95))").alias("__ex"),
+        F.percentile_approx(cents_price, [0.50, 0.95], 10000).alias("__ap"),
+    ).select(
+        "l_returnflag",
+        (F.col("__ex")[0] / 100).alias("exact_p50"),
+        (F.col("__ex")[1] / 100).alias("exact_p95"),
+        (F.col("__ap")[0] / 100).alias("__a50"),
+        (F.col("__ap")[1] / 100).alias("__a95"),
+    )
+    return (
+        grouped.select(
+            "l_returnflag",
+            "exact_p50",
+            "exact_p95",
+            (F.abs(F.col("__a50") - F.col("exact_p50")) / F.col("exact_p50") <= 0.05
+             ).alias("p50_within_bounds"),
+            (F.abs(F.col("__a95") - F.col("exact_p95")) / F.col("exact_p95") <= 0.05
+             ).alias("p95_within_bounds"),
         )
         .orderBy("l_returnflag")
     )
