@@ -127,11 +127,11 @@ _DRIVER_WINDOW = [
     "q18_large_volume_customers",
     "q19_disjunctive_revenue",
     "text_lang_id",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "agg_approx_percentile",
+    "agg_approx_distinct",
     "q1_pricing_summary",
-    "q3_shipping_priority",
-    "q5_local_supplier_volume",
-    "q10_returned_items",
-    "join_broadcast_dim",
     "dedup_cluster_canonical",
     "similarity_lsh_ann",
 ]
