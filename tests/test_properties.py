@@ -270,3 +270,36 @@ def test_manifest_table_matches_merge_table(spark, tmp_path_factory, seq):
     rows_mt = sorted(map(tuple, mt.read().collect()))
     rows_man = sorted(map(tuple, man.read().select(*mt.read().columns).collect()))
     assert rows_mt == rows_man
+
+
+@given(
+    minute=st.integers(0, 59),
+    hour=st.integers(0, 23),
+    dow=st.integers(1, 7),
+    start=st.datetimes(
+        min_value=datetime.datetime(2020, 1, 1),
+        max_value=datetime.datetime(2030, 1, 1),
+    ),
+)
+@settings(max_examples=50, deadline=None)
+def test_cron_next_fire_properties(minute, hour, dow, start):
+    """For any pinned (minute, hour, day-of-week) schedule: next_fire is
+    strictly after `start`, matches the schedule, is minute-aligned, and
+    is MINIMAL (no earlier matching minute exists — verified against a
+    brute-force scan). Also idempotent chaining: fires_between(start, t1)
+    returns exactly [t1]."""
+    from dca_manager_spark.pipeline.scheduler import CronSchedule
+
+    s = CronSchedule(f"cron({minute} {hour} ? * {dow} *)")
+    t1 = s.next_fire(start)
+    assert t1 is not None and t1 > start
+    assert s.matches(t1)
+    assert t1.second == 0 and t1.microsecond == 0
+    assert t1.minute == minute and t1.hour == hour
+    assert t1.isoweekday() % 7 + 1 == dow
+    # Minimality: brute-force the first matching minute.
+    probe = start.replace(second=0, microsecond=0) + datetime.timedelta(minutes=1)
+    while not s.matches(probe):
+        probe += datetime.timedelta(minutes=1)
+    assert probe == t1
+    assert s.fires_between(start, t1) == [t1]
