@@ -191,3 +191,30 @@ def test_q19_disjunction_stays_equi_join(spark):
     plan = explain_formatted(q("q19_disjunctive_revenue", spark))
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_catalog_wide_no_accidental_cartesian(spark):
+    """EVERY catalog query's physical plan is checked for cartesian /
+    nested-loop joins. The whitelist names the queries where that shape
+    is the documented intent (theta/cross joins, broadcast brute-force
+    baselines); anything else growing one is a scale regression."""
+    INTENTIONAL = {
+        "theta_join_regions",          # non-equi theta join IS the demo
+        "cross_join_region_types",     # cross join IS the demo
+        "similarity_cosine_topk",      # broadcast-queries brute force baseline
+        "dedup_embedding_cosine_exact",  # bounded all-pairs ground truth
+        "scalar_subquery_above_avg",   # scalar subquery joins on no key by design
+        "similarity_ivf_ann",          # corpus x broadcast-seeds (n_cells rows)
+                                       # coarse quantizer: linear in corpus
+    }
+    flagged = {}
+    for name in QUERIES:
+        df = QUERIES[name].fn(spark, SF_SMOKE)
+        plan = explain_formatted(df)
+        bad = [
+            node for node in ("CartesianProduct", "BroadcastNestedLoopJoin")
+            if node in plan
+        ]
+        if bad and name not in INTENTIONAL:
+            flagged[name] = bad
+    assert not flagged, f"unexpected cartesian/BNLJ shapes: {flagged}"
