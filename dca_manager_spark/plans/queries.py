@@ -131,9 +131,9 @@ _DRIVER_WINDOW = [
     "q8_market_share",
     "agg_approx_percentile",
     "agg_approx_distinct",
+    "variant_semi_structured",
     "q1_pricing_summary",
     "dedup_cluster_canonical",
-    "similarity_lsh_ann",
 ]
 
 
