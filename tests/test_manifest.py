@@ -275,3 +275,49 @@ def test_compaction_is_a_commit_and_preserves_content(spark, table):
     # Old files survive for in-flight readers until vacuum.
     assert table.vacuum() >= 4
     assert {r.transaction_id: r.price for r in table.read().collect()} == before
+
+
+def test_cluster_by_yields_disjoint_file_ranges(spark, tmp_path):
+    """cluster_by range-partitions each commit on the cluster column:
+    per-file parquet min/max stats must form (near-)disjoint bands —
+    the property file/row-group skipping needs — with logical content
+    unchanged."""
+    import pyarrow.parquet as pq
+
+    table = ManifestTable(
+        spark,
+        str(tmp_path / "ctbl"),
+        keys=("transaction_id", "close_time"),
+        precombine="transaction_id",
+        partition_by=(),
+        cluster_by=("price",),
+        cluster_files=4,  # pinned: AQE would coalesce this tiny commit to 1
+    )
+    rows = [(f"t{i}", TS1, "ADAGBP", float((i * 37) % 1000)) for i in range(2000)]
+    table.write(make_df(spark, rows), "bulk_insert")
+
+    doc = table._latest_manifest()[1]
+    bands = []
+    for f in doc["files"]:
+        meta = pq.read_metadata(str(Path(table.path) / f["path"]))
+        mins, maxs = [], []
+        for rg in range(meta.num_row_groups):
+            col = next(
+                meta.row_group(rg).column(i)
+                for i in range(meta.num_columns)
+                if meta.row_group(rg).column(i).path_in_schema == "price"
+            )
+            mins.append(col.statistics.min)
+            maxs.append(col.statistics.max)
+        bands.append((min(mins), max(maxs)))
+    assert len(bands) > 1, "expected multiple range-clustered files"
+    bands.sort()
+    # Disjoint up to the range-partitioner's boundary duplicates.
+    for (lo1, hi1), (lo2, hi2) in zip(bands, bands[1:]):
+        assert hi1 <= lo2, f"overlapping file bands: ({lo1},{hi1}) vs ({lo2},{hi2})"
+
+    # Logical content unchanged.
+    assert table.read().count() == 2000
+    assert table.read().filter("price < 100").count() == sum(
+        1 for _, _, _, p in rows if p < 100
+    )
