@@ -3049,6 +3049,84 @@ def stratified_hash_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "training_pack_sequences",
+    f"""
+    WITH t AS (
+      SELECT doc_id, len({_TOKENS.format(c='text')}) AS n_tokens,
+             md5(concat('shuffle', CAST(doc_id AS VARCHAR))) AS rk
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, n_tokens,
+             CAST(SUM(n_tokens) OVER (ORDER BY rk, doc_id) - n_tokens
+                  AS BIGINT) AS bin_tokens_before
+      FROM t
+    )
+    SELECT doc_id, n_tokens,
+           CAST(FLOOR(bin_tokens_before / 4096) AS BIGINT) AS bin_id,
+           bin_tokens_before
+    FROM c
+    ORDER BY doc_id
+    """,
+)
+def training_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for training loaders: documents in deterministic-
+    shuffle order (md5 sort key — reproducible on any cluster, no RNG),
+    packed sequentially into 4096-token bins via ONE window cumsum
+    (operators/training.pack_sequences). Bin assignment is a pure
+    function of (ids, token counts, salt) — the oracle reproduces it
+    bit-for-bit."""
+    from dca_manager_spark.operators.text import token_count
+    from dca_manager_spark.operators.training import pack_sequences
+
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id", token_count(F.col("text")).alias("n_tokens")
+    )
+    return (
+        pack_sequences(docs, "doc_id", "n_tokens", budget=4096)
+        .select("doc_id", "n_tokens", "bin_id", "bin_tokens_before")
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "training_mixture_sample",
+    """
+    SELECT lang, COUNT(*) AS n_docs
+    FROM (
+      SELECT lang,
+             CAST(concat('0x', substring(md5(concat('mixture',
+                  CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT) % 10000 AS b
+      FROM documents
+    )
+    WHERE (lang = 'en' AND b < 8000)
+       OR (lang = 'de' AND b < 5000)
+       OR (lang = 'fr' AND b < 2500)
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def training_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus mixture blending: keep a per-language hash-selected
+    fraction (en 80% / de 50% / fr 25%) — deterministic, layout-
+    independent, rerun-stable (operators/training.mixture_sample). The
+    count-per-group output keeps the oracle small while pinning the
+    exact selection."""
+    from dca_manager_spark.operators.training import mixture_sample
+
+    docs = t(spark, sf_dir, "documents")
+    return (
+        mixture_sample(
+            docs, "doc_id", "lang", {"en": 0.8, "de": 0.5, "fr": 0.25},
+            seed="mixture",
+        )
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("lang")
+    )
+
+
+@query(
     "applyinpandas_zscore",
     """
     WITH s AS (

@@ -111,3 +111,40 @@ def test_sort_within_partitions(spark):
         vs = [r.v for r in part]
         assert vs == sorted(vs)
     assert sum(len(p) for p in parts) == 100
+
+
+def test_pack_sequences_bin_invariants(spark):
+    """Every bin's token total stays within budget + one document's
+    overshoot (sequential packing crosses the boundary by at most the
+    crossing doc); order and assignment are rerun-deterministic."""
+    from dca_manager_spark.operators.training import pack_sequences
+
+    rows = [(i, 100 + (i * 97) % 900) for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id int, n_tokens int")
+    out = pack_sequences(df, "doc_id", "n_tokens", budget=2048).collect()
+    by_bin: dict[int, int] = {}
+    for r in out:
+        by_bin[r.bin_id] = by_bin.get(r.bin_id, 0) + r.n_tokens
+    max_doc = max(n for _, n in rows)
+    assert all(tot <= 2048 + max_doc for tot in by_bin.values())
+    # Bins are contiguous from 0 and reruns agree exactly.
+    assert set(by_bin) == set(range(len(by_bin)))
+    again = pack_sequences(df, "doc_id", "n_tokens", budget=2048).collect()
+    assert {(r.doc_id, r.bin_id) for r in again} == {(r.doc_id, r.bin_id) for r in out}
+
+
+def test_mixture_sample_rates_and_stability(spark, sf_dir):
+    from dca_manager_spark.operators.training import mixture_sample
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    kept = mixture_sample(docs, "doc_id", "lang", {"en": 0.5}).select("doc_id", "lang")
+    rows = kept.collect()
+    assert all(r.lang == "en" for r in rows)  # default rate 0 drops others
+    n_en = docs.filter("lang = 'en'").count()
+    if n_en >= 50:
+        frac = len(rows) / n_en
+        assert 0.3 < frac < 0.7, f"en keep-rate {frac} far from 0.5"
+    # Rerun-stable: identical selection.
+    again = {r.doc_id for r in mixture_sample(
+        docs, "doc_id", "lang", {"en": 0.5}).select("doc_id").collect()}
+    assert again == {r.doc_id for r in rows}
