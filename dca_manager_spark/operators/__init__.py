@@ -14,15 +14,30 @@ from dca_manager_spark.operators.sampling import (
     stratified_hash_sample,
     train_val_test_split,
 )
-from dca_manager_spark.operators.similarity import cosine_pairs, cosine_topk, lsh_ann_topk
+from dca_manager_spark.operators.similarity import (
+    cosine_pairs,
+    cosine_pairs_lsh,
+    cosine_topk,
+    ivf_ann_topk,
+    lsh_ann_topk,
+)
 from dca_manager_spark.operators.skew import salted_join, salted_sum
+from dca_manager_spark.operators.corpus import prepare_corpus
+from dca_manager_spark.operators.training import (
+    deterministic_shuffle,
+    mixture_sample,
+    pack_sequences,
+)
 
 __all__ = [
     "asof_join", "range_join", "top_k",
     "exact_dedup", "exact_dedup_by_content", "ngram_jaccard_pairs",
     "minhash_lsh_pairs", "simhash_pairs", "connected_components",
     "dedup_keep_canonical",
-    "cosine_topk", "cosine_pairs", "lsh_ann_topk",
+    "cosine_topk", "cosine_pairs", "cosine_pairs_lsh", "lsh_ann_topk",
+    "ivf_ann_topk",
     "train_val_test_split", "stratified_hash_sample",
     "salted_sum", "salted_join",
+    "prepare_corpus",
+    "deterministic_shuffle", "pack_sequences", "mixture_sample",
 ]
