@@ -105,8 +105,8 @@ _DRIVER_WINDOW = [
     "theta_join_regions",
     "cross_join_region_types",
     "dedup_embedding_cosine_exact",
-    "window_ntile_quartiles",
-    "window_first_last",
+    "training_pack_sequences",
+    "training_mixture_sample",
     "set_except_all",
     "set_intersect_all",
     "filter_predicate_family",
@@ -1675,17 +1675,36 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     array is materialized once behind a Generate barrier so the 5 marker
     scores share one tokenization instead of re-splitting per score
     (interpreted HOF; see operators/corpus.py for the same pattern)."""
-    from dca_manager_spark.operators.text import lang_id_from_tokens, tokens
+    from dca_manager_spark.operators.text import (
+        LANG_MARKERS,
+        lang_scores_from_tokens,
+        tokens,
+    )
 
-    return (
+    # Two Generate barriers: the token array, then the SCORES array —
+    # lang_id_from_tokens references scores twice (array_max +
+    # array_position), which would double every interpreted marker
+    # filter; materialized scores make the argmax itself free.
+    staged = (
         t(spark, sf_dir, "documents")
         .select(
             "doc_id", "lang",
             F.explode(F.array(tokens(F.lower(F.col("text"))))).alias("__tl"),
         )
         .select(
-            "doc_id", "lang", lang_id_from_tokens(F.col("__tl")).alias("pred_lang")
+            "doc_id", "lang",
+            F.explode(
+                F.array(F.array(*lang_scores_from_tokens(F.col("__tl")).values()))
+            ).alias("__scores"),
         )
+    )
+    langs = F.array(*[F.lit(lang) for lang in LANG_MARKERS])
+    best = F.array_max(F.col("__scores"))
+    pred = F.when(best <= 0, F.lit("und")).otherwise(
+        F.element_at(langs, F.array_position(F.col("__scores"), best).cast("int"))
+    )
+    return (
+        staged.select("doc_id", "lang", pred.alias("pred_lang"))
         .orderBy("doc_id")
     )
 
