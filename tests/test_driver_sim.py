@@ -38,3 +38,25 @@ def test_driver_sim_full_catalog(sf_dir):
     assert out.returncode == 0, f"driver_sim failed:\n{tail}\n{out.stderr[-2000:]}"
     m = re.search(r"(\d+)/(\d+) queries match", out.stdout)
     assert m and m.group(1) == m.group(2), tail
+
+
+def test_typed_equal_missing_value_semantics():
+    """The comparator treats missing==missing as EQUAL for both float NaN
+    and datetime NaT (pd.NaT is a datetime subclass where NaT != NaT
+    under ==), but never collapses missing against a real value — the r6
+    as-of-join lesson."""
+    import datetime
+
+    import pandas as pd
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "scripts"))
+    from driver_sim import typed_equal
+
+    ts = datetime.datetime(2024, 1, 1)
+    assert typed_equal(float("nan"), float("nan"))
+    assert typed_equal(pd.NaT, pd.NaT)
+    assert not typed_equal(pd.NaT, ts)
+    assert not typed_equal(ts, pd.NaT)
+    assert typed_equal(ts, ts)
+    assert not typed_equal(None, ts)
+    assert typed_equal(None, None)
