@@ -242,6 +242,27 @@ def minhash_signatures(
     return hashed.groupBy("__id").agg(*aggs)
 
 
+def _banded(sigs: DataFrame, bands: int, rows_per_band: int, hash_fn: str) -> DataFrame:
+    """Signature frame (__id, h0..hN-1) -> exploded (__id, __band, __bh)
+    band-bucket rows. md5 keys when cross-engine portability matters,
+    xxhash64 otherwise."""
+
+    def band_key(b: int) -> Column:
+        joined = F.concat_ws(
+            ",",
+            *[
+                F.col(f"h{b * rows_per_band + r}").cast("string")
+                for r in range(rows_per_band)
+            ],
+        )
+        if hash_fn == "md5":
+            return F.substring(F.md5(joined), 1, 16)
+        return F.xxhash64(joined).cast("string")
+
+    band_hashes = F.array(*[band_key(b) for b in range(bands)])
+    return sigs.select("__id", F.posexplode(band_hashes).alias("__band", "__bh"))
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,
@@ -269,22 +290,7 @@ def minhash_lsh_pairs(
     sigs = minhash_signatures(
         df, id_col, text_col, num_hashes, k, mode, grams=grams, hash_fn=hash_fn
     )
-
-    def band_key(b: int) -> Column:
-        joined = F.concat_ws(
-            ",",
-            *[
-                F.col(f"h{b * rows_per_band + r}").cast("string")
-                for r in range(rows_per_band)
-            ],
-        )
-        # 64-bit bucket key; md5-hex-prefix when portability matters.
-        if hash_fn == "md5":
-            return F.substring(F.md5(joined), 1, 16)
-        return F.xxhash64(joined).cast("string")
-
-    band_hashes = F.array(*[band_key(b) for b in range(bands)])
-    banded = sigs.select("__id", F.posexplode(band_hashes).alias("__band", "__bh"))
+    banded = _banded(sigs, bands, rows_per_band, hash_fn)
     cand = (
         banded.alias("x")
         .join(
@@ -323,6 +329,90 @@ def minhash_lsh_pairs(
         .filter(F.col("jaccard") >= threshold)
     )
     return verified.select("id_a", "id_b", "n_inter", "n_a", "n_b", "jaccard")
+
+
+def minhash_incremental_filter(
+    new_df: DataFrame,
+    corpus_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 64,
+    bands: int = 16,
+    k: int = 3,
+    threshold: float = 0.6,
+    mode: str = "word",
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Incremental ingest dedup: keep only the NEW documents with no
+    near-duplicate (exact Jaccard >= threshold, MinHash-banded
+    candidates) in the EXISTING corpus. This is the steady-state shape of
+    a production pipeline — each arriving batch pairs against the kept
+    corpus, never corpus x corpus again.
+
+    Scale: candidates are an equi join of the batch's band buckets
+    against the corpus's band buckets — cost tracks batch size x bucket
+    collision rate. At 100 TB the corpus band frame is precomputed once
+    and persisted (it is a pure function of the kept docs), so each
+    batch pays only its own shingling + one bucket join + verification
+    on candidates. Within-batch duplicates are NOT removed here — run
+    minhash_lsh_pairs + dedup_keep_canonical on the surviving batch.
+    """
+    rows_per_band = num_hashes // bands
+    grams_new = exploded_shingles(
+        new_df, id_col, text_col, k, mode
+    ).localCheckpoint(eager=False)
+    grams_old = exploded_shingles(
+        corpus_df, id_col, text_col, k, mode
+    ).localCheckpoint(eager=False)
+    sigs_new = minhash_signatures(
+        new_df, id_col, text_col, num_hashes, k, mode, grams=grams_new, hash_fn=hash_fn
+    )
+    sigs_old = minhash_signatures(
+        corpus_df, id_col, text_col, num_hashes, k, mode, grams=grams_old, hash_fn=hash_fn
+    )
+    banded_new = _banded(sigs_new, bands, rows_per_band, hash_fn)
+    banded_old = _banded(sigs_old, bands, rows_per_band, hash_fn)
+    cand = (
+        banded_new.select(
+            F.col("__id").alias("__nid"), "__band", "__bh"
+        )
+        .join(
+            banded_old.select(F.col("__id").alias("__cid"), "__band", "__bh"),
+            ["__band", "__bh"],
+        )
+        .select("__nid", "__cid")
+        .distinct()
+    )
+    sizes_new = grams_new.groupBy("__id").agg(F.count(F.lit(1)).alias("__n"))
+    sizes_old = grams_old.groupBy("__id").agg(F.count(F.lit(1)).alias("__n"))
+    inter = (
+        cand.join(
+            grams_new.select(F.col("__id").alias("__nid"), "__g"), "__nid"
+        )
+        .join(
+            grams_old.select(F.col("__id").alias("__cid"), "__g"), ["__cid", "__g"]
+        )
+        .groupBy("__nid", "__cid")
+        .agg(F.count(F.lit(1)).alias("__inter"))
+    )
+    matched = (
+        inter.join(
+            sizes_new.select(F.col("__id").alias("__nid"), F.col("__n").alias("__na")),
+            "__nid",
+        )
+        .join(
+            sizes_old.select(F.col("__id").alias("__cid"), F.col("__n").alias("__nb")),
+            "__cid",
+        )
+        .filter(
+            F.col("__inter").cast("double")
+            / (F.col("__na") + F.col("__nb") - F.col("__inter")).cast("double")
+            >= threshold
+        )
+        .select(F.col("__nid").alias(id_col))
+        .distinct()
+    )
+    return new_df.join(matched, id_col, "left_anti")
 
 
 # ---------------------------------------------------------------------------

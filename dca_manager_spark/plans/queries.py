@@ -3068,6 +3068,89 @@ def stratified_hash_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_incremental_batch",
+    r"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                         x -> x != '') AS tk
+      FROM documents
+    ),
+    grams AS (
+      SELECT DISTINCT doc_id, array_to_string(tk[i.i + 1 : i.i + 3], ' ') AS g
+      FROM toks, LATERAL (
+        SELECT unnest(range(0, greatest(len(tk) - 2, 1))) AS i
+      ) i
+      WHERE array_to_string(tk[i.i + 1 : i.i + 3], ' ') != ''
+    ),
+    hashed AS (
+      SELECT doc_id,
+             CAST(concat('0x', substring(md5(g), 1, 8)) AS BIGINT) AS m1,
+             CAST(concat('0x', substring(md5(g), 9, 8)) AS BIGINT) AS m2
+      FROM grams
+    ),
+    sig AS (
+      SELECT doc_id, s.s AS s, MIN(m1 + s.s * m2) AS h
+      FROM hashed, (SELECT unnest(range(0, 64)) AS s) s
+      GROUP BY doc_id, s.s
+    ),
+    bands AS (
+      SELECT doc_id, s // 4 AS band,
+             substring(md5(string_agg(CAST(h AS VARCHAR), ',' ORDER BY s)), 1, 16) AS bh
+      FROM sig GROUP BY doc_id, s // 4
+    ),
+    cand AS (
+      SELECT DISTINCT x.doc_id AS nid, y.doc_id AS cid
+      FROM bands x
+      JOIN bands y ON x.band = y.band AND x.bh = y.bh
+      WHERE x.doc_id % 2 = 1 AND y.doc_id % 2 = 0
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY doc_id),
+    inter AS (
+      SELECT c.nid, c.cid, COUNT(*) AS n_inter
+      FROM cand c
+      JOIN grams ga ON ga.doc_id = c.nid
+      JOIN grams gb ON gb.doc_id = c.cid AND gb.g = ga.g
+      GROUP BY c.nid, c.cid
+    ),
+    matched AS (
+      SELECT DISTINCT i.nid
+      FROM inter i
+      JOIN sizes sa ON sa.doc_id = i.nid
+      JOIN sizes sb ON sb.doc_id = i.cid
+      WHERE CAST(n_inter AS DOUBLE)
+            / CAST(sa.n + sb.n - n_inter AS DOUBLE) >= 0.7
+    )
+    SELECT doc_id, lang FROM documents
+    WHERE doc_id % 2 = 1 AND doc_id NOT IN (SELECT nid FROM matched)
+    ORDER BY doc_id
+    """,
+)
+def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingest dedup — the steady-state production shape: a
+    NEW batch (odd doc ids here) pairs its MinHash band buckets against
+    the EXISTING corpus's (even ids), exact Jaccard verifies candidates,
+    and matched batch docs are dropped; the corpus is never re-paired
+    against itself (operators/dedup.minhash_incremental_filter). md5
+    hash mode so bands, candidates and the verdict replicate exactly in
+    the oracle."""
+    from dca_manager_spark.operators.dedup import minhash_incremental_filter
+
+    docs = t(spark, sf_dir, "documents")
+    batch = docs.filter(F.col("doc_id") % 2 == 1)
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    return (
+        minhash_incremental_filter(
+            batch, corpus, "doc_id", "text",
+            num_hashes=64, bands=16, k=3, threshold=0.7,
+            mode="word", hash_fn="md5",
+        )
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    )
+
+
+@query(
     "training_pack_sequences",
     f"""
     WITH t AS (

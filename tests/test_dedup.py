@@ -201,3 +201,30 @@ def test_simhash64_md5_hoisted_once(spark):
         .toString()
     )
     assert plan.count("md5(") == 1, f"md5 evaluated {plan.count('md5(')}x in plan"
+
+
+def test_minhash_incremental_filter_known_dups(spark):
+    """Batch docs near-duplicating a corpus doc are dropped; novel batch
+    docs survive; the corpus itself is never filtered. Within-batch dups
+    both survive (documented: run pair-dedup on the survivors)."""
+    from dca_manager_spark.operators.dedup import minhash_incremental_filter
+
+    base = ("the quick brown fox jumps over the lazy dog and then runs far "
+            "away home to sleep for the night")
+    corpus = spark.createDataFrame(
+        [(0, base),
+         (2, "completely different corpus content about spark engines at very large scale")],
+        ["doc_id", "text"],
+    )
+    batch = spark.createDataFrame(
+        [(101, base),                                     # exact dup of corpus 0
+         (103, base.replace("quick", "rapid")),           # near dup of corpus 0
+         (105, "a wholly novel document about training data pipelines and "
+               "token budgets for sequence packing")],
+        ["doc_id", "text"],
+    )
+    kept = minhash_incremental_filter(
+        batch, corpus, "doc_id", "text",
+        num_hashes=64, bands=16, threshold=0.6, mode="word",
+    )
+    assert {r.doc_id for r in kept.collect()} == {105}
