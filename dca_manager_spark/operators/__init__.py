@@ -6,6 +6,7 @@ from dca_manager_spark.operators.dedup import (
     dedup_keep_canonical,
     exact_dedup,
     exact_dedup_by_content,
+    minhash_incremental_filter,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
     simhash_pairs,
@@ -32,8 +33,8 @@ from dca_manager_spark.operators.training import (
 __all__ = [
     "asof_join", "range_join", "top_k",
     "exact_dedup", "exact_dedup_by_content", "ngram_jaccard_pairs",
-    "minhash_lsh_pairs", "simhash_pairs", "connected_components",
-    "dedup_keep_canonical",
+    "minhash_lsh_pairs", "minhash_incremental_filter", "simhash_pairs",
+    "connected_components", "dedup_keep_canonical",
     "cosine_topk", "cosine_pairs", "cosine_pairs_lsh", "lsh_ann_topk",
     "ivf_ann_topk",
     "train_val_test_split", "stratified_hash_sample",
