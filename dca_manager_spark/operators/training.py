@@ -8,9 +8,10 @@ any cluster/partitioning, no seeds stored, every one exactly replicable
 by an engine-independent oracle.
 
 Scale notes: shuffle-order and mixture are narrow projections + one
-hash; packing is one window cumsum over the chosen order (a single
-range-partitioned shuffle). Nothing here is data-size-quadratic and
-nothing collects.
+hash; packing is a hierarchical two-pass prefix sum (per-bucket window
+cumsum on a hash-partitioned exchange + broadcast bucket offsets) — no
+single-partition stage anywhere. The only collect is the bucket-total
+frame, bounded by 16**bucket_chars rows of (string, long) metadata.
 """
 
 from __future__ import annotations
@@ -39,6 +40,7 @@ def pack_sequences(
     token_col: str,
     budget: int,
     seed: str = "shuffle",
+    bucket_chars: int = 3,
 ) -> DataFrame:
     """Sequential token-budget packing: documents are taken in the
     deterministic-shuffle order and a new bin starts whenever the running
@@ -47,20 +49,55 @@ def pack_sequences(
     This is the streaming-friendly packing LLM loaders use (greedy
     first-fit-decreasing needs global coordination; sequential packing of
     a shuffled stream wastes only the expected tail of each bin, which is
-    small when documents are much shorter than the budget). One window
-    cumsum over the shuffle order = one range exchange.
+    small when documents are much shorter than the budget).
+
+    The global cumsum is a hierarchical two-pass prefix sum, NOT a
+    single-partition window: rows are bucketed by the first
+    ``bucket_chars`` hex chars of the md5 sort key — a bucket is a
+    contiguous RANGE of the global order and a pure function of the ids,
+    so the two passes can never disagree about membership. Pass 1
+    aggregates per-bucket token totals (map-side partial, then a bounded
+    <= 16**bucket_chars-row collect of pure metadata); pass 2 runs the
+    cumsum per bucket on an ordinary hash-partitioned window and adds the
+    broadcast prefix offset of every earlier bucket. Max rows per task is
+    n / 16**bucket_chars — raise ``bucket_chars`` to scale out further.
 
     Documents LONGER than the budget get a bin of their own (they cross
     the boundary immediately); chunk them upstream if that is an error.
     """
-    w = Window.orderBy(shuffle_rank(F.col(id_col), seed), F.col(id_col))
-    cum = F.sum(F.col(token_col)).over(w)
+    rank = shuffle_rank(F.col(id_col), seed)
+    keyed = df.withColumn("_pack_rank", rank).withColumn(
+        "_pack_bucket", F.substring(F.col("_pack_rank"), 1, bucket_chars)
+    )
+    # Pass 1: per-bucket token totals. Bounded-metadata collect (one row
+    # per *occupied* bucket, <= 16**bucket_chars) — deterministic across
+    # actions because the bucket is a hash of the id, not a partition id.
+    totals = (
+        keyed.groupBy("_pack_bucket")
+        .agg(F.sum(F.col(token_col).cast("long")).alias("_t"))
+        .collect()
+    )
+    rows, run = [], 0
+    for r in sorted(totals, key=lambda r: r["_pack_bucket"]):
+        rows.append((r["_pack_bucket"], run))
+        run += r["_t"]
+    offsets = keyed.sparkSession.createDataFrame(
+        rows, "_pack_bucket string, _pack_offset long"
+    )
+    # Pass 2: local cumsum inside each bucket (hash-partitioned window —
+    # hex prefixes sort identically to the full key, and md5 collisions
+    # aside, equal ranks share a bucket so cross-bucket ties are moot).
+    w = Window.partitionBy("_pack_bucket").orderBy(F.col("_pack_rank"), F.col(id_col))
+    cum = F.col("_pack_offset") + F.sum(F.col(token_col)).over(w)
     before = cum - F.col(token_col)
     # Bin = how many full budgets lie at or below the tokens BEFORE this
     # document — a doc starts a new bin exactly when its predecessor total
     # crossed a budget multiple.
-    return df.withColumn("bin_id", F.floor(before / F.lit(budget)).cast("long")).withColumn(
-        "bin_tokens_before", before.cast("long")
+    return (
+        keyed.join(F.broadcast(offsets), "_pack_bucket")
+        .withColumn("bin_id", F.floor(before / F.lit(budget)).cast("long"))
+        .withColumn("bin_tokens_before", before.cast("long"))
+        .drop("_pack_rank", "_pack_bucket", "_pack_offset")
     )
 
 

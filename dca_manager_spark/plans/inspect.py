@@ -46,3 +46,22 @@ def uses(df: DataFrame, node_fragment: str) -> bool:
     """True if the executed plan contains the node (e.g.
     'BroadcastHashJoin', 'SortMergeJoin', 'TakeOrderedAndProject')."""
     return node_fragment in explain_formatted(df)
+
+
+def unpartitioned_window_count(df: DataFrame) -> int:
+    """Number of Window nodes in the optimized logical plan with an EMPTY
+    partitionSpec. Such a window forces Exchange SinglePartition — every
+    row through ONE task — which is a 100 TB scale-killer unless the
+    input is provably bounded (e.g. sits above a small limit/aggregate).
+    Walked on the logical plan because the physical rendering of the
+    exchange varies with AQE/limit placement."""
+    count = 0
+    stack = [df._jdf.queryExecution().optimizedPlan()]
+    while stack:
+        node = stack.pop()
+        if node.nodeName() == "Window" and node.partitionSpec().isEmpty():
+            count += 1
+        children = node.children()
+        for i in range(children.length()):
+            stack.append(children.apply(i))
+    return count

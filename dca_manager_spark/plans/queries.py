@@ -3174,10 +3174,11 @@ def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 def training_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence packing for training loaders: documents in deterministic-
     shuffle order (md5 sort key — reproducible on any cluster, no RNG),
-    packed sequentially into 4096-token bins via ONE window cumsum
-    (operators/training.pack_sequences). Bin assignment is a pure
-    function of (ids, token counts, salt) — the oracle reproduces it
-    bit-for-bit."""
+    packed sequentially into 4096-token bins via a hierarchical two-pass
+    prefix sum (operators/training.pack_sequences): per-bucket window
+    cumsum on a hash-partitioned exchange plus broadcast bucket offsets —
+    no single-partition stage. Bin assignment is a pure function of
+    (ids, token counts, salt) — the oracle reproduces it bit-for-bit."""
     from dca_manager_spark.operators.text import token_count
     from dca_manager_spark.operators.training import pack_sequences
 

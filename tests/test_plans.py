@@ -218,3 +218,26 @@ def test_catalog_wide_no_accidental_cartesian(spark):
         if bad and name not in INTENTIONAL:
             flagged[name] = bad
     assert not flagged, f"unexpected cartesian/BNLJ shapes: {flagged}"
+
+
+def test_catalog_wide_no_unpartitioned_windows(spark):
+    """EVERY catalog query is checked for Window nodes with an empty
+    partitionSpec — the shape that forces Exchange SinglePartition and
+    funnels the whole input through one task (the r6 pack_sequences
+    defect, fixed by the hierarchical two-pass prefix sum). The whitelist
+    names the queries where the window's input is provably bounded."""
+    from dca_manager_spark.plans.inspect import unpartitioned_window_count
+
+    BOUNDED = {
+        # Fallback seed-picker: row_number over the n_cells-row frame
+        # produced by orderBy().limit(n_cells) — a constant-size input
+        # (operators/similarity.py default-seeds path), not the corpus.
+        "similarity_ivf_ann",
+    }
+    flagged = {}
+    for name in QUERIES:
+        df = QUERIES[name].fn(spark, SF_SMOKE)
+        n = unpartitioned_window_count(df)
+        if n and name not in BOUNDED:
+            flagged[name] = n
+    assert not flagged, f"unpartitioned (single-partition) windows: {flagged}"
