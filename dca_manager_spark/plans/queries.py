@@ -78,62 +78,66 @@ def query(name: str, oracle: str | None):
 # The full catalog is still verified every round by scripts/driver_sim.py
 # regardless of window membership.
 _DRIVER_WINDOW = [
-    # Round-6 rotation (r4 task #2, r5 task #3): the 27 queries last
-    # driver-scored in round 2 plus the new exact-pairs baseline go FIRST,
-    # then the 7 events queries red in r5 (loader fix must get driver-
-    # scored), then everything ADDED or CHANGED in round 6 (the six new
-    # TPC-H/corpus entries, the LSH-candidate dedup_embedding_cosine, the
-    # rewritten text_lang_id) and flagship keepers.
-    "agg_distinct_per_segment",
-    "join_left_semi",
-    "join_left_anti",
-    "join_full_outer",
-    "window_rank_orders",
-    "window_running_invested",
-    "window_lag_lead",
-    "topk_global_lineitems",
-    "set_union_entities",
-    "set_intersect_nations",
-    "set_except_parts",
-    "distinct_projection",
-    "agg_rollup_region_nation",
-    "agg_cube_status_priority",
-    "agg_grouping_sets",
-    "scalar_string_funcs",
-    "scalar_date_funcs",
-    "scalar_case_banding",
-    "theta_join_regions",
-    "cross_join_region_types",
-    "dedup_embedding_cosine_exact",
+    # Round-7 rotation (r6 verdict task #2): (1) the never-scored
+    # dedup_incremental_batch and the two r1/r2-era windows go FIRST,
+    # (2) everything ADDED or CHANGED in round 7 (the pack_sequences
+    # two-pass rewrite and the new r7 queries), (3) the remaining 38
+    # queries whose latest driver row is r5 — everything scored green in
+    # r6 rotates out. Full-catalog verification still happens every
+    # round via scripts/driver_sim.py regardless of window membership.
+    "dedup_incremental_batch",
+    "window_first_last",
+    "window_ntile_quartiles",
+    # -- changed in round 7 --
     "training_pack_sequences",
     "training_mixture_sample",
-    "set_except_all",
-    "set_intersect_all",
-    "filter_predicate_family",
-    "explode_word_counts",
-    "join_sort_merge_hint",
-    "asof_join_purchase_view",
-    "range_join_purchase_clicks",
-    "tumbling_window_events",
-    "sliding_window_events",
-    "session_window_batch",
-    "scalar_json_extract",
-    "from_json_typed",
+    # -- last scored r5 --
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "q10_returned_items",
+    "join_broadcast_dim",
+    "agg_collect_sorted",
+    "agg_median_price",
+    "precombine_dedup_lineitem",
+    "scalar_subquery_above_avg",
+    "text_features",
+    "dedup_exact_documents",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "similarity_cosine_topk",
+    "similarity_lsh_ann",
+    "similarity_ivf_ann",
+    "window_range_frame",
+    "join_shuffle_hash_hint",
+    "union_missing_columns",
+    "scalar_math_funcs",
+    "array_functions",
+    "pivot_status_by_priority",
+    "unpivot_balances",
+    "map_functions",
+    "regexp_extract_parts",
+    "sql_correlated_exists",
+    "null_handling_family",
+    "train_val_test_split",
+    "stratified_hash_sample",
+    "applyinpandas_zscore",
+    "stat_corr_manual",
+    "multimodal_frame_plan",
+    "multimodal_features",
+    "profile_orders",
+    "scalar_interval_arith",
+    "text_cleaning",
+    "text_repetition_ratio",
+    "vocabulary_oov",
+    # -- flagship keepers (scored green r6; bumped as r7 queries land) --
     "dedup_embedding_cosine",
     "corpus_prep_pipeline",
-    "q4_late_order_priority",
-    "q6_forecast_revenue",
-    "q14_promo_revenue_ratio",
-    "q18_large_volume_customers",
-    "q19_disjunctive_revenue",
-    "text_lang_id",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "agg_approx_percentile",
-    "agg_approx_distinct",
-    "variant_semi_structured",
-    "q1_pricing_summary",
     "dedup_cluster_canonical",
+    "q1_pricing_summary",
+    "text_lang_id",
+    "agg_approx_distinct",
+    "q6_forecast_revenue",
 ]
 
 
