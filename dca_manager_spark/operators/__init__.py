@@ -2,6 +2,8 @@
 
 from dca_manager_spark.operators.relational import asof_join, range_join, top_k
 from dca_manager_spark.operators.dedup import (
+    CorpusIndex,
+    build_corpus_index,
     connected_components,
     dedup_keep_canonical,
     exact_dedup,
@@ -34,6 +36,7 @@ __all__ = [
     "asof_join", "range_join", "top_k",
     "exact_dedup", "exact_dedup_by_content", "ngram_jaccard_pairs",
     "minhash_lsh_pairs", "minhash_incremental_filter", "simhash_pairs",
+    "CorpusIndex", "build_corpus_index",
     "connected_components", "dedup_keep_canonical",
     "cosine_topk", "cosine_pairs", "cosine_pairs_lsh", "lsh_ann_topk",
     "ivf_ann_topk",

@@ -331,9 +331,108 @@ def minhash_lsh_pairs(
     return verified.select("id_a", "id_b", "n_inter", "n_a", "n_b", "jaccard")
 
 
+class CorpusIndex:
+    """Precomputed MinHash index of the kept corpus — the persisted-corpus
+    seam of :func:`minhash_incremental_filter`.
+
+    Holds the three corpus-side artifacts incremental dedup needs —
+    distinct shingle rows ``grams`` (__id, __g), band buckets ``bands``
+    (__id, __band, __bh), and shingle-set sizes ``sizes`` (__id, __n) —
+    plus the shingling/hashing parameters they were built with, so a
+    mismatched filter call fails loudly instead of silently comparing
+    incompatible sketches.
+
+    Steady-state usage: :func:`build_corpus_index` once over the kept
+    corpus, ``save()`` it, then every arriving batch ``load()``s and
+    passes ``corpus_index=`` — the corpus is never re-shingled; each
+    batch pays only its own shingling + the bucket join + candidate-only
+    verification. After a batch is admitted, extend the index with the
+    survivors' rows (build_corpus_index on the admitted batch, union or
+    append the three frames) rather than rebuilding.
+
+    ``save``/``load`` write three parquet datasets plus a params JSON;
+    the params file uses driver-local file IO (same assumption as
+    io/manifest.py — a shared/posix path; object stores would front this
+    with their own metadata put).
+    """
+
+    PARAM_KEYS = ("num_hashes", "bands", "k", "mode", "hash_fn")
+
+    def __init__(
+        self,
+        grams: DataFrame,
+        bands: DataFrame,
+        sizes: DataFrame,
+        params: dict,
+    ) -> None:
+        self.grams = grams
+        self.bands = bands
+        self.sizes = sizes
+        self.params = params
+
+    def save(self, path: str) -> None:
+        import json
+        import os
+
+        os.makedirs(path, exist_ok=True)
+        self.grams.write.mode("overwrite").parquet(os.path.join(path, "grams"))
+        self.bands.write.mode("overwrite").parquet(os.path.join(path, "bands"))
+        self.sizes.write.mode("overwrite").parquet(os.path.join(path, "sizes"))
+        with open(os.path.join(path, "index_params.json"), "w") as fh:
+            json.dump(self.params, fh, indent=1, sort_keys=True)
+
+    @staticmethod
+    def load(spark, path: str) -> "CorpusIndex":
+        import json
+        import os
+
+        with open(os.path.join(path, "index_params.json")) as fh:
+            params = json.load(fh)
+        return CorpusIndex(
+            grams=spark.read.parquet(os.path.join(path, "grams")),
+            bands=spark.read.parquet(os.path.join(path, "bands")),
+            sizes=spark.read.parquet(os.path.join(path, "sizes")),
+            params=params,
+        )
+
+
+def build_corpus_index(
+    corpus_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 64,
+    bands: int = 16,
+    k: int = 3,
+    mode: str = "word",
+    hash_fn: str = "xxhash64",
+) -> CorpusIndex:
+    """Shingle + sign the corpus ONCE and package every corpus-side frame
+    :func:`minhash_incremental_filter` needs. Pure function of the kept
+    docs — safe to persist and reuse across every future ingest batch."""
+    rows_per_band = num_hashes // bands
+    grams = exploded_shingles(corpus_df, id_col, text_col, k, mode).localCheckpoint(
+        eager=False
+    )
+    sigs = minhash_signatures(
+        corpus_df, id_col, text_col, num_hashes, k, mode, grams=grams, hash_fn=hash_fn
+    )
+    return CorpusIndex(
+        grams=grams,
+        bands=_banded(sigs, bands, rows_per_band, hash_fn),
+        sizes=grams.groupBy("__id").agg(F.count(F.lit(1)).alias("__n")),
+        params={
+            "num_hashes": num_hashes,
+            "bands": bands,
+            "k": k,
+            "mode": mode,
+            "hash_fn": hash_fn,
+        },
+    )
+
+
 def minhash_incremental_filter(
     new_df: DataFrame,
-    corpus_df: DataFrame,
+    corpus_df: DataFrame | None,
     id_col: str,
     text_col: str,
     num_hashes: int = 64,
@@ -342,6 +441,7 @@ def minhash_incremental_filter(
     threshold: float = 0.6,
     mode: str = "word",
     hash_fn: str = "xxhash64",
+    corpus_index: CorpusIndex | None = None,
 ) -> DataFrame:
     """Incremental ingest dedup: keep only the NEW documents with no
     near-duplicate (exact Jaccard >= threshold, MinHash-banded
@@ -351,27 +451,59 @@ def minhash_incremental_filter(
 
     Scale: candidates are an equi join of the batch's band buckets
     against the corpus's band buckets — cost tracks batch size x bucket
-    collision rate. At 100 TB the corpus band frame is precomputed once
-    and persisted (it is a pure function of the kept docs), so each
-    batch pays only its own shingling + one bucket join + verification
-    on candidates. Within-batch duplicates are NOT removed here — run
-    minhash_lsh_pairs + dedup_keep_canonical on the surviving batch.
+    collision rate. At 100 TB pass ``corpus_index=`` (built once by
+    :func:`build_corpus_index`, persisted via ``CorpusIndex.save``) so
+    each batch pays only its own shingling + one bucket join +
+    verification on candidates; the raw corpus is not read at all.
+    Exactly one of ``corpus_df`` / ``corpus_index`` must be supplied,
+    and the index's build parameters must match this call's — both are
+    loud errors otherwise. Within-batch duplicates are NOT removed here —
+    run minhash_lsh_pairs + dedup_keep_canonical on the surviving batch.
     """
     rows_per_band = num_hashes // bands
+    if (corpus_df is None) == (corpus_index is None):
+        raise ValueError(
+            "pass exactly one of corpus_df (recompute) or corpus_index (persisted)"
+        )
     grams_new = exploded_shingles(
         new_df, id_col, text_col, k, mode
-    ).localCheckpoint(eager=False)
-    grams_old = exploded_shingles(
-        corpus_df, id_col, text_col, k, mode
     ).localCheckpoint(eager=False)
     sigs_new = minhash_signatures(
         new_df, id_col, text_col, num_hashes, k, mode, grams=grams_new, hash_fn=hash_fn
     )
-    sigs_old = minhash_signatures(
-        corpus_df, id_col, text_col, num_hashes, k, mode, grams=grams_old, hash_fn=hash_fn
-    )
     banded_new = _banded(sigs_new, bands, rows_per_band, hash_fn)
-    banded_old = _banded(sigs_old, bands, rows_per_band, hash_fn)
+    if corpus_index is not None:
+        called_with = dict(
+            zip(
+                CorpusIndex.PARAM_KEYS,
+                (num_hashes, bands, k, mode, hash_fn),
+            )
+        )
+        stored = {key: corpus_index.params.get(key) for key in CorpusIndex.PARAM_KEYS}
+        if stored != called_with:
+            raise ValueError(
+                f"corpus_index built with {stored} but filter called with "
+                f"{called_with} — sketches are incompatible"
+            )
+        grams_old = corpus_index.grams
+        banded_old = corpus_index.bands
+        sizes_old = corpus_index.sizes
+    else:
+        grams_old = exploded_shingles(
+            corpus_df, id_col, text_col, k, mode
+        ).localCheckpoint(eager=False)
+        sigs_old = minhash_signatures(
+            corpus_df,
+            id_col,
+            text_col,
+            num_hashes,
+            k,
+            mode,
+            grams=grams_old,
+            hash_fn=hash_fn,
+        )
+        banded_old = _banded(sigs_old, bands, rows_per_band, hash_fn)
+        sizes_old = grams_old.groupBy("__id").agg(F.count(F.lit(1)).alias("__n"))
     cand = (
         banded_new.select(
             F.col("__id").alias("__nid"), "__band", "__bh"
@@ -384,7 +516,6 @@ def minhash_incremental_filter(
         .distinct()
     )
     sizes_new = grams_new.groupBy("__id").agg(F.count(F.lit(1)).alias("__n"))
-    sizes_old = grams_old.groupBy("__id").agg(F.count(F.lit(1)).alias("__n"))
     inter = (
         cand.join(
             grams_new.select(F.col("__id").alias("__nid"), "__g"), "__nid"

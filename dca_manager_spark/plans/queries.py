@@ -91,6 +91,7 @@ _DRIVER_WINDOW = [
     # -- changed in round 7 --
     "training_pack_sequences",
     "training_mixture_sample",
+    "dedup_incremental_indexed",
     # -- last scored r5 --
     "q3_shipping_priority",
     "q5_local_supplier_volume",
@@ -137,7 +138,6 @@ _DRIVER_WINDOW = [
     "q1_pricing_summary",
     "text_lang_id",
     "agg_approx_distinct",
-    "q6_forecast_revenue",
 ]
 
 
@@ -3148,6 +3148,42 @@ def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
             batch, corpus, "doc_id", "text",
             num_hashes=64, bands=16, k=3, threshold=0.7,
             mode="word", hash_fn="md5",
+        )
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "dedup_incremental_indexed",
+    # Identical semantics to dedup_incremental_batch — the persisted-index
+    # path MUST keep exactly the docs the recompute path keeps.
+    QUERIES["dedup_incremental_batch"].oracle,
+)
+def dedup_incremental_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The persisted-corpus seam of incremental dedup: the corpus's
+    shingle/band/size frames come from a prebuilt CorpusIndex
+    (operators/dedup.build_corpus_index) instead of being recomputed per
+    batch — the 100 TB steady-state shape where each arriving batch pays
+    only its own shingling plus the bucket join. Same oracle as
+    dedup_incremental_batch: the seam must not change a single verdict."""
+    from dca_manager_spark.operators.dedup import (
+        build_corpus_index,
+        minhash_incremental_filter,
+    )
+
+    docs = t(spark, sf_dir, "documents")
+    batch = docs.filter(F.col("doc_id") % 2 == 1)
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    index = build_corpus_index(
+        corpus, "doc_id", "text", num_hashes=64, bands=16, k=3,
+        mode="word", hash_fn="md5",
+    )
+    return (
+        minhash_incremental_filter(
+            batch, None, "doc_id", "text",
+            num_hashes=64, bands=16, k=3, threshold=0.7,
+            mode="word", hash_fn="md5", corpus_index=index,
         )
         .select("doc_id", "lang")
         .orderBy("doc_id")

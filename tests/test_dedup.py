@@ -228,3 +228,81 @@ def test_minhash_incremental_filter_known_dups(spark):
         num_hashes=64, bands=16, threshold=0.6, mode="word",
     )
     assert {r.doc_id for r in kept.collect()} == {105}
+
+
+def _incremental_fixture(spark):
+    base = ("the quick brown fox jumps over the lazy dog and then runs far "
+            "away home to sleep for the night")
+    corpus = spark.createDataFrame(
+        [(0, base),
+         (2, "completely different corpus content about spark engines at very large scale")],
+        ["doc_id", "text"],
+    )
+    batch = spark.createDataFrame(
+        [(101, base),
+         (103, base.replace("quick", "rapid")),
+         (105, "a wholly novel document about training data pipelines and "
+               "token budgets for sequence packing")],
+        ["doc_id", "text"],
+    )
+    return corpus, batch
+
+
+def test_corpus_index_matches_recompute_path(spark, tmp_path):
+    """The persisted-corpus seam: filtering against a saved+loaded
+    CorpusIndex keeps exactly the docs the recompute path keeps, and the
+    survivors' plan never touches the raw corpus — the corpus side reads
+    ONLY the persisted index parquet (no re-shingling possible: the raw
+    corpus frame isn't even an input)."""
+    from dca_manager_spark.operators.dedup import (
+        CorpusIndex,
+        build_corpus_index,
+        minhash_incremental_filter,
+    )
+
+    corpus, batch = _incremental_fixture(spark)
+    idx = build_corpus_index(corpus, "doc_id", "text", num_hashes=64, bands=16)
+    idx.save(str(tmp_path / "corpus_index"))
+    loaded = CorpusIndex.load(spark, str(tmp_path / "corpus_index"))
+
+    kept = minhash_incremental_filter(
+        batch, None, "doc_id", "text",
+        num_hashes=64, bands=16, threshold=0.6, mode="word",
+        corpus_index=loaded,
+    )
+    assert {r.doc_id for r in kept.collect()} == {105}
+
+    # Structural: the corpus side of the plan is parquet scans of the
+    # index, not shingling of corpus text. Count the shingle explodes —
+    # only the BATCH contributes one posexplode(tokens(...)) pipeline.
+    plan = kept._jdf.queryExecution().optimizedPlan().toString()
+    # index parquet relations present (grams + sizes at minimum — bands may
+    # be join-pruned); the batch side is an in-memory LogicalRDD
+    assert plan.count("parquet") >= 2
+    assert plan.count("posexplode") == 1, (
+        f"expected 1 shingle explode (batch only), plan has "
+        f"{plan.count('posexplode')}"
+    )
+
+
+def test_corpus_index_param_mismatch_is_loud(spark, tmp_path):
+    from dca_manager_spark.operators.dedup import (
+        build_corpus_index,
+        minhash_incremental_filter,
+    )
+    import pytest
+
+    corpus, batch = _incremental_fixture(spark)
+    idx = build_corpus_index(corpus, "doc_id", "text", num_hashes=64, bands=16)
+    with pytest.raises(ValueError, match="incompatible"):
+        minhash_incremental_filter(
+            batch, None, "doc_id", "text",
+            num_hashes=64, bands=8,  # differs from the index's 16
+            corpus_index=idx,
+        )
+    with pytest.raises(ValueError, match="exactly one"):
+        minhash_incremental_filter(
+            batch, corpus, "doc_id", "text", corpus_index=idx,
+        )
+    with pytest.raises(ValueError, match="exactly one"):
+        minhash_incremental_filter(batch, None, "doc_id", "text")
