@@ -113,7 +113,14 @@ def mixture_sample(
     each group (e.g. per-language rates when blending corpora). A row is
     kept iff its md5 bucket (of 10000) falls below rate*10000 — the same
     layout-independent hash-range idiom as sampling.py, so reruns keep
-    exactly the same rows and the oracle reproduces the selection."""
+    exactly the same rows and the oracle reproduces the selection.
+
+    The per-group rate is a map-literal lookup (one expression node per
+    group, O(1) tree depth), not a chained CASE WHEN — a when-chain nests
+    one level per group and blows up analysis/codegen at hundreds of
+    sources. The map rides in the plan like a broadcast dim; at tens of
+    thousands of groups, switch to an actual broadcast join against a
+    rates table (same filter, same hash)."""
     bucket = (
         F.conv(
             F.substring(F.md5(F.concat(F.lit(seed), F.col(id_col).cast("string"))), 1, 8),
@@ -122,7 +129,10 @@ def mixture_sample(
         ).cast("bigint")
         % 10000
     )
-    rate = F.lit(default_rate)
-    for value, r in rates.items():
-        rate = F.when(F.col(group_col) == value, F.lit(r)).otherwise(rate)
+    rate_map = F.create_map(
+        *[lit for value, r in rates.items() for lit in (F.lit(value), F.lit(float(r)))]
+    )
+    rate = F.coalesce(
+        F.element_at(rate_map, F.col(group_col)), F.lit(float(default_rate))
+    )
     return df.filter(bucket < (rate * 10000).cast("bigint"))
