@@ -70,9 +70,19 @@ def _hive_unescape(value: str) -> str:
 
 def _partition_key(value: object) -> str | None:
     """Canonical manifest-side form of a partition value: None for null,
-    str() otherwise — what both the write path (from directory names) and
-    the match paths (from filters / batch rows) normalize to."""
-    return None if value is None else str(value)
+    Spark's hive-directory rendering otherwise — what both the write path
+    (from directory names) and the match paths (from filters / batch rows)
+    normalize to. Python and Spark agree on str() for strings, integers,
+    floats, dates and timestamps, but NOT booleans (str(True) = 'True' vs
+    directory 'true'), which would silently miss every pruning/replacement
+    match. Supported partition-column types: string, integral, float,
+    boolean, date, timestamp — i.e. the types Spark itself allows as
+    partition columns."""
+    if value is None:
+        return None
+    if isinstance(value, bool):
+        return "true" if value else "false"
+    return str(value)
 
 
 class ManifestTable:

@@ -181,12 +181,20 @@ def get_orderers(
     through it at construction time (reference: GetKrakenDetails before
     building the client, cmd/execute_orders/main.go + kraken.go:25-45).
     Resolution failures raise CredentialsError here — loudly, before any
-    order flow starts — rather than at first API call."""
+    order flow starts — rather than at first API call. A real orderer
+    WITHOUT a provider is the same failure (the reference resolves
+    credentials before constructing the client; silently building an
+    unauthenticated client would defer the error to the first order)."""
     if not allow_real:
         return {"kraken": FakeOrderer(), "fake": FakeOrderer()}
-    creds = None
-    if credentials_provider is not None:
-        creds = credentials_provider.get_credentials("kraken")
+    from dca_manager_spark.pipeline.credentials import CredentialsError
+
+    if credentials_provider is None:
+        raise CredentialsError(
+            "allow_real=True requires a credentials_provider "
+            "(reference resolves Kraken credentials before building the client)"
+        )
+    creds = credentials_provider.get_credentials("kraken")
     return {
         "kraken": KrakenOrderer(kraken_client, credentials=creds),
         "fake": FakeOrderer(),

@@ -222,6 +222,39 @@ def test_partition_values_escaped_and_null_round_trip(spark, table):
     assert out["a/b"] == 9.0 and out[None] == 9.0
 
 
+def test_boolean_partition_values_prune_and_replace(spark, tmp_path):
+    """Spark renders boolean partition directories as 'true'/'false';
+    Python str() says 'True'/'False'. _partition_key must normalize to the
+    hive rendering or pruning and upsert partition-replacement silently
+    miss (ADVICE r6)."""
+    t = ManifestTable(
+        spark,
+        str(tmp_path / "btbl"),
+        keys=("transaction_id", "close_time"),
+        precombine="transaction_id",
+        partition_by=("is_real",),
+    )
+    df = spark.createDataFrame(
+        [("T1", TS1, True, 1.0), ("T2", TS1, False, 2.0)],
+        "transaction_id string, close_time timestamp, is_real boolean, price double",
+    )
+    t.write(df, "bulk_insert")
+    got = t.read(partition_filter={"is_real": True}).collect()
+    assert len(got) == 1 and got[0].transaction_id == "T1"
+
+    # Upsert into the True partition REPLACES it (no phantom duplicate
+    # from a missed partition match).
+    t.write(
+        spark.createDataFrame(
+            [("T1", TS1, True, 9.0)],
+            "transaction_id string, close_time timestamp, is_real boolean, price double",
+        ),
+        "upsert",
+    )
+    rows = {r.transaction_id: r.price for r in t.read().collect()}
+    assert rows == {"T1": 9.0, "T2": 2.0}
+
+
 def test_schema_evolution_add_column(spark, table):
     """A later commit may carry a NEW column: reads use the committed
     manifest schema (not parquet footers), so old files null-fill the new

@@ -189,9 +189,20 @@ def test_kraken_without_client_raises():
 
 
 def test_factory_real_flag():
+    from dca_manager_spark.pipeline.credentials import (
+        CredentialsError,
+        StaticCredentialsProvider,
+    )
+
     fake_only = get_orderers(allow_real=False)
     assert isinstance(fake_only["kraken"], FakeOrderer)
-    real = get_orderers(allow_real=True)
+    # Real orderers without a credentials provider must fail loudly BEFORE
+    # any order flow starts (the reference resolves credentials before
+    # building the client).
+    with pytest.raises(CredentialsError):
+        get_orderers(allow_real=True)
+    provider = StaticCredentialsProvider({"kraken": ("k", "s")})
+    real = get_orderers(allow_real=True, credentials_provider=provider)
     assert isinstance(real["kraken"], KrakenOrderer)
 
 
