@@ -17,7 +17,12 @@ rename by copy and a crash mid-swap can expose a half-committed table.
    orphan files — readers never see them;
 4. readers list files from the NEWEST manifest, never from directory
    listing, so concurrent vacuums/writers can't tear a read;
-5. ``vacuum()`` deletes unreferenced files (run after a retention window).
+5. ``vacuum()`` deletes unreferenced files (run after a retention window);
+6. every row-changing commit also captures its record-level change set
+   (upsert batch / actually-deleted rows / append files by reference) so
+   ``read_incremental(records=True)`` returns changed ROWS, not rewritten
+   partitions — the Hudi incremental-pull semantics the reference's table
+   exposes (glue/scripts/load_transactions.py:61-80).
 
 This is deliberately the Delta/Iceberg/Hudi-timeline commit design in
 miniature (the reference's Hudi table commits exactly this way on S3 —
@@ -45,13 +50,14 @@ import os
 import uuid
 from pathlib import Path
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from dca_manager_spark.io.merge import WriteOperation, precombine_dedup
 
 _MANIFEST_DIR = "_manifests"
 _DATA_DIR = "data"
+_CHANGES_DIR = "_changes"
 
 # Spark/Hive's partition-directory conventions: special characters are
 # %XX-escaped by escapePathName, nulls become a sentinel directory name.
@@ -150,18 +156,32 @@ class ManifestTable:
         return self._manifest_ids()
 
     def _publish(
-        self, prev_id: int | None, files: list[dict], schema_json: str
+        self,
+        prev_id: int | None,
+        files: list[dict],
+        schema_json: str,
+        changes: dict | None = None,
     ) -> int:
         """Atomic put-if-absent of the next manifest. O_EXCL is the local
         analogue of an S3 conditional PUT; a concurrent writer losing the
         race gets FileExistsError (single-writer discipline upstream, like
         the reference's max_concurrent_runs=1). The table schema rides in
         the manifest so an EMPTY table (all rows deleted) stays readable
-        with types intact."""
+        with types intact.
+
+        ``changes`` is the commit's record-level change capture
+        ({"upserts": [paths], "deletes": [paths]} — see
+        ``read_incremental(records=True)``); None = a content-neutral
+        commit (compaction)."""
         mdir = self._manifest_dir()
         mdir.mkdir(parents=True, exist_ok=True)
         next_id = 0 if prev_id is None else prev_id + 1
-        doc = {"id": next_id, "files": files, "schema": schema_json}
+        doc = {
+            "id": next_id,
+            "files": files,
+            "schema": schema_json,
+            "changes": changes or {"upserts": [], "deletes": []},
+        }
         payload = json.dumps(doc, indent=1, sort_keys=True)
         target = mdir / f"{next_id:012d}.json"
         fd = os.open(target, os.O_WRONLY | os.O_CREAT | os.O_EXCL)
@@ -210,6 +230,25 @@ class ManifestTable:
                 )
             entries.append({"path": rel, "partition": partition})
         return entries
+
+    @staticmethod
+    def _next_id(prev_id: int | None) -> int:
+        return 0 if prev_id is None else prev_id + 1
+
+    def _write_change_files(
+        self, df: DataFrame, commit_id: int, kind: str
+    ) -> list[str]:
+        """Record-level change capture for one commit: the changed rows
+        land under ``_changes/<commit-id>/<kind>/`` as plain parquet
+        (written BEFORE the manifest publish — a crash pre-publish leaves
+        only orphans, same invariant as data files). O(batch), not
+        O(touched partitions): this is the cheap half of the commit."""
+        out_dir = Path(self.path) / _CHANGES_DIR / f"{commit_id:012d}" / kind
+        df.write.mode("overwrite").parquet(str(out_dir))
+        return [
+            p.relative_to(Path(self.path)).as_posix()
+            for p in sorted(out_dir.rglob("*.parquet"))
+        ]
 
     # -- read side ----------------------------------------------------------
     def exists(self) -> bool:
@@ -264,31 +303,84 @@ class ManifestTable:
             *[str(Path(self.path) / f["path"]) for f in files]
         )
 
-    def read_incremental(self, since: int) -> DataFrame:
-        """Rows added or rewritten AFTER commit ``since`` — the Hudi
-        incremental-query analogue (the reference's lake table supports
-        incremental pulls by commit time; here the unit is the manifest
-        id). Returns the content of data files present in the newest
-        manifest but absent from ``since`` — under COW that is every
-        partition touched by any later commit. Consumers resume from
-        ``commits()[-1]``."""
-        if since not in self._manifest_ids():
+    def read_incremental(self, since: int, records: bool = False) -> DataFrame:
+        """Changes AFTER commit ``since`` — the Hudi incremental-query
+        analogue (the reference's lake table supports incremental pulls by
+        commit time — glue/scripts/load_transactions.py:61-80; here the
+        unit is the manifest id). Consumers resume from ``commits()[-1]``.
+
+        ``records=False`` (file-level): content of data files present in
+        the newest manifest but absent from ``since`` — under COW that is
+        every partition touched by any later commit, so unchanged rows of
+        a touched partition are re-emitted, and content-neutral commits
+        (compaction) re-emit rewritten files.
+
+        ``records=True`` (record-level, Hudi incremental-pull semantics):
+        only rows whose key actually changed, at their LATEST version —
+        each commit captures its change set at write time (upsert = the
+        batch, O(batch) not O(partition); delete = rows actually removed;
+        append = the commit's own data files, referenced not rewritten;
+        compaction = nothing), and the read resolves latest-per-key across
+        the requested range with one window over the CHANGED rows only.
+        Keys whose newest change is a delete are excluded. A 1-row upsert
+        into a 10k-row partition yields 1 row, not the partition."""
+        ids = self._manifest_ids()
+        if since not in ids:
             raise FileNotFoundError(
                 f"no manifest {since} under {self.path} "
                 f"(available: {self._manifest_ids()}); "
                 "vacuum may have pruned it — fall back to a full read"
             )
-        old = {f["path"] for f in self._load_manifest(since)["files"]}
         latest = self._latest_manifest()
         assert latest is not None
         from pyspark.sql.types import StructType
 
         schema = StructType.fromJson(json.loads(latest[1]["schema"]))
-        new_files = [f for f in latest[1]["files"] if f["path"] not in old]
-        if not new_files:
+        if not records:
+            old = {f["path"] for f in self._load_manifest(since)["files"]}
+            new_files = [f for f in latest[1]["files"] if f["path"] not in old]
+            if not new_files:
+                return self.spark.createDataFrame([], schema)
+            return self.spark.read.schema(schema).parquet(
+                *[str(Path(self.path) / f["path"]) for f in new_files]
+            )
+
+        frames: list[DataFrame] = []
+        for cid in (i for i in ids if i > since):
+            doc = self._load_manifest(cid)
+            ch = doc.get("changes")
+            if ch is None:
+                raise ValueError(
+                    f"commit {cid} of {self.path} predates record-level "
+                    "change capture; use records=False"
+                )
+            for kind, op in (("upserts", "u"), ("deletes", "d")):
+                if ch.get(kind):
+                    frames.append(
+                        # The latest committed schema: older change files
+                        # null-fill columns added later, same as read().
+                        self.spark.read.schema(schema)
+                        .parquet(*[str(Path(self.path) / p) for p in ch[kind]])
+                        .withColumn("_commit", F.lit(cid))
+                        .withColumn("_op", F.lit(op))
+                    )
+        if not frames:
             return self.spark.createDataFrame([], schema)
-        return self.spark.read.schema(schema).parquet(
-            *[str(Path(self.path) / f["path"]) for f in new_files]
+        changed = frames[0]
+        for f in frames[1:]:
+            changed = changed.unionByName(f, allowMissingColumns=True)
+        # Latest version per record: the window runs over changed rows
+        # only (<< table size). Identity = key + partition value
+        # (partition-scoped key semantics — the same key in two partitions
+        # is two records, matching the merge path). max-commit instead of
+        # row_number so legal same-key duplicates from insert commits
+        # survive intact.
+        ident = list(dict.fromkeys(self.keys + self.partition_by))
+        w = Window.partitionBy(*[F.col(c) for c in ident])
+        return (
+            changed.withColumn("_latest", F.max("_commit").over(w))
+            .filter((F.col("_commit") == F.col("_latest")) & (F.col("_op") == "u"))
+            .select(*[F.col(f.name) for f in schema.fields])
         )
 
     # -- write side ---------------------------------------------------------
@@ -313,7 +405,14 @@ class ManifestTable:
         prev = self._latest_manifest()
         prev_id, prev_files = (prev[0], prev[1]["files"]) if prev else (None, [])
         new_files = self._write_commit_files(df)
-        self._publish(prev_id, prev_files + new_files, df.schema.json())
+        # Change capture for free: an append commit's new data files ARE
+        # exactly its added rows — reference them, write nothing twice.
+        self._publish(
+            prev_id,
+            prev_files + new_files,
+            df.schema.json(),
+            changes={"upserts": [f["path"] for f in new_files], "deletes": []},
+        )
 
     def _merge(self, batch: DataFrame, keep_batch: bool) -> None:
         if keep_batch:
@@ -326,9 +425,18 @@ class ManifestTable:
         prev_id, prev_doc = prev
         prev_files = prev_doc["files"]
         if not prev_files:
-            # Empty table: no survivors to merge with.
+            # Empty table: no survivors to merge with (and nothing a
+            # delete could remove — no change rows either way).
             new_files = self._write_commit_files(batch) if keep_batch else []
-            self._publish(prev_id, new_files, batch.schema.json())
+            self._publish(
+                prev_id,
+                new_files,
+                batch.schema.json(),
+                changes={
+                    "upserts": [f["path"] for f in new_files],
+                    "deletes": [],
+                },
+            )
             return
 
         # Affected partitions: the batch's distinct partition values
@@ -379,10 +487,31 @@ class ManifestTable:
             else survivors
         )
         merged = merged.localCheckpoint(eager=True)  # one write, below
+
+        # Record-level change capture (read_incremental(records=True)):
+        # upsert -> every batch row is a new record version, O(batch);
+        # delete -> the rows ACTUALLY removed (semi join over the replaced
+        # files only — a delete key absent from the table, or present only
+        # in an untouched partition under partition-scoped key semantics,
+        # is NOT a change and must not be reported as one).
+        next_id = self._next_id(prev_id)
+        if keep_batch:
+            changes = {
+                "upserts": self._write_change_files(batch, next_id, "u"),
+                "deletes": [],
+            }
+        else:
+            removed = existing.alias("e").join(
+                F.broadcast(keys_df.alias("b")), pred, "left_semi"
+            )
+            changes = {
+                "upserts": [],
+                "deletes": self._write_change_files(removed, next_id, "d"),
+            }
         new_files = (
             [] if merged.isEmpty() else self._write_commit_files(merged)
         )
-        self._publish(prev_id, kept + new_files, merged.schema.json())
+        self._publish(prev_id, kept + new_files, merged.schema.json(), changes)
 
     # -- maintenance --------------------------------------------------------
     def compact(
@@ -452,8 +581,20 @@ class ManifestTable:
                 ):
                     sub.unlink() if sub.is_file() else sub.rmdir()
                 d.rmdir()
-        # superseded manifests reference vacuumed files — drop them
+        # superseded manifests reference vacuumed files — drop them, and
+        # drop the change capture of the commits they were the last to
+        # reference (record-level incremental reads reach back only to the
+        # oldest retained manifest, so those change files are unreachable)
         for mid in self._manifest_ids():
             if mid != latest_id:
                 (self._manifest_dir() / f"{mid:012d}.json").unlink()
+        ch_root = Path(self.path) / _CHANGES_DIR
+        if ch_root.is_dir():
+            for d in sorted(ch_root.glob("*")):
+                if d.is_dir() and d.name != f"{latest_id:012d}":
+                    for sub in sorted(
+                        d.rglob("*"), key=lambda p: len(p.parts), reverse=True
+                    ):
+                        sub.unlink() if sub.is_file() else sub.rmdir()
+                    d.rmdir()
         return removed

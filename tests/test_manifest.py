@@ -9,6 +9,7 @@ import json
 from pathlib import Path
 
 import pytest
+from pyspark.sql import functions as F
 
 from dca_manager_spark.io.manifest import ManifestTable
 
@@ -129,8 +130,9 @@ def test_manifest_documents_are_json(spark, table):
     docs = sorted(mdir.glob("*.json"))
     assert docs
     doc = json.loads(docs[-1].read_text())
-    assert set(doc) == {"id", "files", "schema"}
+    assert set(doc) == {"id", "files", "schema", "changes"}
     assert all(set(f) == {"path", "partition"} for f in doc["files"])
+    assert set(doc["changes"]) == {"upserts", "deletes"}
 
 
 def test_time_travel_reads(spark, table):
@@ -162,6 +164,83 @@ def test_incremental_read(spark, table):
     assert {r.transaction_id for r in inc.collect()} == {"T1", "T3"}
     with pytest.raises(FileNotFoundError):
         table.read_incremental(999)
+
+
+def test_incremental_records_one_row_not_the_partition(spark, table):
+    """Record-level incremental pull (VERDICT r6 #4): a 1-row upsert into
+    a 10k-row partition yields exactly that 1 row at its new version —
+    the file-level read re-emits the whole COW-rewritten partition."""
+    big = spark.range(10_000).select(
+        F.concat(F.lit("T"), F.col("id")).alias("transaction_id"),
+        F.lit(TS1).alias("close_time"),
+        F.lit("BTCGBP").alias("pair"),
+        F.col("id").cast("double").alias("price"),
+    )
+    table.write(big, "bulk_insert")
+    v0 = table.commits()[-1]
+    table.write(make_df(spark, [("T42", TS1, "BTCGBP", 99.0)]), "upsert")
+
+    assert table.read_incremental(v0).count() == 10_000  # file-level: COW
+    rows = table.read_incremental(v0, records=True).collect()
+    assert len(rows) == 1
+    assert rows[0].transaction_id == "T42" and rows[0].price == 99.0
+    # And the resume point returns nothing new.
+    assert table.read_incremental(table.commits()[-1], records=True).count() == 0
+
+
+def test_incremental_records_latest_version_and_deletes(spark, table):
+    """Across several commits a key surfaces once at its LATEST version;
+    keys whose newest change is a delete are excluded; a delete of a key
+    that never existed is not a change; delete-then-reinsert resurfaces."""
+    table.write(
+        make_df(spark, [("T1", TS1, "BTCGBP", 1.0), ("T2", TS1, "ETHGBP", 2.0)]),
+        "upsert",
+    )
+    v0 = table.commits()[-1]
+    table.write(make_df(spark, [("T1", TS1, "BTCGBP", 5.0)]), "upsert")
+    table.write(make_df(spark, [("T1", TS1, "BTCGBP", 7.0)]), "upsert")
+    got = {(r.transaction_id, r.price)
+           for r in table.read_incremental(v0, records=True).collect()}
+    assert got == {("T1", 7.0)}
+
+    # Delete T1 and a phantom key: only T1 was a real change; its latest
+    # state is 'gone', so the records read now returns nothing.
+    table.write(
+        make_df(spark, [("T1", TS1, "BTCGBP", 0.0), ("TX", TS1, "BTCGBP", 0.0)]),
+        "delete",
+    )
+    assert table.read_incremental(v0, records=True).count() == 0
+    ch = json.loads(
+        sorted((Path(table.path) / "_manifests").glob("*.json"))[-1].read_text()
+    )["changes"]
+    assert ch["deletes"] and not ch["upserts"]
+
+    # Re-insert after delete: the key resurfaces at the new version.
+    table.write(make_df(spark, [("T1", TS1, "BTCGBP", 11.0)]), "upsert")
+    got = {(r.transaction_id, r.price)
+           for r in table.read_incremental(v0, records=True).collect()}
+    assert got == {("T1", 11.0)}
+
+
+def test_incremental_records_insert_duplicates_and_compaction(spark, table):
+    """Legal duplicate keys from insert commits survive the records read
+    (max-commit resolution, not row_number); compaction is content-neutral
+    and contributes no record changes."""
+    table.write(make_df(spark, [("T0", TS1, "BTCGBP", 1.0)]), "bulk_insert")
+    v0 = table.commits()[-1]
+    dup = make_df(spark, [("T1", TS1, "BTCGBP", 1.0), ("T1", TS1, "BTCGBP", 2.0)])
+    table.write(dup, "insert")
+    got = sorted(
+        r.price for r in table.read_incremental(v0, records=True).collect()
+    )
+    assert got == [1.0, 2.0]
+    table.compact()
+    # Compaction rewrote files (file-level sees them) but changed no rows.
+    assert table.read_incremental(v0).count() == 3
+    got = sorted(
+        r.price for r in table.read_incremental(v0, records=True).collect()
+    )
+    assert got == [1.0, 2.0]
 
 
 def test_manifest_at_testdata_volume(spark, tmp_path):
