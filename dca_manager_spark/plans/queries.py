@@ -92,6 +92,7 @@ _DRIVER_WINDOW = [
     "training_pack_sequences",
     "training_mixture_sample",
     "dedup_incremental_indexed",
+    "similarity_ivf_learned",
     # -- last scored r5 --
     "q3_shipping_priority",
     "q5_local_supplier_volume",
@@ -137,7 +138,6 @@ _DRIVER_WINDOW = [
     "dedup_cluster_canonical",
     "q1_pricing_summary",
     "text_lang_id",
-    "agg_approx_distinct",
 ]
 
 
@@ -2235,6 +2235,51 @@ def similarity_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_cells=16,
         n_probe=4,
     ).orderBy("query_id", "rank")
+
+
+@query(
+    "similarity_ivf_learned",
+    """
+    SELECT COUNT(DISTINCT vec_id) AS n_queries, TRUE AS recall_ok
+    FROM embeddings WHERE vec_id < 50
+    """,
+)
+def similarity_ivf_learned(spark, sf_dir: str) -> DataFrame:
+    """IVF ANN driven by the PRODUCTION quantizer: k-means centroids from
+    pyspark.ml (train_ivf_seeds, pinned seed) instead of the lowest-id
+    fallback — learned cells balance far better, which is what makes the
+    probe bound real at scale. The cell assignment depends on the trained
+    model, so the oracle is the in-bounds pattern (like
+    agg_approx_percentile): the output asserts every query got answered
+    and recall@10 vs the exact brute-force baseline clears a generous
+    floor (0.3 with 4/16 cells probed; measured well above it), rather
+    than pinning engine-specific cell contents."""
+    from dca_manager_spark.operators.similarity import (
+        cosine_topk,
+        ivf_ann_topk,
+        train_ivf_seeds,
+    )
+
+    emb = t(spark, sf_dir, "embeddings")
+    q_df = emb.filter(F.col("vec_id") < 50).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    c_df = emb.select(F.col("vec_id").alias("neighbor_id"), "embedding")
+    seeds = train_ivf_seeds(c_df, n_cells=16, seed=13)
+    approx = ivf_ann_topk(
+        q_df, c_df, query_id="query_id", corpus_id="neighbor_id",
+        k=10, n_probe=4, seeds=seeds,
+    ).select("query_id", "neighbor_id", F.lit(1).alias("_hit"))
+    exact = cosine_topk(
+        q_df, c_df, "query_id", "neighbor_id", k=10
+    ).select("query_id", "neighbor_id")
+    return exact.join(approx, ["query_id", "neighbor_id"], "left").agg(
+        F.countDistinct("query_id").alias("n_queries"),
+        (
+            (F.sum(F.coalesce(F.col("_hit"), F.lit(0))) / F.count(F.lit(1)))
+            >= 0.3
+        ).alias("recall_ok"),
+    )
 
 
 # ===========================================================================

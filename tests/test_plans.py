@@ -206,6 +206,9 @@ def test_catalog_wide_no_accidental_cartesian(spark):
         "scalar_subquery_above_avg",   # scalar subquery joins on no key by design
         "similarity_ivf_ann",          # corpus x broadcast-seeds (n_cells rows)
                                        # coarse quantizer: linear in corpus
+        "similarity_ivf_learned",      # same quantizer shape + the exact
+                                       # brute-force baseline its recall
+                                       # floor is measured against
     }
     flagged = {}
     for name in QUERIES:
