@@ -303,6 +303,71 @@ class ManifestTable:
             *[str(Path(self.path) / f["path"]) for f in files]
         )
 
+    def _changed_rows(self, since: int, schema) -> DataFrame | None:
+        """Union of the captured change sets of every commit after
+        ``since`` with ``_commit``/``_op`` metadata, or None if no commit
+        changed anything. Shared by read_incremental(records=True) and
+        read_cdc."""
+        frames: list[DataFrame] = []
+        for cid in (i for i in self._manifest_ids() if i > since):
+            doc = self._load_manifest(cid)
+            ch = doc.get("changes")
+            if ch is None:
+                raise ValueError(
+                    f"commit {cid} of {self.path} predates record-level "
+                    "change capture; use records=False"
+                )
+            for kind, op in (("upserts", "u"), ("deletes", "d")):
+                if ch.get(kind):
+                    frames.append(
+                        # The latest committed schema: older change files
+                        # null-fill columns added later, same as read().
+                        self.spark.read.schema(schema)
+                        .parquet(*[str(Path(self.path) / p) for p in ch[kind]])
+                        .withColumn("_commit", F.lit(cid))
+                        .withColumn("_op", F.lit(op))
+                    )
+        if not frames:
+            return None
+        changed = frames[0]
+        for f in frames[1:]:
+            changed = changed.unionByName(f, allowMissingColumns=True)
+        return changed
+
+    def read_cdc(self, since: int) -> DataFrame:
+        """Raw change feed (Delta CDF / Hudi CDC analogue): EVERY captured
+        change row of every commit after ``since``, uncollapsed, with
+        ``_change_type`` ('upsert' | 'delete') and ``_commit`` metadata —
+        the input for downstream replication that needs per-commit
+        ordering (apply commits in ``_commit`` order), where
+        ``read_incremental(records=True)`` gives only the collapsed
+        latest state. Delete rows carry the removed row's full content
+        (before-image)."""
+        if since not in self._manifest_ids():
+            raise FileNotFoundError(
+                f"no manifest {since} under {self.path} "
+                f"(available: {self._manifest_ids()}); "
+                "vacuum may have pruned it — fall back to a full read"
+            )
+        latest = self._latest_manifest()
+        assert latest is not None
+        from pyspark.sql.types import StructType
+
+        schema = StructType.fromJson(json.loads(latest[1]["schema"]))
+        changed = self._changed_rows(since, schema)
+        cols = [F.col(f.name) for f in schema.fields] + [
+            F.when(F.col("_op") == "d", F.lit("delete"))
+            .otherwise(F.lit("upsert"))
+            .alias("_change_type"),
+            F.col("_commit"),
+        ]
+        if changed is None:
+            empty = self.spark.createDataFrame([], schema)
+            return empty.withColumn("_op", F.lit("u")).withColumn(
+                "_commit", F.lit(0).cast("int")
+            ).select(*cols)
+        return changed.select(*cols)
+
     def read_incremental(self, since: int, records: bool = False) -> DataFrame:
         """Changes AFTER commit ``since`` — the Hudi incremental-query
         analogue (the reference's lake table supports incremental pulls by
@@ -345,30 +410,9 @@ class ManifestTable:
                 *[str(Path(self.path) / f["path"]) for f in new_files]
             )
 
-        frames: list[DataFrame] = []
-        for cid in (i for i in ids if i > since):
-            doc = self._load_manifest(cid)
-            ch = doc.get("changes")
-            if ch is None:
-                raise ValueError(
-                    f"commit {cid} of {self.path} predates record-level "
-                    "change capture; use records=False"
-                )
-            for kind, op in (("upserts", "u"), ("deletes", "d")):
-                if ch.get(kind):
-                    frames.append(
-                        # The latest committed schema: older change files
-                        # null-fill columns added later, same as read().
-                        self.spark.read.schema(schema)
-                        .parquet(*[str(Path(self.path) / p) for p in ch[kind]])
-                        .withColumn("_commit", F.lit(cid))
-                        .withColumn("_op", F.lit(op))
-                    )
-        if not frames:
+        changed = self._changed_rows(since, schema)
+        if changed is None:
             return self.spark.createDataFrame([], schema)
-        changed = frames[0]
-        for f in frames[1:]:
-            changed = changed.unionByName(f, allowMissingColumns=True)
         # Latest version per record: the window runs over changed rows
         # only (<< table size). Identity = key + partition value
         # (partition-scoped key semantics — the same key in two partitions

@@ -27,6 +27,7 @@ from dca_manager_spark.operators.similarity import (
 from dca_manager_spark.operators.skew import salted_join, salted_sum
 from dca_manager_spark.operators.corpus import prepare_corpus
 from dca_manager_spark.operators.training import (
+    chunk_documents,
     deterministic_shuffle,
     mixture_sample,
     pack_sequences,
@@ -44,4 +45,5 @@ __all__ = [
     "salted_sum", "salted_join",
     "prepare_corpus",
     "deterministic_shuffle", "pack_sequences", "mixture_sample",
+    "chunk_documents",
 ]

@@ -101,6 +101,67 @@ def pack_sequences(
     )
 
 
+def chunk_documents(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    chunk_tokens: int = 512,
+    overlap: int = 64,
+) -> DataFrame:
+    """Split documents into overlapping fixed-token-window chunks — the
+    standard prep for context-bounded training/embedding: chunk i covers
+    tokens [i*stride, i*stride + chunk_tokens) with stride =
+    chunk_tokens - overlap; a document shorter than one window yields
+    exactly one chunk (possibly empty for an empty text).
+
+    Adds (chunk_id, chunk_text, chunk_n_tokens) with one output row per
+    chunk. Pure JVM expressions: tokenization happens ONCE per document
+    in the projection below the Generate (the explode replicates the
+    computed array per chunk row — no per-chunk re-tokenization), and
+    the chunk windows are array slices. Deterministic: a pure function
+    of the text, replicated exactly by the SQL oracle.
+    """
+    if overlap >= chunk_tokens:
+        raise ValueError(
+            f"overlap ({overlap}) must be smaller than chunk_tokens "
+            f"({chunk_tokens})"
+        )
+    from dca_manager_spark.operators.text import tokens
+
+    stride = chunk_tokens - overlap
+    n = F.size(F.col("_toks"))
+    # ceil((n - chunk) / stride) + 1 extra windows past the first, in
+    # exact integer arithmetic (doubles are exact to 2^53 — fine for any
+    # real token count).
+    n_chunks = (
+        F.floor(
+            (F.greatest(n - F.lit(chunk_tokens), F.lit(0)) + F.lit(stride - 1))
+            / F.lit(stride)
+        )
+        + F.lit(1)
+    )
+    start = (F.col("chunk_id") * stride + 1).cast("int")
+    window = F.slice(F.col("_toks"), start, chunk_tokens)
+    return (
+        df.withColumn("_toks", tokens(F.col(text_col)))
+        .select(
+            # Everything but the raw text rides along; the token array is
+            # computed once per document here, below the Generate.
+            *[c for c in df.columns if c != text_col],
+            "_toks",
+            F.explode(F.sequence(F.lit(0), (n_chunks - 1).cast("int"))).alias(
+                "chunk_id"
+            ),
+        )
+        .select(
+            *[c for c in df.columns if c != text_col],
+            "chunk_id",
+            F.concat_ws(" ", window).alias("chunk_text"),
+            F.size(window).alias("chunk_n_tokens"),
+        )
+    )
+
+
 def mixture_sample(
     df: DataFrame,
     id_col: str,

@@ -93,6 +93,7 @@ _DRIVER_WINDOW = [
     "training_mixture_sample",
     "dedup_incremental_indexed",
     "similarity_ivf_learned",
+    "training_chunk_documents",
     # -- last scored r5 --
     "q3_shipping_priority",
     "q5_local_supplier_volume",
@@ -136,7 +137,6 @@ _DRIVER_WINDOW = [
     "dedup_embedding_cosine",
     "corpus_prep_pipeline",
     "dedup_cluster_canonical",
-    "q1_pricing_summary",
     "text_lang_id",
 ]
 
@@ -3312,6 +3312,47 @@ def training_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_docs"))
         .orderBy("lang")
     )
+
+
+@query(
+    "training_chunk_documents",
+    f"""
+    WITH t AS (
+      SELECT doc_id, {_TOKENS.format(c='text')} AS toks FROM documents
+    ),
+    c AS (
+      SELECT doc_id, toks,
+             CAST(FLOOR((GREATEST(len(toks) - 128, 0) + 95) / 96.0) AS BIGINT)
+               + 1 AS n_chunks
+      FROM t
+    ),
+    e AS (
+      SELECT doc_id, toks,
+             unnest(generate_series(0, n_chunks - 1)) AS chunk_id
+      FROM c
+    )
+    SELECT doc_id, CAST(chunk_id AS INT) AS chunk_id,
+           array_to_string(toks[chunk_id*96+1 : chunk_id*96+128], ' ')
+             AS chunk_text,
+           CAST(len(toks[chunk_id*96+1 : chunk_id*96+128]) AS INT)
+             AS chunk_n_tokens
+    FROM e
+    ORDER BY doc_id, chunk_id
+    """,
+)
+def training_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking (context-bounded training /
+    embedding prep): 128-token windows, 32-token overlap, stride 96 —
+    one output row per chunk (operators/training.chunk_documents).
+    Tokenization runs once per document below the Generate; the chunks
+    are array slices. Bit-exact oracle: window membership is a pure
+    integer function of the token count."""
+    from dca_manager_spark.operators.training import chunk_documents
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    return chunk_documents(
+        docs, "doc_id", "text", chunk_tokens=128, overlap=32
+    ).orderBy("doc_id", "chunk_id")
 
 
 @query(

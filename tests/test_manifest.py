@@ -222,6 +222,28 @@ def test_incremental_records_latest_version_and_deletes(spark, table):
     assert got == {("T1", 11.0)}
 
 
+def test_read_cdc_feed_ordering_and_before_images(spark, table):
+    """The raw change feed exposes every commit's change rows with
+    _change_type/_commit — per-commit replication order, delete rows as
+    before-images — where records=True collapses to latest state."""
+    table.write(make_df(spark, [("T1", TS1, "BTCGBP", 1.0)]), "upsert")
+    v0 = table.commits()[-1]
+    table.write(make_df(spark, [("T1", TS1, "BTCGBP", 2.0)]), "upsert")
+    table.write(make_df(spark, [("T1", TS1, "BTCGBP", 0.0)]), "delete")
+    feed = sorted(
+        ((r._commit, r._change_type, r.price)
+         for r in table.read_cdc(v0).collect())
+    )
+    # Two changes, commit-ordered; the delete carries the row it removed
+    # (price 2.0 — the live version), not the delete batch's payload.
+    assert feed == [(v0 + 1, "upsert", 2.0), (v0 + 2, "delete", 2.0)]
+    assert table.read_cdc(table.commits()[-1]).count() == 0
+    assert set(table.read_cdc(v0).columns) == {
+        "transaction_id", "close_time", "pair", "price",
+        "_change_type", "_commit",
+    }
+
+
 def test_incremental_records_insert_duplicates_and_compaction(spark, table):
     """Legal duplicate keys from insert commits survive the records read
     (max-commit resolution, not row_number); compaction is content-neutral

@@ -133,6 +133,35 @@ def test_pack_sequences_bin_invariants(spark):
     assert {(r.doc_id, r.bin_id) for r in again} == {(r.doc_id, r.bin_id) for r in out}
 
 
+def test_chunk_documents_windows_and_edges(spark):
+    """Overlapping token-window chunking: window membership is the exact
+    integer function of the token count; short and empty docs yield one
+    chunk; consecutive chunks overlap by exactly `overlap` tokens."""
+    from dca_manager_spark.operators.training import chunk_documents
+
+    rows = [
+        (1, " ".join(f"w{i}" for i in range(8))),    # one exact window
+        (2, " ".join(f"w{i}" for i in range(13))),   # chunks of 8 / stride 6: 2
+        (3, ""),                                     # empty -> 1 empty chunk
+        (4, " ".join(f"w{i}" for i in range(21))),   # 0..7, 6..13, 12..19, 18..20
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    out = chunk_documents(df, "doc_id", "text", chunk_tokens=8, overlap=2)
+    got = {(r.doc_id, r.chunk_id): (r.chunk_text, r.chunk_n_tokens)
+           for r in out.collect()}
+    n_per_doc = {d: sum(1 for k in got if k[0] == d) for d in (1, 2, 3, 4)}
+    assert n_per_doc == {1: 1, 2: 2, 3: 1, 4: 4}
+    assert got[(3, 0)] == ("", 0)
+    assert got[(1, 0)][1] == 8
+    # doc 4: chunk 1 covers tokens 6..13 (stride 6), overlapping chunk 0 by 2
+    assert got[(4, 1)][0].split() == [f"w{i}" for i in range(6, 14)]
+    assert got[(4, 3)] == ("w18 w19 w20", 3)
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        chunk_documents(df, "doc_id", "text", chunk_tokens=8, overlap=8)
+
+
 def test_mixture_sample_rates_and_stability(spark, sf_dir):
     from dca_manager_spark.operators.training import mixture_sample
 
