@@ -346,9 +346,11 @@ class CorpusIndex:
     corpus, ``save()`` it, then every arriving batch ``load()``s and
     passes ``corpus_index=`` — the corpus is never re-shingled; each
     batch pays only its own shingling + the bucket join + candidate-only
-    verification. After a batch is admitted, extend the index with the
-    survivors' rows (build_corpus_index on the admitted batch, union or
-    append the three frames) rather than rebuilding.
+    verification. After a batch is admitted, ``extend()`` the in-memory
+    index (or ``append()`` the persisted one — an O(batch) parquet
+    append) with the survivors instead of rebuilding. Document ids must
+    be unique across the corpus and every admitted batch — the extend
+    paths do not dedup ids.
 
     ``save``/``load`` write three parquet datasets plus a params JSON;
     the params file uses driver-local file IO (same assumption as
@@ -394,6 +396,40 @@ class CorpusIndex:
             sizes=spark.read.parquet(os.path.join(path, "sizes")),
             params=params,
         )
+
+    def extend(
+        self, admitted_df: DataFrame, id_col: str, text_col: str
+    ) -> "CorpusIndex":
+        """New index covering corpus + the admitted batch: the batch is
+        shingled/signed with THIS index's parameters (compatibility by
+        construction) and the three frames are unioned — the existing
+        corpus side is reused untouched, never recomputed."""
+        batch = build_corpus_index(admitted_df, id_col, text_col, **self.params)
+        return CorpusIndex(
+            grams=self.grams.unionByName(batch.grams),
+            bands=self.bands.unionByName(batch.bands),
+            sizes=self.sizes.unionByName(batch.sizes),
+            params=self.params,
+        )
+
+    @staticmethod
+    def append(
+        spark, path: str, admitted_df: DataFrame, id_col: str, text_col: str
+    ) -> None:
+        """Grow a PERSISTED index by one admitted batch: an O(batch)
+        parquet append of the batch's three frames under the stored
+        parameters — the steady-state ingest loop never rewrites (or even
+        reads) the corpus-sized index files. Single-writer discipline,
+        like the manifest commit path."""
+        import json
+        import os
+
+        with open(os.path.join(path, "index_params.json")) as fh:
+            params = json.load(fh)
+        batch = build_corpus_index(admitted_df, id_col, text_col, **params)
+        batch.grams.write.mode("append").parquet(os.path.join(path, "grams"))
+        batch.bands.write.mode("append").parquet(os.path.join(path, "bands"))
+        batch.sizes.write.mode("append").parquet(os.path.join(path, "sizes"))
 
 
 def build_corpus_index(

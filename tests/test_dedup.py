@@ -285,6 +285,55 @@ def test_corpus_index_matches_recompute_path(spark, tmp_path):
     )
 
 
+def test_corpus_index_extend_and_append_steady_state(spark, tmp_path):
+    """The ingest loop: filter batch vs index -> admit survivors ->
+    grow the index by the admitted batch only (in-memory extend and
+    persisted O(batch) append) -> the NEXT batch's duplicates of
+    admitted docs are rejected. Extend must equal a full rebuild."""
+    from dca_manager_spark.operators.dedup import (
+        CorpusIndex,
+        build_corpus_index,
+        minhash_incremental_filter,
+    )
+
+    corpus, batch = _incremental_fixture(spark)
+    path = str(tmp_path / "ci")
+    idx = build_corpus_index(corpus, "doc_id", "text", num_hashes=64, bands=16)
+    idx.save(path)
+
+    kept = minhash_incremental_filter(
+        batch, None, "doc_id", "text", num_hashes=64, bands=16,
+        threshold=0.6, corpus_index=CorpusIndex.load(spark, path),
+    ).localCheckpoint(eager=True)
+    assert {r.doc_id for r in kept.collect()} == {105}
+
+    # Grow the persisted index by the admitted batch; a near-dup of the
+    # ADMITTED doc arriving later must now be rejected.
+    CorpusIndex.append(spark, path, kept, "doc_id", "text")
+    next_batch = spark.createDataFrame(
+        [(201, "a wholly novel document about training data pipelines and "
+               "token budgets for sequence packing again"),
+         (202, "completely different content on streaming watermarks")],
+        ["doc_id", "text"],
+    )
+    kept2 = minhash_incremental_filter(
+        next_batch, None, "doc_id", "text", num_hashes=64, bands=16,
+        threshold=0.6, corpus_index=CorpusIndex.load(spark, path),
+    )
+    assert {r.doc_id for r in kept2.collect()} == {202}
+
+    # In-memory extend == full rebuild over corpus + admitted batch.
+    ext = idx.extend(kept, "doc_id", "text")
+    full = build_corpus_index(
+        corpus.unionByName(kept.select("doc_id", "text")),
+        "doc_id", "text", num_hashes=64, bands=16,
+    )
+    for frame in ("grams", "bands", "sizes"):
+        a = {tuple(r) for r in getattr(ext, frame).collect()}
+        b = {tuple(r) for r in getattr(full, frame).collect()}
+        assert a == b, f"{frame} diverged between extend and rebuild"
+
+
 def test_corpus_index_param_mismatch_is_loud(spark, tmp_path):
     from dca_manager_spark.operators.dedup import (
         build_corpus_index,
