@@ -303,6 +303,23 @@ class ManifestTable:
             *[str(Path(self.path) / f["path"]) for f in files]
         )
 
+    def _check_since(self, since: int) -> None:
+        ids = self._manifest_ids()
+        if since == -1:
+            if 0 not in ids:
+                raise FileNotFoundError(
+                    f"history of {self.path} starts at manifest "
+                    f"{ids[0] if ids else '<none>'} (vacuumed); bootstrap "
+                    "from a full read instead of since=-1"
+                )
+            return
+        if since not in ids:
+            raise FileNotFoundError(
+                f"no manifest {since} under {self.path} "
+                f"(available: {ids}); "
+                "vacuum may have pruned it — fall back to a full read"
+            )
+
     def _changed_rows(self, since: int, schema) -> DataFrame | None:
         """Union of the captured change sets of every commit after
         ``since`` with ``_commit``/``_op`` metadata, or None if no commit
@@ -342,13 +359,10 @@ class ManifestTable:
         ordering (apply commits in ``_commit`` order), where
         ``read_incremental(records=True)`` gives only the collapsed
         latest state. Delete rows carry the removed row's full content
-        (before-image)."""
-        if since not in self._manifest_ids():
-            raise FileNotFoundError(
-                f"no manifest {since} under {self.path} "
-                f"(available: {self._manifest_ids()}); "
-                "vacuum may have pruned it — fall back to a full read"
-            )
+        (before-image). ``since=-1`` bootstraps from the beginning of
+        history (valid only while commit 0 is still retained — vacuum
+        truncates history, after which bootstrap from a full read)."""
+        self._check_since(since)
         latest = self._latest_manifest()
         assert latest is not None
         from pyspark.sql.types import StructType
@@ -388,14 +402,12 @@ class ManifestTable:
         compaction = nothing), and the read resolves latest-per-key across
         the requested range with one window over the CHANGED rows only.
         Keys whose newest change is a delete are excluded. A 1-row upsert
-        into a 10k-row partition yields 1 row, not the partition."""
-        ids = self._manifest_ids()
-        if since not in ids:
-            raise FileNotFoundError(
-                f"no manifest {since} under {self.path} "
-                f"(available: {self._manifest_ids()}); "
-                "vacuum may have pruned it — fall back to a full read"
-            )
+        into a 10k-row partition yields 1 row, not the partition.
+        ``since=-1`` (records mode only) reads from the beginning of
+        retained history."""
+        if since == -1 and not records:
+            raise ValueError("since=-1 requires records=True (use read())")
+        self._check_since(since)
         latest = self._latest_manifest()
         assert latest is not None
         from pyspark.sql.types import StructType
@@ -426,6 +438,33 @@ class ManifestTable:
             .filter((F.col("_commit") == F.col("_latest")) & (F.col("_op") == "u"))
             .select(*[F.col(f.name) for f in schema.fields])
         )
+
+    def apply_cdc(self, feed: DataFrame) -> None:
+        """Apply another table's ``read_cdc`` feed to THIS table, one
+        source commit per local commit, in ``_commit`` order — downstream
+        replication over the change feed (the Hudi/Delta CDC-sync
+        pattern). Upserts apply as upserts, deletes by the deleted rows'
+        keys. The replica converges to the source's latest state per key;
+        legal same-key duplicates from source INSERT commits collapse
+        under the replica's precombine (replicate with bulk_insert loads
+        instead if duplicate-preservation matters). The commit loop is
+        driver-side but bounded by the number of SOURCE commits in the
+        feed (metadata-scale), not by rows."""
+        commits = sorted(
+            r["_commit"] for r in feed.select("_commit").distinct().collect()
+        )
+        for cid in commits:
+            batch = feed.filter(F.col("_commit") == cid)
+            ups = batch.filter(F.col("_change_type") == "upsert").drop(
+                "_change_type", "_commit"
+            )
+            dels = batch.filter(F.col("_change_type") == "delete").drop(
+                "_change_type", "_commit"
+            )
+            if not ups.isEmpty():
+                self.write(ups, WriteOperation.UPSERT)
+            if not dels.isEmpty():
+                self.write(dels, WriteOperation.DELETE)
 
     # -- write side ---------------------------------------------------------
     def write(self, df: DataFrame, operation: str | WriteOperation) -> None:

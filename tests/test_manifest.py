@@ -244,6 +244,37 @@ def test_read_cdc_feed_ordering_and_before_images(spark, table):
     }
 
 
+def test_apply_cdc_replicates_source_table(spark, table, tmp_path):
+    """CDC replication loop: a replica fed from read_cdc converges to the
+    source's live content — updates, deletes and late re-inserts included
+    — and incremental syncs resume from the last applied source commit."""
+    replica = ManifestTable(
+        spark,
+        str(tmp_path / "replica"),
+        keys=("transaction_id", "close_time"),
+        precombine="transaction_id",
+        partition_by=("pair",),
+    )
+    table.write(
+        make_df(spark, [("T1", TS1, "BTCGBP", 1.0), ("T2", TS1, "ETHGBP", 2.0)]),
+        "upsert",
+    )
+    table.write(make_df(spark, [("T1", TS1, "BTCGBP", 5.0)]), "upsert")
+    table.write(make_df(spark, [("T2", TS1, "ETHGBP", 0.0)]), "delete")
+    v_synced = table.commits()[-1]
+    # Bootstrap from the beginning of history (since=-1).
+    replica.apply_cdc(table.read_cdc(-1))
+    assert {(r.transaction_id, r.price) for r in replica.read().collect()} == {
+        (r.transaction_id, r.price) for r in table.read().collect()
+    } == {("T1", 5.0)}
+    # More source commits; incremental catch-up applies only the delta.
+    table.write(make_df(spark, [("T3", TS1, "BTCGBP", 7.0)]), "upsert")
+    replica.apply_cdc(table.read_cdc(v_synced))
+    assert {(r.transaction_id, r.price) for r in replica.read().collect()} == {
+        ("T1", 5.0), ("T3", 7.0)
+    }
+
+
 def test_incremental_records_insert_duplicates_and_compaction(spark, table):
     """Legal duplicate keys from insert commits survive the records read
     (max-commit resolution, not row_number); compaction is content-neutral
