@@ -638,18 +638,25 @@ class ManifestTable:
         latest = self._latest_manifest()
         return len(latest[1]["files"]) if latest else 0
 
-    def vacuum(self) -> int:
-        """Delete data files not referenced by the newest manifest (orphans
-        from pre-publish crashes + files replaced by COW commits) and the
-        superseded manifests themselves — time travel reaches back only to
-        the oldest unvacuumed commit. Returns the number of data files
-        removed. Run after a retention window in production so in-flight
-        reads of older manifests finish first."""
-        latest = self._latest_manifest()
-        if latest is None:
+    def vacuum(self, keep_last: int = 1) -> int:
+        """Delete data files not referenced by any RETAINED manifest
+        (orphans from pre-publish crashes + files replaced by COW commits
+        older than the retention window) plus the expired manifests and
+        change captures. ``keep_last`` manifests are retained (>= 1): time
+        travel, incremental reads and CDC feeds keep working for any
+        ``since``/``as_of`` within the retained window — the
+        retention-window knob production runs on a schedule so in-flight
+        readers of recent commits never lose their files. Returns the
+        number of data files removed."""
+        ids = self._manifest_ids()
+        if not ids:
             return 0
-        latest_id = latest[0]
-        live = {f["path"] for f in latest[1]["files"]}
+        retained = ids[-max(keep_last, 1):]
+        live = {
+            f["path"]
+            for mid in retained
+            for f in self._load_manifest(mid)["files"]
+        }
         removed = 0
         data_root = Path(self.path) / _DATA_DIR
         for p in data_root.rglob("*.parquet"):
@@ -664,17 +671,19 @@ class ManifestTable:
                 ):
                     sub.unlink() if sub.is_file() else sub.rmdir()
                 d.rmdir()
-        # superseded manifests reference vacuumed files — drop them, and
-        # drop the change capture of the commits they were the last to
-        # reference (record-level incremental reads reach back only to the
-        # oldest retained manifest, so those change files are unreachable)
-        for mid in self._manifest_ids():
-            if mid != latest_id:
+        # Expired manifests reference vacuumed files — drop them, and drop
+        # the change captures no retained read can reach: records/CDC
+        # reads start strictly after a retained `since`, so only commits
+        # AFTER the oldest retained manifest stay readable (or the whole
+        # history while commit 0 is itself retained, for since=-1).
+        for mid in ids:
+            if mid not in retained:
                 (self._manifest_dir() / f"{mid:012d}.json").unlink()
+        reach_after = -1 if retained[0] == 0 else retained[0]
         ch_root = Path(self.path) / _CHANGES_DIR
         if ch_root.is_dir():
             for d in sorted(ch_root.glob("*")):
-                if d.is_dir() and d.name != f"{latest_id:012d}":
+                if d.is_dir() and d.name.isdigit() and int(d.name) <= reach_after:
                     for sub in sorted(
                         d.rglob("*"), key=lambda p: len(p.parts), reverse=True
                     ):

@@ -296,6 +296,33 @@ def test_incremental_records_insert_duplicates_and_compaction(spark, table):
     assert got == [1.0, 2.0]
 
 
+def test_vacuum_retention_window(spark, table):
+    """vacuum(keep_last=N) retains N manifests: time travel, records
+    incremental reads and CDC stay valid inside the window and fail
+    loudly outside it; only files unreachable from every retained
+    manifest are deleted."""
+    for i, price in enumerate([1.0, 2.0, 3.0, 4.0]):
+        table.write(make_df(spark, [("T1", TS1, "BTCGBP", price)]), "upsert")
+    ids = table.commits()
+    assert len(ids) == 4
+    table.vacuum(keep_last=2)
+    assert table.commits() == ids[-2:]
+    # Inside the window: time travel + records incremental + CDC work.
+    assert {r.price for r in table.read(as_of=ids[-2]).collect()} == {3.0}
+    inc = table.read_incremental(ids[-2], records=True).collect()
+    assert [(r.transaction_id, r.price) for r in inc] == [("T1", 4.0)]
+    assert table.read_cdc(ids[-2]).count() == 1
+    # Outside: loud failure, including the since=-1 bootstrap.
+    with pytest.raises(FileNotFoundError):
+        table.read_incremental(ids[0], records=True)
+    with pytest.raises(FileNotFoundError):
+        table.read_cdc(-1)
+    # Full vacuum drops history to the newest manifest only.
+    table.vacuum()
+    assert table.commits() == ids[-1:]
+    assert {r.price for r in table.read().collect()} == {4.0}
+
+
 def test_manifest_at_testdata_volume(spark, tmp_path):
     """Protocol behavior on a real table (sf0.001 lineitem, 6k rows, 3
     partitions): bulk load parity, manifest-level pruned reads, and a
