@@ -272,6 +272,101 @@ def test_manifest_table_matches_merge_table(spark, tmp_path_factory, seq):
     assert rows_mt == rows_man
 
 
+cdc_ops = st.lists(
+    st.tuples(
+        st.sampled_from(["upsert", "delete", "bulk_insert"]),
+        st.lists(
+            st.tuples(
+                st.sampled_from(["T1", "T2", "T3"]),
+                st.sampled_from(["AAA", "BBB"]),
+            ),
+            min_size=1,
+            max_size=3,
+        ),
+    ),
+    min_size=1,
+    max_size=3,
+)
+
+
+@given(seq=cdc_ops)
+@settings(max_examples=5, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow,
+                                 HealthCheck.function_scoped_fixture])
+def test_records_incremental_matches_replay_model(spark, tmp_path_factory, seq):
+    """For ANY op sequence and ANY resume point, read_incremental(
+    records=True) equals an independent Python replay of the change
+    semantics: per (key, partition), the latest change after the resume
+    point — all of that commit's rows if it was an upsert/insert
+    (duplicates intact), nothing if it was a delete. Prices are globally
+    unique so precombine winners are deterministic."""
+    from dca_manager_spark.io.manifest import ManifestTable
+
+    path = tmp_path_factory.mktemp("cdcprop") / "t"
+    table = ManifestTable(
+        spark, str(path), keys=("transaction_id",), precombine="price",
+        partition_by=("pair",),
+    )
+    state: list[tuple[str, str, int]] = []   # live rows (key, pair, price)
+    changes: list[tuple[str, dict]] = []     # per commit: (op, {(k,p): rows})
+    counter = 0
+    for op, batch in seq:
+        rows = []
+        for k, p in batch:
+            counter += 1
+            rows.append((k, p, counter))
+        df = spark.createDataFrame(
+            rows, "transaction_id string, pair string, price long"
+        )
+        table.write(df, op)
+        if op == "delete" and not changes:
+            # Delete against a never-committed table is a no-op: no
+            # manifest is published (mirrors _merge's early return).
+            continue
+        if op == "bulk_insert":
+            state += rows
+            ch = {}
+            for r in rows:
+                ch.setdefault((r[0], r[1]), []).append(r)
+            changes.append(("u", ch))
+            continue
+        # precombine: one survivor per key, max price
+        winners: dict[str, tuple[str, str, int]] = {}
+        for r in rows:
+            if r[0] not in winners or r[2] > winners[r[0]][2]:
+                winners[r[0]] = r
+        touched = {r[1] for r in winners.values()}
+        # Partition-scoped key resolution, matching _merge: every live row
+        # whose key is in the batch AND whose partition is replaced goes.
+        hit = [s for s in state if s[0] in winners and s[1] in touched]
+        state = [s for s in state if not (s[0] in winners and s[1] in touched)]
+        if op == "upsert":
+            state += list(winners.values())
+            changes.append(("u", {(r[0], r[1]): [r] for r in winners.values()}))
+        else:
+            ch = {}
+            for s in hit:
+                ch.setdefault((s[0], s[1]), []).append(s)
+            changes.append(("d", ch))
+
+    ids = table.commits()
+    assert len(ids) == len(changes)
+    for i, since in enumerate(ids):
+        # replay commits i+1.. : latest change per (key, pair)
+        latest: dict[tuple, tuple[str, list]] = {}
+        for op, ch in changes[i + 1:]:
+            for ident, rows in ch.items():
+                latest[ident] = (op, rows)
+        want = sorted(
+            r for (op, rows) in latest.values() if op == "u" for r in rows
+        )
+        got = sorted(
+            (r.transaction_id, r.pair, r.price)
+            for r in table.read_incremental(since, records=True).collect()
+        )
+        assert got == want, f"since={since}: {got} != {want}"
+
+
 @given(
     minute=st.integers(0, 59),
     hour=st.integers(0, 23),
