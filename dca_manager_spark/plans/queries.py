@@ -94,6 +94,7 @@ _DRIVER_WINDOW = [
     "dedup_incremental_indexed",
     "similarity_ivf_learned",
     "training_chunk_documents",
+    "window_percent_cume",
     # -- last scored r5 --
     "q3_shipping_priority",
     "q5_local_supplier_volume",
@@ -114,7 +115,6 @@ _DRIVER_WINDOW = [
     "window_range_frame",
     "join_shuffle_hash_hint",
     "union_missing_columns",
-    "scalar_math_funcs",
     "array_functions",
     "pivot_status_by_priority",
     "unpivot_balances",
@@ -2337,6 +2337,34 @@ def window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
         .orderBy("o_custkey")
+    )
+
+
+@query(
+    "window_percent_cume",
+    """
+    SELECT o_orderkey, o_orderstatus,
+           PERCENT_RANK() OVER w AS pr,
+           CUME_DIST() OVER w AS cd
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)
+    ORDER BY o_orderstatus, o_totalprice, o_orderkey
+    """,
+)
+def window_percent_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relative-rank analytics (percent_rank / cume_dist): exact across
+    engines because the order is total (price + key tie-break) and both
+    are single divisions of exact integer ranks."""
+    w = Window.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
+    return (
+        t(spark, sf_dir, "orders")
+        .select(
+            "o_orderkey",
+            "o_orderstatus",
+            F.percent_rank().over(w).alias("pr"),
+            F.cume_dist().over(w).alias("cd"),
+        )
+        .orderBy("o_orderstatus", "o_totalprice", "o_orderkey")
     )
 
 
