@@ -193,6 +193,19 @@ def test_q19_disjunction_stays_equi_join(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_chunk_documents_tokenizes_once_below_generate(spark):
+    """Chunking must tokenize each document ONCE in the projection below
+    the Generate (the explode replicates the computed array per chunk
+    row) and read only the two needed columns — a per-chunk re-tokenize
+    would multiply the corpus-scan CPU by chunks/doc."""
+    df = q("training_chunk_documents", spark)
+    plan = explain_formatted(df)
+    assert plan.count("split(trim(") == 1, "tokenization not hoisted below Generate"
+    assert plan.count("explode(") == 1
+    cols = set(read_schema_columns(df))
+    assert cols == {"doc_id", "text"}
+
+
 def test_catalog_wide_no_accidental_cartesian(spark):
     """EVERY catalog query's physical plan is checked for cartesian /
     nested-loop joins. The whitelist names the queries where that shape
