@@ -1,0 +1,102 @@
+"""ManifestTable incremental-read stress probe (SCALE.md).
+
+Bulk-loads REPLICAS x sf0.1 lineitem (~600k rows at the default) into a
+manifest table partitioned by l_returnflag (3 fat partitions — the
+worst case for file-level COW incremental pull), then upserts a
+BATCH-row batch into ONE partition and compares the two incremental
+consumers:
+
+- file-level (COW): re-reads every row of the touched partition;
+- record-level:     reads exactly the captured change set.
+
+Also reports the change-capture overhead of the upsert commit itself
+(the O(batch) changefile write) against the COW rewrite it rides on.
+At 100 TB a touched partition is ~TBs while a batch is ~MBs — the
+rows-scanned ratio printed here is the quantity that scales by that
+factor.
+
+Usage: python scripts/stress_manifest.py [replicas=10] [batch=10]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from dca_manager_spark.io.manifest import ManifestTable  # noqa: E402
+from dca_manager_spark.io.readers import load_table  # noqa: E402
+from dca_manager_spark.session import get_bench_session  # noqa: E402
+
+
+def main() -> None:
+    replicas = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    batch_rows = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+    spark = get_bench_session("manifest-stress")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import tempfile
+
+    base = (
+        load_table(spark, "/root/testdata/sf0.1", "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_returnflag", "l_extendedprice")
+    )
+    rows = []
+    for r in range(replicas):
+        rows.append(
+            base.select(
+                (F.col("l_orderkey") + F.lit(r * 100_000_000)).alias("l_orderkey"),
+                "l_linenumber",
+                "l_returnflag",
+                "l_extendedprice",
+            )
+        )
+    corpus = rows[0]
+    for df in rows[1:]:
+        corpus = corpus.unionByName(df)
+
+    with tempfile.TemporaryDirectory() as tmp:
+        table = ManifestTable(
+            spark,
+            f"{tmp}/li",
+            keys=("l_orderkey", "l_linenumber"),
+            precombine="l_orderkey",
+            partition_by=("l_returnflag",),
+        )
+        t0 = time.perf_counter()
+        table.write(corpus, "bulk_insert")
+        t_load = time.perf_counter() - t0
+        n = table.read().count()
+        v0 = table.commits()[-1]
+
+        batch = (
+            table.read(partition_filter={"l_returnflag": "R"})
+            .limit(batch_rows)
+            .withColumn("l_extendedprice", F.col("l_extendedprice") + 1)
+            .localCheckpoint(eager=True)
+        )
+        t0 = time.perf_counter()
+        table.write(batch, "upsert")
+        t_upsert = time.perf_counter() - t0
+
+        t0 = time.perf_counter()
+        file_rows = table.read_incremental(v0).count()
+        t_file = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        rec_rows = table.read_incremental(v0, records=True).count()
+        t_rec = time.perf_counter() - t0
+
+        assert rec_rows == batch_rows, (rec_rows, batch_rows)
+        print(
+            f"rows={n} load={t_load:.1f}s upsert={t_upsert:.1f}s | "
+            f"incremental file-level: {file_rows} rows {t_file:.2f}s | "
+            f"record-level: {rec_rows} rows {t_rec:.2f}s | "
+            f"rows-scanned ratio {file_rows / max(rec_rows, 1):,.0f}x"
+        )
+
+
+if __name__ == "__main__":
+    main()
