@@ -81,10 +81,13 @@ _DRIVER_WINDOW = [
     # Round-7 rotation (r6 verdict task #2): (1) the never-scored
     # dedup_incremental_batch and the two r1/r2-era windows go FIRST,
     # (2) everything ADDED or CHANGED in round 7 (the pack_sequences
-    # two-pass rewrite and the new r7 queries), (3) the remaining 38
-    # queries whose latest driver row is r5 — everything scored green in
-    # r6 rotates out. Full-catalog verification still happens every
-    # round via scripts/driver_sim.py regardless of window membership.
+    # two-pass rewrite, the mixture map-literal rewrite, and the five new
+    # r7 queries), (3) 37 of the 38 queries whose latest driver row is r5
+    # (scalar_math_funcs rotated out to make room — r5-green, unchanged
+    # since), (4) four flagship keepers. Everything else scored green in
+    # r6 and rotates out (agg_approx_distinct, q1_pricing_summary among
+    # them). Full-catalog verification still happens every round via
+    # scripts/driver_sim.py regardless of window membership.
     "dedup_incremental_batch",
     "window_first_last",
     "window_ntile_quartiles",
