@@ -98,6 +98,7 @@ _DRIVER_WINDOW = [
     "similarity_ivf_learned",
     "training_chunk_documents",
     "window_percent_cume",
+    "manifest_incremental_pull",
     # -- last scored r5 --
     "q3_shipping_priority",
     "q5_local_supplier_volume",
@@ -117,7 +118,6 @@ _DRIVER_WINDOW = [
     "similarity_ivf_ann",
     "window_range_frame",
     "join_shuffle_hash_hint",
-    "union_missing_columns",
     "array_functions",
     "pivot_status_by_priority",
     "unpivot_balances",
@@ -1479,6 +1479,76 @@ def precombine_dedup_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("l_orderkey", "l_linenumber", "l_quantity")
         .orderBy("l_orderkey")
+    )
+
+
+@query(
+    "manifest_incremental_pull",
+    """
+    WITH base AS (
+      SELECT l_orderkey, l_linenumber, MAX(l_extendedprice) AS l_extendedprice
+      FROM lineitem WHERE l_returnflag = 'R' AND l_orderkey < 2000
+      GROUP BY l_orderkey, l_linenumber
+    )
+    SELECT l_orderkey, l_linenumber,
+           CASE WHEN l_orderkey >= 50 THEN l_extendedprice + 2
+                ELSE l_extendedprice + 1 END AS l_extendedprice
+    FROM base
+    WHERE l_orderkey >= 25 AND l_orderkey < 150
+    ORDER BY l_orderkey, l_linenumber
+    """,
+)
+def manifest_incremental_pull(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The lake table's record-level incremental pull, end-to-end and
+    driver-scored: bulk-load a bounded lineitem slice into a ManifestTable
+    (io/manifest.py), run two overlapping upserts and a delete, then read
+    the changes since the load with records=True. The result must be the
+    LATEST version of exactly the keys that changed — second upsert wins
+    where the batches overlap, deleted keys vanish, untouched rows never
+    appear — which the oracle states in closed form over the same input.
+    Exercises commit-time change capture + latest-per-key resolution, the
+    Hudi incremental-query semantics the reference's table exposes
+    (glue/scripts/load_transactions.py:61-80)."""
+    import tempfile
+
+    from dca_manager_spark.io.manifest import ManifestTable
+
+    base = (
+        t(spark, sf_dir, "lineitem")
+        .filter((F.col("l_returnflag") == "R") & (F.col("l_orderkey") < 2000))
+        # The synthetic lineitem has duplicate (orderkey, linenumber)
+        # keys; collapse to one row per key in closed form so the oracle
+        # can state the expected change set exactly.
+        .groupBy("l_orderkey", "l_linenumber")
+        .agg(F.max("l_extendedprice").alias("l_extendedprice"))
+    )
+    # Fresh table per call (the driver runs queries repeatedly); the few
+    # hundred rows written here are the point — the query IS the write
+    # path. The dir is left for the OS tmp reaper: the returned frame
+    # reads from it lazily, so it must outlive this function.
+    table = ManifestTable(
+        spark,
+        tempfile.mkdtemp(prefix="dca-manifest-q-"),
+        keys=("l_orderkey", "l_linenumber"),
+        precombine="l_extendedprice",
+        partition_by=(),
+    )
+    table.write(base, "bulk_insert")
+    since = table.commits()[-1]
+    table.write(
+        base.filter(F.col("l_orderkey") < 100).withColumn(
+            "l_extendedprice", F.col("l_extendedprice") + 1
+        ),
+        "upsert",
+    )
+    table.write(
+        base.filter((F.col("l_orderkey") >= 50) & (F.col("l_orderkey") < 150))
+        .withColumn("l_extendedprice", F.col("l_extendedprice") + 2),
+        "upsert",
+    )
+    table.write(base.filter(F.col("l_orderkey") < 25), "delete")
+    return table.read_incremental(since, records=True).orderBy(
+        "l_orderkey", "l_linenumber"
     )
 
 
