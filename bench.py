@@ -79,10 +79,21 @@ def _perf_variants():
         )
         return dedup_keep_canonical(docs, pairs, "doc_id")
 
+    def incremental(spark, sf_dir):
+        from dca_manager_spark.operators.dedup import minhash_incremental_filter
+
+        docs = load_table(spark, sf_dir, "documents")
+        return minhash_incremental_filter(
+            docs.filter("doc_id % 2 = 1"), docs.filter("doc_id % 2 = 0"),
+            "doc_id", "text", num_hashes=64, bands=16, k=3, threshold=0.7,
+            mode="word",
+        ).select("doc_id", "lang")
+
     return {
         "dedup_minhash_lsh_xxh64": minhash,
         "dedup_simhash_xxh64": simhash,
         "dedup_cluster_canonical_xxh64": cluster,
+        "dedup_incremental_batch_xxh64": incremental,
     }
 
 
@@ -147,6 +158,7 @@ def main() -> None:
         "dedup_minhash_lsh": "dedup_minhash_lsh_xxh64",
         "dedup_simhash": "dedup_simhash_xxh64",
         "dedup_cluster_canonical": "dedup_cluster_canonical_xxh64",
+        "dedup_incremental_batch": "dedup_incremental_batch_xxh64",
     }
     catalog_names = [n for n in timings if not n.endswith("_xxh64")]
     total_md5_parity = round(sum(timings[n] for n in catalog_names), 3)

@@ -272,6 +272,44 @@ def test_manifest_table_matches_merge_table(spark, tmp_path_factory, seq):
     assert rows_mt == rows_man
 
 
+chunk_texts = st.lists(
+    st.text(alphabet="ab \t", min_size=0, max_size=60), min_size=1, max_size=6
+)
+
+
+@given(docs=chunk_texts, chunk=st.integers(2, 12), overlap=st.integers(0, 6))
+@settings(**H_SETTINGS)
+def test_chunk_documents_matches_python(spark, docs, chunk, overlap):
+    """chunk_documents == an independent Python windowing over the same
+    whitespace tokenization, for arbitrary texts and window geometry."""
+    from dca_manager_spark.operators.training import chunk_documents
+
+    if overlap >= chunk:
+        return
+    stride = chunk - overlap
+    df = spark.createDataFrame(list(enumerate(docs)), ["doc_id", "text"])
+    got = {
+        (r.doc_id, r.chunk_id): (r.chunk_text, r.chunk_n_tokens)
+        for r in chunk_documents(
+            df, "doc_id", "text", chunk_tokens=chunk, overlap=overlap
+        ).collect()
+    }
+    import math
+
+    want = {}
+    for i, text in enumerate(docs):
+        toks = text.split()
+        n_chunks = (
+            math.ceil((len(toks) - chunk) / stride) + 1
+            if len(toks) > chunk
+            else 1
+        )
+        for c in range(n_chunks):
+            window = toks[c * stride: c * stride + chunk]
+            want[(i, c)] = (" ".join(window), len(window))
+    assert got == want
+
+
 cdc_ops = st.lists(
     st.tuples(
         st.sampled_from(["upsert", "delete", "bulk_insert"]),
