@@ -89,11 +89,40 @@ def _perf_variants():
             mode="word",
         ).select("doc_id", "lang")
 
+    # Steady-state ingest: the corpus index is built ONCE and reused by
+    # every batch (CorpusIndex seam). First call builds + materializes
+    # it; best-of-3 then times only what a production batch pays — its
+    # own shingling + the bucket join + candidate verification.
+    idx_cache: dict = {}
+
+    def incremental_steady(spark, sf_dir):
+        from dca_manager_spark.operators.dedup import (
+            build_corpus_index,
+            minhash_incremental_filter,
+        )
+
+        docs = load_table(spark, sf_dir, "documents")
+        if sf_dir not in idx_cache:
+            idx = build_corpus_index(
+                docs.filter("doc_id % 2 = 0"), "doc_id", "text",
+                num_hashes=64, bands=16, k=3,
+            )
+            idx.grams = idx.grams.localCheckpoint(eager=True)
+            idx.bands = idx.bands.localCheckpoint(eager=True)
+            idx.sizes = idx.sizes.localCheckpoint(eager=True)
+            idx_cache[sf_dir] = idx
+        return minhash_incremental_filter(
+            docs.filter("doc_id % 2 = 1"), None, "doc_id", "text",
+            num_hashes=64, bands=16, k=3, threshold=0.7, mode="word",
+            corpus_index=idx_cache[sf_dir],
+        ).select("doc_id", "lang")
+
     return {
         "dedup_minhash_lsh_xxh64": minhash,
         "dedup_simhash_xxh64": simhash,
         "dedup_cluster_canonical_xxh64": cluster,
         "dedup_incremental_batch_xxh64": incremental,
+        "dedup_incremental_steady_xxh64": incremental_steady,
     }
 
 
