@@ -21,8 +21,10 @@ from dca_manager_spark.operators.similarity import (
     cosine_pairs,
     cosine_pairs_lsh,
     cosine_topk,
+    dequantize_embeddings,
     ivf_ann_topk,
     lsh_ann_topk,
+    quantize_embeddings,
 )
 from dca_manager_spark.operators.skew import salted_join, salted_sum
 from dca_manager_spark.operators.corpus import prepare_corpus
@@ -40,7 +42,7 @@ __all__ = [
     "CorpusIndex", "build_corpus_index",
     "connected_components", "dedup_keep_canonical",
     "cosine_topk", "cosine_pairs", "cosine_pairs_lsh", "lsh_ann_topk",
-    "ivf_ann_topk",
+    "ivf_ann_topk", "quantize_embeddings", "dequantize_embeddings",
     "train_val_test_split", "stratified_hash_sample",
     "salted_sum", "salted_join",
     "prepare_corpus",

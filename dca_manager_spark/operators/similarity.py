@@ -104,6 +104,50 @@ def cosine_topk(
     )
 
 
+def quantize_embeddings(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    q_col: str = "q_embedding",
+    scale_col: str = "q_scale",
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization — the storage format for
+    embedding corpora at 100 TB (4x smaller than float32, SIMD-friendly
+    dot products downstream): scale = max|x|, q_i = floor(x_i/scale*127
+    + 0.5) in [-127, 127] as tinyint; dequantize as q*scale/127, with
+    reconstruction error bounded by scale/254 per element. Zero vectors
+    quantize to zeros with scale 0. Pure JVM expressions; the rounding
+    is an explicit floor(+0.5) so every engine reproduces the exact same
+    codes (round() tie rules differ across engines)."""
+    v = as_double_vec(F.col(vec_col))
+    scale = F.array_max(F.transform(v, lambda x: F.abs(x)))
+    q = F.transform(
+        v,
+        lambda x: F.when(
+            F.col(scale_col) > 0,
+            F.floor(x / F.col(scale_col) * 127 + F.lit(0.5)),
+        )
+        .otherwise(F.lit(0))
+        .cast("tinyint"),
+    )
+    return df.withColumn(scale_col, scale).withColumn(q_col, q)
+
+
+def dequantize_embeddings(
+    df: DataFrame,
+    q_col: str = "q_embedding",
+    scale_col: str = "q_scale",
+    out_col: str = "embedding",
+) -> DataFrame:
+    """Inverse of :func:`quantize_embeddings`: x_i ~= q_i * scale / 127."""
+    return df.withColumn(
+        out_col,
+        F.transform(
+            F.col(q_col),
+            lambda q: q.cast("double") * F.col(scale_col) / F.lit(127.0),
+        ),
+    )
+
+
 def qdot_arrow() -> "F.Column":
     """Arrow-vectorized quantized dot product: a scalar pandas_udf that
     computes sum(floor(x*y*1e12)) per row over whole Arrow batches with

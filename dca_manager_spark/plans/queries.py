@@ -99,6 +99,7 @@ _DRIVER_WINDOW = [
     "training_chunk_documents",
     "window_percent_cume",
     "manifest_incremental_pull",
+    "embedding_quantize_int8",
     # -- last scored r5 --
     "q3_shipping_priority",
     "q5_local_supplier_volume",
@@ -132,7 +133,6 @@ _DRIVER_WINDOW = [
     "multimodal_frame_plan",
     "multimodal_features",
     "profile_orders",
-    "scalar_interval_arith",
     "text_cleaning",
     "text_repetition_ratio",
     "vocabulary_oov",
@@ -2308,6 +2308,67 @@ def similarity_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_cells=16,
         n_probe=4,
     ).orderBy("query_id", "rank")
+
+
+@query(
+    "embedding_quantize_int8",
+    f"""
+    WITH t AS (
+      SELECT vec_id, {_QVEC} AS v,
+             list_max(list_transform({_QVEC}, x -> abs(x))) AS scale
+      FROM embeddings
+    ),
+    q AS (
+      SELECT vec_id, v, scale,
+             list_transform(v, x -> CASE WHEN scale > 0
+                 THEN CAST(FLOOR(x / scale * 127 + 0.5) AS BIGINT)
+                 ELSE 0 END) AS qs
+      FROM t
+    )
+    SELECT vec_id, scale AS q_scale,
+           CAST(list_sum(qs) AS BIGINT) AS q_sum,
+           list_max(list_transform(range(1, len(v) + 1),
+                    i -> abs(v[i] - qs[i] * scale / 127))) AS max_err
+    FROM q
+    ORDER BY vec_id
+    """,
+)
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 embedding quantization (the 4x storage compression an
+    embedding corpus runs on at 100 TB): per-vector symmetric scale,
+    explicit floor(+0.5) rounding so the codes are engine-exact, and the
+    per-vector reconstruction error computed against the dequantized
+    values — identical IEEE op sequence in the oracle, so scale, code
+    checksum and max error all hash-match bit-for-bit."""
+    from dca_manager_spark.operators.similarity import (
+        as_double_vec,
+        dequantize_embeddings,
+        quantize_embeddings,
+    )
+
+    emb = t(spark, sf_dir, "embeddings")
+    q = dequantize_embeddings(
+        quantize_embeddings(emb), out_col="_deq"
+    )
+    return (
+        q.select(
+            "vec_id",
+            "q_scale",
+            F.aggregate(
+                F.col("q_embedding"),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x.cast("long"),
+            ).alias("q_sum"),
+            F.array_max(
+                F.zip_with(
+                    as_double_vec(F.col("embedding")),
+                    F.col("_deq"),
+                    lambda a, b: F.abs(a - b),
+                )
+            ).alias("max_err"),
+        )
+        .orderBy("vec_id")
+    )
 
 
 @query(

@@ -265,3 +265,29 @@ def test_cosine_pairs_lsh_multiprobe_monotone_no_fp(spark, emb):
                                     probe_bits=1).collect()}
     assert p0 <= p1, "identity mask missing: probe dropped base candidates"
     assert p1 <= exact, "probe introduced a false positive"
+
+
+def test_quantize_embeddings_roundtrip_bound(spark, emb):
+    """Int8 quantization: codes in [-127, 127], zero vectors -> zeros
+    with scale 0, and the per-element reconstruction error is within the
+    symmetric-quantization bound scale/254 (+ float slack)."""
+    from dca_manager_spark.operators.similarity import (
+        dequantize_embeddings,
+        quantize_embeddings,
+    )
+
+    base = emb.filter(F.col("vec_id") < 200).select("vec_id", "embedding")
+    zero = spark.createDataFrame(
+        [(999_999, [0.0] * 4)], "vec_id long, embedding array<double>"
+    )
+    q = dequantize_embeddings(
+        quantize_embeddings(base.unionByName(zero)), out_col="deq"
+    ).collect()
+    for r in q:
+        assert all(-127 <= c <= 127 for c in r.q_embedding)
+        if r.vec_id == 999_999:
+            assert r.q_scale == 0 and all(c == 0 for c in r.q_embedding)
+            continue
+        bound = r.q_scale / 254 * (1 + 1e-9)
+        for x, d in zip(r.embedding, r.deq):
+            assert abs(float(x) - d) <= bound, (r.vec_id, x, d, bound)
