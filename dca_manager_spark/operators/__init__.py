@@ -21,6 +21,7 @@ from dca_manager_spark.operators.similarity import (
     cosine_pairs,
     cosine_pairs_lsh,
     cosine_topk,
+    cosine_topk_int8,
     dequantize_embeddings,
     ivf_ann_topk,
     lsh_ann_topk,
@@ -43,6 +44,7 @@ __all__ = [
     "connected_components", "dedup_keep_canonical",
     "cosine_topk", "cosine_pairs", "cosine_pairs_lsh", "lsh_ann_topk",
     "ivf_ann_topk", "quantize_embeddings", "dequantize_embeddings",
+    "cosine_topk_int8",
     "train_val_test_split", "stratified_hash_sample",
     "salted_sum", "salted_join",
     "prepare_corpus",

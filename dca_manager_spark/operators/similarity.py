@@ -148,6 +148,67 @@ def dequantize_embeddings(
     )
 
 
+def cosine_topk_int8(
+    queries: DataFrame,
+    corpus: DataFrame,
+    query_id: str,
+    corpus_id: str,
+    vec_col: str = "embedding",
+    k: int = 10,
+) -> DataFrame:
+    """Brute-force cosine top-k over int8-QUANTIZED vectors — the cheap
+    scoring pass quantization buys: the dot product is an integer
+    sum of tinyint products (SIMD-friendly, 4x less memory traffic than
+    float32), and the per-vector scales cancel out of the cosine up to
+    quantization error. Same plan shape as :func:`cosine_topk`
+    (broadcast queries x corpus scan, windowed top-k); ranking agrees
+    with the exact float path to within the int8 resolution — use as
+    the first pass and exact-re-rank the shortlist if needed."""
+    qz = quantize_embeddings(queries, vec_col)
+    cz = quantize_embeddings(corpus, vec_col)
+
+    def inorm(q: Column) -> Column:
+        return F.aggregate(
+            q, F.lit(0).cast("long"),
+            lambda acc, x: acc + x.cast("long") * x.cast("long"),
+        )
+
+    qd = qz.select(
+        F.col(query_id).alias("__qid"),
+        F.col("q_embedding").alias("__qv"),
+        inorm(F.col("q_embedding")).alias("__qn"),
+    )
+    cd = cz.select(
+        F.col(corpus_id).alias("__cid"),
+        F.col("q_embedding").alias("__cv"),
+        inorm(F.col("q_embedding")).alias("__cn"),
+    )
+    dot = F.aggregate(
+        F.zip_with(
+            F.col("__qv"), F.col("__cv"),
+            lambda a, b: a.cast("long") * b.cast("long"),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    scored = (
+        cd.crossJoin(F.broadcast(qd))
+        .filter(F.col("__qid") != F.col("__cid"))
+        .withColumn("cosine", qcosine(dot, F.col("__qn"), F.col("__cn")))
+    )
+    w = Window.partitionBy("__qid").orderBy(F.col("cosine").desc(), F.col("__cid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("__qid").alias(query_id),
+            F.col("__cid").alias(corpus_id),
+            "cosine",
+            "rank",
+        )
+    )
+
+
 def qdot_arrow() -> "F.Column":
     """Arrow-vectorized quantized dot product: a scalar pandas_udf that
     computes sum(floor(x*y*1e12)) per row over whole Arrow batches with

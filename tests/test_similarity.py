@@ -291,3 +291,29 @@ def test_quantize_embeddings_roundtrip_bound(spark, emb):
         bound = r.q_scale / 254 * (1 + 1e-9)
         for x, d in zip(r.embedding, r.deq):
             assert abs(float(x) - d) <= bound, (r.vec_id, x, d, bound)
+
+
+def test_cosine_topk_int8_agrees_with_exact(spark, emb):
+    """The int8 scoring pass must agree with the exact float path at
+    shortlist granularity: strong top-10 overlap, and every int8 cosine
+    within the quantization error of its exact value."""
+    from dca_manager_spark.operators.similarity import cosine_topk, cosine_topk_int8
+
+    q = emb.filter(F.col("vec_id") < 30).selectExpr("vec_id AS query_id", "embedding")
+    c = emb.selectExpr("vec_id AS neighbor_id", "embedding")
+    exact = cosine_topk(q, c, "query_id", "neighbor_id", k=10).collect()
+    quant = cosine_topk_int8(q, c, "query_id", "neighbor_id", k=10).collect()
+    ex = {}
+    for r in exact:
+        ex.setdefault(r.query_id, set()).add(r.neighbor_id)
+    qn = {}
+    for r in quant:
+        qn.setdefault(r.query_id, set()).add(r.neighbor_id)
+    overlaps = [len(ex[k] & qn[k]) / len(ex[k]) for k in ex]
+    assert sum(overlaps) / len(overlaps) >= 0.8, sum(overlaps) / len(overlaps)
+    # int8 cosine close to exact cosine on the shared pairs
+    exact_cos = {(r.query_id, r.neighbor_id): r.cosine for r in exact}
+    for r in quant:
+        key = (r.query_id, r.neighbor_id)
+        if key in exact_cos:
+            assert abs(r.cosine - exact_cos[key]) < 0.02, (key, r.cosine, exact_cos[key])
