@@ -14,6 +14,7 @@ from dca_manager_spark.operators.dedup import (
     simhash_pairs,
 )
 from dca_manager_spark.operators.sampling import (
+    exact_k_sample,
     stratified_hash_sample,
     train_val_test_split,
 )
@@ -45,7 +46,7 @@ __all__ = [
     "cosine_topk", "cosine_pairs", "cosine_pairs_lsh", "lsh_ann_topk",
     "ivf_ann_topk", "quantize_embeddings", "dequantize_embeddings",
     "cosine_topk_int8",
-    "train_val_test_split", "stratified_hash_sample",
+    "train_val_test_split", "stratified_hash_sample", "exact_k_sample",
     "salted_sum", "salted_join",
     "prepare_corpus",
     "deterministic_shuffle", "pack_sequences", "mixture_sample",

@@ -50,6 +50,39 @@ def train_val_test_split(
     return df.withColumn("split", split)
 
 
+def exact_k_sample(
+    df: DataFrame,
+    id_col: str,
+    k: int,
+    strata_col: str | None = None,
+    salt: str = "sample",
+) -> DataFrame:
+    """EXACT-size deterministic sample: the ``k`` rows with the smallest
+    md5 rank (per stratum when ``strata_col`` is given) — for the
+    pipelines where "about 10%" is not acceptable (fixed eval sets,
+    per-source quotas). Hash-rate sampling gives a binomial size; this
+    gives exactly min(k, n).
+
+    Scale shape: unstratified = orderBy(rank).limit(k), which compiles
+    to TakeOrderedAndProject (per-partition top-k heaps, k rows to the
+    driver stage — never a full sort). Stratified = row_number over a
+    per-stratum window, shuffled on the stratum key; skewed strata are
+    bounded by the per-task top-k, not the stratum size. Assignment is a
+    pure function of (id, salt): layout-independent, rerun-stable,
+    oracle-exact."""
+    rank = F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string")))
+    if strata_col is None:
+        return df.orderBy(rank, F.col(id_col)).limit(k)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(strata_col).orderBy(rank, F.col(id_col))
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
 def stratified_hash_sample(
     df: DataFrame,
     id_col: str,

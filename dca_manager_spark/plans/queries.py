@@ -100,6 +100,7 @@ _DRIVER_WINDOW = [
     "window_percent_cume",
     "manifest_incremental_pull",
     "embedding_quantize_int8",
+    "sampling_exact_k",
     # -- last scored r5 --
     "q3_shipping_priority",
     "q5_local_supplier_volume",
@@ -125,7 +126,6 @@ _DRIVER_WINDOW = [
     "map_functions",
     "regexp_extract_parts",
     "sql_correlated_exists",
-    "null_handling_family",
     "train_val_test_split",
     "stratified_hash_sample",
     "applyinpandas_zscore",
@@ -3273,6 +3273,36 @@ def stratified_hash_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         stratified_hash_sample(
             docs, "doc_id", {"en": 0.10, "de": 0.50}, "lang", salt="sample"
         )
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "sampling_exact_k",
+    """
+    WITH ranked AS (
+      SELECT doc_id, lang,
+             ROW_NUMBER() OVER (PARTITION BY lang
+                 ORDER BY md5(concat('sample', CAST(doc_id AS VARCHAR))),
+                          doc_id) AS rn
+      FROM documents
+    )
+    SELECT doc_id, lang FROM ranked WHERE rn <= 25
+    ORDER BY doc_id
+    """,
+)
+def sampling_exact_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-size deterministic sampling: exactly 25 docs per language by
+    smallest md5 rank (operators/sampling.exact_k_sample) — the fixed
+    eval-set / per-source-quota primitive hash-rate sampling can't give
+    (binomial size). Pure function of (id, salt); oracle replicates the
+    selection bit-for-bit."""
+    from dca_manager_spark.operators.sampling import exact_k_sample
+
+    docs = t(spark, sf_dir, "documents")
+    return (
+        exact_k_sample(docs, "doc_id", k=25, strata_col="lang")
         .select("doc_id", "lang")
         .orderBy("doc_id")
     )

@@ -201,3 +201,26 @@ def test_mixture_sample_many_groups_bounded_plan(spark):
     assert not any(g in got for g in ("g000", "g100"))  # rate 0.0
     n_g150 = out.filter(F.col("g") == "g150").count()  # rate 0.5 of 10 rows
     assert 0 <= n_g150 <= 10
+
+
+def test_exact_k_sample_sizes_and_plan(spark, sf_dir):
+    """Exact-k sampling returns exactly min(k, stratum size) rows per
+    stratum, is rerun-stable, and the unstratified form compiles to
+    TakeOrderedAndProject (per-partition heaps, never a full sort)."""
+    from dca_manager_spark.operators.sampling import exact_k_sample
+    from dca_manager_spark.plans.inspect import physical_plan
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    per = exact_k_sample(docs, "doc_id", k=7, strata_col="lang")
+    counts = {r.lang: r.n for r in
+              per.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    totals = {r.lang: r.n for r in
+              docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert counts == {lang: min(7, n) for lang, n in totals.items()}
+    again = {r.doc_id for r in exact_k_sample(
+        docs, "doc_id", k=7, strata_col="lang").select("doc_id").collect()}
+    assert again == {r.doc_id for r in per.select("doc_id").collect()}
+
+    flat = exact_k_sample(docs, "doc_id", k=11)
+    assert flat.count() == 11
+    assert "TakeOrderedAndProject" in physical_plan(flat)
