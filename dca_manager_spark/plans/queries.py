@@ -101,6 +101,7 @@ _DRIVER_WINDOW = [
     "manifest_incremental_pull",
     "embedding_quantize_int8",
     "sampling_exact_k",
+    "events_funnel",
     # -- last scored r5 --
     "q3_shipping_priority",
     "q5_local_supplier_volume",
@@ -123,7 +124,6 @@ _DRIVER_WINDOW = [
     "array_functions",
     "pivot_status_by_priority",
     "unpivot_balances",
-    "map_functions",
     "regexp_extract_parts",
     "sql_correlated_exists",
     "train_val_test_split",
@@ -3276,6 +3276,70 @@ def stratified_hash_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "lang")
         .orderBy("doc_id")
     )
+
+
+@query(
+    "events_funnel",
+    """
+    WITH v AS (
+      SELECT user_id, MIN(ts) AS t FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+      SELECT e.user_id, MIN(e.ts) AS t
+      FROM events e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'click' AND e.ts >= v.t
+      GROUP BY e.user_id
+    ),
+    p AS (
+      SELECT e.user_id, MIN(e.ts) AS t
+      FROM events e JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase' AND e.ts >= c.t
+      GROUP BY e.user_id
+    )
+    SELECT '1_view' AS funnel_stage, COUNT(*) AS n_users FROM v
+    UNION ALL
+    SELECT '2_click_after_view', COUNT(*) FROM c
+    UNION ALL
+    SELECT '3_purchase_after_click', COUNT(*) FROM p
+    ORDER BY funnel_stage
+    """,
+)
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel (view -> click -> purchase): each stage
+    counts users whose stage event happens AT OR AFTER their earliest
+    previous-stage event — min-timestamp chaining, the scale-safe funnel
+    form: three shuffles on user_id and no per-user event buffering (a
+    collect_list funnel holds a power user's whole history in one row;
+    this holds one timestamp per user per stage)."""
+    ev = t(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+
+    def stage(prev: DataFrame | None, etype: str) -> DataFrame:
+        cur = ev.filter(F.col("event_type") == etype)
+        if prev is not None:
+            cur = cur.join(
+                prev.select("user_id", F.col("t").alias("__prev")), "user_id"
+            ).filter(F.col("ts") >= F.col("__prev"))
+        return cur.groupBy("user_id").agg(F.min("ts").alias("t"))
+
+    v = stage(None, "view")
+    c = stage(v, "click")
+    p = stage(c, "purchase")
+    frames = [
+        v.agg(F.count(F.lit(1)).alias("n_users")).select(
+            F.lit("1_view").alias("funnel_stage"), "n_users"
+        ),
+        c.agg(F.count(F.lit(1)).alias("n_users")).select(
+            F.lit("2_click_after_view").alias("funnel_stage"), "n_users"
+        ),
+        p.agg(F.count(F.lit(1)).alias("n_users")).select(
+            F.lit("3_purchase_after_click").alias("funnel_stage"), "n_users"
+        ),
+    ]
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out.orderBy("funnel_stage")
 
 
 @query(
