@@ -102,6 +102,7 @@ _DRIVER_WINDOW = [
     "embedding_quantize_int8",
     "sampling_exact_k",
     "events_funnel",
+    "training_chunk_pack_pipeline",
     # -- last scored r5 --
     "q3_shipping_priority",
     "q5_local_supplier_volume",
@@ -124,7 +125,6 @@ _DRIVER_WINDOW = [
     "array_functions",
     "pivot_status_by_priority",
     "unpivot_balances",
-    "regexp_extract_parts",
     "sql_correlated_exists",
     "train_val_test_split",
     "stratified_hash_sample",
@@ -3609,6 +3609,73 @@ def training_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunk_documents(
         docs, "doc_id", "text", chunk_tokens=128, overlap=32
     ).orderBy("doc_id", "chunk_id")
+
+
+@query(
+    "training_chunk_pack_pipeline",
+    f"""
+    WITH t AS (
+      SELECT doc_id, {_TOKENS.format(c='text')} AS toks FROM documents
+    ),
+    c AS (
+      SELECT doc_id, toks,
+             CAST(FLOOR((GREATEST(len(toks) - 128, 0) + 95) / 96.0) AS BIGINT)
+               + 1 AS n_chunks
+      FROM t
+    ),
+    e AS (
+      SELECT doc_id, toks,
+             unnest(generate_series(0, n_chunks - 1)) AS chunk_id
+      FROM c
+    ),
+    ch AS (
+      SELECT doc_id, CAST(chunk_id AS INT) AS chunk_id,
+             CAST(len(toks[chunk_id*96+1 : chunk_id*96+128]) AS INT)
+               AS chunk_n_tokens,
+             doc_id * 1000 + chunk_id AS chunk_uid
+      FROM e
+    ),
+    s AS (
+      SELECT doc_id, chunk_id, chunk_n_tokens,
+             CAST(SUM(chunk_n_tokens) OVER (
+                 ORDER BY md5(concat('shuffle', CAST(chunk_uid AS VARCHAR))),
+                          chunk_uid) - chunk_n_tokens AS BIGINT)
+               AS bin_tokens_before
+      FROM ch
+    )
+    SELECT doc_id, chunk_id, chunk_n_tokens,
+           CAST(FLOOR(bin_tokens_before / 1024) AS BIGINT) AS bin_id,
+           bin_tokens_before
+    FROM s
+    ORDER BY doc_id, chunk_id
+    """,
+)
+def training_chunk_pack_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed training prep in ONE plan: chunk documents into 128-token
+    overlapping windows, then pack the chunks into 1024-token bins in
+    deterministic-shuffle order — the chunk->pack step every
+    context-bounded loader runs. Chunk membership and bin assignment are
+    both pure integer functions of the input, so the composition stays
+    bit-exact; the packing cumsum is the hierarchical two-pass (no
+    single-partition stage) over the chunk rows."""
+    from dca_manager_spark.operators.training import chunk_documents, pack_sequences
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    chunks = chunk_documents(
+        docs, "doc_id", "text", chunk_tokens=128, overlap=32
+    ).select(
+        "doc_id",
+        "chunk_id",
+        "chunk_n_tokens",
+        (F.col("doc_id") * 1000 + F.col("chunk_id")).alias("chunk_uid"),
+    )
+    return (
+        pack_sequences(chunks, "chunk_uid", "chunk_n_tokens", budget=1024)
+        .select(
+            "doc_id", "chunk_id", "chunk_n_tokens", "bin_id", "bin_tokens_before"
+        )
+        .orderBy("doc_id", "chunk_id")
+    )
 
 
 @query(
