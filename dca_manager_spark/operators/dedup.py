@@ -419,8 +419,16 @@ class CorpusIndex:
         """Grow a PERSISTED index by one admitted batch: an O(batch)
         parquet append of the batch's three frames under the stored
         parameters — the steady-state ingest loop never rewrites (or even
-        reads) the corpus-sized index files. Single-writer discipline,
-        like the manifest commit path."""
+        reads) the corpus-sized index files.
+
+        Crash contract (single writer): the three appends are NOT one
+        atomic commit. A crash mid-append leaves a partially-indexed
+        batch, and RE-appending duplicates gram rows — which inflates
+        set sizes and intersections and changes Jaccard verdicts. After
+        a failed append, rebuild the index (or restore the three frame
+        dirs from a snapshot) rather than retrying; for atomic index
+        growth, store each frame in a ManifestTable and append through
+        its commit protocol."""
         import json
         import os
 
