@@ -296,6 +296,28 @@ def test_incremental_records_insert_duplicates_and_compaction(spark, table):
     assert got == [1.0, 2.0]
 
 
+def test_incremental_records_across_schema_evolution(spark, table):
+    """A later commit adds a column: the records read and the CDC feed
+    surface every change under the LATEST schema — older commits'
+    captured rows (including append commits, whose changes are data-file
+    references) null-fill the new column."""
+    table.write(make_df(spark, [("T1", TS1, "BTCGBP", 1.0)]), "bulk_insert")
+    v0 = table.commits()[0]
+    wide = spark.createDataFrame(
+        [("T2", TS1, "BTCGBP", 2.0, 0.1)],
+        "transaction_id string, close_time timestamp, pair string, "
+        "price double, fee double",
+    )
+    table.write(wide, "upsert")
+
+    inc = table.read_incremental(v0, records=True).collect()
+    assert [(r.transaction_id, r.fee) for r in inc] == [("T2", 0.1)]
+    feed = {r.transaction_id: (r.fee, r._change_type)
+            for r in table.read_cdc(-1).collect()}
+    # The pre-evolution append's captured row null-fills fee.
+    assert feed == {"T1": (None, "upsert"), "T2": (0.1, "upsert")}
+
+
 def test_vacuum_retention_window(spark, table):
     """vacuum(keep_last=N) retains N manifests: time travel, records
     incremental reads and CDC stay valid inside the window and fail
