@@ -279,6 +279,7 @@ class ManifestTable:
             _, doc = latest
         files = doc["files"]
         if partition_filter:
+            self._check_partition_filter(partition_filter)
             files = [
                 f
                 for f in files
@@ -302,6 +303,17 @@ class ManifestTable:
         return self.spark.read.schema(schema).parquet(
             *[str(Path(self.path) / f["path"]) for f in files]
         )
+
+    def _check_partition_filter(self, partition_filter: dict) -> None:
+        """A filter on a non-partition column would silently match
+        nothing (manifest entries have no such key) — make it loud."""
+        unknown = set(partition_filter) - set(self.partition_by)
+        if unknown:
+            raise ValueError(
+                f"partition_filter names non-partition columns "
+                f"{sorted(unknown)}; table is partitioned by "
+                f"{self.partition_by}"
+            )
 
     def _check_since(self, since: int) -> None:
         ids = self._manifest_ids()
@@ -615,6 +627,8 @@ class ManifestTable:
         latest = self._latest_manifest()
         if latest is None:
             return 0
+        if partition_filter:
+            self._check_partition_filter(partition_filter)
         prev_id, doc = latest
 
         def selected(f: dict) -> bool:

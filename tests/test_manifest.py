@@ -296,6 +296,17 @@ def test_incremental_records_insert_duplicates_and_compaction(spark, table):
     assert got == [1.0, 2.0]
 
 
+def test_partition_filter_unknown_column_is_loud(spark, table):
+    """A filter on a non-partition column would silently match nothing
+    (manifest entries carry no such key) — it must raise instead."""
+    table.write(make_df(spark, [("T1", TS1, "BTCGBP", 1.0)]), "bulk_insert")
+    with pytest.raises(ValueError, match="non-partition"):
+        table.read(partition_filter={"price": 1.0})
+    with pytest.raises(ValueError, match="non-partition"):
+        table.compact(partition_filter={"nope": "x"})
+    assert table.read(partition_filter={"pair": "BTCGBP"}).count() == 1
+
+
 def test_incremental_records_across_schema_evolution(spark, table):
     """A later commit adds a column: the records read and the CDC feed
     surface every change under the LATEST schema — older commits'
