@@ -41,6 +41,11 @@ def train_val_test_split(
 ) -> DataFrame:
     """Adds a ``split`` column in {train, val, test} by hash range —
     layout-independent, rerun-stable, and join-free."""
+    if train < 0 or val < 0 or train + val > 1:
+        raise ValueError(
+            f"split fractions must satisfy train, val >= 0 and "
+            f"train + val <= 1; got train={train}, val={val}"
+        )
     b = hash_bucket(F.col(id_col), salt)
     t_edge = int(train * BUCKETS)
     v_edge = int((train + val) * BUCKETS)
@@ -61,7 +66,7 @@ def exact_k_sample(
     md5 rank (per stratum when ``strata_col`` is given) — for the
     pipelines where "about 10%" is not acceptable (fixed eval sets,
     per-source quotas). Hash-rate sampling gives a binomial size; this
-    gives exactly min(k, n).
+    gives exactly min(k, n). ``k`` must be non-negative.
 
     Scale shape: unstratified = orderBy(rank).limit(k), which compiles
     to TakeOrderedAndProject (per-partition top-k heaps, k rows to the
@@ -70,6 +75,8 @@ def exact_k_sample(
     bounded by the per-task top-k, not the stratum size. Assignment is a
     pure function of (id, salt): layout-independent, rerun-stable,
     oracle-exact."""
+    if k < 0:
+        raise ValueError(f"k must be >= 0, got {k}")
     rank = F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string")))
     if strata_col is None:
         return df.orderBy(rank, F.col(id_col)).limit(k)
@@ -93,6 +100,9 @@ def stratified_hash_sample(
     """Per-stratum deterministic sampling: keep a row iff its hash bucket
     falls under the stratum's fraction. Unlike ``sampleBy``, assignment
     does not depend on partitioning or seed plumbing."""
+    bad = {s: f for s, f in fractions.items() if not 0.0 <= f <= 1.0}
+    if bad:
+        raise ValueError(f"sampling fractions must be in [0, 1], got {bad}")
     b = hash_bucket(F.col(id_col), salt)
     keep = F.lit(False)
     for stratum, frac in fractions.items():

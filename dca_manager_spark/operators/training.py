@@ -65,6 +65,10 @@ def pack_sequences(
     Documents LONGER than the budget get a bin of their own (they cross
     the boundary immediately); chunk them upstream if that is an error.
     """
+    if budget < 1:
+        raise ValueError(f"budget must be >= 1 token, got {budget}")
+    if not 1 <= bucket_chars <= 8:
+        raise ValueError(f"bucket_chars must be in [1, 8], got {bucket_chars}")
     rank = shuffle_rank(F.col(id_col), seed)
     keyed = df.withColumn("_pack_rank", rank).withColumn(
         "_pack_bucket", F.substring(F.col("_pack_rank"), 1, bucket_chars)
@@ -182,6 +186,10 @@ def mixture_sample(
     sources. The map rides in the plan like a broadcast dim; at tens of
     thousands of groups, switch to an actual broadcast join against a
     rates table (same filter, same hash)."""
+    bad = {g: r for g, r in {**rates, "<default>": default_rate}.items()
+           if not 0.0 <= r <= 1.0}
+    if bad:
+        raise ValueError(f"sampling rates must be in [0, 1], got {bad}")
     bucket = (
         F.conv(
             F.substring(F.md5(F.concat(F.lit(seed), F.col(id_col).cast("string"))), 1, 8),

@@ -224,3 +224,31 @@ def test_exact_k_sample_sizes_and_plan(spark, sf_dir):
     flat = exact_k_sample(docs, "doc_id", k=11)
     assert flat.count() == 11
     assert "TakeOrderedAndProject" in physical_plan(flat)
+
+
+def test_sampling_and_training_parameter_validation(spark):
+    """Out-of-range fractions, budgets and k must fail at build time, not
+    silently over- or under-select."""
+    from dca_manager_spark.operators.sampling import (
+        exact_k_sample,
+        stratified_hash_sample,
+        train_val_test_split,
+    )
+    from dca_manager_spark.operators.training import mixture_sample, pack_sequences
+
+    df = spark.range(10).select(
+        F.col("id").alias("doc_id"), F.lit("en").alias("lang"),
+        F.lit(5).alias("n_tokens"),
+    )
+    with pytest.raises(ValueError, match=r"\[0, 1\]"):
+        mixture_sample(df, "doc_id", "lang", {"en": 1.5})
+    with pytest.raises(ValueError, match=r"\[0, 1\]"):
+        stratified_hash_sample(df, "doc_id", {"en": -0.1}, "lang")
+    with pytest.raises(ValueError, match="fractions"):
+        train_val_test_split(df, "doc_id", train=0.8, val=0.3)
+    with pytest.raises(ValueError, match="budget"):
+        pack_sequences(df, "doc_id", "n_tokens", budget=0)
+    with pytest.raises(ValueError, match="bucket_chars"):
+        pack_sequences(df, "doc_id", "n_tokens", budget=10, bucket_chars=9)
+    with pytest.raises(ValueError, match="k must"):
+        exact_k_sample(df, "doc_id", k=-1)
