@@ -242,6 +242,17 @@ def minhash_signatures(
     return hashed.groupBy("__id").agg(*aggs)
 
 
+def _rows_per_band(num_hashes: int, bands: int) -> int:
+    """Banding requires bands to divide num_hashes exactly — integer
+    division would silently drop the remainder hashes and weaken the
+    S-curve the caller asked for."""
+    if bands < 1 or num_hashes % bands:
+        raise ValueError(
+            f"bands ({bands}) must divide num_hashes ({num_hashes}) exactly"
+        )
+    return num_hashes // bands
+
+
 def _banded(sigs: DataFrame, bands: int, rows_per_band: int, hash_fn: str) -> DataFrame:
     """Signature frame (__id, h0..hN-1) -> exploded (__id, __band, __bh)
     band-bucket rows. md5 keys when cross-engine portability matters,
@@ -281,7 +292,7 @@ def minhash_lsh_pairs(
     an equi join on (band, band_hash); only candidate pairs pay the exact
     verification (array_intersect on the distinct shingle sets).
     """
-    rows_per_band = num_hashes // bands
+    rows_per_band = _rows_per_band(num_hashes, bands)
     # Materialize the shingle rows ONCE (localCheckpoint truncates lineage)
     # — they feed the signature aggregate, both sides of the banded
     # self-join, doc sizes, AND candidate verification. Without this the
@@ -453,7 +464,7 @@ def build_corpus_index(
     """Shingle + sign the corpus ONCE and package every corpus-side frame
     :func:`minhash_incremental_filter` needs. Pure function of the kept
     docs — safe to persist and reuse across every future ingest batch."""
-    rows_per_band = num_hashes // bands
+    rows_per_band = _rows_per_band(num_hashes, bands)
     grams = exploded_shingles(corpus_df, id_col, text_col, k, mode).localCheckpoint(
         eager=False
     )
@@ -504,7 +515,7 @@ def minhash_incremental_filter(
     loud errors otherwise. Within-batch duplicates are NOT removed here —
     run minhash_lsh_pairs + dedup_keep_canonical on the surviving batch.
     """
-    rows_per_band = num_hashes // bands
+    rows_per_band = _rows_per_band(num_hashes, bands)
     if (corpus_df is None) == (corpus_index is None):
         raise ValueError(
             "pass exactly one of corpus_df (recompute) or corpus_index (persisted)"

@@ -355,3 +355,19 @@ def test_corpus_index_param_mismatch_is_loud(spark, tmp_path):
         )
     with pytest.raises(ValueError, match="exactly one"):
         minhash_incremental_filter(batch, None, "doc_id", "text")
+
+
+def test_minhash_bands_must_divide_hashes(spark):
+    """Integer division would silently drop remainder hashes and weaken
+    the requested S-curve; non-divisible banding must raise."""
+    import pytest
+    from dca_manager_spark.operators.dedup import (
+        build_corpus_index,
+        minhash_lsh_pairs,
+    )
+
+    df = spark.createDataFrame([(1, "a b c d e")], ["doc_id", "text"])
+    with pytest.raises(ValueError, match="divide"):
+        minhash_lsh_pairs(df, "doc_id", "text", num_hashes=64, bands=10)
+    with pytest.raises(ValueError, match="divide"):
+        build_corpus_index(df, "doc_id", "text", num_hashes=64, bands=7)
