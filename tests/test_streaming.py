@@ -455,6 +455,63 @@ def test_stream_upsert_into_manifest_table(spark, tmp_path):
         stream_upsert(stream, table, str(tmp_path / "ckpt2"), operation="insert")
 
 
+def test_stream_upsert_feeds_incremental_consumers(spark, tmp_path):
+    """The full streaming -> lake -> incremental-consumer loop: every
+    micro-batch lands as one manifest commit WITH change capture, so a
+    downstream consumer sees exactly the streamed changes per commit
+    (CDC feed) or the collapsed latest state (records incremental) —
+    never a re-read of untouched table content."""
+    import os
+
+    from dca_manager_spark.io.manifest import ManifestTable
+    from dca_manager_spark.streaming.ingest import stream_upsert
+
+    src = tmp_path / "src"
+    src.mkdir()
+    ts = "2024-01-01T12:00:00"
+    (src / "a_b1.json").write_text(
+        json.dumps({"transaction_id": "T1", "close_time": ts, "pair": "ADAGBP", "price": 1.0})
+        + "\n"
+        + json.dumps({"transaction_id": "T2", "close_time": ts, "pair": "BTCGBP", "price": 2.0})
+    )
+    (src / "b_b2.json").write_text(
+        json.dumps({"transaction_id": "T1", "close_time": ts, "pair": "ADAGBP", "price": 9.0})
+    )
+    now = 1_700_000_000
+    os.utime(src / "a_b1.json", (now, now))
+    os.utime(src / "b_b2.json", (now + 10, now + 10))
+
+    table = ManifestTable(
+        spark,
+        str(tmp_path / "tbl"),
+        keys=("transaction_id", "close_time"),
+        precombine="transaction_id",
+        partition_by=("pair",),
+    )
+    stream = (
+        spark.readStream.schema(
+            "transaction_id string, close_time timestamp, pair string, price double"
+        )
+        .option("maxFilesPerTrigger", "1")
+        .json(str(src))
+    )
+    stream_upsert(stream, table, str(tmp_path / "ckpt")).awaitTermination()
+
+    ids = table.commits()
+    assert len(ids) == 2  # one commit per micro-batch
+    feed = sorted(
+        (r._commit, r.transaction_id, r.price, r._change_type)
+        for r in table.read_cdc(-1).collect()
+    )
+    assert feed == [
+        (ids[0], "T1", 1.0, "upsert"),
+        (ids[0], "T2", 2.0, "upsert"),
+        (ids[1], "T1", 9.0, "upsert"),
+    ]
+    inc = table.read_incremental(ids[0], records=True).collect()
+    assert [(r.transaction_id, r.price) for r in inc] == [("T1", 9.0)]
+
+
 def test_transform_with_state_lifecycle_parity(spark, tmp_path):
     """The transformWithStateInPandas twin must settle the same
     transactions with the same cross-batch latency as the
