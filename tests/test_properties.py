@@ -310,6 +310,39 @@ def test_chunk_documents_matches_python(spark, docs, chunk, overlap):
     assert got == want
 
 
+@given(
+    tokens=st.lists(st.integers(1, 500), min_size=1, max_size=40),
+    budget=st.integers(1, 600),
+    bucket_chars=st.integers(1, 3),
+)
+@settings(**H_SETTINGS)
+def test_pack_sequences_matches_python(spark, tokens, budget, bucket_chars):
+    """The hierarchical two-pass prefix sum must equal a straight Python
+    cumsum over the md5-shuffle order for ANY token counts, budget, and
+    bucket width — bucket_chars is the scale-out knob and must never
+    change the answer."""
+    import hashlib
+
+    from dca_manager_spark.operators.training import pack_sequences
+
+    rows = list(enumerate(tokens))
+    df = spark.createDataFrame(rows, "doc_id int, n_tokens int")
+    got = {
+        r.doc_id: (r.bin_id, r.bin_tokens_before)
+        for r in pack_sequences(
+            df, "doc_id", "n_tokens", budget=budget, bucket_chars=bucket_chars
+        ).collect()
+    }
+    order = sorted(
+        rows, key=lambda r: (hashlib.md5(f"shuffle{r[0]}".encode()).hexdigest(), r[0])
+    )
+    run, want = 0, {}
+    for doc_id, n in order:
+        want[doc_id] = (run // budget, run)
+        run += n
+    assert got == want
+
+
 cdc_ops = st.lists(
     st.tuples(
         st.sampled_from(["upsert", "delete", "bulk_insert"]),
