@@ -130,6 +130,12 @@ def chunk_documents(
             f"overlap ({overlap}) must be smaller than chunk_tokens "
             f"({chunk_tokens})"
         )
+    clash = {"chunk_id", "chunk_text", "chunk_n_tokens", "_toks"} & set(df.columns)
+    if clash:
+        raise ValueError(
+            f"input already has column(s) {sorted(clash)} that chunking "
+            "would overwrite; rename them first"
+        )
     from dca_manager_spark.operators.text import tokens
 
     stride = chunk_tokens - overlap

@@ -252,3 +252,11 @@ def test_sampling_and_training_parameter_validation(spark):
         pack_sequences(df, "doc_id", "n_tokens", budget=10, bucket_chars=9)
     with pytest.raises(ValueError, match="k must"):
         exact_k_sample(df, "doc_id", k=-1)
+
+
+def test_chunk_documents_rejects_colliding_columns(spark):
+    from dca_manager_spark.operators.training import chunk_documents
+
+    df = spark.createDataFrame([(1, "a b", 0)], ["doc_id", "text", "chunk_id"])
+    with pytest.raises(ValueError, match="chunk_id"):
+        chunk_documents(df, "doc_id", "text")
