@@ -38,6 +38,8 @@ def exact_dedup(
     """Keep one deterministic survivor per key: the row with min (or max)
     ``order_col``. A window row_number — NOT dropDuplicates, whose survivor
     is partition-order-dependent."""
+    if keep not in ("min", "max"):
+        raise ValueError(f"keep must be 'min' or 'max', got {keep!r}")
     order = F.col(order_col).asc() if keep == "min" else F.col(order_col).desc()
     w = Window.partitionBy(*key_cols).orderBy(order)
     return (

@@ -95,6 +95,11 @@ def range_join(
     That is the 100 TB-safe path when neither side is broadcastable; the
     residual range predicate still filters exactly.
     """
+    if bucket_width_seconds is not None and bucket_width_seconds < 1:
+        raise ValueError(
+            f"bucket_width_seconds must be >= 1 (or None for the plain "
+            f"non-equi join), got {bucket_width_seconds}"
+        )
     cond = (F.col(left_ts) >= F.col(right_lo)) & (F.col(left_ts) < F.col(right_hi))
     if not bucket_width_seconds:
         eq = [left[c] == right[c] for c in on]

@@ -260,3 +260,23 @@ def test_chunk_documents_rejects_colliding_columns(spark):
     df = spark.createDataFrame([(1, "a b", 0)], ["doc_id", "text", "chunk_id"])
     with pytest.raises(ValueError, match="chunk_id"):
         chunk_documents(df, "doc_id", "text")
+
+
+def test_exact_dedup_and_range_join_validation(spark):
+    """Typos must not silently flip semantics: keep='foo' behaved as
+    'max', and a negative bucket width produced backwards bucket
+    sequences."""
+    from dca_manager_spark.operators.dedup import exact_dedup
+
+    df = spark.createDataFrame([(1, 2)], ["k", "o"])
+    with pytest.raises(ValueError, match="keep"):
+        exact_dedup(df, ["k"], "o", keep="foo")
+    left = spark.createDataFrame([(1, datetime.datetime(2024, 1, 1))], "k int, ts timestamp")
+    right = spark.createDataFrame(
+        [(1, datetime.datetime(2024, 1, 1), datetime.datetime(2024, 1, 2), "w")],
+        "k int, lo timestamp, hi timestamp, tag string",
+    )
+    from dca_manager_spark.operators.relational import range_join
+
+    with pytest.raises(ValueError, match="bucket_width_seconds"):
+        range_join(left, right, ["k"], "ts", "lo", "hi", bucket_width_seconds=-60)
