@@ -275,6 +275,27 @@ def test_apply_cdc_replicates_source_table(spark, table, tmp_path):
     }
 
 
+def test_apply_cdc_collapses_insert_duplicates_as_documented(spark, table, tmp_path):
+    """apply_cdc replays everything as keyed upserts, so legal same-key
+    duplicates from source INSERT commits collapse under the replica's
+    precombine — the documented caveat (replicate with bulk_insert loads
+    if duplicate preservation matters). Pin it so a behavior change is a
+    deliberate decision, not an accident."""
+    replica = ManifestTable(
+        spark,
+        str(tmp_path / "replica2"),
+        keys=("transaction_id", "close_time"),
+        precombine="price",
+        partition_by=("pair",),
+    )
+    dup = make_df(spark, [("T1", TS1, "BTCGBP", 1.0), ("T1", TS1, "BTCGBP", 2.0)])
+    table.write(dup, "insert")
+    assert table.read().count() == 2  # source keeps the duplicates
+    replica.apply_cdc(table.read_cdc(-1))
+    rows = replica.read().collect()
+    assert [(r.transaction_id, r.price) for r in rows] == [("T1", 2.0)]
+
+
 def test_incremental_records_insert_duplicates_and_compaction(spark, table):
     """Legal duplicate keys from insert commits survive the records read
     (max-commit resolution, not row_number); compaction is content-neutral
