@@ -103,6 +103,7 @@ _DRIVER_WINDOW = [
     "sampling_exact_k",
     "events_funnel",
     "training_chunk_pack_pipeline",
+    "text_effective_vocab",
     # -- last scored r5 --
     "q3_shipping_priority",
     "q5_local_supplier_volume",
@@ -132,7 +133,6 @@ _DRIVER_WINDOW = [
     "stat_corr_manual",
     "multimodal_frame_plan",
     "multimodal_features",
-    "profile_orders",
     "text_cleaning",
     "text_repetition_ratio",
     "vocabulary_oov",
@@ -4110,6 +4110,61 @@ def text_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         t(spark, sf_dir, "documents")
         .select("doc_id", sentence_repetition_ratio(F.col("text")).alias("repetition"))
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "text_effective_vocab",
+    r"""
+    WITH tok AS (
+      SELECT doc_id, unnest(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                                        x -> x != '')) AS w
+      FROM documents
+    ),
+    cnt AS (
+      SELECT doc_id, w, COUNT(*) AS c FROM tok GROUP BY doc_id, w
+    )
+    SELECT doc_id,
+           CAST(SUM(c) AS BIGINT) AS n_tokens,
+           COUNT(*) AS n_distinct,
+           CAST(SUM(c) * SUM(c) AS DOUBLE) / CAST(SUM(c * c) AS DOUBLE)
+             AS effective_vocab
+    FROM cnt
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+)
+def text_effective_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-distribution concentration as a quality signal: effective
+    vocabulary size = inverse Simpson index total^2 / sum(count^2) —
+    near n_distinct for diverse prose, collapsing toward 1 for
+    keyword-stuffed/templated text. Chosen over Shannon entropy because
+    it is PURE integer arithmetic + one double division: bit-exact in
+    every engine, where ln() is not guaranteed correctly rounded. Two
+    shuffles (per-token counts, then per-doc aggregate); no per-doc
+    buffering. Docs with zero tokens have no distribution and are
+    omitted (same as the SQL GROUP BY)."""
+    from dca_manager_spark.operators.text import tokens
+
+    docs = t(spark, sf_dir, "documents")
+    cnt = (
+        docs.select(
+            "doc_id", F.explode(tokens(F.lower(F.col("text")))).alias("w")
+        )
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return (
+        cnt.groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_tokens"),
+            F.count(F.lit(1)).alias("n_distinct"),
+            (
+                (F.sum("c") * F.sum("c")).cast("double")
+                / F.sum(F.col("c") * F.col("c")).cast("double")
+            ).alias("effective_vocab"),
+        )
         .orderBy("doc_id")
     )
 
