@@ -608,6 +608,48 @@ class ManifestTable:
         )
         self._publish(prev_id, kept + new_files, merged.schema.json(), changes)
 
+    def restore(self, version: int) -> int:
+        """Roll the table BACK to ``version`` as a NEW commit (the Delta
+        RESTORE analogue): the new manifest references the target
+        version's still-immutable data files — no data is rewritten —
+        and readers atomically see the old content under a new commit
+        id; the rolled-back commits stay time-travelable until vacuum.
+
+        Change capture stays RECORD-EXACT so incremental/CDC consumers
+        survive a restore: upserts = rows of the restored snapshot that
+        differ from the current one (full-row exceptAll — unchanged rows
+        are NOT re-emitted as changes), deletes = current rows whose key
+        vanishes. That diff costs one pass over both snapshots; restores
+        are exceptional events, ordinary commits stay O(batch). Returns
+        the new commit id (the current id if already at ``version``)."""
+        ids = self._manifest_ids()
+        if version not in ids:
+            raise FileNotFoundError(
+                f"no manifest {version} under {self.path} "
+                f"(available: {ids}); vacuum may have pruned it"
+            )
+        prev_id = ids[-1]
+        if version == prev_id:
+            return prev_id
+        target = self._load_manifest(version)
+        restored = self.read(as_of=version)
+        current = self.read()
+        changed = restored.exceptAll(current)
+        ident = list(dict.fromkeys(self.keys + self.partition_by))
+        pred = F.lit(True)
+        for c in ident:
+            pred = pred & F.col(f"e.{c}").eqNullSafe(F.col(f"b.{c}"))
+        removed = current.alias("e").join(
+            restored.select(*ident).distinct().alias("b"), pred, "left_anti"
+        )
+        next_id = self._next_id(prev_id)
+        changes = {
+            "upserts": self._write_change_files(changed, next_id, "u"),
+            "deletes": self._write_change_files(removed, next_id, "d"),
+        }
+        self._publish(prev_id, target["files"], target["schema"], changes)
+        return next_id
+
     # -- maintenance --------------------------------------------------------
     def compact(
         self,

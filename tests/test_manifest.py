@@ -350,6 +350,51 @@ def test_incremental_records_across_schema_evolution(spark, table):
     assert feed == {"T1": (None, "upsert"), "T2": (0.1, "upsert")}
 
 
+def test_restore_rolls_back_without_rewriting_data(spark, table):
+    """RESTORE publishes a new manifest referencing the target version's
+    files (no data rewrite), readers see the old content, and the change
+    capture is record-exact: only rows that actually differ surface to
+    incremental/CDC consumers — unchanged rows are not re-emitted."""
+    table.write(
+        make_df(spark, [("T1", TS1, "BTCGBP", 1.0), ("T2", TS1, "ETHGBP", 2.0)]),
+        "upsert",
+    )
+    v0 = table.commits()[-1]
+    table.write(make_df(spark, [("T1", TS1, "BTCGBP", 5.0)]), "upsert")
+    table.write(make_df(spark, [("T3", TS1, "BTCGBP", 7.0)]), "upsert")
+    v2 = table.commits()[-1]
+    n_files_before = table.file_count()
+
+    new_id = table.restore(v0)
+    assert new_id == v2 + 1 and table.commits()[-1] == new_id
+    assert {(r.transaction_id, r.price) for r in table.read().collect()} == {
+        ("T1", 1.0), ("T2", 2.0)
+    }
+    assert table.file_count() <= n_files_before  # references, no new data
+
+    # Record-exact changes: T1 back to 1.0 (differs), T3 deleted,
+    # T2 untouched and NOT re-emitted.
+    ch = {(r.transaction_id, r._change_type, r.price)
+          for r in table.read_cdc(v2).collect()}
+    assert ch == {("T1", "upsert", 1.0), ("T3", "delete", 7.0)}
+    inc = {(r.transaction_id, r.price)
+           for r in table.read_incremental(v2, records=True).collect()}
+    assert inc == {("T1", 1.0)}
+    # A consumer synced to v0 now converges back to the v0 state.
+    assert {(r.transaction_id, r.price)
+            for r in table.read_incremental(v0, records=True).collect()} == {
+        ("T1", 1.0)
+    }
+    # Rolled-back history remains time-travelable; restore to HEAD no-ops.
+    assert {r.price for r in table.read(as_of=v2).collect()} == {5.0, 2.0, 7.0}
+    assert table.restore(new_id) == new_id
+    # Vacuum keeps the restored content readable.
+    table.vacuum()
+    assert {(r.transaction_id, r.price) for r in table.read().collect()} == {
+        ("T1", 1.0), ("T2", 2.0)
+    }
+
+
 def test_vacuum_retention_window(spark, table):
     """vacuum(keep_last=N) retains N manifests: time travel, records
     incremental reads and CDC stay valid inside the window and fail
