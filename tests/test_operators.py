@@ -280,3 +280,16 @@ def test_exact_dedup_and_range_join_validation(spark):
 
     with pytest.raises(ValueError, match="bucket_width_seconds"):
         range_join(left, right, ["k"], "ts", "lo", "hi", bucket_width_seconds=-60)
+
+
+def test_exact_k_stratified_window_group_limit(spark, sf_dir):
+    """The stratified exact-k must compile with WindowGroupLimit on BOTH
+    sides of the shuffle (partial + final): the map side ships at most k
+    rows per stratum, so a giant stratum never funnels through one task's
+    full sort — the plan property the operator's scale claim rests on."""
+    from dca_manager_spark.operators.sampling import exact_k_sample
+    from dca_manager_spark.plans.inspect import physical_plan
+
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plan = physical_plan(exact_k_sample(df, "doc_id", k=25, strata_col="lang"))
+    assert plan.count("WindowGroupLimit") >= 2, plan
