@@ -876,3 +876,72 @@ def dedup_keep_canonical(
         )
         .withColumn("cluster_size", F.coalesce("cluster_size", F.lit(1)))
     )
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination
+# ---------------------------------------------------------------------------
+
+def ngram_decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 13,
+    mode: str = "word",
+    flags: bool = False,
+) -> DataFrame:
+    """Benchmark decontamination: drop (or flag) corpus documents that share
+    any word ``n``-gram with a benchmark/eval set — the standard
+    train/test-overlap scrub applied before LLM training (13-gram overlap
+    is the commonly published operating point; the synthetic catalog query
+    uses a smaller ``n`` to get a non-degenerate hit rate).
+
+    Scale shape (corpus = 100 TB, benchmark = eval sets, i.e. tiny):
+    the benchmark's distinct n-gram set is the ONLY thing the corpus is
+    compared against, and it is broadcast — the corpus side explodes to
+    n-gram rows map-side, hash-joins against the broadcast set without
+    shuffling the corpus, and only the matching (doc, gram) rows enter the
+    one small aggregation. The final keep/flag join broadcasts the
+    contaminated-id set (bounded by the corpus hit count, not corpus
+    size). No UDFs; everything is codegen'd built-ins.
+
+    With ``flags=True`` returns the full corpus annotated with
+    ``contaminated`` / ``contaminated_ngrams`` (matched distinct-gram
+    count); otherwise returns the decontaminated corpus unchanged in
+    schema.
+
+    Documents shorter than ``n`` tokens contribute their full-token join
+    (same convention as ``exploded_shingles``), so short verbatim
+    benchmark lines are still caught.
+    """
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    bench_grams = (
+        exploded_shingles(benchmark, id_col, text_col, k=n, mode=mode)
+        .select("__g")
+        .distinct()
+    )
+    corpus_grams = exploded_shingles(corpus, id_col, text_col, k=n, mode=mode)
+    hits = (
+        corpus_grams.join(F.broadcast(bench_grams), "__g", "inner")
+        .groupBy("__id")
+        .agg(F.count(F.lit(1)).alias("contaminated_ngrams"))
+    )
+    if not flags:
+        return corpus.join(
+            F.broadcast(hits.select(F.col("__id").alias(id_col))), id_col, "left_anti"
+        )
+    return (
+        corpus.join(
+            F.broadcast(
+                hits.select(F.col("__id").alias(id_col), "contaminated_ngrams")
+            ),
+            id_col,
+            "left",
+        )
+        .withColumn(
+            "contaminated_ngrams", F.coalesce("contaminated_ngrams", F.lit(0))
+        )
+        .withColumn("contaminated", F.col("contaminated_ngrams") > 0)
+    )

@@ -87,7 +87,8 @@ _DRIVER_WINDOW = [
     # since), (4) four flagship keepers. Everything else scored green in
     # r6 and rotates out (agg_approx_distinct, q1_pricing_summary among
     # them). Full-catalog verification still happens every round via
-    # scripts/driver_sim.py regardless of window membership.
+    # scripts/driver_sim.py regardless of window membership. Late-r7:
+    # text_decontaminate (new) in, keeper text_lang_id (r6-green) out.
     "dedup_incremental_batch",
     "window_first_last",
     "window_ntile_quartiles",
@@ -104,6 +105,7 @@ _DRIVER_WINDOW = [
     "events_funnel",
     "training_chunk_pack_pipeline",
     "text_effective_vocab",
+    "text_decontaminate",
     # -- last scored r5 --
     "q3_shipping_priority",
     "q5_local_supplier_volume",
@@ -140,7 +142,6 @@ _DRIVER_WINDOW = [
     "dedup_embedding_cosine",
     "corpus_prep_pipeline",
     "dedup_cluster_canonical",
-    "text_lang_id",
 ]
 
 
@@ -4223,5 +4224,55 @@ def vocabulary_oov(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / F.count(F.lit(1))
             ).alias("oov_ratio"),
         )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "text_decontaminate",
+    r"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                         x -> x != '') AS tk
+      FROM documents
+    ),
+    grams AS (
+      SELECT DISTINCT doc_id, array_to_string(tk[i.i + 1 : i.i + 4], ' ') AS g
+      FROM toks, LATERAL (
+        SELECT unnest(range(0, greatest(len(tk) - 3, 1))) AS i
+      ) i
+      WHERE array_to_string(tk[i.i + 1 : i.i + 4], ' ') != ''
+    ),
+    bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 17 = 0),
+    corp AS (SELECT doc_id, g FROM grams WHERE doc_id % 17 <> 0),
+    hits AS (
+      SELECT c.doc_id, COUNT(*) AS nh
+      FROM corp c JOIN bench b ON b.g = c.g
+      GROUP BY c.doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(h.nh, 0) AS contaminated_ngrams,
+           COALESCE(h.nh, 0) > 0 AS contaminated
+    FROM documents d LEFT JOIN hits h ON h.doc_id = d.doc_id
+    WHERE d.doc_id % 17 <> 0
+    ORDER BY d.doc_id
+    """,
+)
+def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag corpus documents sharing any word
+    4-gram with a held-out "benchmark" slice (doc_id % 17 == 0 stands in
+    for the eval set; production uses 13-grams). The benchmark gram set
+    and the contaminated-id set are both broadcast, so the 100 TB corpus
+    side never shuffles for the membership test — see
+    operators/dedup.ngram_decontaminate."""
+    from dca_manager_spark.operators.dedup import ngram_decontaminate
+
+    docs = t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 17 == 0)
+    corpus = docs.filter(F.col("doc_id") % 17 != 0)
+    return (
+        ngram_decontaminate(corpus, bench, "doc_id", "text", n=4, flags=True)
+        .select("doc_id", "contaminated_ngrams", "contaminated")
         .orderBy("doc_id")
     )

@@ -371,3 +371,74 @@ def test_minhash_bands_must_divide_hashes(spark):
         minhash_lsh_pairs(df, "doc_id", "text", num_hashes=64, bands=10)
     with pytest.raises(ValueError, match="divide"):
         build_corpus_index(df, "doc_id", "text", num_hashes=64, bands=7)
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def decontam_frames(spark):
+    corpus = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma delta epsilon zeta"),  # contains bench 4-gram
+            (1, "one two three four five six seven"),  # clean
+            (2, "short text"),  # shorter than n, clean
+            (3, "tail words then alpha beta gamma delta"),  # overlap at tail
+            (4, "the eval line"),  # full-token match of a short bench doc
+        ],
+        ["doc_id", "text"],
+    )
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta"), (101, "the eval line")],
+        ["doc_id", "text"],
+    )
+    return corpus, bench
+
+
+def test_decontaminate_drops_overlapping_docs(decontam_frames):
+    from dca_manager_spark.operators.dedup import ngram_decontaminate
+
+    corpus, bench = decontam_frames
+    kept = ngram_decontaminate(corpus, bench, "doc_id", "text", n=4)
+    assert sorted(r.doc_id for r in kept.collect()) == [1, 2]
+    assert kept.columns == corpus.columns  # schema preserved in drop mode
+
+
+def test_decontaminate_flags_and_counts(decontam_frames):
+    from dca_manager_spark.operators.dedup import ngram_decontaminate
+
+    corpus, bench = decontam_frames
+    out = ngram_decontaminate(corpus, bench, "doc_id", "text", n=4, flags=True)
+    got = {r.doc_id: (r.contaminated, r.contaminated_ngrams) for r in out.collect()}
+    # doc 0: benchmark doc 100 has 4 tokens -> one 4-gram, present in doc 0.
+    # doc 3: same single bench gram at the tail. doc 4: short bench doc 101
+    # contributes its full-token join ("the eval line"), and doc 4 (3 tokens,
+    # < n) contributes ITS full-token join -> they match. docs 1,2 clean.
+    assert got == {
+        0: (True, 1),
+        1: (False, 0),
+        2: (False, 0),
+        3: (True, 1),
+        4: (True, 1),
+    }
+
+
+def test_decontaminate_plan_broadcasts_benchmark(decontam_frames):
+    from dca_manager_spark.operators.dedup import ngram_decontaminate
+
+    corpus, bench = decontam_frames
+    plan = (
+        ngram_decontaminate(corpus, bench, "doc_id", "text", n=4)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # Both the gram-membership join and the keep anti join must broadcast
+    # their small side: the corpus side never shuffles for decontamination.
+    assert plan.count("BroadcastHashJoin") >= 1
+    assert "BroadcastExchange" in plan
+    assert "SortMergeJoin" not in plan
+
+    from dca_manager_spark.operators.dedup import ngram_decontaminate as nd
+
+    with pytest.raises(ValueError):
+        nd(corpus, bench, "doc_id", "text", n=0)
