@@ -1,0 +1,145 @@
+"""CdcFollower / replicate: manifest-aware streaming CDC — durable
+cursor, incremental batches, backpressure, crash-replay idempotence."""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+
+from dca_manager_spark.io.manifest import ManifestTable
+from dca_manager_spark.streaming.cdc import CdcFollower, replicate
+
+TS1 = datetime.datetime(2024, 1, 1, 12, 0, 0)
+
+
+def make_df(spark, rows):
+    return spark.createDataFrame(
+        rows, "transaction_id string, close_time timestamp, pair string, price double"
+    )
+
+
+@pytest.fixture
+def source(spark, tmp_path):
+    return ManifestTable(
+        spark,
+        str(tmp_path / "src"),
+        keys=("transaction_id", "close_time"),
+        precombine="transaction_id",
+        partition_by=("pair",),
+    )
+
+
+@pytest.fixture
+def replica(spark, tmp_path):
+    return ManifestTable(
+        spark,
+        str(tmp_path / "dst"),
+        keys=("transaction_id", "close_time"),
+        precombine="transaction_id",
+        partition_by=("pair",),
+    )
+
+
+def state(table):
+    return {
+        (r.transaction_id, r.pair): r.price for r in table.read().collect()
+    }
+
+
+def test_follower_tails_commits_incrementally(spark, source, replica, tmp_path):
+    ckpt = str(tmp_path / "ckpt.json")
+    source.write(make_df(spark, [("T1", TS1, "BTCGBP", 1.0)]), "upsert")
+    source.write(make_df(spark, [("T2", TS1, "ETHGBP", 5.0)]), "upsert")
+
+    assert replicate(source, replica, ckpt) == 2
+    assert state(replica) == state(source)
+    assert CdcFollower(source, ckpt).position() == source.commits()[-1]
+
+    # caught up: no-op
+    assert replicate(source, replica, ckpt) == 0
+
+    # later commits (update + delete) flow through on the next poll only
+    source.write(make_df(spark, [("T1", TS1, "BTCGBP", 9.0)]), "upsert")
+    source.write(make_df(spark, [("T2", TS1, "ETHGBP", 5.0)]), "delete")
+    assert replicate(source, replica, ckpt) == 2
+    assert state(replica) == state(source) == {("T1", "BTCGBP"): 9.0}
+
+
+def test_follower_max_commits_backpressure(spark, source, replica, tmp_path):
+    ckpt = str(tmp_path / "ckpt.json")
+    for i in range(4):
+        source.write(make_df(spark, [(f"T{i}", TS1, "BTCGBP", float(i))]), "upsert")
+    # a follower resuming far behind drains in bounded batches
+    assert replicate(source, replica, ckpt, max_commits=3) == 3
+    assert CdcFollower(source, ckpt).position() == source.commits()[2]
+    assert replicate(source, replica, ckpt, max_commits=3) == 1
+    assert state(replica) == state(source)
+
+
+def test_crash_between_apply_and_cursor_advance_replays_idempotently(
+    spark, source, replica, tmp_path
+):
+    ckpt = str(tmp_path / "ckpt.json")
+    source.write(make_df(spark, [("T1", TS1, "BTCGBP", 1.0)]), "upsert")
+    source.write(make_df(spark, [("T1", TS1, "BTCGBP", 2.0)]), "upsert")
+    assert replicate(source, replica, ckpt) == 2
+
+    # simulate crash AFTER apply, BEFORE cursor advance: roll the cursor
+    # back and re-run — the commit range is re-applied
+    CdcFollower(source, ckpt).seek(source.commits()[0])
+    assert replicate(source, replica, ckpt) == 1  # replay of commit 1
+    assert state(replica) == state(source) == {("T1", "BTCGBP"): 2.0}
+
+
+def test_append_commits_flow_through_the_feed(spark, source, replica, tmp_path):
+    # append commits capture changes as data-file REFERENCES (no _changes
+    # files) — exactly what a naive readStream glob over _changes/ would
+    # miss; the manifest-aware follower must deliver them.
+    ckpt = str(tmp_path / "ckpt.json")
+    source.write(
+        make_df(spark, [("T1", TS1, "BTCGBP", 1.0), ("T2", TS1, "ETHGBP", 2.0)]),
+        "insert",
+    )
+    assert replicate(source, replica, ckpt) == 1
+    assert state(replica) == state(source)
+
+
+def test_seek_bootstraps_a_late_follower(spark, source, replica, tmp_path):
+    ckpt = str(tmp_path / "ckpt.json")
+    source.write(make_df(spark, [("T1", TS1, "BTCGBP", 1.0)]), "upsert")
+    source.write(make_df(spark, [("T2", TS1, "ETHGBP", 2.0)]), "upsert")
+    # full-read bootstrap: copy the snapshot, then follow from the head
+    replica.write(source.read(), "bulk_insert")
+    f = CdcFollower(source, ckpt)
+    f.seek(source.commits()[-1])
+    assert f.run_once(lambda feed, lo, hi: replica.apply_cdc(feed)) == 0
+
+    source.write(make_df(spark, [("T3", TS1, "BTCGBP", 3.0)]), "upsert")
+    assert replicate(source, replica, ckpt) == 1
+    assert state(replica) == state(source)
+
+
+def test_apply_fn_sees_the_bounded_commit_range(spark, source, tmp_path):
+    ckpt = str(tmp_path / "ckpt.json")
+    for i in range(3):
+        source.write(make_df(spark, [(f"T{i}", TS1, "BTCGBP", float(i))]), "upsert")
+    seen = []
+
+    def capture(feed, lo, hi):
+        seen.append((lo, hi, sorted({r._commit for r in feed.collect()})))
+
+    f = CdcFollower(source, ckpt)
+    assert f.run_once(capture, max_commits=2) == 2
+    assert f.run_once(capture) == 1
+    (lo0, hi0, commits0), (lo1, hi1, commits1) = seen
+    assert (lo0, hi0) == (-1, source.commits()[1])
+    assert commits0 == source.commits()[:2]
+    assert (lo1, hi1) == (source.commits()[1], source.commits()[2])
+    assert commits1 == [source.commits()[2]]
+
+
+def test_max_commits_validation(spark, source, tmp_path):
+    f = CdcFollower(source, str(tmp_path / "c.json"))
+    with pytest.raises(ValueError, match="max_commits"):
+        f.run_once(lambda *a: None, max_commits=0)
