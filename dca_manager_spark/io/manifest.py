@@ -50,7 +50,7 @@ import os
 import uuid
 from pathlib import Path
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from dca_manager_spark.io.merge import WriteOperation, precombine_dedup
@@ -91,6 +91,56 @@ def _partition_key(value: object) -> str | None:
     return str(value)
 
 
+def zorder_key(df: DataFrame, cols: list[str], bits: int = 4) -> Column:
+    """Z-order (Morton) key over ``cols``: per-column PERCENTILE bucket ids
+    (skew-robust, unlike equi-width) bit-interleaved so that a z-range
+    covers a narrow band of EVERY column — the multi-column data-skipping
+    key behind Delta's OPTIMIZE ZORDER. Costs one bounded aggregation job
+    (``bits`` x ``len(cols)`` boundary doubles collected to the driver);
+    the per-row expression is pure codegen'd built-ins.
+
+    Supported column types: numeric, timestamp, date (ordered by their
+    double casts). Strings would need locality-destroying hashing — loud
+    error instead. Nulls sort into bucket 0."""
+    if bits < 1 or bits * len(cols) > 63:
+        raise ValueError(
+            f"bits * len(cols) must be in [1, 63], got {bits} x {len(cols)}"
+        )
+    casted: dict[str, Column] = {}
+    for c in cols:
+        dt = df.schema[c].dataType.typeName()
+        if dt == "date":
+            casted[c] = F.col(c).cast("timestamp").cast("double")
+        elif dt in ("timestamp", "timestamp_ntz") or dt in (
+            "byte", "short", "integer", "long", "float", "double", "decimal",
+        ) or dt.startswith("decimal"):
+            casted[c] = F.col(c).cast("double")
+        else:
+            raise ValueError(
+                f"zorder cluster column {c!r} has unsupported type {dt} "
+                "(numeric/timestamp/date only)"
+            )
+    n_buckets = 1 << bits
+    pcts = F.array(*[F.lit(i / n_buckets) for i in range(1, n_buckets)])
+    bounds = df.agg(
+        *[F.percentile_approx(casted[c], pcts, 10000).alias(c) for c in cols]
+    ).first()
+    k = len(cols)
+    z = F.lit(0).cast("long")
+    for i, c in enumerate(cols):
+        bs = [b for b in (bounds[c] or []) if b is not None]
+        if not bs:
+            continue  # empty/all-null column: contributes constant 0 bits
+        arr = F.array(*[F.lit(float(b)) for b in bs])
+        # bucket id = #boundaries <= value (null value -> 0): 0..n_buckets-1
+        val = casted[c]
+        bucket = F.size(F.filter(arr, lambda b: b <= val)).cast("long")
+        for j in range(bits):
+            bit = F.shiftright(bucket, j).bitwiseAND(F.lit(1))
+            z = z.bitwiseOR(F.shiftleft(bit, j * k + i))
+    return z
+
+
 class ManifestTable:
     """A keyed, partitioned, copy-on-write Parquet table committed via
     atomic manifest publish (see module doc).
@@ -111,6 +161,7 @@ class ManifestTable:
         partition_by: tuple[str, ...] = ("pair",),
         cluster_by: tuple[str, ...] = (),
         cluster_files: int | None = None,
+        cluster_method: str = "linear",
     ) -> None:
         """``cluster_by``: linear range clustering at write time — every
         commit range-partitions its rows on these columns and sorts within
@@ -121,7 +172,16 @@ class ManifestTable:
         highest-selectivity column). Purely physical: logical content and
         the commit protocol are unchanged. ``cluster_files`` pins the
         range-partition count per commit; default None lets AQE size the
-        bands to the advisory partition size (the right call at scale)."""
+        bands to the advisory partition size (the right call at scale).
+
+        ``cluster_method``: "linear" (lexicographic — tight stats on the
+        LEADING column only) or "zorder" (bit-interleaved percentile
+        buckets — tight stats on EVERY cluster column, for workloads that
+        filter on any subset; see ``zorder_key``)."""
+        if cluster_method not in ("linear", "zorder"):
+            raise ValueError(
+                f"cluster_method must be 'linear' or 'zorder', got {cluster_method!r}"
+            )
         self.spark = spark
         self.path = str(path)
         self.keys = list(keys)
@@ -129,6 +189,7 @@ class ManifestTable:
         self.partition_by = list(partition_by)
         self.cluster_by = list(cluster_by)
         self.cluster_files = cluster_files
+        self.cluster_method = cluster_method
 
     # -- manifest plumbing --------------------------------------------------
     def _manifest_dir(self) -> Path:
@@ -198,13 +259,25 @@ class ManifestTable:
         out_dir = Path(self.path) / _DATA_DIR / commit
         if self.cluster_by:
             # Range-partition so each output FILE covers a narrow, mostly
-            # disjoint band of the cluster columns, then sort inside the
-            # file so row-group stats are tight too.
-            if self.cluster_files:
-                df = df.repartitionByRange(self.cluster_files, *self.cluster_by)
+            # disjoint band of the cluster key, then sort inside the file
+            # so row-group stats are tight too. zorder swaps the key for
+            # the interleaved-bit Morton code, trading perfectly-disjoint
+            # leading-column bands for narrow bands on EVERY column.
+            if self.cluster_method == "zorder":
+                cluster_cols: list = ["__zorder"]
+                df = df.withColumn("__zorder", zorder_key(df, self.cluster_by))
             else:
-                df = df.repartitionByRange(*self.cluster_by)
-            df = df.sortWithinPartitions(*self.cluster_by)
+                cluster_cols = list(self.cluster_by)
+            if self.cluster_files:
+                df = df.repartitionByRange(self.cluster_files, *cluster_cols)
+            else:
+                df = df.repartitionByRange(*cluster_cols)
+            df = df.sortWithinPartitions(*cluster_cols)
+            if self.cluster_method == "zorder":
+                # Project the key away AFTER the sort: a plain project on
+                # top preserves the partitioning and order, so the files
+                # stay z-clustered without persisting the helper column.
+                df = df.drop("__zorder")
         writer = df.write.mode("overwrite").format("parquet")
         if self.partition_by:
             # partitionBy organizes files per partition so the manifest can

@@ -612,3 +612,110 @@ def test_cluster_by_yields_disjoint_file_ranges(spark, tmp_path):
     assert table.read().filter("price < 100").count() == sum(
         1 for _, _, _, p in rows if p < 100
     )
+
+
+def _file_bands(table, col):
+    """Per-data-file (min, max) parquet stats for ``col`` in the latest
+    manifest."""
+    import pyarrow.parquet as pq
+
+    bands = []
+    for f in table._latest_manifest()[1]["files"]:
+        meta = pq.read_metadata(str(Path(table.path) / f["path"]))
+        mins, maxs = [], []
+        for rg in range(meta.num_row_groups):
+            c = next(
+                meta.row_group(rg).column(i)
+                for i in range(meta.num_columns)
+                if meta.row_group(rg).column(i).path_in_schema == col
+            )
+            mins.append(c.statistics.min)
+            maxs.append(c.statistics.max)
+        bands.append((min(mins), max(maxs)))
+    return bands
+
+
+def test_zorder_skips_on_every_cluster_column(spark, tmp_path):
+    """Z-order vs linear clustering on two independent columns: a filter
+    on the NON-leading column must overlap strictly fewer files under
+    zorder (linear gives the trailing column full-range stats in every
+    file)."""
+
+    def xy_df():
+        rows = [
+            ("t%d" % i, TS1, "ADAGBP", float((i * 37) % 1000), float((i * 61) % 1000))
+            for i in range(4096)
+        ]
+        return spark.createDataFrame(
+            rows,
+            "transaction_id string, close_time timestamp, pair string, "
+            "x double, y double",
+        )
+
+    tables = {}
+    for method in ("linear", "zorder"):
+        t = ManifestTable(
+            spark,
+            str(tmp_path / method),
+            keys=("transaction_id", "close_time"),
+            precombine="transaction_id",
+            partition_by=(),
+            cluster_by=("x", "y"),
+            cluster_files=16,
+            cluster_method=method,
+        )
+        t.write(xy_df(), "bulk_insert")
+        tables[method] = t
+
+    def overlapping(table, lo, hi):
+        return sum(1 for mn, mx in _file_bands(table, "y") if mx >= lo and mn <= hi)
+
+    lin = overlapping(tables["linear"], 0.0, 50.0)
+    zor = overlapping(tables["zorder"], 0.0, 50.0)
+    # x and y are weakly correlated (both linear in i), so a couple of
+    # linear files can be narrow on y by accident — "most files" is the
+    # stable property, exact counts are not.
+    assert lin >= 12, f"linear should leave y mostly unclustered, got {lin}/16"
+    assert zor < lin / 2, f"zorder should skip most files on y, got {zor}/16 vs {lin}/16"
+
+    # logical content identical between methods
+    assert (
+        tables["zorder"].read().exceptAll(tables["linear"].read()).isEmpty()
+        and tables["linear"].read().exceptAll(tables["zorder"].read()).isEmpty()
+    )
+    expect = sum(1 for i in range(4096) if (i * 61) % 1000 < 50)
+    assert tables["zorder"].read().filter("y < 50").count() == expect
+
+
+def test_zorder_rejects_unsupported_types_and_bad_bits(spark, tmp_path):
+    from dca_manager_spark.io.manifest import zorder_key
+
+    df = make_df(spark, [("T1", TS1, "BTCGBP", 1.0)])
+    with pytest.raises(ValueError, match="unsupported type"):
+        zorder_key(df, ["pair"])
+    with pytest.raises(ValueError, match="bits"):
+        zorder_key(df, ["price"], bits=0)
+    with pytest.raises(ValueError, match="cluster_method"):
+        ManifestTable(spark, str(tmp_path / "t"), cluster_method="hilbert")
+
+
+def test_zorder_handles_nulls_and_upserts(spark, tmp_path):
+    t = ManifestTable(
+        spark,
+        str(tmp_path / "znul"),
+        keys=("transaction_id", "close_time"),
+        precombine="transaction_id",
+        partition_by=(),
+        cluster_by=("price", "close_time"),
+        cluster_files=2,
+        cluster_method="zorder",
+    )
+    df = spark.createDataFrame(
+        [("T1", TS1, "BTCGBP", None), ("T2", TS1, "BTCGBP", 2.0)],
+        "transaction_id string, close_time timestamp, pair string, price double",
+    )
+    t.write(df, "upsert")
+    t.write(make_df(spark, [("T2", TS1, "BTCGBP", 9.0)]), "upsert")
+    rows = {r.transaction_id: r.price for r in t.read().collect()}
+    assert rows == {"T1": None, "T2": 9.0}
+    assert "__zorder" not in t.read().columns
