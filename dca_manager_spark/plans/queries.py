@@ -88,7 +88,10 @@ _DRIVER_WINDOW = [
     # r6 and rotates out (agg_approx_distinct, q1_pricing_summary among
     # them). Full-catalog verification still happens every round via
     # scripts/driver_sim.py regardless of window membership. Late-r7:
-    # text_decontaminate (new) in, keeper text_lang_id (r6-green) out.
+    # 6 new queries in (text_decontaminate, q13/q15/q17/q22 shapes,
+    # events_cohort_retention); out: the 4 r6-green flagship keepers,
+    # plus window_range_frame + join_shuffle_hash_hint (r5-green AND
+    # plan-asserted in test_plans — the strongest non-driver evidence).
     "dedup_incremental_batch",
     "window_first_last",
     "window_ntile_quartiles",
@@ -106,6 +109,11 @@ _DRIVER_WINDOW = [
     "training_chunk_pack_pipeline",
     "text_effective_vocab",
     "text_decontaminate",
+    "q13_customer_order_distribution",
+    "q15_top_supplier",
+    "q17_small_quantity_revenue",
+    "q22_idle_customer_balance",
+    "events_cohort_retention",
     # -- last scored r5 --
     "q3_shipping_priority",
     "q5_local_supplier_volume",
@@ -123,8 +131,6 @@ _DRIVER_WINDOW = [
     "similarity_cosine_topk",
     "similarity_lsh_ann",
     "similarity_ivf_ann",
-    "window_range_frame",
-    "join_shuffle_hash_hint",
     "array_functions",
     "pivot_status_by_priority",
     "unpivot_balances",
@@ -138,10 +144,6 @@ _DRIVER_WINDOW = [
     "text_cleaning",
     "text_repetition_ratio",
     "vocabulary_oov",
-    # -- flagship keepers (scored green r6; bumped as r7 queries land) --
-    "dedup_embedding_cosine",
-    "corpus_prep_pipeline",
-    "dedup_cluster_canonical",
 ]
 
 
@@ -4275,4 +4277,227 @@ def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         ngram_decontaminate(corpus, bench, "doc_id", "text", n=4, flags=True)
         .select("doc_id", "contaminated_ngrams", "contaminated")
         .orderBy("doc_id")
+    )
+
+
+@query(
+    "q13_customer_order_distribution",
+    """
+    WITH per_cust AS (
+      SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+      FROM customer c
+      LEFT JOIN orders o
+        ON o.o_custkey = c.c_custkey AND o.o_orderpriority <> '1-URGENT'
+      GROUP BY c.c_custkey
+    )
+    SELECT c_count, COUNT(*) AS custdist
+    FROM per_cust
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+)
+def q13_customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: outer join with the filter INSIDE the join
+    condition (so order-less customers survive with count 0), then a
+    double aggregation — per-customer counts, then the distribution of
+    those counts. (Canonical Q13 filters on o_comment; this testdata has
+    no comment column, so the stand-in predicate is on o_orderpriority —
+    same plan shape.) Both aggs are partial+final; integer counts, so no
+    float policy needed."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(
+            o,
+            (o.o_custkey == c.c_custkey) & (o.o_orderpriority != "1-URGENT"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+@query(
+    "q15_top_supplier",
+    f"""
+    WITH rev AS (
+      SELECT l_suppkey AS supplier_no,
+             {o_dsum('l_extendedprice * (1 - l_discount)')} AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        AND l_shipdate < TIMESTAMP '1997-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name, r.total_revenue
+    FROM supplier s
+    JOIN rev r ON s.s_suppkey = r.supplier_no
+    WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM rev)
+    ORDER BY s.s_suppkey
+    """,
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: an aggregated view consumed twice — once for the
+    scalar MAX subquery, once as the join input — resolved without any
+    driver collect: the 1-row max aggregate is broadcast and the equality
+    filter runs distributed. Revenue is cent-quantized, so the MAX
+    equality compares identical doubles on both engines."""
+    s = t(spark, sf_dir, "supplier")
+    l = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    rev = (
+        l.groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("total_revenue"))
+    )
+    top = rev.agg(F.max("total_revenue").alias("__max"))
+    return (
+        rev.crossJoin(F.broadcast(top))
+        .filter(F.col("total_revenue") == F.col("__max"))
+        .join(s, F.col("supplier_no") == s.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+@query(
+    "q17_small_quantity_revenue",
+    f"""
+    WITH thresh AS (
+      SELECT l_partkey,
+             0.2 * ({o_davg('l_quantity')}) AS max_qty
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT {o_dsum('l.l_extendedprice')} / 7.0 AS avg_yearly
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN thresh a ON a.l_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#3' AND p.p_size <= 5
+      AND l.l_quantity < a.max_qty
+    """,
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: the correlated per-part AVG subquery decorrelated
+    into a groupBy-then-join — the fact table is aggregated ONCE by
+    partkey and joined back, never re-scanned per row. The part dim
+    filter is broadcast. (Canonical Q17 keys the threshold on
+    brand+container; no container column here, so brand+size.) The
+    threshold is a cents-exact average times 0.2 — one double multiply,
+    identical on both engines — and the final sum is cent-quantized
+    before the /7.0."""
+    l = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") == "Brand#3") & (F.col("p_size") <= 5)
+    )
+    thresh = l.groupBy("l_partkey").agg(
+        (F.lit(0.2) * davg(F.col("l_quantity"))).alias("max_qty")
+    )
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(thresh, "l_partkey")
+        .filter(F.col("l_quantity") < F.col("max_qty"))
+        .agg((dsum(F.col("l_extendedprice")) / 7.0).alias("avg_yearly"))
+    )
+
+
+@query(
+    "q22_idle_customer_balance",
+    f"""
+    SELECT c.c_mktsegment,
+           COUNT(*) AS numcust,
+           {o_dsum('c.c_acctbal')} AS totacctbal
+    FROM customer c
+    WHERE c.c_acctbal > (
+            SELECT {o_davg('c_acctbal')} FROM customer WHERE c_acctbal > 0.0
+          )
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderpriority = '1-URGENT')
+    GROUP BY c.c_mktsegment
+    ORDER BY c.c_mktsegment
+    """,
+)
+def q22_idle_customer_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: scalar-average subquery + NOT EXISTS, composed —
+    the average broadcasts as a 1-row aggregate, the NOT EXISTS compiles
+    to a left-anti join, and the survivors aggregate by segment.
+    (Canonical Q22 groups by phone prefix and requires NO orders at all;
+    no phone column here, and this testdata's customers nearly all have
+    orders, so the idle predicate is "no urgent orders" — same anti-join
+    shape with a join-condition filter, non-degenerate at every SF.)
+    Positive-balance average follows the cents policy so the
+    > comparison is engine-exact."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    avg_pos = c.filter(F.col("c_acctbal") > 0.0).agg(
+        davg(F.col("c_acctbal")).alias("__avg")
+    )
+    return (
+        c.crossJoin(F.broadcast(avg_pos))
+        .filter(F.col("c_acctbal") > F.col("__avg"))
+        .join(
+            o,
+            (c.c_custkey == o.o_custkey) & (o.o_orderpriority == "1-URGENT"),
+            "left_anti",
+        )
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            dsum(F.col("c_acctbal")).alias("totacctbal"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+@query(
+    "events_cohort_retention",
+    """
+    WITH firsts AS (
+      SELECT user_id, date_trunc('week', MIN(ts)) AS cohort_week
+      FROM events GROUP BY user_id
+    ),
+    acts AS (
+      SELECT DISTINCT e.user_id, f.cohort_week,
+             CAST(date_diff('day', f.cohort_week,
+                            date_trunc('week', e.ts)) / 7 AS BIGINT) AS week_offset
+      FROM events e JOIN firsts f ON f.user_id = e.user_id
+    )
+    SELECT cohort_week, week_offset, COUNT(DISTINCT user_id) AS active_users
+    FROM acts
+    GROUP BY cohort_week, week_offset
+    ORDER BY cohort_week, week_offset
+    """,
+)
+def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users bucketed by first-activity week,
+    counted distinct per (cohort, weeks-since-cohort) — the standard
+    product-analytics rollup. The firsts frame is an agg over users
+    (small) and broadcasts into the activity join; offsets are exact
+    integer day arithmetic between week-truncated timestamps (always a
+    multiple of 7), so no float policy is needed."""
+    e = t(spark, sf_dir, "events")
+    firsts = e.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    acts = (
+        e.join(F.broadcast(firsts), "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            (
+                F.datediff(F.date_trunc("week", F.col("ts")), F.col("cohort_week"))
+                / 7
+            ).cast("long").alias("week_offset"),
+        )
+        .distinct()
+    )
+    return (
+        acts.groupBy("cohort_week", "week_offset")
+        .agg(F.count_distinct("user_id").alias("active_users"))
+        .orderBy("cohort_week", "week_offset")
     )

@@ -217,6 +217,10 @@ def test_catalog_wide_no_accidental_cartesian(spark):
         "similarity_cosine_topk",      # broadcast-queries brute force baseline
         "dedup_embedding_cosine_exact",  # bounded all-pairs ground truth
         "scalar_subquery_above_avg",   # scalar subquery joins on no key by design
+        "q22_idle_customer_balance",   # same scalar-subquery shape: 1-row
+                                       # broadcast avg under a > predicate
+                                       # (q15's = predicate becomes an equi
+                                       # join; > cannot)
         "similarity_ivf_ann",          # corpus x broadcast-seeds (n_cells rows)
                                        # coarse quantizer: linear in corpus
         "similarity_ivf_learned",      # same quantizer shape + the exact
