@@ -1,0 +1,192 @@
+"""Spark 4 Python Data Sources: the config scan and the queue stage as
+first-class ``spark.read.format(...)`` / ``readStream.format(...)``
+sources.
+
+Two sources, both small-data by design (Python data sources are the slow
+path for bulk rows — parquet/JSON scans stay on the JVM readers; these
+cover the reference's CONTROL-PLANE inputs, which are KB-sized):
+
+- ``dca_config`` (batch): DCA config documents -> one row per order,
+  one input partition per config FILE, parsed executor-side. Upgrades
+  ``read_dca_config`` (driver-side, single file —
+  /root/reference/pkg/configuration/dca.go:49-73 parity) to a pluggable
+  source that handles a whole fleet of configs in one scan.
+- ``dca_queue`` (streaming): the FileQueue directory as a custom
+  DataSourceStreamReader whose ``commit()`` DELETES the delivered
+  message files — the reference's SQS consume + DeleteMessage-ack
+  contract (cmd/process_orders/main.go:105-111,269-278) expressed in
+  the engine's own offset log, not just "file source + checkpoint".
+  Offsets are the max delivered message filename; FileQueue publishes
+  monotonic ``<nanos>-<uuid>`` names, so the range (start, end] is a
+  stable FIFO window. Replay semantics: a batch that crashed before
+  its checkpoint commit re-lists its range — unacked files are still
+  on disk — giving at-least-once delivery with ack-on-commit, exactly
+  SQS. The ack is DEFERRED one batch: Spark invokes ``commit(end)`` for
+  batch N when batch N+1 is constructed (lazy source commit), so
+  delivered messages linger on disk until the next progress — harmless
+  for this consumer (its checkpoint filters them out) and correct SQS
+  semantics for others (an unacked message is redeliverable). One
+  checkpoint = one consumer group, matching the reference's single
+  consumer lambda.
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    InputPartition,
+)
+from pyspark.sql.types import StringType, StructField, StructType
+
+from dca_manager_spark.schemas import DCA_ORDER_SCHEMA, QUEUE_MESSAGE_SCHEMA
+
+
+def register_python_sources(spark) -> None:
+    """Register both sources on a session (idempotent)."""
+    spark.dataSource.register(DcaConfigDataSource)
+    spark.dataSource.register(FileQueueDataSource)
+
+
+# ---------------------------------------------------------------------------
+# dca_config — batch source
+# ---------------------------------------------------------------------------
+
+_CONFIG_SCHEMA = StructType(
+    DCA_ORDER_SCHEMA.fields + [StructField("config_file", StringType(), False)]
+)
+
+
+class _ConfigFilePartition(InputPartition):
+    def __init__(self, path: str) -> None:
+        self.path = path
+
+
+class DcaConfigReader(DataSourceReader):
+    def __init__(self, options: dict) -> None:
+        path = options.get("path")
+        if not path:
+            raise ValueError("dca_config requires a 'path' option")
+        p = Path(path)
+        if p.is_dir():
+            self.files = sorted(str(f) for f in p.glob("*.json"))
+        elif any(ch in path for ch in "*?["):
+            base = Path(path)
+            self.files = sorted(str(f) for f in base.parent.glob(base.name))
+        else:
+            self.files = [path]
+        if not self.files:
+            raise FileNotFoundError(f"no config files match {path!r}")
+
+    def partitions(self) -> list[InputPartition]:
+        # One partition per config file: a fleet of configs parses in
+        # parallel on executors; a single config costs one tiny task.
+        return [_ConfigFilePartition(f) for f in self.files]
+
+    def read(self, partition: _ConfigFilePartition):
+        with open(partition.path) as fh:
+            doc = json.load(fh)
+        orders = doc.get("orders")
+        if not isinstance(orders, list):
+            raise ValueError(
+                f"{partition.path}: config must contain an 'orders' array"
+            )
+        for order in orders:
+            yield tuple(order.get(f.name) for f in DCA_ORDER_SCHEMA.fields) + (
+                partition.path,
+            )
+
+
+class DcaConfigDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "dca_config"
+
+    def schema(self) -> StructType:
+        return _CONFIG_SCHEMA
+
+    def reader(self, schema: StructType) -> DataSourceReader:
+        return DcaConfigReader(self.options)
+
+
+# ---------------------------------------------------------------------------
+# dca_queue — streaming source with ack-on-commit
+# ---------------------------------------------------------------------------
+
+_QUEUE_SCHEMA = StructType(
+    QUEUE_MESSAGE_SCHEMA.fields + [StructField("__msg_id", StringType(), False)]
+)
+
+_BATCH_FILES_PER_PARTITION = 100
+
+
+class _QueueRangePartition(InputPartition):
+    def __init__(self, files: list[str]) -> None:
+        self.files = files
+
+
+class FileQueueStreamReader(DataSourceStreamReader):
+    def __init__(self, options: dict) -> None:
+        path = options.get("path")
+        if not path:
+            raise ValueError("dca_queue requires a 'path' option")
+        self.path = Path(path)
+
+    def _pending(self) -> list[str]:
+        return sorted(f.name for f in self.path.glob("*.json"))
+
+    def initialOffset(self) -> dict:
+        return {"last": ""}
+
+    def latestOffset(self) -> dict:
+        names = self._pending()
+        # Monotonic: the head never moves backward even if the newest
+        # message is acked externally between polls.
+        self._head = max(names[-1] if names else "", getattr(self, "_head", ""))
+        return {"last": self._head}
+
+    def partitions(self, start: dict, end: dict) -> list[InputPartition]:
+        names = [n for n in self._pending() if start["last"] < n <= end["last"]]
+        return [
+            _QueueRangePartition(
+                [str(self.path / n) for n in names[i : i + _BATCH_FILES_PER_PARTITION]]
+            )
+            for i in range(0, len(names), _BATCH_FILES_PER_PARTITION)
+        ]
+
+    def read(self, partition: _QueueRangePartition):
+        for f in partition.files:
+            try:
+                body = json.loads(Path(f).read_text())
+            except FileNotFoundError:
+                continue  # acked externally between planning and read
+            yield tuple(
+                body.get(fld.name) for fld in QUEUE_MESSAGE_SCHEMA.fields
+            ) + (Path(f).stem,)
+
+    def commit(self, end: dict) -> None:
+        # The checkpoint commit IS the ack: DeleteMessage for everything
+        # delivered up to `end` (main.go:269-278 parity). Later messages
+        # have strictly larger names and survive.
+        for f in self.path.glob("*.json"):
+            if f.name <= end["last"]:
+                f.unlink(missing_ok=True)
+
+    def stop(self) -> None:
+        pass
+
+
+class FileQueueDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "dca_queue"
+
+    def schema(self) -> StructType:
+        return _QUEUE_SCHEMA
+
+    def streamReader(self, schema: StructType) -> DataSourceStreamReader:
+        return FileQueueStreamReader(self.options)

@@ -20,6 +20,7 @@ ordinary fields — SURVEY §1.1 queue-message mapping):
 from __future__ import annotations
 
 import json
+import time
 import uuid
 from pathlib import Path
 from typing import Any
@@ -45,7 +46,11 @@ class FileQueue:
     ) -> str:
         """Publish a PendingOrders envelope (submit_pending.go:31-48):
         body fields + Exchange/TransactionId/Real attributes flattened."""
-        msg_id = uuid.uuid4().hex
+        # Monotonic name: FIFO listing order AND a totally-ordered offset
+        # for the dca_queue streaming source (io/datasource.py) — the max
+        # delivered name is a valid high-watermark. uuid suffix breaks
+        # same-nanosecond ties.
+        msg_id = f"{time.time_ns():020d}-{uuid.uuid4().hex}"
         body = {
             "transaction_id": transaction_id,
             "s3_bucket": s3_bucket,

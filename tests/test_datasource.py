@@ -1,0 +1,128 @@
+"""Spark 4 Python Data Sources: dca_config (batch, partition-per-file)
+and dca_queue (streaming, ack-on-commit)."""
+
+from __future__ import annotations
+
+import json
+import time
+
+import pytest
+
+from dca_manager_spark.io.datasource import register_python_sources
+from dca_manager_spark.streaming.queue_source import FileQueue
+
+
+@pytest.fixture
+def registered(spark):
+    register_python_sources(spark)
+    return spark
+
+
+def write_config(path, orders):
+    path.write_text(json.dumps({"orders": orders}))
+
+
+ORDER = {
+    "exchange": "kraken",
+    "pair": "XBTGBP",
+    "order_type": "market",
+    "type": "buy",
+    "volume": "0.001",
+    "price": None,
+    "enabled": True,
+}
+
+
+def test_config_source_reads_a_fleet_of_configs(registered, tmp_path):
+    write_config(tmp_path / "a.json", [ORDER, {**ORDER, "pair": "ETHGBP"}])
+    write_config(tmp_path / "b.json", [{**ORDER, "enabled": False}])
+    df = registered.read.format("dca_config").option("path", str(tmp_path)).load()
+    rows = df.orderBy("config_file", "pair").collect()
+    assert [r.pair for r in rows] == ["ETHGBP", "XBTGBP", "XBTGBP"]
+    assert rows[0].config_file.endswith("a.json")
+    assert rows[2].enabled is False
+    # one input partition per config FILE (fleet parses in parallel)
+    assert df.rdd.getNumPartitions() == 2
+
+
+def test_config_source_matches_driver_side_reader(registered, tmp_path):
+    from dca_manager_spark.io.readers import read_dca_config
+
+    write_config(tmp_path / "c.json", [ORDER, {**ORDER, "type": "sell"}])
+    via_source = (
+        registered.read.format("dca_config")
+        .option("path", str(tmp_path / "c.json"))
+        .load()
+        .drop("config_file")
+    )
+    via_driver = read_dca_config(registered, str(tmp_path / "c.json"))
+    assert via_source.exceptAll(via_driver).isEmpty()
+    assert via_driver.exceptAll(via_source).isEmpty()
+
+
+def test_config_source_is_loud_on_bad_input(registered, tmp_path):
+    # reader construction is lazy — errors surface at the first action
+    with pytest.raises(Exception, match="path"):
+        registered.read.format("dca_config").load().collect()
+    (tmp_path / "bad.json").write_text(json.dumps({"not_orders": []}))
+    with pytest.raises(Exception, match="orders"):
+        registered.read.format("dca_config").option(
+            "path", str(tmp_path / "bad.json")
+        ).load().collect()
+
+
+def _drain(spark, queue_dir, ckpt, out_dir):
+    # parquet sink (the memory sink cannot recover from a checkpoint,
+    # which the resume test needs)
+    q = (
+        spark.readStream.format("dca_queue")
+        .option("path", str(queue_dir))
+        .load()
+        .writeStream.format("parquet")
+        .option("path", str(out_dir))
+        .option("checkpointLocation", str(ckpt))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    try:
+        return spark.read.parquet(str(out_dir)).collect()
+    except Exception:
+        return []  # zero batches -> sink dir never materialized
+
+
+def test_queue_stream_delivers_then_acks_on_next_progress(registered, tmp_path):
+    fq = FileQueue(str(tmp_path / "q"))
+    ids = [fq.publish(f"T{i}", "bkt", f"k{i}", "kraken", True) for i in range(3)]
+    rows = _drain(registered, tmp_path / "q", tmp_path / "ck", tmp_path / "out")
+    assert sorted(r.transaction_id for r in rows) == ["T0", "T1", "T2"]
+    assert sorted(r["__msg_id"] for r in rows) == sorted(ids)
+    # The ack (DeleteMessage) is DEFERRED: Spark calls source.commit for
+    # batch N when batch N+1 is constructed (standard lazy source
+    # commit), so the delivered messages are still on disk here — but
+    # the checkpoint guarantees this consumer never redelivers them.
+    assert fq.size() == 3
+
+    # next batch (same checkpoint): T3 delivered, batch 0's messages acked
+    fq.publish("T3", "bkt", "k3", "kraken", True)
+    rows2 = _drain(registered, tmp_path / "q", tmp_path / "ck", tmp_path / "out")
+    assert sorted(r.transaction_id for r in rows2) == ["T0", "T1", "T2", "T3"]
+    remaining = {f.stem for f in (tmp_path / "q").glob("*.json")}
+    assert not (set(ids) & remaining), "batch-0 messages must be acked by now"
+
+
+def test_queue_stream_resumes_from_checkpoint(registered, tmp_path):
+    fq = FileQueue(str(tmp_path / "q"))
+    fq.publish("T0", "bkt", "k0", "kraken", True)
+    ck, out = tmp_path / "ck", tmp_path / "out"
+    assert len(_drain(registered, tmp_path / "q", ck, out)) == 1
+    fq.publish("T1", "bkt", "k1", "kraken", False)
+    fq.publish("T2", "bkt", "k2", "kraken", True)
+    # same checkpoint + sink: the two new messages APPEND to the output
+    rows = _drain(registered, tmp_path / "q", ck, out)
+    assert sorted(r.transaction_id for r in rows) == ["T0", "T1", "T2"]
+
+
+def test_queue_stream_empty_queue_is_a_clean_noop(registered, tmp_path):
+    FileQueue(str(tmp_path / "q"))
+    assert _drain(registered, tmp_path / "q", tmp_path / "ck", tmp_path / "o") == []
