@@ -91,7 +91,10 @@ _DRIVER_WINDOW = [
     # 6 new queries in (text_decontaminate, q13/q15/q17/q22 shapes,
     # events_cohort_retention); out: the 4 r6-green flagship keepers,
     # plus window_range_frame + join_shuffle_hash_hint (r5-green AND
-    # plan-asserted in test_plans — the strongest non-driver evidence).
+    # plan-asserted in test_plans — the strongest non-driver evidence),
+    # then scalar_subquery_above_avg (shape re-proven by q15/q22 in this
+    # window) + train_val_test_split (r5-green, property-tested) to make
+    # room for join_salted_skew + udtf_top_tokens.
     "dedup_incremental_batch",
     "window_first_last",
     "window_ntile_quartiles",
@@ -114,6 +117,8 @@ _DRIVER_WINDOW = [
     "q17_small_quantity_revenue",
     "q22_idle_customer_balance",
     "events_cohort_retention",
+    "join_salted_skew",
+    "udtf_top_tokens",
     # -- last scored r5 --
     "q3_shipping_priority",
     "q5_local_supplier_volume",
@@ -122,7 +127,6 @@ _DRIVER_WINDOW = [
     "agg_collect_sorted",
     "agg_median_price",
     "precombine_dedup_lineitem",
-    "scalar_subquery_above_avg",
     "text_features",
     "dedup_exact_documents",
     "dedup_ngram_jaccard",
@@ -135,7 +139,6 @@ _DRIVER_WINDOW = [
     "pivot_status_by_priority",
     "unpivot_balances",
     "sql_correlated_exists",
-    "train_val_test_split",
     "stratified_hash_sample",
     "applyinpandas_zscore",
     "stat_corr_manual",
@@ -4500,4 +4503,88 @@ def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         acts.groupBy("cohort_week", "week_offset")
         .agg(F.count_distinct("user_id").alias("active_users"))
         .orderBy("cohort_week", "week_offset")
+    )
+
+
+@query(
+    "join_salted_skew",
+    f"""
+    SELECT o.o_orderpriority,
+           {o_dsum('l.l_quantity')} AS sum_qty,
+           COUNT(*) AS n_items
+    FROM lineitem l
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    GROUP BY o.o_orderpriority
+    ORDER BY o.o_orderpriority
+    """,
+)
+def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-mitigated equi join: the fact side is salted on a
+    deterministic secondary column and the other side replicated once per
+    salt value, so a hot join key spreads over 8 reducers instead of one
+    — output rows identical to the plain join (the oracle IS the plain
+    join). The explicit tool for hot keys AQE's skew splitting can't
+    reach; see operators/skew.salted_join. Salt must be deterministic
+    (l_linenumber hash, never rand()) so task retries agree."""
+    from dca_manager_spark.operators.skew import salted_join
+
+    l = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
+    )
+    joined = salted_join(
+        l, o, on=["l_orderkey"], salt_buckets=8,
+        salt_source=F.col("l_linenumber"),
+    )
+    return (
+        joined.groupBy("o_orderpriority")
+        .agg(
+            dsum(F.col("l_quantity")).alias("sum_qty"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
+    "udtf_top_tokens",
+    r"""
+    WITH tok AS (
+      SELECT doc_id, unnest(list_filter(
+               regexp_split_to_array(trim(lower(text)), '\s+'),
+               x -> x != '')) AS token
+      FROM documents WHERE doc_id < 100
+    ),
+    counts AS (
+      SELECT doc_id, token, COUNT(*) AS n FROM tok GROUP BY doc_id, token
+    ),
+    ranked AS (
+      SELECT doc_id, token, n,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY doc_id ORDER BY n DESC, token) AS INT) AS rnk
+      FROM counts
+    )
+    SELECT doc_id, token, n, rnk FROM ranked WHERE rnk <= 3
+    ORDER BY doc_id, rnk
+    """,
+)
+def udtf_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 Python UDTF surface: per-document top-3 tokens via a
+    LATERAL table-function join, total-order tie-break so the SQL oracle
+    (explode + count + row_number) matches row-for-row. Row-at-a-time
+    Python is the SLOW path — the input is bounded (100 docs) and the
+    built-in plan shape for this job lives in vocabulary_oov; the query
+    exists to pin the UDTF API end-to-end (operators/udtf_ops.py)."""
+    from dca_manager_spark.operators.udtf_ops import register_udtfs
+
+    register_udtfs(spark)
+    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    docs.createOrReplaceTempView("__udtf_docs")
+    return spark.sql(
+        """
+        SELECT d.doc_id, tt.token, tt.n, tt.rnk
+        FROM __udtf_docs d,
+             LATERAL top_tokens(d.text, 3) tt
+        ORDER BY d.doc_id, tt.rnk
+        """
     )
