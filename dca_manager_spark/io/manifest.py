@@ -419,7 +419,11 @@ class ManifestTable:
                     f"commit {cid} of {self.path} predates record-level "
                     "change capture; use records=False"
                 )
-            for kind, op in (("upserts", "u"), ("deletes", "d")):
+            # "preimages" is absent in pre-CDF-parity commits: .get()
+            # skips it, old feeds just carry no update_preimage rows.
+            for kind, op in (
+                ("upserts", "u"), ("preimages", "p"), ("deletes", "d"),
+            ):
                 if ch.get(kind):
                     frames.append(
                         # The latest committed schema: older change files
@@ -444,7 +448,11 @@ class ManifestTable:
         ordering (apply commits in ``_commit`` order), where
         ``read_incremental(records=True)`` gives only the collapsed
         latest state. Delete rows carry the removed row's full content
-        (before-image). ``since=-1`` bootstraps from the beginning of
+        (before-image), and an upsert that OVERWRITES a key also emits
+        the old version as ``update_preimage`` (Delta CDF parity) — the
+        piece that makes downstream INCREMENTAL AGGREGATE maintenance
+        possible (apply +new, -preimage, -delete deltas; see
+        streaming/cdc.feed_deltas). ``since=-1`` bootstraps from the beginning of
         history (valid only while commit 0 is still retained — vacuum
         truncates history, after which bootstrap from a full read)."""
         self._check_since(since)
@@ -456,6 +464,7 @@ class ManifestTable:
         changed = self._changed_rows(since, schema)
         cols = [F.col(f.name) for f in schema.fields] + [
             F.when(F.col("_op") == "d", F.lit("delete"))
+            .when(F.col("_op") == "p", F.lit("update_preimage"))
             .otherwise(F.lit("upsert"))
             .alias("_change_type"),
             F.col("_commit"),
@@ -482,7 +491,9 @@ class ManifestTable:
         ``records=True`` (record-level, Hudi incremental-pull semantics):
         only rows whose key actually changed, at their LATEST version —
         each commit captures its change set at write time (upsert = the
-        batch, O(batch) not O(partition); delete = rows actually removed;
+        batch plus the overwritten old versions as preimages — the
+        preimage scan shares the replaced-file read the merge already
+        does; delete = rows actually removed;
         append = the commit's own data files, referenced not rewritten;
         compaction = nothing), and the read resolves latest-per-key across
         the requested range with one window over the CHANGED rows only.
@@ -529,7 +540,8 @@ class ManifestTable:
         source commit per local commit, in ``_commit`` order — downstream
         replication over the change feed (the Hudi/Delta CDC-sync
         pattern). Upserts apply as upserts, deletes by the deleted rows'
-        keys. The replica converges to the source's latest state per key;
+        keys; ``update_preimage`` rows are metadata for delta consumers
+        and are ignored here (the postimage upsert replays the change). The replica converges to the source's latest state per key;
         legal same-key duplicates from source INSERT commits collapse
         under the replica's precombine (replicate with bulk_insert loads
         instead if duplicate-preservation matters). The commit loop is
@@ -664,8 +676,17 @@ class ManifestTable:
         # is NOT a change and must not be reported as one).
         next_id = self._next_id(prev_id)
         if keep_batch:
+            # Update preimages (Delta CDF parity): the old versions being
+            # overwritten = existing rows whose key is in the batch. The
+            # replaced files are already being read for the merge itself;
+            # this is one more semi join over that same frame. Keys new
+            # to the table naturally have no preimage.
+            overwritten = existing.alias("e").join(
+                F.broadcast(keys_df.alias("b")), pred, "left_semi"
+            )
             changes = {
                 "upserts": self._write_change_files(batch, next_id, "u"),
+                "preimages": self._write_change_files(overwritten, next_id, "p"),
                 "deletes": [],
             }
         else:
@@ -715,9 +736,16 @@ class ManifestTable:
         removed = current.alias("e").join(
             restored.select(*ident).distinct().alias("b"), pred, "left_anti"
         )
+        # preimages: current versions of keys the restore REWRITES (key
+        # survives, content changes) — keeps delta consumers exact
+        # across rollbacks, same contract as the upsert path.
+        preimages = current.alias("e").join(
+            changed.select(*ident).distinct().alias("b"), pred, "left_semi"
+        )
         next_id = self._next_id(prev_id)
         changes = {
             "upserts": self._write_change_files(changed, next_id, "u"),
+            "preimages": self._write_change_files(preimages, next_id, "p"),
             "deletes": self._write_change_files(removed, next_id, "d"),
         }
         self._publish(prev_id, target["files"], target["schema"], changes)

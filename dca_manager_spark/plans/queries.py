@@ -4461,13 +4461,15 @@ def q22_idle_customer_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     "events_cohort_retention",
     """
     WITH firsts AS (
-      SELECT user_id, date_trunc('week', MIN(ts)) AS cohort_week
+      SELECT user_id,
+             CAST(date_trunc('week', MIN(ts)) AS TIMESTAMP) AS cohort_week
       FROM events GROUP BY user_id
     ),
     acts AS (
       SELECT DISTINCT e.user_id, f.cohort_week,
              CAST(date_diff('day', f.cohort_week,
-                            date_trunc('week', e.ts)) / 7 AS BIGINT) AS week_offset
+                            CAST(date_trunc('week', e.ts) AS TIMESTAMP)) / 7
+                  AS BIGINT) AS week_offset
       FROM events e JOIN firsts f ON f.user_id = e.user_id
     )
     SELECT cohort_week, week_offset, COUNT(DISTINCT user_id) AS active_users
@@ -4484,6 +4486,10 @@ def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer day arithmetic between week-truncated timestamps (always a
     multiple of 7), so no float policy is needed."""
     e = t(spark, sf_dir, "events")
+    # both sides pin the cohort week to TIMESTAMP: Spark's date_trunc
+    # already returns one, DuckDB's returns DATE and is cast — the one
+    # rendering that agrees on BOTH the driver's pandas surface (DuckDB
+    # DATE becomes Timestamp there) and raw typed cells
     firsts = e.groupBy("user_id").agg(
         F.date_trunc("week", F.min("ts")).alias("cohort_week")
     )

@@ -106,6 +106,22 @@ class CdcFollower:
         return len(pending)
 
 
+def feed_deltas(feed: DataFrame) -> DataFrame:
+    """Turn a ``read_cdc`` feed into signed row deltas for INCREMENTAL
+    AGGREGATE maintenance: +1 for an upsert/insert postimage, -1 for an
+    ``update_preimage`` or ``delete`` before-image. Summing
+    ``value * _delta`` (and ``_delta`` for counts) grouped by key over
+    the feed advances any SUM/COUNT-shaped aggregate to the source's new
+    state without recomputing from the table — the materialized-view
+    maintenance pattern over the change feed. Requires the source to
+    capture preimages (all commits since CDF parity; older commits'
+    upserts would double-count their overwritten versions)."""
+    return feed.withColumn(
+        "_delta",
+        F.when(F.col("_change_type") == "upsert", F.lit(1)).otherwise(F.lit(-1)),
+    )
+
+
 def replicate(
     source,
     replica,

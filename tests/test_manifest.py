@@ -234,9 +234,14 @@ def test_read_cdc_feed_ordering_and_before_images(spark, table):
         ((r._commit, r._change_type, r.price)
          for r in table.read_cdc(v0).collect())
     )
-    # Two changes, commit-ordered; the delete carries the row it removed
-    # (price 2.0 — the live version), not the delete batch's payload.
-    assert feed == [(v0 + 1, "upsert", 2.0), (v0 + 2, "delete", 2.0)]
+    # Commit-ordered; the overwrite emits postimage AND update_preimage
+    # (Delta CDF parity), the delete carries the row it removed (price
+    # 2.0 — the live version), not the delete batch's payload.
+    assert feed == [
+        (v0 + 1, "update_preimage", 1.0),
+        (v0 + 1, "upsert", 2.0),
+        (v0 + 2, "delete", 2.0),
+    ]
     assert table.read_cdc(table.commits()[-1]).count() == 0
     assert set(table.read_cdc(v0).columns) == {
         "transaction_id", "close_time", "pair", "price",
@@ -372,11 +377,16 @@ def test_restore_rolls_back_without_rewriting_data(spark, table):
     }
     assert table.file_count() <= n_files_before  # references, no new data
 
-    # Record-exact changes: T1 back to 1.0 (differs), T3 deleted,
-    # T2 untouched and NOT re-emitted.
+    # Record-exact changes: T1 back to 1.0 (differs; its rewritten 5.0
+    # version emits as update_preimage), T3 deleted, T2 untouched and
+    # NOT re-emitted.
     ch = {(r.transaction_id, r._change_type, r.price)
           for r in table.read_cdc(v2).collect()}
-    assert ch == {("T1", "upsert", 1.0), ("T3", "delete", 7.0)}
+    assert ch == {
+        ("T1", "upsert", 1.0),
+        ("T1", "update_preimage", 5.0),
+        ("T3", "delete", 7.0),
+    }
     inc = {(r.transaction_id, r.price)
            for r in table.read_incremental(v2, records=True).collect()}
     assert inc == {("T1", 1.0)}
@@ -410,7 +420,10 @@ def test_vacuum_retention_window(spark, table):
     assert {r.price for r in table.read(as_of=ids[-2]).collect()} == {3.0}
     inc = table.read_incremental(ids[-2], records=True).collect()
     assert [(r.transaction_id, r.price) for r in inc] == [("T1", 4.0)]
-    assert table.read_cdc(ids[-2]).count() == 1
+    # overwrite commit: postimage + update_preimage
+    assert {
+        (r._change_type, r.price) for r in table.read_cdc(ids[-2]).collect()
+    } == {("upsert", 4.0), ("update_preimage", 3.0)}
     # Outside: loud failure, including the since=-1 bootstrap.
     with pytest.raises(FileNotFoundError):
         table.read_incremental(ids[0], records=True)
@@ -719,3 +732,65 @@ def test_zorder_handles_nulls_and_upserts(spark, tmp_path):
     rows = {r.transaction_id: r.price for r in t.read().collect()}
     assert rows == {"T1": None, "T2": 9.0}
     assert "__zorder" not in t.read().columns
+
+
+def test_cdc_update_preimages(spark, table):
+    table.write(make_df(spark, [("T1", TS1, "BTCGBP", 1.0),
+                                ("T2", TS1, "BTCGBP", 5.0)]), "upsert")
+    table.write(make_df(spark, [("T1", TS1, "BTCGBP", 2.0),
+                                ("T3", TS1, "BTCGBP", 7.0)]), "upsert")
+    feed = table.read_cdc(since=table.commits()[0])
+    got = sorted(
+        (r.transaction_id, r.price, r._change_type) for r in feed.collect()
+    )
+    # T1 overwrite: postimage 2.0 + preimage 1.0; T3 is new: no preimage
+    assert got == [
+        ("T1", 1.0, "update_preimage"),
+        ("T1", 2.0, "upsert"),
+        ("T3", 7.0, "upsert"),
+    ]
+    # records-incremental ignores preimages: latest versions only
+    inc = table.read_incremental(since=table.commits()[0], records=True)
+    assert {(r.transaction_id, r.price) for r in inc.collect()} == {
+        ("T1", 2.0), ("T3", 7.0),
+    }
+
+
+def test_incremental_aggregate_maintenance_via_deltas(spark, table):
+    from dca_manager_spark.streaming.cdc import feed_deltas
+
+    def agg_state(df):
+        return {
+            (r.pair): (round(r.total, 6), r.n)
+            for r in df.groupBy("pair")
+            .agg(F.sum("price").alias("total"), F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+
+    table.write(make_df(spark, [("T1", TS1, "BTCGBP", 1.0),
+                                ("T2", TS1, "ETHGBP", 5.0)]), "upsert")
+    base = table.commits()[-1]
+    materialized = agg_state(table.read())
+
+    # a mix of change types: overwrite, new key, delete, insert, restore
+    table.write(make_df(spark, [("T1", TS1, "BTCGBP", 3.0)]), "upsert")
+    table.write(make_df(spark, [("T4", TS1, "ETHGBP", 2.0)]), "insert")
+    table.write(make_df(spark, [("T2", TS1, "ETHGBP", 5.0)]), "delete")
+    table.restore(base + 1)  # roll back the insert + delete
+
+    deltas = feed_deltas(table.read_cdc(since=base))
+    moves = {
+        r.pair: (round(r.dt, 6), r.dn)
+        for r in deltas.groupBy("pair")
+        .agg(
+            F.sum(F.col("price") * F.col("_delta")).alias("dt"),
+            F.sum("_delta").alias("dn"),
+        )
+        .collect()
+    }
+    maintained = dict(materialized)
+    for pair, (dt, dn) in moves.items():
+        t0, n0 = maintained.get(pair, (0.0, 0))
+        maintained[pair] = (round(t0 + dt, 6), n0 + dn)
+    maintained = {k: v for k, v in maintained.items() if v[1] > 0}
+    assert maintained == agg_state(table.read())
