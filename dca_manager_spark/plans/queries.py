@@ -94,7 +94,8 @@ _DRIVER_WINDOW = [
     # plan-asserted in test_plans — the strongest non-driver evidence),
     # then scalar_subquery_above_avg (shape re-proven by q15/q22 in this
     # window) + train_val_test_split (r5-green, property-tested) to make
-    # room for join_salted_skew + udtf_top_tokens.
+    # room for join_salted_skew + udtf_top_tokens; stat_corr_manual
+    # (r5-green) out for events_resample_ffill.
     "dedup_incremental_batch",
     "window_first_last",
     "window_ntile_quartiles",
@@ -119,6 +120,7 @@ _DRIVER_WINDOW = [
     "events_cohort_retention",
     "join_salted_skew",
     "udtf_top_tokens",
+    "events_resample_ffill",
     # -- last scored r5 --
     "q3_shipping_priority",
     "q5_local_supplier_volume",
@@ -141,7 +143,6 @@ _DRIVER_WINDOW = [
     "sql_correlated_exists",
     "stratified_hash_sample",
     "applyinpandas_zscore",
-    "stat_corr_manual",
     "multimodal_frame_plan",
     "multimodal_features",
     "text_cleaning",
@@ -4593,4 +4594,79 @@ def udtf_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
              LATERAL top_tokens(d.text, 3) tt
         ORDER BY d.doc_id, tt.rnk
         """
+    )
+
+
+@query(
+    "events_resample_ffill",
+    f"""
+    WITH bounds AS (
+      SELECT CAST(date_trunc('hour', MIN(ts)) AS TIMESTAMP) AS lo,
+             CAST(date_trunc('hour', MAX(ts)) AS TIMESTAMP) AS hi
+      FROM events
+    ),
+    hours AS (
+      SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour
+      FROM bounds
+    ),
+    types AS (SELECT DISTINCT event_type FROM events),
+    spine AS (SELECT t.event_type, h.hour FROM types t CROSS JOIN hours h),
+    hourly AS (
+      SELECT event_type, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour,
+             {o_dsum('value')} AS hour_value, COUNT(*) AS n_events
+      FROM events GROUP BY 1, 2
+    )
+    SELECT s.event_type, s.hour,
+           COALESCE(h.n_events, 0) AS n_events,
+           COALESCE(LAST_VALUE(h.hour_value IGNORE NULLS) OVER (
+             PARTITION BY s.event_type ORDER BY s.hour
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0.0)
+             AS filled_value
+    FROM spine s
+    LEFT JOIN hourly h ON h.event_type = s.event_type AND h.hour = s.hour
+    ORDER BY s.event_type, s.hour
+    """,
+)
+def events_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resampling + forward fill: a dense hourly spine per
+    event type (generated with sequence/explode off a 1-row bounds agg —
+    never a driver loop), left-joined with the hourly aggregate; hours
+    with no events carry the LAST observed value forward
+    (last(ignorenulls) over an unbounded-preceding frame — the window
+    partitions by type, so no single-partition exchange). Leading gaps
+    fill 0.0. The spine is tiny (hours x types) and broadcast into the
+    join; the only fact-table pass is the hourly aggregation."""
+    e = t(spark, sf_dir, "events")
+    bounds = e.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    hours = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias("hour")
+    )
+    types = e.select("event_type").distinct()
+    spine = types.crossJoin(hours)
+    hourly = (
+        e.groupBy("event_type", F.date_trunc("hour", F.col("ts")).alias("hour"))
+        .agg(
+            dsum(F.col("value")).alias("hour_value"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        spine.join(hourly, ["event_type", "hour"], "left")
+        .select(
+            "event_type",
+            "hour",
+            F.coalesce("n_events", F.lit(0)).alias("n_events"),
+            F.coalesce(
+                F.last("hour_value", ignorenulls=True).over(w), F.lit(0.0)
+            ).alias("filled_value"),
+        )
+        .orderBy("event_type", "hour")
     )

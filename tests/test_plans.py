@@ -217,6 +217,9 @@ def test_catalog_wide_no_accidental_cartesian(spark):
         "similarity_cosine_topk",      # broadcast-queries brute force baseline
         "dedup_embedding_cosine_exact",  # bounded all-pairs ground truth
         "scalar_subquery_above_avg",   # scalar subquery joins on no key by design
+        "events_resample_ffill",       # spine = tiny dims cross join
+                                       # (types x hour sequence off a
+                                       # 1-row bounds agg) — documented
         "q22_idle_customer_balance",   # same scalar-subquery shape: 1-row
                                        # broadcast avg under a > predicate
                                        # (q15's = predicate becomes an equi
