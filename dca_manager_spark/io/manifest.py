@@ -216,12 +216,36 @@ class ManifestTable:
         (Hudi-timeline analogue)."""
         return self._manifest_ids()
 
+    def history(self) -> DataFrame:
+        """DESCRIBE HISTORY analogue: one row per RETAINED commit with
+        the operation kind and file/change-capture counts — built from
+        manifest JSONs only, no data files touched. Commits written
+        before the ``op`` field exist as 'unknown'."""
+        rows = []
+        for mid in self._manifest_ids():
+            doc = self._load_manifest(mid)
+            ch = doc.get("changes") or {}
+            rows.append((
+                mid,
+                doc.get("op", "unknown"),
+                len(doc["files"]),
+                len(ch.get("upserts") or []),
+                len(ch.get("preimages") or []),
+                len(ch.get("deletes") or []),
+            ))
+        return self.spark.createDataFrame(
+            rows,
+            "commit_id int, op string, n_files int, n_upsert_files int, "
+            "n_preimage_files int, n_delete_files int",
+        )
+
     def _publish(
         self,
         prev_id: int | None,
         files: list[dict],
         schema_json: str,
         changes: dict | None = None,
+        op: str = "unknown",
     ) -> int:
         """Atomic put-if-absent of the next manifest. O_EXCL is the local
         analogue of an S3 conditional PUT; a concurrent writer losing the
@@ -242,6 +266,7 @@ class ManifestTable:
             "files": files,
             "schema": schema_json,
             "changes": changes or {"upserts": [], "deletes": []},
+            "op": op,
         }
         payload = json.dumps(doc, indent=1, sort_keys=True)
         target = mdir / f"{next_id:012d}.json"
@@ -592,6 +617,7 @@ class ManifestTable:
             prev_files + new_files,
             df.schema.json(),
             changes={"upserts": [f["path"] for f in new_files], "deletes": []},
+            op="append",
         )
 
     def _merge(self, batch: DataFrame, keep_batch: bool) -> None:
@@ -616,6 +642,7 @@ class ManifestTable:
                     "upserts": [f["path"] for f in new_files],
                     "deletes": [],
                 },
+                op="upsert" if keep_batch else "delete",
             )
             return
 
@@ -700,7 +727,10 @@ class ManifestTable:
         new_files = (
             [] if merged.isEmpty() else self._write_commit_files(merged)
         )
-        self._publish(prev_id, kept + new_files, merged.schema.json(), changes)
+        self._publish(
+            prev_id, kept + new_files, merged.schema.json(), changes,
+            op="upsert" if keep_batch else "delete",
+        )
 
     def restore(self, version: int) -> int:
         """Roll the table BACK to ``version`` as a NEW commit (the Delta
@@ -748,7 +778,9 @@ class ManifestTable:
             "preimages": self._write_change_files(preimages, next_id, "p"),
             "deletes": self._write_change_files(removed, next_id, "d"),
         }
-        self._publish(prev_id, target["files"], target["schema"], changes)
+        self._publish(
+            prev_id, target["files"], target["schema"], changes, op="restore"
+        )
         return next_id
 
     # -- maintenance --------------------------------------------------------
@@ -788,7 +820,7 @@ class ManifestTable:
             target_files_per_partition, *(self.partition_by or self.keys)
         ).localCheckpoint(eager=True)  # one write (see _merge)
         new_files = self._write_commit_files(current)
-        self._publish(prev_id, kept + new_files, doc["schema"])
+        self._publish(prev_id, kept + new_files, doc["schema"], op="compact")
         return len(replaced)
 
     def file_count(self) -> int:

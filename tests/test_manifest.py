@@ -794,3 +794,24 @@ def test_incremental_aggregate_maintenance_via_deltas(spark, table):
         maintained[pair] = (round(t0 + dt, 6), n0 + dn)
     maintained = {k: v for k, v in maintained.items() if v[1] > 0}
     assert maintained == agg_state(table.read())
+
+
+def test_history_describes_the_timeline(spark, table):
+    table.write(make_df(spark, [("T1", TS1, "BTCGBP", 1.0),
+                                ("T2", TS1, "ETHGBP", 4.0)]), "insert")
+    table.write(make_df(spark, [("T1", TS1, "BTCGBP", 2.0)]), "upsert")
+    table.write(make_df(spark, [("T1", TS1, "BTCGBP", 0.0)]), "delete")
+    table.compact()
+    base = table.commits()[0]
+    table.restore(base)
+    h = table.history().orderBy("commit_id").collect()
+    assert [r.op for r in h] == [
+        "append", "upsert", "delete", "compact", "restore",
+    ]
+    assert [r.commit_id for r in h] == table.commits()
+    # the overwrite commit captured preimage files; compact captured none
+    assert h[1].n_preimage_files > 0
+    assert h[3].n_upsert_files == h[3].n_delete_files == 0
+    # metadata-only: history of a vacuumed table shrinks with retention
+    table.vacuum(keep_last=2)
+    assert table.history().count() == 2

@@ -506,6 +506,7 @@ def test_stream_upsert_feeds_incremental_consumers(spark, tmp_path):
     assert feed == [
         (ids[0], "T1", 1.0, "upsert"),
         (ids[0], "T2", 2.0, "upsert"),
+        (ids[1], "T1", 1.0, "update_preimage"),
         (ids[1], "T1", 9.0, "upsert"),
     ]
     inc = table.read_incremental(ids[0], records=True).collect()
