@@ -317,6 +317,7 @@ class ManifestTable:
             )
         writer.save(str(out_dir))
 
+        stat_cols = [c for c in self.cluster_by if self._stats_eligible(c, df)]
         entries: list[dict] = []
         for p in sorted(out_dir.rglob("*.parquet")):
             rel = p.relative_to(Path(self.path)).as_posix()
@@ -326,8 +327,47 @@ class ManifestTable:
                 partition[col.removeprefix("__part_")] = (
                     None if value == _HIVE_NULL else _hive_unescape(value)
                 )
-            entries.append({"path": rel, "partition": partition})
+            entry: dict = {"path": rel, "partition": partition}
+            if stat_cols:
+                stats = self._file_column_stats(p, stat_cols)
+                if stats:
+                    entry["stats"] = stats
+            entries.append(entry)
         return entries
+
+    @staticmethod
+    def _stats_eligible(col: str, df: DataFrame) -> bool:
+        # numeric cluster columns only: their min/max round-trip JSON
+        # exactly; other types read as "no stats" and are never pruned
+        if col not in df.columns:
+            return False
+        t = df.schema[col].dataType.typeName()
+        return t in ("byte", "short", "integer", "long", "float", "double")
+
+    @staticmethod
+    def _file_column_stats(path: Path, cols: list[str]) -> dict:
+        """Per-file [min, max] for the cluster columns, from the parquet
+        footer — one driver-side footer read per NEW file per commit
+        (O(commit files), the same loop that builds the manifest entry;
+        distribute the collection if a single commit writes millions of
+        files). Iceberg keeps the same stats in its manifests."""
+        import pyarrow.parquet as pq
+
+        meta = pq.read_metadata(str(path))
+        out: dict[str, list] = {}
+        for rg in range(meta.num_row_groups):
+            for i in range(meta.num_columns):
+                c = meta.row_group(rg).column(i)
+                if c.path_in_schema in cols and c.statistics is not None:
+                    s = c.statistics
+                    if s.min is None or s.max is None:
+                        continue
+                    if c.path_in_schema in out:
+                        lo, hi = out[c.path_in_schema]
+                        out[c.path_in_schema] = [min(lo, s.min), max(hi, s.max)]
+                    else:
+                        out[c.path_in_schema] = [s.min, s.max]
+        return out
 
     @staticmethod
     def _next_id(prev_id: int | None) -> int:
@@ -356,13 +396,23 @@ class ManifestTable:
         self,
         partition_filter: dict[str, object] | None = None,
         as_of: int | None = None,
+        range_filter: dict[str, tuple] | None = None,
     ) -> DataFrame:
         """Read the table as of the newest manifest (or a historical one
         via ``as_of`` — manifests are retained until vacuumed, so any
         still-referenced commit is readable: time travel, Hudi-timeline /
         Delta VERSION AS OF analogue). ``partition_filter`` ({col: value})
         prunes at the manifest level — no storage listing, no directory
-        parsing."""
+        parsing.
+
+        ``range_filter`` ({col: (lo, hi)}, bounds inclusive, None = open
+        end) SKIPS whole data files using the per-file min/max recorded
+        in the manifest for numeric cluster columns (Iceberg-style file
+        skipping — clustering makes the bands narrow, so the prune is
+        sharp) and applies the same predicate row-level as a residual, so
+        results are exact whether or not a file had stats. Only cluster
+        columns carry stats; asking for any other column is a loud
+        error."""
         if as_of is not None:
             if as_of not in self._manifest_ids():
                 raise FileNotFoundError(
@@ -376,6 +426,21 @@ class ManifestTable:
                 raise FileNotFoundError(f"no committed manifest under {self.path}")
             _, doc = latest
         files = doc["files"]
+        if range_filter:
+            for c in range_filter:
+                if c not in self.cluster_by:
+                    raise ValueError(
+                        f"range_filter column {c!r} is not a cluster column "
+                        f"{self.cluster_by} — no file stats exist for it"
+                    )
+            files = [
+                f for f in files
+                if all(
+                    (lo is None or s[1] >= lo) and (hi is None or s[0] <= hi)
+                    for c, (lo, hi) in range_filter.items()
+                    if (s := f.get("stats", {}).get(c)) is not None
+                )
+            ]
         if partition_filter:
             self._check_partition_filter(partition_filter)
             files = [
@@ -398,9 +463,16 @@ class ManifestTable:
         # null-filled in older files, dropped columns stay dropped, and no
         # footer-merging pass is needed — at 200k files, mergeSchema would
         # read every footer before the first row.
-        return self.spark.read.schema(schema).parquet(
+        df = self.spark.read.schema(schema).parquet(
             *[str(Path(self.path) / f["path"]) for f in files]
         )
+        if range_filter:
+            for c, (lo, hi) in range_filter.items():
+                if lo is not None:
+                    df = df.filter(F.col(c) >= lo)
+                if hi is not None:
+                    df = df.filter(F.col(c) <= hi)
+        return df
 
     def _check_partition_filter(self, partition_filter: dict) -> None:
         """A filter on a non-partition column would silently match
@@ -816,9 +888,14 @@ class ManifestTable:
         if not replaced:
             return 0
         kept = [f for f in doc["files"] if not selected(f)]
-        current = self.read(partition_filter=partition_filter).repartition(
-            target_files_per_partition, *(self.partition_by or self.keys)
-        ).localCheckpoint(eager=True)  # one write (see _merge)
+        current = self.read(partition_filter=partition_filter)
+        if not self.cluster_by:
+            # clustered tables re-range inside _write_commit_files — a
+            # pre-repartition here would just add a dead shuffle
+            current = current.repartition(
+                target_files_per_partition, *(self.partition_by or self.keys)
+            )
+        current = current.localCheckpoint(eager=True)  # one write (see _merge)
         new_files = self._write_commit_files(current)
         self._publish(prev_id, kept + new_files, doc["schema"], op="compact")
         return len(replaced)

@@ -130,7 +130,7 @@ def test_manifest_documents_are_json(spark, table):
     docs = sorted(mdir.glob("*.json"))
     assert docs
     doc = json.loads(docs[-1].read_text())
-    assert set(doc) == {"id", "files", "schema", "changes"}
+    assert set(doc) == {"id", "files", "schema", "changes", "op"}
     assert all(set(f) == {"path", "partition"} for f in doc["files"])
     assert set(doc["changes"]) == {"upserts", "deletes"}
 
@@ -815,3 +815,56 @@ def test_history_describes_the_timeline(spark, table):
     # metadata-only: history of a vacuumed table shrinks with retention
     table.vacuum(keep_last=2)
     assert table.history().count() == 2
+
+
+def test_range_filter_skips_files_on_manifest_stats(spark, tmp_path):
+    table = ManifestTable(
+        spark,
+        str(tmp_path / "skiptbl"),
+        keys=("transaction_id", "close_time"),
+        precombine="transaction_id",
+        partition_by=(),
+        cluster_by=("price",),
+        cluster_files=4,
+    )
+    rows = [(f"t{i}", TS1, "ADAGBP", float((i * 37) % 1000)) for i in range(2000)]
+    table.write(make_df(spark, rows), "bulk_insert")
+
+    pruned = table.read(range_filter={"price": (0.0, 100.0)})
+    full = table.read().filter("price >= 0 and price <= 100")
+    # fewer files scanned than the table holds (clustered bands skip)
+    assert len(pruned.inputFiles()) < table.file_count()
+    # results exact: residual filter applied on top of the prune
+    assert pruned.exceptAll(full).isEmpty() and full.exceptAll(pruned).isEmpty()
+
+    # open-ended bounds work; non-cluster columns are a loud error
+    assert table.read(range_filter={"price": (900.0, None)}).count() == (
+        sum(1 for _, _, _, p in rows if p >= 900.0)
+    )
+    with pytest.raises(ValueError, match="not a cluster column"):
+        table.read(range_filter={"close_time": (None, None)})
+
+
+def test_compact_preserves_clustering_bands(spark, tmp_path):
+    table = ManifestTable(
+        spark,
+        str(tmp_path / "ctbl2"),
+        keys=("transaction_id", "close_time"),
+        precombine="transaction_id",
+        partition_by=(),
+        cluster_by=("price",),
+        cluster_files=4,
+    )
+    for chunk in range(3):  # several commits -> many small files
+        rows = [
+            (f"t{chunk}_{i}", TS1, "ADAGBP", float((i * 37 + chunk) % 1000))
+            for i in range(500)
+        ]
+        table.write(make_df(spark, rows), "bulk_insert")
+    assert table.file_count() > 4
+    table.compact()
+    bands = sorted(_file_bands(table, "price"))
+    assert len(bands) > 1
+    for (lo1, hi1), (lo2, hi2) in zip(bands, bands[1:]):
+        assert hi1 <= lo2, "compaction must re-cluster, not interleave"
+    assert table.read().count() == 1500
