@@ -162,6 +162,7 @@ class ManifestTable:
         cluster_by: tuple[str, ...] = (),
         cluster_files: int | None = None,
         cluster_method: str = "linear",
+        table_type: str = "cow",
     ) -> None:
         """``cluster_by``: linear range clustering at write time — every
         commit range-partitions its rows on these columns and sorts within
@@ -177,10 +178,29 @@ class ManifestTable:
         ``cluster_method``: "linear" (lexicographic — tight stats on the
         LEADING column only) or "zorder" (bit-interleaved percentile
         buckets — tight stats on EVERY cluster column, for workloads that
-        filter on any subset; see ``zorder_key``)."""
+        filter on any subset; see ``zorder_key``).
+
+        ``table_type``: "cow" (copy-on-write — every merge rewrites the
+        touched partitions; read-optimized) or "mor" (merge-on-read —
+        upserts/deletes land as O(batch) DELTA/TOMBSTONE files with NO
+        partition rewrite, and reads resolve latest-per-key across
+        base+deltas; write-optimized, the Hudi MOR analogue for
+        streaming micro-batch ingest where COW's per-batch partition
+        rewrite is the bottleneck). ``compact()`` folds deltas back into
+        base files, restoring read-optimized scans. MOR trade-offs: read
+        amplification until compaction (one window over the touched
+        keys), delete change capture records the REQUESTED keys (a
+        tombstone for an absent key is a phantom delete — harmless to
+        replay), and no update preimages (capturing them would need the
+        read MOR exists to avoid) — delta-based aggregate maintenance
+        needs COW."""
         if cluster_method not in ("linear", "zorder"):
             raise ValueError(
                 f"cluster_method must be 'linear' or 'zorder', got {cluster_method!r}"
+            )
+        if table_type not in ("cow", "mor"):
+            raise ValueError(
+                f"table_type must be 'cow' or 'mor', got {table_type!r}"
             )
         self.spark = spark
         self.path = str(path)
@@ -190,6 +210,7 @@ class ManifestTable:
         self.cluster_by = list(cluster_by)
         self.cluster_files = cluster_files
         self.cluster_method = cluster_method
+        self.table_type = table_type
 
     # -- manifest plumbing --------------------------------------------------
     def _manifest_dir(self) -> Path:
@@ -433,9 +454,13 @@ class ManifestTable:
                         f"range_filter column {c!r} is not a cluster column "
                         f"{self.cluster_by} — no file stats exist for it"
                     )
+            # MOR: only BASE files may be pruned. Skipping a delta whose
+            # NEW version falls outside the range would resurrect the
+            # superseded base row the residual filter can't catch.
             files = [
                 f for f in files
-                if all(
+                if f.get("kind")
+                or all(
                     (lo is None or s[1] >= lo) and (hi is None or s[0] <= hi)
                     for c, (lo, hi) in range_filter.items()
                     if (s := f.get("stats", {}).get(c)) is not None
@@ -463,9 +488,12 @@ class ManifestTable:
         # null-filled in older files, dropped columns stay dropped, and no
         # footer-merging pass is needed — at 200k files, mergeSchema would
         # read every footer before the first row.
-        df = self.spark.read.schema(schema).parquet(
-            *[str(Path(self.path) / f["path"]) for f in files]
-        )
+        if any(f.get("kind") for f in files):
+            df = self._resolve_mor(files, schema)
+        else:
+            df = self.spark.read.schema(schema).parquet(
+                *[str(Path(self.path) / f["path"]) for f in files]
+            )
         if range_filter:
             for c, (lo, hi) in range_filter.items():
                 if lo is not None:
@@ -665,6 +693,9 @@ class ManifestTable:
         op = WriteOperation.parse(
             operation if isinstance(operation, str) else operation.value
         )
+        if self.table_type == "mor":
+            self._mor_write(df, op)
+            return
         if op in (WriteOperation.INSERT, WriteOperation.BULK_INSERT):
             self._append(df)
             return
@@ -677,6 +708,109 @@ class ManifestTable:
         else:
             self._merge(precombine_dedup(df, self.keys, self.precombine),
                         keep_batch=False)
+
+    def _merged_schema_json(self, prev_doc: dict | None, df: DataFrame) -> str:
+        """Committed schema for the next commit: previous fields plus any
+        NEW batch fields appended (nullable) — the same union-evolution
+        the COW merge path gets from unionByName."""
+        if prev_doc is None:
+            return df.schema.json()
+        from pyspark.sql.types import StructType
+
+        prev = StructType.fromJson(json.loads(prev_doc["schema"]))
+        names = {f.name for f in prev.fields}
+        merged = StructType(
+            prev.fields + [f for f in df.schema.fields if f.name not in names]
+        )
+        return merged.json()
+
+    def _mor_write(self, df: DataFrame, op: WriteOperation) -> None:
+        """Merge-on-read write path: EVERY operation lands as new files
+        referenced by the next manifest — no existing file is read or
+        rewritten, so commit cost is O(batch) regardless of partition
+        size (the write-optimized half of the Hudi COW/MOR split).
+        Upsert/delete batches are precombined (one row per key per
+        commit); inserts keep duplicates. Resolution happens at read."""
+        if op in (WriteOperation.UPSERT, WriteOperation.DELETE):
+            df = precombine_dedup(df, self.keys, self.precombine)
+        df = df.localCheckpoint(eager=True)
+        prev = self._latest_manifest()
+        prev_id, prev_doc = (prev[0], prev[1]) if prev else (None, None)
+        prev_files = prev_doc["files"] if prev_doc else []
+        next_id = self._next_id(prev_id)
+        entries = self._write_commit_files(df)
+        is_delete = op == WriteOperation.DELETE
+        for e in entries:
+            e["kind"] = "tombstone" if is_delete else "delta"
+            e["op"] = op.value
+            e["commit"] = next_id
+        paths = [e["path"] for e in entries]
+        changes = (
+            {"upserts": [], "deletes": paths}
+            if is_delete
+            else {"upserts": paths, "deletes": []}
+        )
+        self._publish(
+            prev_id,
+            prev_files + entries,
+            self._merged_schema_json(prev_doc, df),
+            changes,
+            op=op.value if op != WriteOperation.BULK_INSERT else "append",
+        )
+
+    def _resolve_mor(self, files: list[dict], schema) -> DataFrame:
+        """Latest-per-key resolution across base + delta + tombstone
+        files. Semantics mirror the COW write path exactly:
+
+        - a key's newest SUPERSEDING commit (upsert or tombstone) wins
+          and hides everything older, including insert duplicates;
+        - additive rows (base files and insert deltas) newer than that
+          commit stack on top (insert duplicates preserved);
+        - a winning tombstone removes the key.
+
+        Base files resolve as commit -1: any delta older than a base
+        file of its partition was replaced when that base was compacted,
+        so every live delta is newer than its partition's base.
+
+        One deliberate divergence from the COW merge: records here are
+        strictly (key, partition)-scoped. COW's anti join matches on the
+        KEY alone within whatever partitions a batch touches, so a batch
+        that upserts key K into partition A while also touching
+        partition B drops B's copy of K; MOR never does. Move a key
+        between partitions with an explicit delete + upsert and the two
+        table types agree. Cost:
+        one scan of the selected files + one window over their keys —
+        the MOR read amplification compaction exists to bound."""
+        groups: dict[tuple[int, str], list[str]] = {}
+        for f in files:
+            kind = f.get("kind")
+            commit = f.get("commit", -1) if kind else -1
+            opk = f.get("op", "base") if kind else "base"
+            groups.setdefault((commit, opk), []).append(
+                str(Path(self.path) / f["path"])
+            )
+        frames = []
+        for (commit, opk), paths in sorted(groups.items()):
+            sup = opk in ("upsert", "delete")
+            frames.append(
+                self.spark.read.schema(schema).parquet(*paths)
+                .withColumn("_commit", F.lit(commit))
+                .withColumn("_sup", F.lit(sup))
+                .withColumn("_del", F.lit(opk == "delete"))
+            )
+        rows = frames[0]
+        for fr in frames[1:]:
+            rows = rows.unionByName(fr)
+        ident = list(dict.fromkeys(self.keys + self.partition_by))
+        w = Window.partitionBy(*[F.col(c) for c in ident])
+        sup_commit = F.max(
+            F.when(F.col("_sup"), F.col("_commit"))
+        ).over(w)
+        resolved = rows.withColumn("_sc", F.coalesce(sup_commit, F.lit(-2))).filter(
+            (~F.col("_sup") & (F.col("_commit") > F.col("_sc")))
+            | (F.col("_sup") & ~F.col("_del") & (F.col("_commit") == F.col("_sc")))
+        )
+        return resolved.select(*[F.col(f.name) for f in schema.fields])
 
     def _append(self, df: DataFrame) -> None:
         prev = self._latest_manifest()
