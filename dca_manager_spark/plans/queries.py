@@ -95,7 +95,9 @@ _DRIVER_WINDOW = [
     # then scalar_subquery_above_avg (shape re-proven by q15/q22 in this
     # window) + train_val_test_split (r5-green, property-tested) to make
     # room for join_salted_skew + udtf_top_tokens; stat_corr_manual
-    # (r5-green) out for events_resample_ffill.
+    # (r5-green) out for events_resample_ffill; sql_correlated_exists
+    # (r5-green, shape also held by the semi-join plan tests) out for
+    # manifest_mor_resolve.
     "dedup_incremental_batch",
     "window_first_last",
     "window_ntile_quartiles",
@@ -121,6 +123,7 @@ _DRIVER_WINDOW = [
     "join_salted_skew",
     "udtf_top_tokens",
     "events_resample_ffill",
+    "manifest_mor_resolve",
     # -- last scored r5 --
     "q3_shipping_priority",
     "q5_local_supplier_volume",
@@ -140,7 +143,6 @@ _DRIVER_WINDOW = [
     "array_functions",
     "pivot_status_by_priority",
     "unpivot_balances",
-    "sql_correlated_exists",
     "stratified_hash_sample",
     "applyinpandas_zscore",
     "multimodal_frame_plan",
@@ -4670,3 +4672,64 @@ def events_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "hour")
     )
+
+
+@query(
+    "manifest_mor_resolve",
+    """
+    WITH base AS (
+      SELECT l_orderkey, l_linenumber, MAX(l_extendedprice) AS l_extendedprice
+      FROM lineitem WHERE l_returnflag = 'R' AND l_orderkey < 2000
+      GROUP BY l_orderkey, l_linenumber
+    )
+    SELECT l_orderkey, l_linenumber,
+           CASE WHEN l_orderkey >= 50 AND l_orderkey < 150
+                  THEN l_extendedprice + 2
+                WHEN l_orderkey < 50 THEN l_extendedprice + 1
+                ELSE l_extendedprice END AS l_extendedprice
+    FROM base
+    WHERE l_orderkey >= 25
+    ORDER BY l_orderkey, l_linenumber
+    """,
+)
+def manifest_mor_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The merge-on-read lake table end-to-end and driver-scored:
+    bulk-load a bounded lineitem slice into a MOR ManifestTable, run two
+    overlapping upserts and a delete — each an O(batch) delta/tombstone
+    commit, NO partition rewrite — then read the RESOLVED live view.
+    Latest superseding commit must win per key (second upsert where the
+    batches overlap), tombstoned keys vanish, untouched base rows pass
+    through; the oracle states the final state in closed form over the
+    same input. The COW twin of this flow is manifest_incremental_pull."""
+    import tempfile
+
+    from dca_manager_spark.io.manifest import ManifestTable
+
+    base = (
+        t(spark, sf_dir, "lineitem")
+        .filter((F.col("l_returnflag") == "R") & (F.col("l_orderkey") < 2000))
+        .groupBy("l_orderkey", "l_linenumber")
+        .agg(F.max("l_extendedprice").alias("l_extendedprice"))
+    )
+    table = ManifestTable(
+        spark,
+        tempfile.mkdtemp(prefix="dca-mor-q-"),
+        keys=("l_orderkey", "l_linenumber"),
+        precombine="l_extendedprice",
+        partition_by=(),
+        table_type="mor",
+    )
+    table.write(base, "bulk_insert")
+    table.write(
+        base.filter(F.col("l_orderkey") < 100).withColumn(
+            "l_extendedprice", F.col("l_extendedprice") + 1
+        ),
+        "upsert",
+    )
+    table.write(
+        base.filter((F.col("l_orderkey") >= 50) & (F.col("l_orderkey") < 150))
+        .withColumn("l_extendedprice", F.col("l_extendedprice") + 2),
+        "upsert",
+    )
+    table.write(base.filter(F.col("l_orderkey") < 25), "delete")
+    return table.read().orderBy("l_orderkey", "l_linenumber")

@@ -15,6 +15,12 @@ At 100 TB a touched partition is ~TBs while a batch is ~MBs — the
 rows-scanned ratio printed here is the quantity that scales by that
 factor.
 
+Second probe: COW vs MOR micro-batch ingest — N small upserts into the
+fat-partition table. COW pays a full partition rewrite per commit; MOR
+lands O(batch) delta files and pays at read/compaction instead. The
+per-commit write time ratio printed here is what a minute-level
+streaming ingest multiplies by commits/day at 100 TB.
+
 Usage: python scripts/stress_manifest.py [replicas=10] [batch=10]
 """
 
@@ -96,6 +102,53 @@ def main() -> None:
             f"record-level: {rec_rows} rows {t_rec:.2f}s | "
             f"rows-scanned ratio {file_rows / max(rec_rows, 1):,.0f}x"
         )
+
+    # -- COW vs MOR micro-batch ingest ------------------------------------
+    n_commits = 5
+    results = {}
+    for ttype in ("cow", "mor"):
+        with tempfile.TemporaryDirectory() as tmp:
+            table = ManifestTable(
+                spark,
+                f"{tmp}/li",
+                keys=("l_orderkey", "l_linenumber"),
+                precombine="l_orderkey",
+                partition_by=("l_returnflag",),
+                table_type=ttype,
+            )
+            table.write(corpus, "bulk_insert")
+            batch = (
+                table.read(partition_filter={"l_returnflag": "R"})
+                .limit(batch_rows)
+                .localCheckpoint(eager=True)
+            )
+            t0 = time.perf_counter()
+            for i in range(n_commits):
+                table.write(
+                    batch.withColumn(
+                        "l_extendedprice", F.col("l_extendedprice") + i
+                    ),
+                    "upsert",
+                )
+            t_writes = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            n_read = table.read().count()
+            t_read = time.perf_counter() - t0
+            t_compact = None
+            if ttype == "mor":
+                t0 = time.perf_counter()
+                table.compact()
+                t_compact = time.perf_counter() - t0
+            results[ttype] = (t_writes, t_read, n_read, t_compact)
+    cw, cr, cn, _ = results["cow"]
+    mw, mr, mn, mc = results["mor"]
+    assert cn == mn, (cn, mn)
+    print(
+        f"micro-batch ingest x{n_commits} ({batch_rows} rows each): "
+        f"COW writes {cw:.1f}s read {cr:.1f}s | "
+        f"MOR writes {mw:.1f}s read {mr:.1f}s compact {mc:.1f}s | "
+        f"per-commit write ratio {cw / max(mw, 1e-9):.1f}x"
+    )
 
 
 if __name__ == "__main__":
