@@ -174,3 +174,17 @@ def test_mor_range_filter_never_prunes_deltas(spark, tmp_path):
 def test_table_type_validation(spark, tmp_path):
     with pytest.raises(ValueError, match="table_type"):
         mk(spark, tmp_path / "x", "mow")
+
+
+def test_mor_upsert_replay_is_idempotent(spark, tmp_path):
+    """The streaming-ingest exactly-once argument (streaming/ingest.py)
+    holds for MOR too: replaying an upsert batch lands a second delta
+    commit with identical content, and resolution converges to the same
+    state — at-least-once delivery + idempotent-in-effect sink."""
+    t = mk(spark, tmp_path / "mor", "mor")
+    batch = make_df(spark, [("T1", TS1, "BTCGBP", 1.0),
+                            ("T2", TS1, "ETHGBP", 2.0)])
+    t.write(batch, "upsert")
+    before = content(t)
+    t.write(batch, "upsert")  # replay
+    assert content(t) == before
