@@ -143,3 +143,32 @@ def test_max_commits_validation(spark, source, tmp_path):
     f = CdcFollower(source, str(tmp_path / "c.json"))
     with pytest.raises(ValueError, match="max_commits"):
         f.run_once(lambda *a: None, max_commits=0)
+
+
+def test_replicate_from_a_mor_source(spark, tmp_path):
+    """Cross-type replication: a MOR source's CDC feed (O(batch) delta
+    captures, phantom-delete tolerant, no preimages) drives a COW
+    replica to the same live state through the follower loop."""
+    mor = ManifestTable(
+        spark,
+        str(tmp_path / "mor_src"),
+        keys=("transaction_id", "close_time"),
+        precombine="transaction_id",
+        partition_by=("pair",),
+        table_type="mor",
+    )
+    replica = ManifestTable(
+        spark,
+        str(tmp_path / "cow_dst"),
+        keys=("transaction_id", "close_time"),
+        precombine="transaction_id",
+        partition_by=("pair",),
+    )
+    ckpt = str(tmp_path / "ckpt.json")
+    mor.write(make_df(spark, [("T1", TS1, "BTCGBP", 1.0),
+                              ("T2", TS1, "ETHGBP", 2.0)]), "upsert")
+    mor.write(make_df(spark, [("T1", TS1, "BTCGBP", 9.0)]), "upsert")
+    mor.write(make_df(spark, [("T2", TS1, "ETHGBP", 2.0),
+                              ("TX", TS1, "ETHGBP", 0.0)]), "delete")  # TX phantom
+    assert replicate(mor, replica, ckpt) == 3
+    assert state(replica) == state(mor) == {("T1", "BTCGBP"): 9.0}
