@@ -214,3 +214,111 @@ def sentence_repetition_ratio(col: Column, sep: str = r"\.\s+") -> Column:
     return F.when(n <= 1, F.lit(0.0)).otherwise(
         1.0 - distinct_n.cast("double") / n.cast("double")
     )
+
+
+def remove_boilerplate_segments(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    seg_tokens: int = 10,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Cross-document boilerplate removal (the CCNet/RefinedWeb
+    frequent-paragraph scrub, formulated over token segments so it also
+    applies to corpora without line structure): any NON-OVERLAPPING
+    ``seg_tokens``-token segment occurring in >= ``min_docs`` distinct
+    documents is dropped from every document; unique segments and the
+    trailing partial segment (< seg_tokens tokens, never a candidate)
+    are kept in order. Returns (id, clean_text, n_removed_segments).
+
+    Scale shape: segments explode to ~tokens/seg_tokens rows, the doc
+    count is one partial+final aggregate on the segment string, the
+    frequent-segment set (boilerplate is by definition a small distinct
+    set) broadcasts back, and reassembly is one groupBy over doc ids —
+    two shuffles + a broadcast total, all linear in corpus tokens. No
+    UDFs.
+    """
+    if seg_tokens < 1:
+        raise ValueError(f"seg_tokens must be >= 1, got {seg_tokens}")
+    if min_docs < 2:
+        raise ValueError(f"min_docs must be >= 2, got {min_docs}")
+    toks = tokens(F.trim(F.col(text_col)))
+    base = df.select(
+        F.col(id_col).alias("__id"),
+        toks.alias("__tk"),
+        (F.size(toks) - F.size(toks) % seg_tokens).alias("__n_full"),
+    )
+    n_segs = (F.col("__n_full") / seg_tokens).cast("int")
+    segs = base.select(
+        "__id",
+        F.posexplode(
+            # guard: sequence(0, -1) would generate a DESCENDING array
+            # for docs with no full segment — emit an empty array instead
+            # (posexplode then drops the row; the left join below
+            # restores the doc from its trailing tokens)
+            F.when(
+                n_segs > 0,
+                F.transform(
+                    F.sequence(F.lit(0), n_segs - 1),
+                    lambda i: F.concat_ws(
+                        " ", F.slice(F.col("__tk"), i * seg_tokens + 1, seg_tokens)
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("__seg_idx", "__seg"),
+    )
+    frequent = (
+        segs.groupBy("__seg")
+        .agg(F.count_distinct("__id").alias("__n_docs"))
+        .filter(F.col("__n_docs") >= min_docs)
+        .select("__seg")
+    )
+    flagged = segs.join(
+        F.broadcast(frequent.withColumn("__drop", F.lit(True))), "__seg", "left"
+    )
+    kept = (
+        flagged.groupBy("__id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                ~F.coalesce(F.col("__drop"), F.lit(False)),
+                                F.struct("__seg_idx", "__seg"),
+                            )
+                        )
+                    ),
+                    lambda s: s["__seg"],
+                ),
+                " ",
+            ).alias("__kept"),
+            F.sum(
+                F.coalesce(F.col("__drop"), F.lit(False)).cast("int")
+            ).alias("n_removed_segments"),
+        )
+    )
+    trailing = base.select(
+        "__id",
+        F.concat_ws(
+            " ",
+            F.slice(
+                F.col("__tk"),
+                F.col("__n_full") + 1,
+                F.size(F.col("__tk")) - F.col("__n_full"),
+            ),
+        ).alias("__trail"),
+    )
+    nonempty = lambda c: F.when(F.col(c) != "", F.col(c))  # noqa: E731
+    return (
+        trailing.join(kept, "__id", "left")
+        .select(
+            F.col("__id").alias(id_col),
+            F.concat_ws(
+                " ", nonempty("__kept"), nonempty("__trail")
+            ).alias("clean_text"),
+            F.coalesce("n_removed_segments", F.lit(0)).alias(
+                "n_removed_segments"
+            ),
+        )
+    )

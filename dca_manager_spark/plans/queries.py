@@ -97,7 +97,8 @@ _DRIVER_WINDOW = [
     # room for join_salted_skew + udtf_top_tokens; stat_corr_manual
     # (r5-green) out for events_resample_ffill; sql_correlated_exists
     # (r5-green, shape also held by the semi-join plan tests) out for
-    # manifest_mor_resolve.
+    # manifest_mor_resolve; stratified_hash_sample (r5-green,
+    # property-tested) out for text_boilerplate_removal.
     "dedup_incremental_batch",
     "window_first_last",
     "window_ntile_quartiles",
@@ -124,6 +125,7 @@ _DRIVER_WINDOW = [
     "udtf_top_tokens",
     "events_resample_ffill",
     "manifest_mor_resolve",
+    "text_boilerplate_removal",
     # -- last scored r5 --
     "q3_shipping_priority",
     "q5_local_supplier_volume",
@@ -143,7 +145,6 @@ _DRIVER_WINDOW = [
     "array_functions",
     "pivot_status_by_priority",
     "unpivot_balances",
-    "stratified_hash_sample",
     "applyinpandas_zscore",
     "multimodal_frame_plan",
     "multimodal_features",
@@ -4733,3 +4734,60 @@ def manifest_mor_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     table.write(base.filter(F.col("l_orderkey") < 25), "delete")
     return table.read().orderBy("l_orderkey", "l_linenumber")
+
+
+@query(
+    "text_boilerplate_removal",
+    r"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(regexp_split_to_array(trim(text), '\s+'),
+                         x -> x != '') AS tk
+      FROM documents
+    ),
+    base AS (
+      SELECT doc_id, tk, (len(tk) // 10) * 10 AS n_full FROM toks
+    ),
+    segs AS (
+      SELECT doc_id, i.i AS seg_idx,
+             array_to_string(tk[i.i * 10 + 1 : i.i * 10 + 10], ' ') AS seg
+      FROM base, LATERAL (
+        SELECT unnest(range(0, n_full // 10)) AS i
+      ) i
+    ),
+    freq AS (
+      SELECT seg FROM (
+        SELECT seg, COUNT(DISTINCT doc_id) AS c FROM segs GROUP BY seg
+      ) WHERE c >= 2
+    ),
+    kept AS (
+      SELECT s.doc_id,
+             string_agg(s.seg, ' ' ORDER BY s.seg_idx)
+               FILTER (WHERE f.seg IS NULL) AS kept_text,
+             COUNT(f.seg) AS n_removed
+      FROM segs s LEFT JOIN freq f ON f.seg = s.seg
+      GROUP BY s.doc_id
+    )
+    SELECT b.doc_id,
+           concat_ws(' ',
+             nullif(k.kept_text, ''),
+             nullif(array_to_string(b.tk[b.n_full + 1 : len(b.tk)], ' '), '')
+           ) AS clean_text,
+           COALESCE(k.n_removed, 0) AS n_removed_segments
+    FROM base b LEFT JOIN kept k ON k.doc_id = b.doc_id
+    ORDER BY b.doc_id
+    """,
+)
+def text_boilerplate_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document boilerplate scrub (CCNet frequent-paragraph removal
+    over token segments): every 10-token segment appearing in >= 2
+    distinct documents is dropped corpus-wide, survivors reassemble in
+    order with trailing partials kept. Two shuffles + a broadcast of the
+    (small by definition) boilerplate set — see
+    operators/text.remove_boilerplate_segments."""
+    from dca_manager_spark.operators.text import remove_boilerplate_segments
+
+    docs = t(spark, sf_dir, "documents")
+    return remove_boilerplate_segments(
+        docs, "doc_id", "text", seg_tokens=10, min_docs=2
+    ).orderBy("doc_id")

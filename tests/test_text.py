@@ -183,3 +183,51 @@ def test_prepare_corpus_stage_semantics(spark, sf_dir):
         for r in train_val_test_split(docs, "doc_id").select("doc_id", "split").collect()
     }
     assert all(splits[r.doc_id] == r.split for r in out)
+
+
+# ---------------------------------------------------------------------------
+# Cross-document boilerplate removal
+# ---------------------------------------------------------------------------
+
+def test_remove_boilerplate_segments(spark):
+    from dca_manager_spark.operators.text import remove_boilerplate_segments
+
+    # 5-token segment size; two docs share the SAME leading segment
+    boiler = "one two three four five"
+    docs = spark.createDataFrame(
+        [
+            (0, f"{boiler} alpha beta gamma delta eps zeta"),
+            (1, f"{boiler} unrelated words here entirely different ones"),
+            (2, "completely unique document with its own ten tokens inside x"),
+            (3, "tiny doc"),  # shorter than one segment: trailing only
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r.doc_id: (r.clean_text, r.n_removed_segments)
+        for r in remove_boilerplate_segments(
+            docs, "doc_id", "text", seg_tokens=5, min_docs=2
+        ).collect()
+    }
+    # shared leading segment removed from both docs; later segments and
+    # trailing partials kept in order
+    assert out[0] == ("alpha beta gamma delta eps zeta", 1)
+    assert out[1] == ("unrelated words here entirely different ones", 1)
+    # unique doc untouched (full segments + trailing token)
+    assert out[2] == (
+        "completely unique document with its own ten tokens inside x", 0,
+    )
+    # sub-segment doc passes through as pure trailing
+    assert out[3] == ("tiny doc", 0)
+
+
+def test_remove_boilerplate_validation(spark):
+    from dca_manager_spark.operators.text import remove_boilerplate_segments
+
+    docs = spark.createDataFrame([(0, "a b c")], ["doc_id", "text"])
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="seg_tokens"):
+        remove_boilerplate_segments(docs, "doc_id", "text", seg_tokens=0)
+    with _pytest.raises(ValueError, match="min_docs"):
+        remove_boilerplate_segments(docs, "doc_id", "text", min_docs=1)
