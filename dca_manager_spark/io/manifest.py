@@ -637,6 +637,13 @@ class ManifestTable:
         if not records:
             old = {f["path"] for f in self._load_manifest(since)["files"]}
             new_files = [f for f in latest[1]["files"] if f["path"] not in old]
+            if any(f.get("kind") == "tombstone" for f in new_files):
+                # A tombstone's payload is a DELETION, not data — a
+                # file-level read would emit the deleted keys as rows.
+                raise ValueError(
+                    "file-level incremental read cannot represent MOR "
+                    "tombstone commits; use records=True (or compact first)"
+                )
             if not new_files:
                 return self.spark.createDataFrame([], schema)
             return self.spark.read.schema(schema).parquet(

@@ -188,3 +188,19 @@ def test_mor_upsert_replay_is_idempotent(spark, tmp_path):
     before = content(t)
     t.write(batch, "upsert")  # replay
     assert content(t) == before
+
+
+def test_mor_file_level_incremental_guards_tombstones(spark, tmp_path):
+    t = mk(spark, tmp_path / "mor", "mor")
+    t.write(make_df(spark, [("T1", TS1, "BTCGBP", 1.0)]), "upsert")
+    v = t.commits()[-1]
+    t.write(make_df(spark, [("T2", TS1, "BTCGBP", 2.0)]), "upsert")
+    # delta-only range: file-level read is the raw change rows
+    assert t.read_incremental(v).count() == 1
+    t.write(make_df(spark, [("T1", TS1, "BTCGBP", 0.0)]), "delete")
+    # a tombstone in range would surface deletions as data — loud error
+    with pytest.raises(ValueError, match="tombstone"):
+        t.read_incremental(v)
+    # records mode resolves correctly
+    inc = t.read_incremental(v, records=True)
+    assert [(r.transaction_id, r.price) for r in inc.collect()] == [("T2", 2.0)]
