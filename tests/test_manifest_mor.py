@@ -204,3 +204,59 @@ def test_mor_file_level_incremental_guards_tombstones(spark, tmp_path):
     # records mode resolves correctly
     inc = t.read_incremental(v, records=True)
     assert [(r.transaction_id, r.price) for r in inc.collect()] == [("T2", 2.0)]
+
+
+def test_stream_upsert_into_mor_table(spark, tmp_path):
+    """readStream -> stream_upsert -> MOR table: each micro-batch is one
+    O(batch) delta commit (no partition rewrite), resolution merges by
+    key across batches, and a drained re-run over the same checkpoint
+    adds no commits — the write-optimized streaming-ingest path."""
+    import json as _json
+    import os
+
+    from dca_manager_spark.streaming.ingest import stream_upsert
+
+    src = tmp_path / "src"
+    src.mkdir()
+    ts = "2024-01-01T12:00:00"
+    (src / "a_b1.json").write_text(
+        _json.dumps({"transaction_id": "T1", "close_time": ts,
+                     "pair": "ADAGBP", "price": 1.0})
+        + "\n"
+        + _json.dumps({"transaction_id": "T2", "close_time": ts,
+                       "pair": "BTCGBP", "price": 2.0})
+    )
+    (src / "b_b2.json").write_text(
+        _json.dumps({"transaction_id": "T1", "close_time": ts,
+                     "pair": "ADAGBP", "price": 9.0})
+    )
+    now = 1_700_000_000
+    os.utime(src / "a_b1.json", (now, now))
+    os.utime(src / "b_b2.json", (now + 10, now + 10))
+
+    table = mk(spark, tmp_path / "tbl", "mor")
+    stream = (
+        spark.readStream.schema(
+            "transaction_id string, close_time timestamp, pair string, price double"
+        )
+        .option("maxFilesPerTrigger", "1")
+        .json(str(src))
+    )
+    stream_upsert(stream, table, str(tmp_path / "ckpt")).awaitTermination()
+
+    assert {r.transaction_id: r.price for r in table.read().collect()} == {
+        "T1": 9.0, "T2": 2.0,
+    }
+    files = table._latest_manifest()[1]["files"]
+    assert all(f.get("kind") == "delta" for f in files), "no rewrite ever"
+    commits_after_drain = table.commits()
+    # same checkpoint, already-drained source: no new commits
+    stream2 = (
+        spark.readStream.schema(
+            "transaction_id string, close_time timestamp, pair string, price double"
+        )
+        .option("maxFilesPerTrigger", "1")
+        .json(str(src))
+    )
+    stream_upsert(stream2, table, str(tmp_path / "ckpt")).awaitTermination()
+    assert table.commits() == commits_after_drain
