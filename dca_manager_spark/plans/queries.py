@@ -98,7 +98,9 @@ _DRIVER_WINDOW = [
     # (r5-green) out for events_resample_ffill; sql_correlated_exists
     # (r5-green, shape also held by the semi-join plan tests) out for
     # manifest_mor_resolve; stratified_hash_sample (r5-green,
-    # property-tested) out for text_boilerplate_removal.
+    # property-tested) out for text_boilerplate_removal;
+    # multimodal_frame_plan (r5-green, plan-shape query also pinned by
+    # test_multimodal) out for manifest_cdc_aggregate.
     "dedup_incremental_batch",
     "window_first_last",
     "window_ntile_quartiles",
@@ -126,6 +128,7 @@ _DRIVER_WINDOW = [
     "events_resample_ffill",
     "manifest_mor_resolve",
     "text_boilerplate_removal",
+    "manifest_cdc_aggregate",
     # -- last scored r5 --
     "q3_shipping_priority",
     "q5_local_supplier_volume",
@@ -146,7 +149,6 @@ _DRIVER_WINDOW = [
     "pivot_status_by_priority",
     "unpivot_balances",
     "applyinpandas_zscore",
-    "multimodal_frame_plan",
     "multimodal_features",
     "text_cleaning",
     "text_repetition_ratio",
@@ -4791,3 +4793,103 @@ def text_boilerplate_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     return remove_boilerplate_segments(
         docs, "doc_id", "text", seg_tokens=10, min_docs=2
     ).orderBy("doc_id")
+
+
+@query(
+    "manifest_cdc_aggregate",
+    """
+    WITH base AS (
+      SELECT l_orderkey, l_linenumber, MAX(l_extendedprice) AS l_extendedprice
+      FROM lineitem WHERE l_returnflag = 'R' AND l_orderkey < 2000
+      GROUP BY l_orderkey, l_linenumber
+    ),
+    final AS (
+      SELECT l_orderkey, l_linenumber,
+             CASE WHEN l_orderkey >= 50 AND l_orderkey < 150
+                    THEN l_extendedprice + 2
+                  WHEN l_orderkey < 50 THEN l_extendedprice + 1
+                  ELSE l_extendedprice END AS l_extendedprice
+      FROM base WHERE l_orderkey >= 25
+    )
+    SELECT l_orderkey % 10 AS bucket,
+           CAST(SUM(CAST(FLOOR(l_extendedprice * 100) AS DECIMAL(38,0)))
+                AS DOUBLE) / 100 AS total_price,
+           COUNT(*) AS n_rows
+    FROM final
+    GROUP BY 1
+    ORDER BY bucket
+    """,
+)
+def manifest_cdc_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized-aggregate maintenance from the change feed, end to
+    end and driver-scored: bulk-load a lineitem slice, run overlapping
+    upserts and a delete, then advance a per-bucket SUM/COUNT aggregate
+    using ONLY the base snapshot's aggregate plus the CDC feed's signed
+    deltas (+postimage, -update_preimage, -delete) — the table's final
+    state is never re-aggregated, yet the oracle recomputes it from
+    scratch and the cents must match exactly. Both legs keep integer
+    cents until one final /100, so the maintained total is
+    order-independent and engine-exact. Exercises update-preimage
+    capture + streaming/cdc.feed_deltas."""
+    import tempfile
+
+    from dca_manager_spark.io.manifest import ManifestTable
+    from dca_manager_spark.streaming.cdc import feed_deltas
+
+    base = (
+        t(spark, sf_dir, "lineitem")
+        .filter((F.col("l_returnflag") == "R") & (F.col("l_orderkey") < 2000))
+        .groupBy("l_orderkey", "l_linenumber")
+        .agg(F.max("l_extendedprice").alias("l_extendedprice"))
+    )
+    table = ManifestTable(
+        spark,
+        tempfile.mkdtemp(prefix="dca-cdcagg-q-"),
+        keys=("l_orderkey", "l_linenumber"),
+        precombine="l_extendedprice",
+        partition_by=(),
+    )
+    table.write(base, "bulk_insert")
+    v0 = table.commits()[-1]
+    table.write(
+        base.filter(F.col("l_orderkey") < 100).withColumn(
+            "l_extendedprice", F.col("l_extendedprice") + 1
+        ),
+        "upsert",
+    )
+    table.write(
+        base.filter((F.col("l_orderkey") >= 50) & (F.col("l_orderkey") < 150))
+        .withColumn("l_extendedprice", F.col("l_extendedprice") + 2),
+        "upsert",
+    )
+    table.write(base.filter(F.col("l_orderkey") < 25), "delete")
+
+    bucket = (F.col("l_orderkey") % 10).alias("bucket")
+    base_leg = (
+        table.read(as_of=v0)
+        .groupBy(bucket)
+        .agg(
+            F.sum(cents(F.col("l_extendedprice"))).alias("__cents"),
+            F.count(F.lit(1)).alias("__n"),
+        )
+    )
+    move_leg = (
+        feed_deltas(table.read_cdc(since=v0))
+        .groupBy(bucket)
+        .agg(
+            F.sum(cents(F.col("l_extendedprice")) * F.col("_delta")).alias(
+                "__cents"
+            ),
+            F.sum("_delta").cast("long").alias("__n"),
+        )
+    )
+    return (
+        base_leg.unionByName(move_leg)
+        .groupBy("bucket")
+        .agg(
+            (F.sum("__cents").cast("double") / 100).alias("total_price"),
+            F.sum("__n").alias("n_rows"),
+        )
+        .filter(F.col("n_rows") > 0)
+        .orderBy("bucket")
+    )
