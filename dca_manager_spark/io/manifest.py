@@ -163,6 +163,7 @@ class ManifestTable:
         cluster_files: int | None = None,
         cluster_method: str = "linear",
         table_type: str = "cow",
+        constraints: dict[str, str] | None = None,
     ) -> None:
         """``cluster_by``: linear range clustering at write time — every
         commit range-partitions its rows on these columns and sorts within
@@ -202,6 +203,11 @@ class ManifestTable:
             raise ValueError(
                 f"table_type must be 'cow' or 'mor', got {table_type!r}"
             )
+        # ``constraints``: {name: SQL boolean expr} CHECK constraints
+        # (Delta CHECK analogue) — every insert/upsert batch must satisfy
+        # every expression or the write fails loudly BEFORE anything is
+        # committed; deletes are exempt (their payload only names keys).
+        # Cost: one short-circuiting validation job per write.
         self.spark = spark
         self.path = str(path)
         self.keys = list(keys)
@@ -211,6 +217,7 @@ class ManifestTable:
         self.cluster_files = cluster_files
         self.cluster_method = cluster_method
         self.table_type = table_type
+        self.constraints = dict(constraints or {})
 
     # -- manifest plumbing --------------------------------------------------
     def _manifest_dir(self) -> Path:
@@ -696,10 +703,22 @@ class ManifestTable:
                 self.write(dels, WriteOperation.DELETE)
 
     # -- write side ---------------------------------------------------------
+    def _check_constraints(self, df: DataFrame) -> None:
+        for name, expr in self.constraints.items():
+            bad = df.filter(~F.expr(expr))
+            if not bad.isEmpty():
+                sample = bad.limit(3).collect()
+                raise ValueError(
+                    f"CHECK constraint {name!r} ({expr}) violated by "
+                    f"{len(sample)}+ row(s), e.g. {sample[0].asDict()}"
+                )
+
     def write(self, df: DataFrame, operation: str | WriteOperation) -> None:
         op = WriteOperation.parse(
             operation if isinstance(operation, str) else operation.value
         )
+        if self.constraints and op != WriteOperation.DELETE:
+            self._check_constraints(df)
         if self.table_type == "mor":
             self._mor_write(df, op)
             return

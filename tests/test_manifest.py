@@ -868,3 +868,26 @@ def test_compact_preserves_clustering_bands(spark, tmp_path):
     for (lo1, hi1), (lo2, hi2) in zip(bands, bands[1:]):
         assert hi1 <= lo2, "compaction must re-cluster, not interleave"
     assert table.read().count() == 1500
+
+
+def test_check_constraints_gate_every_write(spark, tmp_path):
+    t = ManifestTable(
+        spark,
+        str(tmp_path / "ck"),
+        keys=("transaction_id", "close_time"),
+        precombine="transaction_id",
+        partition_by=("pair",),
+        constraints={"price_nonneg": "price >= 0",
+                     "pair_set": "pair IN ('BTCGBP', 'ETHGBP')"},
+    )
+    t.write(make_df(spark, [("T1", TS1, "BTCGBP", 1.0)]), "upsert")
+    with pytest.raises(ValueError, match="price_nonneg"):
+        t.write(make_df(spark, [("T2", TS1, "BTCGBP", -1.0)]), "insert")
+    with pytest.raises(ValueError, match="pair_set"):
+        t.write(make_df(spark, [("T3", TS1, "DOGEGBP", 1.0)]), "upsert")
+    # failed writes committed NOTHING
+    assert t.commits() == [0]
+    assert {r.transaction_id for r in t.read().collect()} == {"T1"}
+    # deletes are exempt (payload only names keys)
+    t.write(make_df(spark, [("T1", TS1, "BTCGBP", -999.0)]), "delete")
+    assert t.read().count() == 0
