@@ -798,6 +798,11 @@ class ManifestTable:
         file of its partition was replaced when that base was compacted,
         so every live delta is newer than its partition's base.
 
+        Plan width grows with the number of uncompacted commits (one
+        scan branch per (commit, op) group) — bounding that, not just
+        row-level read amplification, is part of what the compaction
+        cadence buys.
+
         One deliberate divergence from the COW merge: records here are
         strictly (key, partition)-scoped. COW's anti join matches on the
         KEY alone within whatever partitions a batch touches, so a batch

@@ -260,3 +260,23 @@ def test_stream_upsert_into_mor_table(spark, tmp_path):
     )
     stream_upsert(stream2, table, str(tmp_path / "ckpt")).awaitTermination()
     assert table.commits() == commits_after_drain
+
+
+def test_mor_vacuum_reclaims_compacted_deltas(spark, tmp_path):
+    from pathlib import Path
+
+    t = mk(spark, tmp_path / "mor", "mor")
+    for i in range(3):
+        t.write(make_df(spark, [("T1", TS1, "BTCGBP", float(i))]), "upsert")
+    before = content(t)
+    t.compact()
+    removed = t.vacuum(keep_last=1)
+    assert removed > 0, "superseded delta files must be reclaimed"
+    # only the compacted base remains on disk, content intact
+    live = {f["path"] for f in t._latest_manifest()[1]["files"]}
+    on_disk = {
+        p.relative_to(Path(t.path)).as_posix()
+        for p in (Path(t.path) / "data").rglob("*.parquet")
+    }
+    assert on_disk == live
+    assert content(t) == before
