@@ -475,11 +475,16 @@ class ManifestTable:
             ]
         if partition_filter:
             self._check_partition_filter(partition_filter)
+            # Partition evolution (Iceberg-style): a file written under
+            # an OLDER spec lacks the column in its partition dict — keep
+            # it conservatively; the residual row filter below makes the
+            # result exact either way.
             files = [
                 f
                 for f in files
                 if all(
-                    f["partition"].get(c) == _partition_key(v)
+                    c not in f["partition"]
+                    or f["partition"][c] == _partition_key(v)
                     for c, v in partition_filter.items()
                 )
             ]
@@ -507,6 +512,15 @@ class ManifestTable:
                     df = df.filter(F.col(c) >= lo)
                 if hi is not None:
                     df = df.filter(F.col(c) <= hi)
+        if partition_filter:
+            # residual for conservatively-kept legacy-layout files
+            # (partition values are ordinary data columns, so this is an
+            # exact row filter; on current-layout files it's a no-op the
+            # scan's pushed filter removes for free)
+            for c, v in partition_filter.items():
+                df = df.filter(
+                    F.col(c).isNull() if v is None else (F.col(c) == v)
+                )
         return df
 
     def _check_partition_filter(self, partition_filter: dict) -> None:
@@ -890,12 +904,21 @@ class ManifestTable:
                 tuple(_partition_key(row[c]) for c in self.partition_by)
                 for row in batch.select(*self.partition_by).distinct().collect()
             }
-            replaced = [
-                f
-                for f in prev_files
-                if tuple(f["partition"].get(c) for c in self.partition_by)
-                in touched
-            ]
+            def _touched(f: dict) -> bool:
+                # Current-layout files match on their partition tuple;
+                # a file from an OLDER partition spec (missing columns)
+                # matches conservatively and gets rewritten under the
+                # CURRENT layout — partition evolution migrates data on
+                # the first merge that touches it.
+                return any(
+                    all(
+                        c not in f["partition"] or f["partition"][c] == t[i]
+                        for i, c in enumerate(self.partition_by)
+                    )
+                    for t in touched
+                )
+
+            replaced = [f for f in prev_files if _touched(f)]
             replaced_paths = {f["path"] for f in replaced}
             # set-membership, not list scans — manifests are O(live files)
             # and a 100 TB table has ~200k entries

@@ -891,3 +891,48 @@ def test_check_constraints_gate_every_write(spark, tmp_path):
     # deletes are exempt (payload only names keys)
     t.write(make_df(spark, [("T1", TS1, "BTCGBP", -999.0)]), "delete")
     assert t.read().count() == 0
+
+
+def test_partition_evolution(spark, tmp_path):
+    """Iceberg-style partition evolution: a table loaded UNPARTITIONED
+    keeps working when later writes use a partition spec — legacy files
+    prune conservatively with an exact residual filter, and the first
+    merge that touches them migrates their rows to the current layout
+    without key duplication."""
+    path = str(tmp_path / "evo")
+    flat = ManifestTable(
+        spark, path,
+        keys=("transaction_id", "close_time"),
+        precombine="transaction_id",
+        partition_by=(),
+    )
+    flat.write(
+        make_df(spark, [("T1", TS1, "BTCGBP", 1.0), ("T2", TS1, "ETHGBP", 2.0),
+                        ("T3", TS1, "BTCGBP", 3.0)]),
+        "bulk_insert",
+    )
+
+    evolved = ManifestTable(
+        spark, path,
+        keys=("transaction_id", "close_time"),
+        precombine="transaction_id",
+        partition_by=("pair",),
+    )
+    # pruned read across mixed layouts is exact (residual over legacy files)
+    got = {r.transaction_id for r in
+           evolved.read(partition_filter={"pair": "BTCGBP"}).collect()}
+    assert got == {"T1", "T3"}
+
+    # a merge under the new spec must NOT duplicate keys living in
+    # legacy-layout files: conservative replacement migrates them
+    evolved.write(make_df(spark, [("T1", TS1, "BTCGBP", 9.0)]), "upsert")
+    rows = {r.transaction_id: r.price for r in evolved.read().collect()}
+    assert rows == {"T1": 9.0, "T2": 2.0, "T3": 3.0}
+    # every file now carries the current spec
+    assert all(
+        set(f["partition"]) == {"pair"}
+        for f in evolved._latest_manifest()[1]["files"]
+    )
+    # pruning after migration is back to manifest-level exactness
+    assert {r.transaction_id for r in
+            evolved.read(partition_filter={"pair": "ETHGBP"}).collect()} == {"T2"}
