@@ -280,3 +280,16 @@ def test_mor_vacuum_reclaims_compacted_deltas(spark, tmp_path):
     }
     assert on_disk == live
     assert content(t) == before
+
+
+def test_mor_history_records_delta_ops(spark, tmp_path):
+    t = mk(spark, tmp_path / "mor", "mor")
+    t.write(make_df(spark, [("T1", TS1, "BTCGBP", 1.0)]), "insert")
+    t.write(make_df(spark, [("T1", TS1, "BTCGBP", 2.0)]), "upsert")
+    t.write(make_df(spark, [("T1", TS1, "BTCGBP", 0.0)]), "delete")
+    t.compact()
+    h = t.history().orderBy("commit_id").collect()
+    assert [r.op for r in h] == ["insert", "upsert", "delete", "compact"]
+    # delta commits capture their own files; compact captures nothing
+    assert h[1].n_upsert_files > 0 and h[2].n_delete_files > 0
+    assert h[3].n_upsert_files == h[3].n_delete_files == 0
