@@ -79,11 +79,13 @@ def _partition_key(value: object) -> str | None:
     Spark's hive-directory rendering otherwise — what both the write path
     (from directory names) and the match paths (from filters / batch rows)
     normalize to. Python and Spark agree on str() for strings, integers,
-    floats, dates and timestamps, but NOT booleans (str(True) = 'True' vs
-    directory 'true'), which would silently miss every pruning/replacement
-    match. Supported partition-column types: string, integral, float,
-    boolean, date, timestamp — i.e. the types Spark itself allows as
-    partition columns."""
+    dates, but NOT booleans (str(True) = 'True' vs directory 'true') and
+    NOT fractional-second timestamps or scientific-notation floats
+    (str(datetime) pads '.500000' where Spark writes '.5'; Python '1e-07'
+    vs Java '1.0E-7') — a silent mismatch would break pruning AND
+    partition replacement, so float/timestamp partition columns are
+    REJECTED at write time (_check_partition_types). Supported:
+    string, integral, boolean, date."""
     if value is None:
         return None
     if isinstance(value, bool):
@@ -298,10 +300,41 @@ class ManifestTable:
         }
         payload = json.dumps(doc, indent=1, sort_keys=True)
         target = mdir / f"{next_id:012d}.json"
-        fd = os.open(target, os.O_WRONLY | os.O_CREAT | os.O_EXCL)
-        with os.fdopen(fd, "w") as fh:
+        # Write the FULL payload to a temp file, then link it into place:
+        # os.link is the local put-if-absent (EEXIST on a lost race) and
+        # readers can never observe a truncated manifest — an O_EXCL
+        # create-then-write window would expose a 0-byte .json to a
+        # concurrent _manifest_ids() and brick the table on a crash.
+        tmp = mdir / f".{next_id:012d}.{uuid.uuid4().hex}.tmp"
+        with open(tmp, "w") as fh:
             fh.write(payload)
+            fh.flush()
+            os.fsync(fh.fileno())
+        try:
+            os.link(tmp, target)
+        except FileExistsError:
+            raise FileExistsError(f"manifest {next_id} already published")
+        finally:
+            tmp.unlink(missing_ok=True)
         return next_id
+
+    _PARTITIONABLE = ("string", "byte", "short", "integer", "long",
+                      "boolean", "date")
+
+    def _check_partition_types(self, df: DataFrame) -> None:
+        for c in self.partition_by:
+            if c not in df.columns:
+                continue
+            t = df.schema[c].dataType.typeName()
+            if t not in self._PARTITIONABLE:
+                raise ValueError(
+                    f"partition column {c!r} has type {t}: Python str() "
+                    "and Spark's directory rendering diverge for "
+                    "float/timestamp values, which would silently break "
+                    "pruning and partition replacement — partition on "
+                    f"{self._PARTITIONABLE} columns (derive a string/date "
+                    "column first)"
+                )
 
     def _write_commit_files(self, df: DataFrame) -> list[dict]:
         """One physical write into a fresh commit dir; returns manifest
@@ -565,6 +598,11 @@ class ManifestTable:
                     f"commit {cid} of {self.path} predates record-level "
                     "change capture; use records=False"
                 )
+            # Additive commits (insert/append) stack; everything else
+            # supersedes older versions of the key. Commits written
+            # before the op field read as "unknown" -> superseding (the
+            # legacy behavior, safe for keyed tables).
+            additive = doc.get("op", "unknown") in ("append", "insert")
             # "preimages" is absent in pre-CDF-parity commits: .get()
             # skips it, old feeds just carry no update_preimage rows.
             for kind, op in (
@@ -578,6 +616,7 @@ class ManifestTable:
                         .parquet(*[str(Path(self.path) / p) for p in ch[kind]])
                         .withColumn("_commit", F.lit(cid))
                         .withColumn("_op", F.lit(op))
+                        .withColumn("_sup", F.lit(not additive))
                     )
         if not frames:
             return None
@@ -674,17 +713,30 @@ class ManifestTable:
         changed = self._changed_rows(since, schema)
         if changed is None:
             return self.spark.createDataFrame([], schema)
-        # Latest version per record: the window runs over changed rows
-        # only (<< table size). Identity = key + partition value
-        # (partition-scoped key semantics — the same key in two partitions
-        # is two records, matching the merge path). max-commit instead of
-        # row_number so legal same-key duplicates from insert commits
-        # survive intact.
+        # Latest version per record, with the SAME additive/superseding
+        # split the MOR resolver uses: a key's newest upsert/delete/
+        # restore commit hides older changes, while INSERT commits are
+        # additive — duplicates inserted in DIFFERENT commits all stay
+        # (a bare max-commit filter would keep only the newest insert's
+        # rows and diverge from read()). Identity = key + partition value
+        # (partition-scoped records, matching the merge path).
         ident = list(dict.fromkeys(self.keys + self.partition_by))
         w = Window.partitionBy(*[F.col(c) for c in ident])
+        sup_commit = F.coalesce(
+            F.max(F.when(F.col("_sup"), F.col("_commit"))).over(w), F.lit(-1)
+        )
         return (
-            changed.withColumn("_latest", F.max("_commit").over(w))
-            .filter((F.col("_commit") == F.col("_latest")) & (F.col("_op") == "u"))
+            changed.withColumn("_sc", sup_commit)
+            .filter(
+                (
+                    ~F.col("_sup") & (F.col("_commit") > F.col("_sc"))
+                )
+                | (
+                    F.col("_sup")
+                    & (F.col("_commit") == F.col("_sc"))
+                    & (F.col("_op") == "u")
+                )
+            )
             .select(*[F.col(f.name) for f in schema.fields])
         )
 
@@ -719,9 +771,8 @@ class ManifestTable:
     # -- write side ---------------------------------------------------------
     def _check_constraints(self, df: DataFrame) -> None:
         for name, expr in self.constraints.items():
-            bad = df.filter(~F.expr(expr))
-            if not bad.isEmpty():
-                sample = bad.limit(3).collect()
+            sample = df.filter(~F.expr(expr)).take(3)  # one job, not two
+            if sample:
                 raise ValueError(
                     f"CHECK constraint {name!r} ({expr}) violated by "
                     f"{len(sample)}+ row(s), e.g. {sample[0].asDict()}"
@@ -731,6 +782,8 @@ class ManifestTable:
         op = WriteOperation.parse(
             operation if isinstance(operation, str) else operation.value
         )
+        if self.partition_by:
+            self._check_partition_types(df)
         if self.constraints and op != WriteOperation.DELETE:
             self._check_constraints(df)
         if self.table_type == "mor":
@@ -860,13 +913,21 @@ class ManifestTable:
     def _append(self, df: DataFrame) -> None:
         prev = self._latest_manifest()
         prev_id, prev_files = (prev[0], prev[1]["files"]) if prev else (None, [])
+        if self.constraints or self.cluster_by:
+            # these features consume the batch more than once (validation
+            # job, zorder boundary agg, then the write) — pin it so a
+            # nondeterministic source can't pass validation with one
+            # materialization and write another
+            df = df.localCheckpoint(eager=True)
         new_files = self._write_commit_files(df)
         # Change capture for free: an append commit's new data files ARE
         # exactly its added rows — reference them, write nothing twice.
         self._publish(
             prev_id,
             prev_files + new_files,
-            df.schema.json(),
+            # merged, not batch, schema: an insert missing an existing
+            # column must not hide that column table-wide
+            self._merged_schema_json(prev[1] if prev else None, df),
             changes={"upserts": [f["path"] for f in new_files], "deletes": []},
             op="append",
         )
@@ -888,7 +949,7 @@ class ManifestTable:
             self._publish(
                 prev_id,
                 new_files,
-                batch.schema.json(),
+                self._merged_schema_json(prev_doc, batch),
                 changes={
                     "upserts": [f["path"] for f in new_files],
                     "deletes": [],
@@ -927,16 +988,18 @@ class ManifestTable:
             # touched partitions' file set, so the survivors scan never
             # lists or opens untouched partitions (a full-read + filter
             # would touch every live file's footer).
+            from pyspark.sql.types import StructType
+
+            committed = StructType.fromJson(json.loads(prev_doc["schema"]))
             if replaced:
-                existing = self.spark.read.parquet(
+                # COMMITTED schema, like read(): bare inference would pick
+                # one footer and silently drop columns that only some of
+                # the replaced files carry.
+                existing = self.spark.read.schema(committed).parquet(
                     *[str(Path(self.path) / f["path"]) for f in replaced]
                 )
             else:
-                from pyspark.sql.types import StructType
-
-                existing = self.spark.createDataFrame(
-                    [], StructType.fromJson(json.loads(prev_doc["schema"]))
-                )
+                existing = self.spark.createDataFrame([], committed)
         else:
             replaced, kept = prev_files, []
             existing = self.read()
@@ -1016,8 +1079,28 @@ class ManifestTable:
         if version == prev_id:
             return prev_id
         target = self._load_manifest(version)
-        restored = self.read(as_of=version)
-        current = self.read()
+        from pyspark.sql.types import StructType
+
+        tschema = StructType.fromJson(json.loads(target["schema"]))
+
+        def _align(df: DataFrame) -> DataFrame:
+            # Project onto the TARGET schema (restore reinstates it):
+            # columns added after `version` drop, columns dropped since
+            # null-fill — without this, exceptAll throws on any schema
+            # evolution between the two versions (or silently compares
+            # positionally), making restore unusable exactly when
+            # rolling back a schema-changing commit.
+            return df.select(
+                *[
+                    F.col(f.name).cast(f.dataType)
+                    if f.name in df.columns
+                    else F.lit(None).cast(f.dataType).alias(f.name)
+                    for f in tschema.fields
+                ]
+            )
+
+        restored = _align(self.read(as_of=version))
+        current = _align(self.read())
         changed = restored.exceptAll(current)
         ident = list(dict.fromkeys(self.keys + self.partition_by))
         pred = F.lit(True)
@@ -1072,6 +1155,21 @@ class ManifestTable:
                 for c, v in partition_filter.items()
             )
 
+        if partition_filter:
+            legacy = [
+                f for f in doc["files"]
+                if any(c not in f["partition"] for c in partition_filter)
+            ]
+            if legacy:
+                # A legacy-spec file can hold BOTH matching and
+                # non-matching rows: replacing it here would drop the
+                # non-matching ones (current is filtered), keeping it
+                # would duplicate the matching ones. Migrate first.
+                raise ValueError(
+                    f"{len(legacy)} file(s) predate the current partition "
+                    "spec; run a full compact() (no partition_filter) to "
+                    "migrate them before filtered compaction"
+                )
         replaced = [f for f in doc["files"] if selected(f)]
         if not replaced:
             return 0

@@ -936,3 +936,113 @@ def test_partition_evolution(spark, tmp_path):
     # pruning after migration is back to manifest-level exactness
     assert {r.transaction_id for r in
             evolved.read(partition_filter={"pair": "ETHGBP"}).collect()} == {"T2"}
+
+
+def test_incremental_records_keeps_cross_commit_insert_duplicates(spark, table):
+    """Legal same-key duplicates inserted in DIFFERENT commits must all
+    appear in the records-incremental feed (additive commits stack; only
+    upsert/delete/restore supersede)."""
+    df = make_df(spark, [("T1", TS1, "BTCGBP", 1.0)])
+    table.write(make_df(spark, [("T0", TS1, "BTCGBP", 0.0)]), "bulk_insert")
+    v0 = table.commits()[-1]
+    table.write(df, "insert")
+    table.write(make_df(spark, [("T1", TS1, "BTCGBP", 2.0)]), "insert")
+    inc = table.read_incremental(v0, records=True)
+    assert sorted((r.transaction_id, r.price) for r in inc.collect()) == [
+        ("T1", 1.0), ("T1", 2.0),
+    ]
+    # an upsert supersedes BOTH insert duplicates
+    table.write(make_df(spark, [("T1", TS1, "BTCGBP", 9.0)]), "upsert")
+    inc2 = table.read_incremental(v0, records=True)
+    assert sorted((r.transaction_id, r.price) for r in inc2.collect()) == [
+        ("T1", 9.0),
+    ]
+
+
+def test_restore_across_schema_evolution(spark, table):
+    table.write(make_df(spark, [("T1", TS1, "BTCGBP", 1.0)]), "upsert")
+    v0 = table.commits()[-1]
+    wide = make_df(spark, [("T1", TS1, "BTCGBP", 5.0)]).withColumn(
+        "fee", F.lit(0.1)
+    )
+    table.write(wide, "upsert")
+    assert "fee" in table.read().columns
+    # rolling back the schema-adding commit must work and drop the column
+    table.restore(v0)
+    out = table.read()
+    assert "fee" not in out.columns
+    assert {(r.transaction_id, r.price) for r in out.collect()} == {("T1", 1.0)}
+
+
+def test_append_preserves_committed_schema(spark, table):
+    wide = make_df(spark, [("T1", TS1, "BTCGBP", 1.0)]).withColumn(
+        "fee", F.lit(0.5)
+    )
+    table.write(wide, "bulk_insert")
+    # an insert missing `fee` must not hide the column table-wide
+    table.write(make_df(spark, [("T2", TS1, "BTCGBP", 2.0)]), "insert")
+    out = table.read()
+    assert "fee" in out.columns
+    fees = {r.transaction_id: r.fee for r in out.collect()}
+    assert fees == {"T1": 0.5, "T2": None}
+
+
+def test_merge_reads_replaced_files_under_committed_schema(spark, table):
+    table.write(make_df(spark, [("T1", TS1, "BTCGBP", 1.0)]), "bulk_insert")
+    wide = make_df(spark, [("T2", TS1, "BTCGBP", 2.0)]).withColumn(
+        "fee", F.lit(0.5)
+    )
+    table.write(wide, "insert")  # same partition, heterogeneous files
+    # the merge must not lose T2's fee when rewriting the partition
+    table.write(make_df(spark, [("T3", TS1, "BTCGBP", 3.0)]), "upsert")
+    fees = {r.transaction_id: r.fee for r in table.read().collect()}
+    assert fees == {"T1": None, "T2": 0.5, "T3": None}
+
+
+def test_compact_filter_rejects_legacy_layout_files(spark, tmp_path):
+    path = str(tmp_path / "evo2")
+    flat = ManifestTable(
+        spark, path,
+        keys=("transaction_id", "close_time"),
+        precombine="transaction_id",
+        partition_by=(),
+    )
+    flat.write(make_df(spark, [("T1", TS1, "BTCGBP", 1.0),
+                               ("T2", TS1, "ETHGBP", 2.0)]), "bulk_insert")
+    evolved = ManifestTable(
+        spark, path,
+        keys=("transaction_id", "close_time"),
+        precombine="transaction_id",
+        partition_by=("pair",),
+    )
+    # a filtered compact over a mixed-layout table would lose or
+    # duplicate legacy rows — loud error directing to a full compact
+    with pytest.raises(ValueError, match="partition spec"):
+        evolved.compact(partition_filter={"pair": "BTCGBP"})
+    evolved.compact()  # full compact migrates...
+    assert evolved.compact(partition_filter={"pair": "BTCGBP"}) >= 0  # ...then ok
+    assert {r.transaction_id for r in evolved.read().collect()} == {"T1", "T2"}
+
+
+def test_partition_column_type_guard(spark, tmp_path):
+    """float/timestamp partition columns are rejected loudly: Python's
+    str() and Spark's directory rendering diverge on them, which would
+    silently break pruning and partition replacement."""
+    t = ManifestTable(
+        spark,
+        str(tmp_path / "ptype"),
+        keys=("transaction_id", "close_time"),
+        precombine="transaction_id",
+        partition_by=("price",),
+    )
+    with pytest.raises(ValueError, match="partition column"):
+        t.write(make_df(spark, [("T1", TS1, "BTCGBP", 1.0)]), "upsert")
+    t2 = ManifestTable(
+        spark,
+        str(tmp_path / "ptype2"),
+        keys=("transaction_id", "close_time"),
+        precombine="transaction_id",
+        partition_by=("close_time",),
+    )
+    with pytest.raises(ValueError, match="partition column"):
+        t2.write(make_df(spark, [("T1", TS1, "BTCGBP", 1.0)]), "bulk_insert")
