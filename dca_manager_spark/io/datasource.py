@@ -16,12 +16,17 @@ cover the reference's CONTROL-PLANE inputs, which are KB-sized):
   message files — the reference's SQS consume + DeleteMessage-ack
   contract (cmd/process_orders/main.go:105-111,269-278) expressed in
   the engine's own offset log, not just "file source + checkpoint".
-  Offsets are the max delivered message filename; FileQueue publishes
-  monotonic ``<nanos>-<uuid>`` names, so the range (start, end] is a
-  stable FIFO window. Replay semantics: a batch that crashed before
-  its checkpoint commit re-lists its range — unacked files are still
-  on disk — giving at-least-once delivery with ack-on-commit, exactly
-  SQS. The ack is DEFERRED one batch: Spark invokes ``commit(end)`` for
+  Offsets are (max visible message filename, seq); FileQueue publishes
+  monotonic ``<nanos>-<uuid>`` names, so the name component is a stable
+  high-watermark, and the seq component ticks whenever an undelivered
+  backlog exists at-or-below it (so a message that became visible AFTER
+  its name range was planned still gets its own batch). Delivery is
+  ledger-based, not range-based: partitions() records exactly which
+  files each batch planned, and commit() acks (deletes) exactly those —
+  a late-visible file inside a committed name range is neither lost nor
+  stranded. Replay semantics: a batch that crashed before its checkpoint
+  commit re-plans — unacked files are still on disk — giving
+  at-least-once delivery with ack-on-commit, exactly SQS. The ack is DEFERRED one batch: Spark invokes ``commit(end)`` for
   batch N when batch N+1 is constructed (lazy source commit), so
   delivered messages linger on disk until the next progress — harmless
   for this consumer (its checkpoint filters them out) and correct SQS
@@ -135,22 +140,59 @@ class FileQueueStreamReader(DataSourceStreamReader):
         if not path:
             raise ValueError("dca_queue requires a 'path' option")
         self.path = Path(path)
+        # Planned-delivery ledger: end-offset -> the file names actually
+        # planned into that batch. commit(end) acks EXACTLY these names —
+        # never a blind range-delete over the directory, which would
+        # destroy a message whose time-based name fell inside a committed
+        # range but which only became VISIBLE after that batch was planned
+        # (publisher generated its name before our listing, fsync'd after).
+        self._planned: dict[tuple[str, int], list[str]] = {}
+        self._delivered: set[str] = set()
+        self._seq = 0
 
     def _pending(self) -> list[str]:
         return sorted(f.name for f in self.path.glob("*.json"))
 
     def initialOffset(self) -> dict:
-        return {"last": ""}
+        return {"last": "", "seq": 0}
 
     def latestOffset(self) -> dict:
         names = self._pending()
         # Monotonic: the head never moves backward even if the newest
         # message is acked externally between polls.
         self._head = max(names[-1] if names else "", getattr(self, "_head", ""))
-        return {"last": self._head}
+        if any(n <= self._head and n not in self._delivered for n in names):
+            # Undelivered backlog at-or-below the head — includes a
+            # LATE-VISIBLE message whose name is under an already-planned
+            # offset. Bump seq so the engine sees a changed offset and
+            # plans a batch for it even though the head name is unchanged.
+            self._seq += 1
+        return {"last": self._head, "seq": self._seq}
+
+    @staticmethod
+    def _okey(offset: dict) -> tuple[str, int]:
+        return (offset["last"], offset.get("seq", 0))
 
     def partitions(self, start: dict, end: dict) -> list[InputPartition]:
-        names = [n for n in self._pending() if start["last"] < n <= end["last"]]
+        key = self._okey(end)
+        if key in self._planned:
+            # Same-batch replan: return the recorded plan, bit-identical.
+            names = self._planned[key]
+        else:
+            # Everything visible up to `end` that this reader hasn't
+            # already planned — deliberately NOT `> start`: a late-visible
+            # message below the watermark is still delivered (then acked
+            # by its own batch's commit) instead of being stranded. After
+            # a restart the ledger is empty, so unacked files before the
+            # checkpointed start are replanned and redelivered —
+            # at-least-once, the documented SQS contract.
+            names = [
+                n
+                for n in self._pending()
+                if n <= end["last"] and n not in self._delivered
+            ]
+            self._planned[key] = names
+            self._delivered.update(names)
         return [
             _QueueRangePartition(
                 [str(self.path / n) for n in names[i : i + _BATCH_FILES_PER_PARTITION]]
@@ -169,12 +211,15 @@ class FileQueueStreamReader(DataSourceStreamReader):
             ) + (Path(f).stem,)
 
     def commit(self, end: dict) -> None:
-        # The checkpoint commit IS the ack: DeleteMessage for everything
-        # delivered up to `end` (main.go:269-278 parity). Later messages
-        # have strictly larger names and survive.
-        for f in self.path.glob("*.json"):
-            if f.name <= end["last"]:
-                f.unlink(missing_ok=True)
+        # The checkpoint commit IS the ack: DeleteMessage for exactly the
+        # messages PLANNED into batches up to `end` (main.go:269-278
+        # parity). A file in the committed name range that was never
+        # planned is not touched — it will be planned into a later batch.
+        end_key = self._okey(end)
+        for key in [k for k in self._planned if k <= end_key]:
+            for name in self._planned.pop(key):
+                (self.path / name).unlink(missing_ok=True)
+                self._delivered.discard(name)
 
     def stop(self) -> None:
         pass

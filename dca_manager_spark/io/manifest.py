@@ -93,6 +93,20 @@ def _partition_key(value: object) -> str | None:
     return str(value)
 
 
+def _pin(df: DataFrame) -> DataFrame:
+    """Pin a batch exactly once: ``localCheckpoint(eager=True)`` freezes
+    the rows so every downstream consumer (constraint validation, zorder
+    boundary agg, key-set/partition collects, the write itself) sees the
+    SAME materialization even for nondeterministic sources. The marker
+    attribute makes re-pinning a no-op so the write paths can each demand
+    a pinned input without double-checkpointing."""
+    if getattr(df, "_dca_pinned", False):
+        return df
+    pinned = df.localCheckpoint(eager=True)
+    pinned._dca_pinned = True
+    return pinned
+
+
 def zorder_key(df: DataFrame, cols: list[str], bits: int = 4) -> Column:
     """Z-order (Morton) key over ``cols``: per-column PERCENTILE bucket ids
     (skew-robust, unlike equi-width) bit-interleaved so that a z-range
@@ -784,7 +798,18 @@ class ManifestTable:
         )
         if self.partition_by:
             self._check_partition_types(df)
+        # Fail dtype conflicts UP FRONT, before any data file is written
+        # (the merge path would otherwise union-cast and die mid-write;
+        # MOR would commit files unreadable under the committed schema).
+        prev = self._latest_manifest()
+        if prev is not None:
+            self._merged_schema_json(prev[1], df)  # raises on conflict
         if self.constraints and op != WriteOperation.DELETE:
+            # Pin BEFORE validating: otherwise the validated rows and the
+            # written rows are different materializations of a possibly
+            # nondeterministic source, and the constraint gate proves
+            # nothing about what lands on disk.
+            df = _pin(df)
             self._check_constraints(df)
         if self.table_type == "mor":
             self._mor_write(df, op)
@@ -795,7 +820,7 @@ class ManifestTable:
         # Pin the batch: the merge path consumes it several times (key
         # set, partition values, union) — a nondeterministic input would
         # otherwise be re-evaluated differently per consumer.
-        df = df.localCheckpoint(eager=True)
+        df = _pin(df)
         if op == WriteOperation.UPSERT:
             self._merge(df, keep_batch=True)
         else:
@@ -811,9 +836,30 @@ class ManifestTable:
         from pyspark.sql.types import StructType
 
         prev = StructType.fromJson(json.loads(prev_doc["schema"]))
-        names = {f.name for f in prev.fields}
+        by_name = {f.name: f for f in prev.fields}
+        # An overlapping batch field with a DIFFERENT dataType must fail
+        # LOUDLY here, before publish: the commit's parquet files hold the
+        # batch type while the committed schema would keep the old one, so
+        # the write would succeed and every later read() would die with a
+        # parquet conversion error — an unreadable-but-committed table.
+        conflicts = [
+            (f.name, by_name[f.name].dataType.simpleString(),
+             f.dataType.simpleString())
+            for f in df.schema.fields
+            if f.name in by_name and by_name[f.name].dataType != f.dataType
+        ]
+        if conflicts:
+            detail = ", ".join(
+                f"{n!r}: table has {old}, batch has {new}"
+                for n, old, new in conflicts
+            )
+            raise ValueError(
+                f"schema conflict on existing column(s) — {detail}. "
+                "Cast the batch to the committed type before writing "
+                "(type CHANGES need a table rewrite, not a commit)."
+            )
         merged = StructType(
-            prev.fields + [f for f in df.schema.fields if f.name not in names]
+            prev.fields + [f for f in df.schema.fields if f.name not in by_name]
         )
         return merged.json()
 
@@ -826,7 +872,9 @@ class ManifestTable:
         commit); inserts keep duplicates. Resolution happens at read."""
         if op in (WriteOperation.UPSERT, WriteOperation.DELETE):
             df = precombine_dedup(df, self.keys, self.precombine)
-        df = df.localCheckpoint(eager=True)
+            df = df.localCheckpoint(eager=True)  # pin the precombined rows
+        else:
+            df = _pin(df)
         prev = self._latest_manifest()
         prev_id, prev_doc = (prev[0], prev[1]) if prev else (None, None)
         prev_files = prev_doc["files"] if prev_doc else []
@@ -917,8 +965,8 @@ class ManifestTable:
             # these features consume the batch more than once (validation
             # job, zorder boundary agg, then the write) — pin it so a
             # nondeterministic source can't pass validation with one
-            # materialization and write another
-            df = df.localCheckpoint(eager=True)
+            # materialization and write another (no-op if write() pinned)
+            df = _pin(df)
         new_files = self._write_commit_files(df)
         # Change capture for free: an append commit's new data files ARE
         # exactly its added rows — reference them, write nothing twice.

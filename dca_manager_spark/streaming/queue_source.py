@@ -34,6 +34,37 @@ class FileQueue:
     def __init__(self, path: str) -> None:
         self.path = Path(path)
         self.path.mkdir(parents=True, exist_ok=True)
+        self._counter_file = self.path / ".last_published"
+
+    def _next_nanos(self) -> int:
+        """Monotonic name counter. Raw ``time.time_ns()`` alone is NOT
+        monotonic across NTP step-backs or cross-process clock skew — a
+        name below the stream reader's committed watermark used to be
+        permanently skippable. The counter is max(wall clock, persisted
+        last + 1, max existing name + 1): wall clock keeps names roughly
+        time-meaningful, the persisted floor survives restarts, and the
+        directory scan floor covers a missing/deleted counter file (queue
+        dirs are control-plane small, so the scan is cheap). Concurrent
+        publishers can race the counter file to the same nanos — the uuid
+        suffix keeps names unique, and the reader's planned-delivery
+        ledger (io/datasource.py) delivers late-visible names regardless
+        of watermark, so a tie is harmless."""
+        floor = 0
+        try:
+            floor = int(self._counter_file.read_text())
+        except (FileNotFoundError, ValueError):
+            prefixes = [
+                int(f.name.split("-", 1)[0])
+                for f in self.path.glob("*.json")
+                if f.name.split("-", 1)[0].isdigit()
+            ]
+            if prefixes:
+                floor = max(prefixes)
+        nanos = max(time.time_ns(), floor + 1)
+        tmp = self.path / f".last_published.{uuid.uuid4().hex}.tmp"
+        tmp.write_text(str(nanos))
+        tmp.rename(self._counter_file)  # atomic counter advance
+        return nanos
 
     # -- producer side (A11) ------------------------------------------------
     def publish(
@@ -49,8 +80,9 @@ class FileQueue:
         # Monotonic name: FIFO listing order AND a totally-ordered offset
         # for the dca_queue streaming source (io/datasource.py) — the max
         # delivered name is a valid high-watermark. uuid suffix breaks
-        # same-nanosecond ties.
-        msg_id = f"{time.time_ns():020d}-{uuid.uuid4().hex}"
+        # same-nanosecond ties. _next_nanos is clock-skew-safe (persisted
+        # monotonic counter, not raw wall clock).
+        msg_id = f"{self._next_nanos():020d}-{uuid.uuid4().hex}"
         body = {
             "transaction_id": transaction_id,
             "s3_bucket": s3_bucket,

@@ -126,3 +126,93 @@ def test_queue_stream_resumes_from_checkpoint(registered, tmp_path):
 def test_queue_stream_empty_queue_is_a_clean_noop(registered, tmp_path):
     FileQueue(str(tmp_path / "q"))
     assert _drain(registered, tmp_path / "q", tmp_path / "ck", tmp_path / "o") == []
+
+
+def test_queue_commit_acks_only_planned_messages(tmp_path):
+    """ADVICE r7 (medium): commit() used to range-delete EVERY file with
+    name <= end — a message whose time-based name fell inside a committed
+    range but became visible only after planning was silently destroyed.
+    Now commit acks exactly the planned files, and the late-visible one
+    is delivered by a later batch (seq-bumped offset)."""
+    from pathlib import Path
+
+    from dca_manager_spark.io.datasource import FileQueueStreamReader
+
+    qdir = tmp_path / "q"
+    fq = FileQueue(str(qdir))
+    fq.publish("T0", "b", "k0", "kraken", True)
+    fq.publish("T1", "b", "k1", "kraken", True)
+
+    r = FileQueueStreamReader({"path": str(qdir)})
+    start = r.initialOffset()
+    end = r.latestOffset()
+    planned = [
+        Path(f).name for p in r.partitions(start, end) for f in p.files
+    ]
+    assert len(planned) == 2
+
+    # Late-visible message: its name sorts BELOW the committed head (the
+    # publisher drew the name before our listing; the file appeared after
+    # planning). Write it directly with a tiny name.
+    late = qdir / f"{0:020d}-{'a' * 32}.json"
+    late.write_text(
+        json.dumps(
+            {
+                "transaction_id": "TLATE",
+                "s3_bucket": "b",
+                "s3_key": "kL",
+                "exchange": "kraken",
+                "real": "true",
+            }
+        )
+    )
+    assert late.name < end["last"]
+
+    r.commit(end)
+    remaining = {f.name for f in qdir.glob("*.json")}
+    assert remaining == {late.name}, "only PLANNED messages may be acked"
+
+    # The backlog below the head must still produce a new offset (seq
+    # bump) and be planned into the next batch, then acked by its commit.
+    end2 = r.latestOffset()
+    assert end2 != end
+    planned2 = [
+        Path(f).name for p in r.partitions(end, end2) for f in p.files
+    ]
+    assert planned2 == [late.name]
+    r.commit(end2)
+    assert list(qdir.glob("*.json")) == []
+
+
+def test_queue_replanning_same_batch_is_deterministic(tmp_path):
+    from pathlib import Path
+
+    from dca_manager_spark.io.datasource import FileQueueStreamReader
+
+    qdir = tmp_path / "q"
+    fq = FileQueue(str(qdir))
+    fq.publish("T0", "b", "k0", "kraken", True)
+    r = FileQueueStreamReader({"path": str(qdir)})
+    start, end = r.initialOffset(), r.latestOffset()
+    first = [Path(f).name for p in r.partitions(start, end) for f in p.files]
+    again = [Path(f).name for p in r.partitions(start, end) for f in p.files]
+    assert first == again, "same-batch replan must return the recorded plan"
+
+
+def test_queue_publish_names_monotonic_under_clock_stepback(tmp_path, monkeypatch):
+    """ADVICE r7: msg-id monotonicity must not rest on raw wall clock —
+    an NTP step-back used to mint a name below the stream's committed
+    watermark (skipped, then deleted). The persisted counter floors every
+    new name above all prior ones, across FileQueue instances."""
+    import dca_manager_spark.streaming.queue_source as qs
+
+    fq = FileQueue(str(tmp_path / "q"))
+    clock = iter([2_000_000_000_000_000_000, 1_000_000_000_000_000_000,
+                  1_000_000_000_000_000_000])
+    monkeypatch.setattr(qs.time, "time_ns", lambda: next(clock))
+    a = fq.publish("T0", "b", "k0", "kraken", True)
+    b = fq.publish("T1", "b", "k1", "kraken", True)  # clock stepped BACK
+    assert b > a, "names must stay monotonic across a clock step-back"
+    # a fresh instance (process restart) keeps the floor via the counter file
+    c = FileQueue(str(tmp_path / "q")).publish("T2", "b", "k2", "kraken", True)
+    assert c > b

@@ -1046,3 +1046,79 @@ def test_partition_column_type_guard(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="partition column"):
         t2.write(make_df(spark, [("T1", TS1, "BTCGBP", 1.0)]), "bulk_insert")
+
+
+def test_constraint_validation_sees_the_written_materialization(spark, tmp_path):
+    """ADVICE r7: the batch must be PINNED before the constraint gate —
+    otherwise validation and the write are different materializations of
+    a possibly-nondeterministic source. Evaluation-count proof: a Python
+    UDF bumps an accumulator per call; with the pin the source evaluates
+    exactly once (at the localCheckpoint), so the validation job and the
+    write job both read pinned rows instead of re-running the source."""
+    from pyspark.sql.functions import udf
+
+    acc = spark.sparkContext.accumulator(0)
+
+    def bump(x):
+        acc.add(1)
+        return float(x)
+
+    bump_udf = udf(bump, "double")
+    src = spark.range(8).select(
+        F.concat(F.lit("T"), F.col("id")).alias("transaction_id"),
+        F.lit(TS1).alias("close_time"),
+        F.lit("BTCGBP").alias("pair"),
+        bump_udf("id").alias("price"),
+    )
+    t = ManifestTable(
+        spark,
+        str(tmp_path / "pin"),
+        keys=("transaction_id", "close_time"),
+        precombine="transaction_id",
+        partition_by=("pair",),
+        constraints={"nonneg": "price >= 0"},
+    )
+    t.write(src, "insert")
+    assert acc.value == 8, (
+        "source must be evaluated exactly once (pinned) — "
+        f"{acc.value} evaluations means validation and write saw "
+        "different materializations"
+    )
+    assert t.read().count() == 8
+
+
+def test_type_conflict_is_loud_before_publish(spark, table):
+    """ADVICE r7: a batch column whose dataType conflicts with the
+    committed schema used to commit fine and make the table unreadable
+    at scan time. Now the write raises BEFORE publish."""
+    table.write(make_df(spark, [("T1", TS1, "BTCGBP", 1.0)]), "upsert")
+    bad = spark.createDataFrame(
+        [("T2", TS1, "BTCGBP", "oops")],
+        "transaction_id string, close_time timestamp, pair string, price string",
+    )
+    with pytest.raises(ValueError, match="schema conflict"):
+        table.write(bad, "insert")
+    with pytest.raises(ValueError, match="schema conflict"):
+        table.write(bad, "upsert")
+    # nothing committed, table still fully readable
+    assert table.commits() == [0]
+    assert [r.price for r in table.read().collect()] == [1.0]
+
+
+def test_type_conflict_is_loud_on_mor_writes(spark, tmp_path):
+    t = ManifestTable(
+        spark,
+        str(tmp_path / "morconf"),
+        keys=("transaction_id", "close_time"),
+        precombine="transaction_id",
+        partition_by=("pair",),
+        table_type="mor",
+    )
+    t.write(make_df(spark, [("T1", TS1, "BTCGBP", 1.0)]), "upsert")
+    bad = spark.createDataFrame(
+        [("T2", TS1, "BTCGBP", "oops")],
+        "transaction_id string, close_time timestamp, pair string, price string",
+    )
+    with pytest.raises(ValueError, match="schema conflict"):
+        t.write(bad, "upsert")
+    assert [r.price for r in t.read().collect()] == [1.0]
