@@ -4893,3 +4893,418 @@ def manifest_cdc_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_rows") > 0)
         .orderBy("bucket")
     )
+
+
+# ===========================================================================
+# TPC-H completion: the seven remaining optimizer shapes (q2 q9 q11 q12
+# q16 q20 q21). The testdata has no partsupp table and no
+# comment/shipmode/commitdate/receiptdate columns, so each query keeps
+# the CANONICAL PLAN SHAPE with a stand-in predicate (same policy as
+# q4/q13/q17/q22): lineitem's (l_partkey, l_suppkey) pairs stand in for
+# partsupp, l_returnflag = 'R' for "late", s_acctbal < 0 for the
+# complaint-comment filter.
+# ===========================================================================
+
+@query(
+    "q2_min_cost_supplier",
+    """
+    WITH ps AS (
+      SELECT l_partkey, l_suppkey,
+             MIN(l_extendedprice / l_quantity) AS supplycost
+      FROM lineitem GROUP BY l_partkey, l_suppkey
+    ),
+    eligible AS (
+      SELECT ps.l_partkey, ps.supplycost, s.s_acctbal, s.s_name, n.n_name
+      FROM ps
+      JOIN part p ON p.p_partkey = ps.l_partkey
+                 AND p.p_size <= 10 AND p.p_type = 'STANDARD'
+      JOIN supplier s ON s.s_suppkey = ps.l_suppkey
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+      JOIN region r ON r.r_regionkey = n.n_regionkey AND r.r_name = 'EUROPE'
+    )
+    SELECT e.s_acctbal, e.s_name, e.n_name, p.p_partkey, p.p_name
+    FROM eligible e
+    JOIN part p ON p.p_partkey = e.l_partkey
+    WHERE e.supplycost = (SELECT MIN(e2.supplycost) FROM eligible e2
+                          WHERE e2.l_partkey = e.l_partkey)
+    ORDER BY e.s_acctbal DESC, e.n_name, e.s_name, p.p_partkey
+    LIMIT 100
+    """,
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: the correlated per-part MIN subquery over a
+    snowflake (partsupp -> supplier -> nation -> region), decorrelated
+    into a WINDOW min — one shuffle on l_partkey instead of a self-join
+    back. lineitem's (l_partkey, l_suppkey) pairs stand in for partsupp;
+    unit price MIN stands in for ps_supplycost. The selective part filter
+    is applied BEFORE the window (min-per-part is independent across
+    parts, so the pushdown is exact) and every dim broadcasts, so the
+    windowed set is tiny at any scale. supplycost is one IEEE division —
+    bit-identical on both engines — so the MIN-equality keeps identical
+    ties. Total-order top-100: (acctbal desc, n_name, s_name, partkey)
+    is unique per row."""
+    l = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part").filter(
+        (F.col("p_size") <= 10) & (F.col("p_type") == "STANDARD")
+    )
+    s = t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    ps = l.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("supplycost")
+    )
+    sel = (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), F.col("n_regionkey") == r.r_regionkey)
+        .select("s_suppkey", "s_acctbal", "s_name", "n_name")
+    )
+    eligible = ps.join(
+        F.broadcast(p.select("p_partkey", "p_name")),
+        ps.l_partkey == F.col("p_partkey"),
+    ).join(F.broadcast(sel), ps.l_suppkey == sel.s_suppkey)
+    w = Window.partitionBy("l_partkey")
+    return (
+        eligible.withColumn("__min_cost", F.min("supplycost").over(w))
+        .filter(F.col("supplycost") == F.col("__min_cost"))
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_name")
+        .orderBy(
+            F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey"
+        )
+        .limit(100)
+    )
+
+
+@query(
+    "q9_product_profit",
+    f"""
+    SELECT nation, o_year, {o_dsum('amount')} AS sum_profit
+    FROM (
+      SELECT n.n_name AS nation,
+             EXTRACT(year FROM o.o_orderdate) AS o_year,
+             l.l_extendedprice * (1 - l.l_discount)
+               - 0.1 * p.p_retailprice * l.l_quantity AS amount
+      FROM lineitem l
+      JOIN part p ON p.p_partkey = l.l_partkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+      WHERE p.p_name LIKE '%red%'
+    ) profit
+    GROUP BY nation, o_year
+    ORDER BY nation, o_year DESC
+    """,
+)
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: profit by supplier nation and order year over a
+    5-table join with a LIKE filter on the part dim. The filtered part
+    and nation dims broadcast; the fact-side joins (orders) shuffle.
+    ps_supplycost stands in as 0.1 * p_retailprice: the amount expression
+    is a fixed IEEE op sequence (two multiplies, one subtract) identical
+    on both engines, then cent-quantized before the sum — exact even
+    though amounts can be negative (floor is floor on both)."""
+    l = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
+    s = t(spark, sf_dir, "supplier")
+    o = t(spark, sf_dir, "orders")
+    n = t(spark, sf_dir, "nation")
+    amount = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.lit(
+        0.1
+    ) * F.col("p_retailprice") * F.col("l_quantity")
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(s, l.l_suppkey == s.s_suppkey)
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg(dsum(amount).alias("sum_profit"))
+        .orderBy("nation", F.col("o_year").desc())
+    )
+
+
+@query(
+    "q11_important_stock",
+    """
+    WITH val AS (
+      SELECT l.l_partkey AS ps_partkey,
+             SUM(CAST(FLOOR(l.l_extendedprice * (1 - l.l_discount) * 100)
+                      AS DECIMAL(38,0))) AS cents
+      FROM lineitem l
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+      WHERE n.n_name IN ('NATION_3', 'NATION_7')
+      GROUP BY l.l_partkey
+    ),
+    tot AS (SELECT SUM(cents) AS total, COUNT(*) AS nparts FROM val)
+    SELECT v.ps_partkey, CAST(v.cents AS DOUBLE) / 100 AS value
+    FROM val v, tot t
+    WHERE CAST(v.cents AS DOUBLE) / 100
+          > 1.5 * (CAST(t.total AS DOUBLE) / 100) / t.nparts
+    ORDER BY v.cents DESC, v.ps_partkey
+    """,
+)
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: per-part value for suppliers of given nations,
+    kept only where the part's value exceeds a SCALAR-SUBQUERY-derived
+    threshold over the same aggregate. The 1-row total broadcasts (no
+    collect); the value aggregate is computed ONCE and consumed by both
+    the threshold and the output. Canonical Q11 thresholds at a fixed
+    fraction of the global sum, which degenerates as the part count
+    grows; thresholding at 1.5x the MEAN per-part value keeps the result
+    non-degenerate at every SF while preserving the plan shape. All
+    comparisons run on exact cent DECIMALs cast to double in the same op
+    order on both engines."""
+    l = t(spark, sf_dir, "lineitem")
+    s = t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin("NATION_3", "NATION_7")
+    )
+    val = (
+        l.join(s, l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .groupBy(F.col("l_partkey").alias("ps_partkey"))
+        .agg(
+            F.sum(
+                cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            ).alias("__cents")
+        )
+    )
+    tot = val.agg(
+        F.sum("__cents").alias("__total"), F.count(F.lit(1)).alias("__nparts")
+    )
+    return (
+        val.crossJoin(F.broadcast(tot))
+        .filter(
+            F.col("__cents").cast("double") / 100
+            > F.lit(1.5)
+            * (F.col("__total").cast("double") / 100)
+            / F.col("__nparts")
+        )
+        .select(
+            "ps_partkey",
+            (F.col("__cents").cast("double") / 100).alias("value"),
+            "__cents",
+        )
+        .orderBy(F.col("__cents").desc(), "ps_partkey")
+        .drop("__cents")
+    )
+
+
+@query(
+    "q12_shipclass_priority",
+    """
+    SELECT l.l_returnflag AS ship_class,
+           CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders o
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_returnflag IN ('A', 'R')
+      AND l.l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l.l_shipdate < TIMESTAMP '1998-01-01'
+    GROUP BY l.l_returnflag
+    ORDER BY l.l_returnflag
+    """,
+)
+def q12_shipclass_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: fact-fact join with the IN + date-range filter on
+    the lineitem side and a pair of conditional counts over the order
+    side (SUM of CASE — the partial-aggregable form, not two filtered
+    joins). l_returnflag stands in for l_shipmode (no shipmode column);
+    the ship-year window stands in for the commit/receipt lag predicate.
+    Integer counts only — no float policy needed."""
+    o = t(spark, sf_dir, "orders")
+    l = t(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag").isin("A", "R")
+        & (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        o.join(l, o.o_orderkey == l.l_orderkey)
+        .groupBy(F.col("l_returnflag").alias("ship_class"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+        .orderBy("ship_class")
+    )
+
+
+@query(
+    "q16_supplier_part_counts",
+    """
+    SELECT p.p_brand, p.p_type, p.p_size,
+           COUNT(DISTINCT ps.l_suppkey) AS supplier_cnt
+    FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+    JOIN part p ON p.p_partkey = ps.l_partkey
+    WHERE p.p_brand <> 'Brand#5'
+      AND p.p_type <> 'PROMO'
+      AND p.p_size IN (1, 4, 9, 16, 25, 36, 49)
+      AND ps.l_suppkey NOT IN
+          (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0)
+    GROUP BY p.p_brand, p.p_type, p.p_size
+    ORDER BY supplier_cnt DESC, p.p_brand, p.p_type, p.p_size
+    """,
+)
+def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: distinct partsupp pairs (from lineitem), a
+    NOT IN subquery on the supplier dim compiled to a broadcast ANTI
+    join, a negated-predicate part filter, and COUNT(DISTINCT) per
+    3-column group. s_acctbal < 0 stands in for the complaint-comment
+    filter. The distinct-pair projection happens BEFORE the joins, so
+    the shuffled set is pairs, not lineitems."""
+    l = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#5")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 4, 9, 16, 25, 36, 49)
+    )
+    bad = t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0.0)
+    pairs = l.select("l_partkey", "l_suppkey").distinct()
+    return (
+        pairs.join(
+            F.broadcast(bad), pairs.l_suppkey == bad.s_suppkey, "left_anti"
+        )
+        .join(F.broadcast(p), F.col("l_partkey") == p.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(
+            F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size"
+        )
+    )
+
+
+@query(
+    "q20_excess_shippers",
+    f"""
+    WITH qty AS (
+      SELECT l_partkey, l_suppkey, {o_dsum('l_quantity')} AS sum_qty
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        AND l_shipdate < TIMESTAMP '1998-01-01'
+      GROUP BY l_partkey, l_suppkey
+    )
+    SELECT s.s_name, n.n_name
+    FROM supplier s
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    JOIN region r ON r.r_regionkey = n.n_regionkey
+    WHERE r.r_name = 'EUROPE'
+      AND s.s_suppkey IN (
+        SELECT q.l_suppkey FROM qty q
+        WHERE q.sum_qty > 40.0
+          AND q.l_partkey IN
+              (SELECT p_partkey FROM part WHERE p_name LIKE 'red%')
+      )
+    ORDER BY s.s_name
+    """,
+)
+def q20_excess_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: NESTED IN subqueries — suppliers IN (partsupp
+    pairs over a year whose quantity exceeds a threshold, for parts IN a
+    name-prefix set) — compiled as a semi-join chain: part prefix set
+    broadcasts into a semi join against the per-pair aggregate, whose
+    surviving suppkeys semi-join into the supplier dim. The per-pair
+    SUM stands in for the 0.5 * availqty threshold (no partsupp
+    table); quantities follow the cents policy so the > 40.0 comparison
+    is engine-exact. Only the pair aggregate shuffles; every dim side
+    broadcasts."""
+    l = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    red = t(spark, sf_dir, "part").filter(F.col("p_name").like("red%"))
+    s = t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    qty = (
+        l.join(
+            F.broadcast(red.select("p_partkey")),
+            l.l_partkey == F.col("p_partkey"),
+            "left_semi",
+        )
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(dsum(F.col("l_quantity")).alias("sum_qty"))
+        .filter(F.col("sum_qty") > 40.0)
+    )
+    return (
+        s.join(
+            qty.select("l_suppkey").distinct(),
+            s.s_suppkey == F.col("l_suppkey"),
+            "left_semi",
+        )
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .join(F.broadcast(r), F.col("n_regionkey") == r.r_regionkey)
+        .select("s_name", "n_name")
+        .orderBy("s_name")
+    )
+
+
+@query(
+    "q21_waiting_suppliers",
+    """
+    SELECT s.s_name, COUNT(*) AS numwait
+    FROM supplier s
+    JOIN lineitem l1 ON l1.l_suppkey = s.s_suppkey
+    JOIN orders o ON o.o_orderkey = l1.l_orderkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    JOIN region r ON r.r_regionkey = n.n_regionkey
+    WHERE o.o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+      AND r.r_name = 'ASIA'
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_returnflag = 'R')
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s.s_name
+    LIMIT 100
+    """,
+)
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: the sole-blame query — EXISTS (another supplier
+    in the same order) AND NOT EXISTS (another LATE supplier in the same
+    order) over the SAME fact table, compiled to a semi join + an anti
+    join both keyed on l_orderkey with the supplier inequality as a
+    residual condition (hash joins, not nested loops). l_returnflag='R'
+    stands in for the receipt-after-commit lateness predicate. Top-100
+    under (numwait desc, s_name) — total because s_name is unique."""
+    s = t(spark, sf_dir, "supplier")
+    l = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    n = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    l1 = l.filter(F.col("l_returnflag") == "R")
+    l2 = l.select(
+        F.col("l_orderkey").alias("__ok2"), F.col("l_suppkey").alias("__sk2")
+    )
+    l3 = l.filter(F.col("l_returnflag") == "R").select(
+        F.col("l_orderkey").alias("__ok3"), F.col("l_suppkey").alias("__sk3")
+    )
+    return (
+        l1.join(
+            l2,
+            (l1.l_orderkey == F.col("__ok2"))
+            & (l1.l_suppkey != F.col("__sk2")),
+            "left_semi",
+        )
+        .join(
+            l3,
+            (F.col("l_orderkey") == F.col("__ok3"))
+            & (F.col("l_suppkey") != F.col("__sk3")),
+            "left_anti",
+        )
+        .join(o, F.col("l_orderkey") == o.o_orderkey, "left_semi")
+        .join(s, F.col("l_suppkey") == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .join(F.broadcast(r), F.col("n_regionkey") == r.r_regionkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(100)
+    )

@@ -224,6 +224,8 @@ def test_catalog_wide_no_accidental_cartesian(spark):
                                        # broadcast avg under a > predicate
                                        # (q15's = predicate becomes an equi
                                        # join; > cannot)
+        "q11_important_stock",         # same again: 1-row broadcast
+                                       # total/nparts under a > threshold
         "similarity_ivf_ann",          # corpus x broadcast-seeds (n_cells rows)
                                        # coarse quantizer: linear in corpus
         "similarity_ivf_learned",      # same quantizer shape + the exact
