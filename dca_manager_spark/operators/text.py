@@ -322,3 +322,47 @@ def remove_boilerplate_segments(
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# PII redaction (training-corpus compliance scrub)
+# ---------------------------------------------------------------------------
+
+# Category order IS the contract: counts are taken on the ORIGINAL text
+# (the patterns are mutually non-overlapping by construction — phone
+# requires a leading +country code, card requires 4x4 separated groups,
+# ip requires 4 dotted groups, ssn is 3-2-4 dashed), then redaction is
+# applied left-to-right. Patterns deliberately use only syntax RE2 and
+# Java regex agree on (no lookaround/backrefs, ASCII \b) so a DuckDB
+# oracle reproduces them byte-for-byte.
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", EMAIL_RE, "<EMAIL>"),
+    ("card", r"\b\d{4}[ -]\d{4}[ -]\d{4}[ -]\d{4}\b", "<CARD>"),
+    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+    ("ip", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("phone", r"\+\d{1,2}[ -]?\(?\d{3}\)?[ -]?\d{3}[ -]?\d{4}\b", "<PHONE>"),
+]
+
+
+def redact_pii(
+    df: DataFrame, text_col: str = "text", counts: bool = True
+) -> DataFrame:
+    """Redact emails / card numbers / SSNs / IPs / phone numbers from
+    ``text_col`` in place, optionally adding a ``pii_<category>`` count
+    column per category (the audit trail a compliance scrub needs).
+
+    Pure JVM ``regexp_count`` / ``regexp_replace`` — whole-stage codegen,
+    no Python in the row path, ~10 regex passes per row total. Counts
+    are computed on the pre-redaction text; replacements chain
+    left-to-right in PII_PATTERNS order, so the output is a fixed
+    function of the input on any engine with compatible regex semantics.
+    """
+    if counts:
+        for name, pat, _ in PII_PATTERNS:
+            df = df.withColumn(
+                f"pii_{name}", F.regexp_count(F.col(text_col), F.lit(pat))
+            )
+    red = F.col(text_col)
+    for _, pat, repl in PII_PATTERNS:
+        red = F.regexp_replace(red, pat, repl)
+    return df.withColumn(text_col, red)

@@ -211,3 +211,51 @@ def mixture_sample(
         F.element_at(rate_map, F.col(group_col)), F.lit(float(default_rate))
     )
     return df.filter(bucket < (rate * 10000).cast("bigint"))
+
+
+# ---------------------------------------------------------------------------
+# Sharded export: the final write of an assembled training set
+# ---------------------------------------------------------------------------
+
+def shard_assignment(
+    df: DataFrame, id_col: str, n_shards: int, seed: str = "shard"
+) -> DataFrame:
+    """Add a ``shard`` column in [0, n_shards): md5 hash-range of the
+    salted id — a pure function of the row, so the assignment is
+    identical on any cluster size / partitioning / rerun (and exactly
+    replicable by a SQL oracle). Uniform over shards by md5."""
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    from dca_manager_spark.operators.sampling import hash_bucket
+
+    return df.withColumn(
+        "shard", (hash_bucket(F.col(id_col), seed) % n_shards).cast("int")
+    )
+
+
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    id_col: str,
+    n_shards: int,
+    seed: str = "shard",
+    order_in_shard: str | None = None,
+) -> None:
+    """Write the training set as ``n_shards`` hash-assigned parquet
+    shards (``shard=K/`` directories): the loader-facing layout training
+    jobs expect — each data-loader rank reads its own shard subset, no
+    global file list coordination.
+
+    One exchange total: rows are repartitioned BY THE SHARD COLUMN so
+    each shard's rows land in one task, then written with
+    ``partitionBy`` — one file per shard, not one per (task x shard).
+    ``order_in_shard`` optionally sorts within each task (e.g. by
+    shuffle_rank for pre-shuffled shards) via sortWithinPartitions — no
+    extra exchange. Deterministic: same input => byte-stable shard
+    membership (file bytes also stable when order_in_shard is given).
+    """
+    assigned = shard_assignment(df, id_col, n_shards, seed)
+    parted = assigned.repartition(n_shards, F.col("shard"))
+    if order_in_shard is not None:
+        parted = parted.sortWithinPartitions(order_in_shard, id_col)
+    parted.write.mode("overwrite").partitionBy("shard").parquet(path)

@@ -5308,3 +5308,181 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("numwait").desc(), "s_name")
         .limit(100)
     )
+
+
+# ===========================================================================
+# Round-8 LLM-pipeline additions: PII scrub, fuzzy entity resolution,
+# sharded-export assignment
+# ===========================================================================
+
+@query(
+    "text_pii_redaction",
+    r"""
+    WITH aug AS (
+      SELECT doc_id,
+             concat(text,
+                    ' contact user', CAST(doc_id AS VARCHAR),
+                    '@mail.example.com',
+                    ' or +1 415-555-',
+                    lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'),
+                    ' ip 10.', CAST(doc_id % 256 AS VARCHAR), '.0.1',
+                    ' card 4111 1111 1111 ',
+                    lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'),
+                    ' ssn 123-45-6789') AS text
+      FROM documents
+    )
+    SELECT doc_id,
+           len(regexp_extract_all(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS pii_email,
+           len(regexp_extract_all(text,
+               '\b\d{4}[ -]\d{4}[ -]\d{4}[ -]\d{4}\b')) AS pii_card,
+           len(regexp_extract_all(text, '\b\d{3}-\d{2}-\d{4}\b')) AS pii_ssn,
+           len(regexp_extract_all(text,
+               '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS pii_ip,
+           len(regexp_extract_all(text,
+               '\+\d{1,2}[ -]?\(?\d{3}\)?[ -]?\d{3}[ -]?\d{4}\b')) AS pii_phone,
+           md5(
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(
+                   regexp_replace(
+                     regexp_replace(text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                       '<EMAIL>', 'g'),
+                     '\b\d{4}[ -]\d{4}[ -]\d{4}[ -]\d{4}\b', '<CARD>', 'g'),
+                   '\b\d{3}-\d{2}-\d{4}\b', '<SSN>', 'g'),
+                 '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+               '\+\d{1,2}[ -]?\(?\d{3}\)?[ -]?\d{3}[ -]?\d{4}\b',
+               '<PHONE>', 'g')
+           ) AS redacted_md5
+    FROM aug
+    ORDER BY doc_id
+    """,
+)
+def text_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII compliance scrub with an audit trail: per-category counts +
+    sequential redaction (operators/text.redact_pii). The synthetic
+    PII footer is a deterministic function of doc_id built identically
+    on both engines (the raw documents contain no PII, which would make
+    the operator's oracle vacuous). Patterns are restricted to the
+    RE2 ∩ Java-regex common syntax; counts are taken pre-redaction on
+    mutually non-overlapping patterns, so both engines agree exactly.
+    Pure JVM regexp — codegen, no Python in the row path."""
+    from dca_manager_spark.operators.text import redact_pii
+
+    docs = t(spark, sf_dir, "documents")
+    mod4 = F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0")
+    full = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@mail.example.com"),
+        F.lit(" or +1 415-555-"),
+        mod4,
+        F.lit(" ip 10."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(".0.1"),
+        F.lit(" card 4111 1111 1111 "),
+        mod4,
+        F.lit(" ssn 123-45-6789"),
+    )
+    aug = docs.select("doc_id", full.alias("text"))
+    return (
+        redact_pii(aug, "text")
+        .select(
+            "doc_id",
+            "pii_email",
+            "pii_card",
+            "pii_ssn",
+            "pii_ip",
+            "pii_phone",
+            F.md5("text").alias("redacted_md5"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "fuzzy_match_part_names",
+    """
+    WITH names AS (
+      SELECT p_name, MIN(p_partkey) AS name_id,
+             split_part(p_name, ' ', 1) AS blk
+      FROM part GROUP BY p_name
+    )
+    SELECT a.p_name AS name_a, b.p_name AS name_b,
+           levenshtein(a.p_name, b.p_name) AS dist
+    FROM names a
+    JOIN names b ON a.blk = b.blk AND a.name_id < b.name_id
+    WHERE levenshtein(a.p_name, b.p_name) <= 4
+    ORDER BY name_a, name_b
+    """,
+)
+def fuzzy_match_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution by blocked edit distance
+    (operators/fuzzy.blocked_levenshtein_pairs): distinct part names,
+    blocked on the first token, within-block pairs verified with
+    levenshtein <= 4. The join is an EQUI join on the blocking key —
+    the all-pairs cross join never exists at any scale; recall is the
+    blocking function's responsibility (multi-pass blocking = the LSH
+    OR-amplification idea). The distinct-name projection runs before
+    the join, so the pair space is names, not rows."""
+    from dca_manager_spark.operators.fuzzy import (
+        blocked_levenshtein_pairs,
+        first_token_block,
+    )
+
+    p = t(spark, sf_dir, "part")
+    names = p.groupBy("p_name").agg(F.min("p_partkey").alias("name_id"))
+    return (
+        blocked_levenshtein_pairs(
+            names, "name_id", "p_name", first_token_block("p_name"), 4
+        )
+        .select(
+            F.col("name_a").alias("name_a"),
+            F.col("name_b").alias("name_b"),
+            "dist",
+        )
+        .orderBy("name_a", "name_b")
+    )
+
+
+@query(
+    "training_shard_assignment",
+    """
+    WITH assigned AS (
+      SELECT doc_id,
+             CAST(concat('0x', substring(md5(concat('shard',
+                  CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT)
+               % 10000 % 8 AS shard
+      FROM documents
+    )
+    SELECT shard, COUNT(*) AS n_docs,
+           MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc,
+           CAST(SUM(doc_id) AS BIGINT) AS sum_doc
+    FROM assigned
+    GROUP BY shard
+    ORDER BY shard
+    """,
+)
+def training_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sharded-export assignment (operators/training.shard_assignment,
+    the layout write_training_shards materializes): md5 hash-range of
+    the salted id modulo n_shards — a pure row function, so shard
+    membership is identical across cluster sizes/reruns and the oracle
+    can replay it exactly. The aggregate pins membership (count, min,
+    max, sum of ids per shard), not just sizes."""
+    from dca_manager_spark.operators.training import shard_assignment
+
+    docs = t(spark, sf_dir, "documents")
+    return (
+        shard_assignment(docs, "doc_id", 8)
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+            F.sum("doc_id").alias("sum_doc"),
+        )
+        .orderBy("shard")
+    )

@@ -293,3 +293,85 @@ def test_exact_k_stratified_window_group_limit(spark, sf_dir):
     df = spark.read.parquet(f"{sf_dir}/documents.parquet")
     plan = physical_plan(exact_k_sample(df, "doc_id", k=25, strata_col="lang"))
     assert plan.count("WindowGroupLimit") >= 2, plan
+
+
+def test_blocked_levenshtein_pairs_vs_bruteforce(spark):
+    from dca_manager_spark.operators.fuzzy import (
+        blocked_levenshtein_pairs,
+        first_token_block,
+    )
+
+    names = [
+        (1, "red plate"), (2, "red plates"), (3, "red gear"),
+        (4, "hot plate"), (5, "hot plates"), (6, "blue bolt"),
+    ]
+    df = spark.createDataFrame(names, "nid int, name string")
+    got = {
+        (r.id_a, r.id_b, r.dist)
+        for r in blocked_levenshtein_pairs(
+            df, "nid", "name", first_token_block("name"), 2
+        ).collect()
+    }
+    # brute-force reference WITHIN blocks (blocking bounds recall by design:
+    # "red plate"/"hot plate" are 3 edits apart but never compared)
+    import itertools
+
+    def lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(
+                    dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb)
+                )
+        return dp[len(b)]
+
+    expect = {
+        (i, j, lev(a, b))
+        for (i, a), (j, b) in itertools.combinations(names, 2)
+        if a.split()[0] == b.split()[0] and lev(a, b) <= 2
+    }
+    assert got == expect and got, "blocked pairs must equal in-block brute force"
+    with pytest.raises(ValueError, match="max_dist"):
+        blocked_levenshtein_pairs(df, "nid", "name", first_token_block("name"), -1)
+
+
+def test_write_training_shards_layout_and_determinism(spark, tmp_path):
+    from dca_manager_spark.operators.training import (
+        shard_assignment,
+        write_training_shards,
+    )
+
+    df = spark.range(500).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("doc "), F.col("id")).alias("text"),
+    )
+    out = str(tmp_path / "shards")
+    write_training_shards(df, out, "doc_id", 8, order_in_shard="text")
+    import pathlib
+
+    dirs = sorted(p.name for p in pathlib.Path(out).iterdir() if p.name.startswith("shard="))
+    assert dirs == [f"shard={k}" for k in range(8)]
+    # exactly one data file per shard (repartition on the shard column)
+    for d in dirs:
+        files = [f for f in (pathlib.Path(out) / d).glob("*.parquet")]
+        assert len(files) == 1, f"{d}: expected 1 file, got {len(files)}"
+    back = spark.read.parquet(out)
+    assert back.count() == 500
+    # round-trip preserves every row and the assignment is the pure
+    # row-function shard_assignment computes
+    expect = {
+        (r.doc_id, r.shard)
+        for r in shard_assignment(df, "doc_id", 8).collect()
+    }
+    got = {(r.doc_id, int(r.shard)) for r in back.select("doc_id", "shard").collect()}
+    assert got == expect
+    # rerun-stable: a differently-partitioned input produces the same membership
+    write_training_shards(df.repartition(13), out, "doc_id", 8, order_in_shard="text")
+    again = {
+        (r.doc_id, int(r.shard))
+        for r in spark.read.parquet(out).select("doc_id", "shard").collect()
+    }
+    assert again == expect
+    with pytest.raises(ValueError, match="n_shards"):
+        shard_assignment(df, "doc_id", 0)

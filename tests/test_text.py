@@ -231,3 +231,30 @@ def test_remove_boilerplate_validation(spark):
         remove_boilerplate_segments(docs, "doc_id", "text", seg_tokens=0)
     with _pytest.raises(ValueError, match="min_docs"):
         remove_boilerplate_segments(docs, "doc_id", "text", min_docs=1)
+
+
+def test_redact_pii_counts_and_redaction(spark):
+    rows = [
+        (1, "mail me at a.b+c@ex-1.org or call +1 (415) 555-0958 now"),
+        (2, "card 4111 1111 1111 1234 and card 5500-0000-0000-0004"),
+        (3, "ssn 123-45-6789 host 192.168.0.1 nothing else"),
+        (4, "no pii here at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    out = {r.doc_id: r for r in TX.redact_pii(df).collect()}
+    assert out[1].pii_email == 1 and out[1].pii_phone == 1
+    assert "<EMAIL>" in out[1].text and "<PHONE>" in out[1].text
+    assert "a.b+c@ex-1.org" not in out[1].text
+    assert out[2].pii_card == 2
+    assert out[2].text.count("<CARD>") == 2
+    assert out[3].pii_ssn == 1 and out[3].pii_ip == 1
+    assert "<SSN>" in out[3].text and "<IP>" in out[3].text
+    assert out[4].text == "no pii here at all"
+    assert (
+        out[4].pii_email == out[4].pii_card == out[4].pii_ssn
+        == out[4].pii_ip == out[4].pii_phone == 0
+    )
+    # counts=False adds no audit columns but still redacts
+    bare = TX.redact_pii(df, counts=False)
+    assert bare.columns == ["doc_id", "text"]
+    assert "<SSN>" in {r.doc_id: r.text for r in bare.collect()}[3]
