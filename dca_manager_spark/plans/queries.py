@@ -54,6 +54,29 @@ def o_davg(expr: str) -> str:
     return f"{o_dsum(expr)} / COUNT(*)"
 
 
+def _minhash_sig_cte() -> str:
+    """The ``sig`` CTE body shared by the MinHash oracles: per-permutation
+    universal-hash mins with constants IDENTICAL to the Spark side
+    (operators/dedup.minhash_perm_constants — see there for why the
+    family is (a_s*m1 + b_s*m2 + c_s) mod P and not the degenerate
+    m1 + s*m2 double hashing)."""
+    from dca_manager_spark.operators.dedup import MINHASH_P, minhash_perm_constants
+
+    rows = ",\n        ".join(
+        "({}, {}, {}, {})".format(s, *minhash_perm_constants(s))
+        for s in range(64)
+    )
+    return (
+        "SELECT doc_id, p.s AS s,\n"
+        f"             MIN((p.a * m1 + p.b * m2 + p.c) % {MINHASH_P}) AS h\n"
+        f"      FROM hashed, (VALUES {rows}) AS p(s, a, b, c)\n"
+        "      GROUP BY doc_id, p.s"
+    )
+
+
+MINHASH_SIG_CTE = _minhash_sig_cte()
+
+
 @dataclass
 class QueryDef:
     fn: Callable[[SparkSession, str], DataFrame]
@@ -1865,7 +1888,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "dedup_minhash_lsh",
-    r"""
+    rf"""
     WITH toks AS (
       SELECT doc_id,
              list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
@@ -1886,9 +1909,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM grams
     ),
     sig AS (
-      SELECT doc_id, s.s AS s, MIN(m1 + s.s * m2) AS h
-      FROM hashed, (SELECT unnest(range(0, 64)) AS s) s
-      GROUP BY doc_id, s.s
+      {MINHASH_SIG_CTE}
     ),
     bands AS (
       SELECT doc_id, s // 4 AS band,
@@ -3386,7 +3407,7 @@ def sampling_exact_k(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "dedup_incremental_batch",
-    r"""
+    rf"""
     WITH toks AS (
       SELECT doc_id,
              list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
@@ -3407,9 +3428,7 @@ def sampling_exact_k(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM grams
     ),
     sig AS (
-      SELECT doc_id, s.s AS s, MIN(m1 + s.s * m2) AS h
-      FROM hashed, (SELECT unnest(range(0, 64)) AS s) s
-      GROUP BY doc_id, s.s
+      {MINHASH_SIG_CTE}
     ),
     bands AS (
       SELECT doc_id, s // 4 AS band,
@@ -3745,7 +3764,7 @@ def applyinpandas_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "dedup_cluster_canonical",
-    r"""
+    rf"""
     WITH RECURSIVE toks AS (
       SELECT doc_id,
              list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
@@ -3766,9 +3785,7 @@ def applyinpandas_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM grams
     ),
     sig AS (
-      SELECT doc_id, s.s AS s, MIN(m1 + s.s * m2) AS h
-      FROM hashed, (SELECT unnest(range(0, 64)) AS s) s
-      GROUP BY doc_id, s.s
+      {MINHASH_SIG_CTE}
     ),
     bands AS (
       SELECT doc_id, s // 4 AS band,

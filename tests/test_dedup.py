@@ -442,3 +442,47 @@ def test_decontaminate_plan_broadcasts_benchmark(decontam_frames):
 
     with pytest.raises(ValueError):
         nd(corpus, bench, "doc_id", "text", n=0)
+
+
+def test_minhash_recall_at_moderate_jaccard(spark):
+    """Pins the r8 hash-family fix: the old Kirsch-Mitzenmacher
+    ``min(m1 + s*m2)`` permutations collapse for s >= 2 (the s*m2 term
+    dominates, so one min-m2 shingle wins almost every hash) — measured
+    candidate recall ~0.6-0.7 on THIS corpus where the 16x4 S-curve
+    theory says ~0.89. The per-s universal family must stay at theory:
+    planted pairs at J~0.55-0.65, recall floor 0.8."""
+    import random
+
+    rng = random.Random(13)
+    vocab = [f"w{i}" for i in range(5000)]
+    rows = []
+    n_pairs = 100
+    for i in range(n_pairs):
+        base = [rng.choice(vocab) for _ in range(40)]
+        mod = base[:]
+        for _ in range(rng.choice([3, 4])):
+            mod[rng.randrange(40)] = rng.choice(vocab)
+        rows.append((2 * i, " ".join(base)))
+        rows.append((2 * i + 1, " ".join(mod)))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    exact = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_pairs(
+            docs, "doc_id", "text", threshold=0.5, mode="word"
+        ).collect()
+    }
+    planted = {p: j for p, j in exact.items() if p[1] == p[0] + 1}
+    assert len(planted) >= 80  # nearly every planted pair is J >= 0.5
+    lsh = {
+        (r.id_a, r.id_b)
+        for r in minhash_lsh_pairs(
+            docs, "doc_id", "text", num_hashes=64, bands=16,
+            threshold=0.5, mode="word",
+        ).collect()
+    }
+    recall = len(lsh & set(planted)) / len(planted)
+    assert recall >= 0.8, (
+        f"LSH candidate recall {recall:.3f} at moderate J — the "
+        "permutation family has degenerated again (see "
+        "minhash_perm_constants)"
+    )

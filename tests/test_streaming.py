@@ -613,3 +613,90 @@ def test_lifecycle_processor_logic_without_engine(spark):
     out2 = pd.concat(list(proc.handleInputRows(("T1",), iter([b2]), None)))
     assert out2.iloc[0].latency_s == 90.0 and out2.iloc[0].outcome == "completed"
     assert state.v is None
+
+
+def test_stream_corpus_ingest_loop(spark, tmp_path):
+    """The steady-state ingest composition: per micro-batch, near-dup
+    gate vs the PERSISTED corpus index -> keyed lake upsert -> index
+    append — batch 2 must dedup against batch 1's admissions, and a
+    full replay (fresh checkpoint) must be self-suppressed by the grown
+    index."""
+    import os
+
+    from dca_manager_spark.io.manifest import ManifestTable
+    from dca_manager_spark.operators.dedup import build_corpus_index
+    from dca_manager_spark.streaming.corpus_ingest import stream_corpus_ingest
+
+    corpus_rows = [
+        (1, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        (2, "one two three four five six seven eight nine ten"),
+    ]
+    corpus = spark.createDataFrame(corpus_rows, "doc_id long, text string")
+    table = ManifestTable(
+        spark,
+        str(tmp_path / "corpus_tbl"),
+        keys=("doc_id",),
+        precombine="doc_id",
+        partition_by=(),
+    )
+    table.write(corpus, "upsert")
+    idx_path = str(tmp_path / "corpus_idx")
+    build_corpus_index(corpus, "doc_id", "text", num_hashes=16, bands=8).save(
+        idx_path
+    )
+
+    # batch 1: near-dup of corpus doc 1 (one word changed) + a new doc;
+    # batch 2: near-dup of batch 1's ADMITTED doc + a new doc — only the
+    # grown index can catch it.
+    src = tmp_path / "docs_in"
+    src.mkdir()
+    b1 = [
+        {"doc_id": 10, "text": "alpha beta gamma delta epsilon zeta eta theta iota mu"},
+        {"doc_id": 11, "text": "red green blue yellow purple orange pink brown black white"},
+    ]
+    b2 = [
+        {"doc_id": 20, "text": "red green blue yellow purple orange pink brown black grey"},
+        {"doc_id": 21, "text": "lorem ipsum dolor sit amet consectetur adipiscing elit sed do"},
+    ]
+    import json as _json
+
+    (src / "a_b1.json").write_text("\n".join(_json.dumps(r) for r in b1))
+    (src / "b_b2.json").write_text("\n".join(_json.dumps(r) for r in b2))
+    now = 1_700_000_000
+    os.utime(src / "a_b1.json", (now, now))
+    os.utime(src / "b_b2.json", (now + 10, now + 10))
+
+    def stream():
+        return (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", "1")
+            .json(str(src))
+        )
+
+    q = stream_corpus_ingest(
+        stream(), table, idx_path, str(tmp_path / "ck"), "doc_id", "text",
+        threshold=0.4,
+    )
+    q.awaitTermination(120)
+    kept = sorted(r.doc_id for r in table.read().collect())
+    # 10 rejected (near-dup of corpus 1), 11 admitted; 20 rejected
+    # (near-dup of 11 — caught ONLY because the index grew), 21 admitted
+    assert kept == [1, 2, 11, 21]
+
+    # full replay with a FRESH checkpoint: everything is now a 1.0
+    # near-dup of itself in the index -> nothing admitted, nothing
+    # re-appended (the idempotency story in the module doc)
+    q2 = stream_corpus_ingest(
+        stream(), table, idx_path, str(tmp_path / "ck2"), "doc_id", "text",
+        threshold=0.4,
+    )
+    q2.awaitTermination(120)
+    assert sorted(r.doc_id for r in table.read().collect()) == [1, 2, 11, 21]
+    # index gram rows for an admitted doc did not duplicate across replay
+    grams = spark.read.parquet(os.path.join(idx_path, "grams"))
+    per_doc = {
+        r["__id"]: r["n"]
+        for r in grams.groupBy("__id").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    # doc 11 and 21 indexed exactly once: 10 words -> 8 distinct 3-shingles
+    assert per_doc[11] == 8 and per_doc[21] == 8
