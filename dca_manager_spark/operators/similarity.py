@@ -684,3 +684,182 @@ def lsh_ann_topk(
             F.col("__qid").alias(query_id), F.col("__cid").alias(corpus_id), "cosine", "rank"
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) + asymmetric distance computation (ADC)
+# ---------------------------------------------------------------------------
+
+def _lit_darray(vals) -> Column:
+    return F.array(*[F.lit(float(x)) for x in vals])
+
+
+def train_pq_codebooks(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    m: int = 8,
+    k: int = 16,
+    seed: int = 13,
+    max_iter: int = 10,
+) -> list[list[list[float]]]:
+    """Train product-quantization codebooks: the vector is split into
+    ``m`` contiguous subvectors and each subspace gets its own ``k``-way
+    k-means codebook (Spark ML, pinned seed per subspace). Returns plain
+    nested lists (m x k x dim/m) — a tiny driver-side model, exactly like
+    ``train_ivf_seeds``'s centroid frame. At 100 TB train on a sample;
+    codebooks need only a sketch of the distribution."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    dim = corpus.select(F.size(F.col(vec_col)).alias("d")).first()["d"]
+    if m < 1 or dim % m:
+        raise ValueError(f"m ({m}) must divide the embedding dim ({dim})")
+    sub = dim // m
+    v = as_double_vec(F.col(vec_col))
+    books = []
+    for j in range(m):
+        train = corpus.select(
+            array_to_vector(F.slice(v, j * sub + 1, sub)).alias("features")
+        )
+        model = KMeans(k=k, seed=seed + j, maxIter=max_iter).fit(train)
+        books.append([[float(x) for x in c] for c in model.clusterCenters()])
+    return books
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: list[list[list[float]]],
+    vec_col: str = "embedding",
+    code_col: str = "pq_code",
+    norm_col: str = "pq_norm2",
+) -> DataFrame:
+    """Encode vectors as ``m`` small codebook indices (array<int>) plus
+    the reconstruction squared norm (for cosine scoring downstream).
+
+    The per-subspace argmin uses the array-argmax form (argmax of
+    sub.c - |c|^2/2 — equivalent to nearest-centroid, first-match
+    tie-break), NOT a chained when (exponential expression growth — see
+    ROUND_NOTES traps). Pure JVM expressions, map-only: at 100 TB this
+    is a single scan with no shuffle, dim*k multiply-adds per row.
+    PQ at m=8 subvectors of int8 codes is a 32x storage compression of
+    a 64-dim float32 embedding column."""
+    m = len(codebooks)
+    k = len(codebooks[0])
+    sub = len(codebooks[0][0])
+    v = as_double_vec(F.col(vec_col))
+    codes = []
+    for j, book in enumerate(codebooks):
+        s = F.slice(v, j * sub + 1, sub)
+        scores = F.array(
+            *[
+                F.aggregate(
+                    F.zip_with(s, _lit_darray(c), lambda a, b: a * b),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+                - F.lit(sum(x * x for x in c) / 2.0)
+                for c in book
+            ]
+        )
+        codes.append(
+            (F.array_position(scores, F.array_max(scores)) - 1).cast("int")
+        )
+    out = df.withColumn(code_col, F.array(*codes))
+    norm_luts = [[sum(x * x for x in c) for c in book] for book in codebooks]
+    norm2 = None
+    for j in range(m):
+        term = F.element_at(
+            _lit_darray(norm_luts[j]), F.col(code_col)[j] + 1
+        )
+        norm2 = term if norm2 is None else norm2 + term
+    return out.withColumn(norm_col, norm2)
+
+
+def pq_ann_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    query_id: str,
+    corpus_id: str,
+    codebooks: list[list[list[float]]],
+    vec_col: str = "embedding",
+    k: int = 10,
+) -> DataFrame:
+    """Approximate cosine top-k by ASYMMETRIC distance computation: the
+    corpus is scored through its PQ codes only — per (query, corpus)
+    pair the dot product is ``m`` lookup-table reads + adds instead of
+    ``dim`` multiplies, and the corpus row carries m ints instead of dim
+    floats (the memory-bandwidth win PQ exists for). The query side
+    stays exact: each query precomputes its (m x k) LUT of
+    subvector-centroid dots ONCE as a JVM expression, then
+    ``cos ~ sum_j LUT[j][code_j] / (|q| * |reconstruction|)``.
+
+    Same broadcast-queries x corpus-scan plan shape as ``cosine_topk``
+    (whitelisted brute-force family); at scale compose with IVF routing
+    (IVF-PQ: coarse cells prune the scan, ADC scores the survivors).
+    Returns (query_id, corpus_id, cosine_pq, rank); ranking error is
+    bounded by quantization distortion — re-rank the shortlist with
+    exact dots when exactness matters."""
+    m = len(codebooks)
+    enc = pq_encode(corpus, codebooks, vec_col).select(
+        F.col(corpus_id).alias("__cid"),
+        F.col("pq_code").alias("__code"),
+        F.col("pq_norm2").alias("__cn2"),
+    )
+    qv = as_double_vec(F.col(vec_col))
+    sub = len(codebooks[0][0])
+    lut = F.array(
+        *[
+            F.array(
+                *[
+                    F.aggregate(
+                        F.zip_with(
+                            F.slice(qv, j * sub + 1, sub),
+                            _lit_darray(c),
+                            lambda a, b: a * b,
+                        ),
+                        F.lit(0.0),
+                        lambda acc, x: acc + x,
+                    )
+                    for c in codebooks[j]
+                ]
+            )
+            for j in range(m)
+        ]
+    )
+    qn2 = F.aggregate(qv, F.lit(0.0), lambda acc, x: acc + x * x)
+    q = queries.select(
+        F.col(query_id).alias("__qid"),
+        lut.alias("__lut"),
+        qn2.alias("__qn2"),
+    )
+    adc = F.aggregate(
+        F.zip_with(
+            F.col("__code"),
+            F.col("__lut"),
+            lambda cj, lj: F.element_at(lj, cj + 1),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    denom = F.sqrt(F.col("__qn2") * F.col("__cn2"))
+    scored = (
+        enc.crossJoin(F.broadcast(q))
+        .filter(F.col("__qid") != F.col("__cid"))
+        .withColumn(
+            "cosine_pq",
+            F.when(denom > 0, adc / denom).otherwise(F.lit(0.0)),
+        )
+    )
+    w = Window.partitionBy("__qid").orderBy(
+        F.col("cosine_pq").desc(), F.col("__cid")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("__qid").alias(query_id),
+            F.col("__cid").alias(corpus_id),
+            "cosine_pq",
+            "rank",
+        )
+    )

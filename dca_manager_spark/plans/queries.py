@@ -101,81 +101,70 @@ def query(name: str, oracle: str | None):
 # The full catalog is still verified every round by scripts/driver_sim.py
 # regardless of window membership.
 _DRIVER_WINDOW = [
-    # Round-7 rotation (r6 verdict task #2): (1) the never-scored
-    # dedup_incremental_batch and the two r1/r2-era windows go FIRST,
-    # (2) everything ADDED or CHANGED in round 7 (the pack_sequences
-    # two-pass rewrite, the mixture map-literal rewrite, and the five new
-    # r7 queries), (3) 37 of the 38 queries whose latest driver row is r5
-    # (scalar_math_funcs rotated out to make room — r5-green, unchanged
-    # since), (4) four flagship keepers. Everything else scored green in
-    # r6 and rotates out (agg_approx_distinct, q1_pricing_summary among
-    # them). Full-catalog verification still happens every round via
-    # scripts/driver_sim.py regardless of window membership. Late-r7:
-    # 6 new queries in (text_decontaminate, q13/q15/q17/q22 shapes,
-    # events_cohort_retention); out: the 4 r6-green flagship keepers,
-    # plus window_range_frame + join_shuffle_hash_hint (r5-green AND
-    # plan-asserted in test_plans — the strongest non-driver evidence),
-    # then scalar_subquery_above_avg (shape re-proven by q15/q22 in this
-    # window) + train_val_test_split (r5-green, property-tested) to make
-    # room for join_salted_skew + udtf_top_tokens; stat_corr_manual
-    # (r5-green) out for events_resample_ffill; sql_correlated_exists
-    # (r5-green, shape also held by the semi-join plan tests) out for
-    # manifest_mor_resolve; stratified_hash_sample (r5-green,
-    # property-tested) out for text_boilerplate_removal;
-    # multimodal_frame_plan (r5-green, plan-shape query also pinned by
-    # test_multimodal) out for manifest_cdc_aggregate.
+    # Round-8 rotation: (1) the ten queries ADDED this round (seven
+    # TPC-H completions + PII scrub + fuzzy matching + shard assignment)
+    # have no driver row yet and go first; (2) everything whose CODE or
+    # ORACLE changed this round — the four MinHash queries (permutation
+    # family replaced on both engines) and the three ManifestTable
+    # queries that exercise the write path (pin-before-validation +
+    # dtype-conflict hardening); (3) stalest-first fill: the 15 queries
+    # whose last driver row is r5, then r6-scored entries alphabetically
+    # until the window holds 50. Everything rotated out is r6/r7-green
+    # and unchanged; the full catalog is still verified each round by
+    # scripts/driver_sim.py regardless of window membership.
+    "q2_min_cost_supplier",
+    "q9_product_profit",
+    "q11_important_stock",
+    "q12_shipclass_priority",
+    "q16_supplier_part_counts",
+    "q20_excess_shippers",
+    "q21_waiting_suppliers",
+    "text_pii_redaction",
+    "fuzzy_match_part_names",
+    "training_shard_assignment",
+    "similarity_pq_adc",
+    # -- changed in round 8 --
+    "dedup_minhash_lsh",
     "dedup_incremental_batch",
-    "window_first_last",
-    "window_ntile_quartiles",
-    # -- changed in round 7 --
-    "training_pack_sequences",
-    "training_mixture_sample",
     "dedup_incremental_indexed",
-    "similarity_ivf_learned",
-    "training_chunk_documents",
-    "window_percent_cume",
+    "dedup_cluster_canonical",
     "manifest_incremental_pull",
-    "embedding_quantize_int8",
-    "sampling_exact_k",
-    "events_funnel",
-    "training_chunk_pack_pipeline",
-    "text_effective_vocab",
-    "text_decontaminate",
-    "q13_customer_order_distribution",
-    "q15_top_supplier",
-    "q17_small_quantity_revenue",
-    "q22_idle_customer_balance",
-    "events_cohort_retention",
-    "join_salted_skew",
-    "udtf_top_tokens",
-    "events_resample_ffill",
     "manifest_mor_resolve",
-    "text_boilerplate_removal",
     "manifest_cdc_aggregate",
     # -- last scored r5 --
-    "q3_shipping_priority",
-    "q5_local_supplier_volume",
-    "q10_returned_items",
-    "join_broadcast_dim",
-    "agg_collect_sorted",
-    "agg_median_price",
-    "precombine_dedup_lineitem",
-    "text_features",
-    "dedup_exact_documents",
-    "dedup_ngram_jaccard",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "similarity_cosine_topk",
-    "similarity_lsh_ann",
-    "similarity_ivf_ann",
-    "array_functions",
-    "pivot_status_by_priority",
-    "unpivot_balances",
-    "applyinpandas_zscore",
-    "multimodal_features",
-    "text_cleaning",
-    "text_repetition_ratio",
-    "vocabulary_oov",
+    "join_shuffle_hash_hint",
+    "map_functions",
+    "multimodal_frame_plan",
+    "null_handling_family",
+    "profile_orders",
+    "regexp_extract_parts",
+    "scalar_interval_arith",
+    "scalar_math_funcs",
+    "scalar_subquery_above_avg",
+    "sql_correlated_exists",
+    "stat_corr_manual",
+    "stratified_hash_sample",
+    "train_val_test_split",
+    "union_missing_columns",
+    "window_range_frame",
+    # -- last scored r6 --
+    "agg_approx_distinct",
+    "agg_approx_percentile",
+    "agg_cube_status_priority",
+    "agg_distinct_per_segment",
+    "agg_grouping_sets",
+    "agg_rollup_region_nation",
+    "asof_join_purchase_view",
+    "corpus_prep_pipeline",
+    "cross_join_region_types",
+    "dedup_embedding_cosine",
+    "dedup_embedding_cosine_exact",
+    "distinct_projection",
+    "explode_word_counts",
+    "filter_predicate_family",
+    "from_json_typed",
+    "join_full_outer",
+    "join_left_anti",
 ]
 
 
@@ -5502,4 +5491,51 @@ def training_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("doc_id").alias("sum_doc"),
         )
         .orderBy("shard")
+    )
+
+
+@query(
+    "similarity_pq_adc",
+    """
+    SELECT COUNT(DISTINCT vec_id) AS n_queries, TRUE AS recall_ok
+    FROM embeddings WHERE vec_id < 50
+    """,
+)
+def similarity_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN with asymmetric distance computation:
+    the corpus is scored through m=16 codebook indices (16 LUT reads +
+    adds per pair instead of 64 multiplies; 16 ints per row instead of
+    64 floats — the memory-bandwidth design point of PQ). Codebooks are
+    Spark-ML k-means per subspace (pinned seeds); assignment depends on
+    the trained model, so the oracle is the in-bounds pattern
+    (similarity_ivf_learned's): every query answered + recall@10 vs the
+    exact brute force above a generous 0.25 floor (measured 0.36-0.47
+    across SFs on these UNSTRUCTURED synthetic vectors — the worst case
+    for PQ; clustered real embeddings quantize far better). The
+    production shortlist-then-exact-re-rank composition is pinned in
+    tests/test_similarity.py."""
+    from dca_manager_spark.operators.similarity import (
+        cosine_topk,
+        pq_ann_topk,
+        train_pq_codebooks,
+    )
+
+    emb = t(spark, sf_dir, "embeddings")
+    q_df = emb.filter(F.col("vec_id") < 50).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    c_df = emb.select(F.col("vec_id").alias("neighbor_id"), "embedding")
+    books = train_pq_codebooks(c_df, m=16, k=16, max_iter=5)
+    approx = pq_ann_topk(
+        q_df, c_df, "query_id", "neighbor_id", books, k=10
+    ).select("query_id", "neighbor_id", F.lit(1).alias("_hit"))
+    exact = cosine_topk(
+        q_df, c_df, "query_id", "neighbor_id", k=10
+    ).select("query_id", "neighbor_id")
+    return exact.join(approx, ["query_id", "neighbor_id"], "left").agg(
+        F.countDistinct("query_id").alias("n_queries"),
+        (
+            (F.sum(F.coalesce(F.col("_hit"), F.lit(0))) / F.count(F.lit(1)))
+            >= 0.25
+        ).alias("recall_ok"),
     )

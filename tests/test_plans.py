@@ -231,6 +231,9 @@ def test_catalog_wide_no_accidental_cartesian(spark):
         "similarity_ivf_learned",      # same quantizer shape + the exact
                                        # brute-force baseline its recall
                                        # floor is measured against
+        "similarity_pq_adc",           # ADC scan (broadcast queries x
+                                       # corpus codes) + the same exact
+                                       # baseline for its recall floor
     }
     flagged = {}
     for name in QUERIES:

@@ -317,3 +317,86 @@ def test_cosine_topk_int8_agrees_with_exact(spark, emb):
         key = (r.query_id, r.neighbor_id)
         if key in exact_cos:
             assert abs(r.cosine - exact_cos[key]) < 0.02, (key, r.cosine, exact_cos[key])
+
+
+def test_pq_adc_recall_and_rerank(spark, sf_dir):
+    """PQ/ADC shortlist recall clears the floor, and the production
+    composition — PQ shortlist -> exact re-rank — recovers most of the
+    exact top-10 at a fraction of the full-scan arithmetic."""
+    from dca_manager_spark.operators.similarity import (
+        cosine_topk,
+        pq_ann_topk,
+        train_pq_codebooks,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    c = emb.select(F.col("vec_id").alias("nid"), "embedding")
+    q = emb.filter(F.col("vec_id") < 30).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+    books = train_pq_codebooks(c, m=16, k=16, max_iter=5)
+    exact = {
+        (r.qid, r.nid)
+        for r in cosine_topk(q, c, "qid", "nid", k=10).collect()
+    }
+    top10 = {
+        (r.qid, r.nid)
+        for r in pq_ann_topk(q, c, "qid", "nid", books, k=10).collect()
+    }
+    assert len(top10 & exact) / len(exact) >= 0.25
+    # shortlist 50 then exact re-rank: recall jumps well above the raw
+    # top-10 — the IVF-PQ/re-rank production pattern
+    shortlist = pq_ann_topk(q, c, "qid", "nid", books, k=50).select(
+        "qid", "nid"
+    )
+    rer = shortlist.join(
+        c.withColumnRenamed("nid", "__n"), F.col("nid") == F.col("__n")
+    )
+    reranked = {
+        (r.qid, r.nid)
+        for r in cosine_topk(
+            q,
+            rer.select(F.col("nid"), "embedding").distinct(),
+            "qid",
+            "nid",
+            k=10,
+        ).collect()
+    }
+    # re-rank can only pick from the shortlist; measure against exact
+    short_recall = len(top10 & exact) / len(exact)
+    rerank_recall = len(reranked & exact) / len(exact)
+    assert rerank_recall >= short_recall
+    assert rerank_recall >= 0.5, f"re-rank recall {rerank_recall}"
+
+
+def test_pq_encode_is_layout_independent(spark):
+    """With FIXED codebooks the code assignment is a pure row function:
+    repartitioning must not change a single code."""
+    from dca_manager_spark.operators.similarity import pq_encode
+
+    rows = [(i, [float((i * 7 + j * 3) % 11) / 11 for j in range(8)]) for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    books = [
+        [[0.1 * c + 0.01 * d for d in range(4)] for c in range(5)]
+        for _ in range(2)
+    ]
+    a = {
+        r.vec_id: tuple(r.pq_code)
+        for r in pq_encode(df, books).collect()
+    }
+    b = {
+        r.vec_id: tuple(r.pq_code)
+        for r in pq_encode(df.repartition(7), books).collect()
+    }
+    assert a == b
+    assert all(len(c) == 2 for c in a.values())
+
+
+def test_pq_dim_divisibility_is_loud(spark):
+    from dca_manager_spark.operators.similarity import train_pq_codebooks
+
+    df = spark.createDataFrame(
+        [(1, [0.1] * 10)], "vec_id int, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="divide"):
+        train_pq_codebooks(df, m=3)
