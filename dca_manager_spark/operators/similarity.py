@@ -690,10 +690,6 @@ def lsh_ann_topk(
 # Product quantization (PQ) + asymmetric distance computation (ADC)
 # ---------------------------------------------------------------------------
 
-def _lit_darray(vals) -> Column:
-    return F.array(*[F.lit(float(x)) for x in vals])
-
-
 def train_pq_codebooks(
     corpus: DataFrame,
     vec_col: str = "embedding",
@@ -701,29 +697,94 @@ def train_pq_codebooks(
     k: int = 16,
     seed: int = 13,
     max_iter: int = 10,
+    sample_rows: int = 4096,
 ) -> list[list[list[float]]]:
     """Train product-quantization codebooks: the vector is split into
     ``m`` contiguous subvectors and each subspace gets its own ``k``-way
-    k-means codebook (Spark ML, pinned seed per subspace). Returns plain
-    nested lists (m x k x dim/m) — a tiny driver-side model, exactly like
-    ``train_ivf_seeds``'s centroid frame. At 100 TB train on a sample;
-    codebooks need only a sketch of the distribution."""
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
+    k-means codebook. Returns plain nested lists (m x k x dim/m) — a
+    tiny driver-side model, like ``train_ivf_seeds``'s centroid frame.
+
+    Training is a BOUNDED driver-side collect (first ``sample_rows``
+    vectors) + numpy Lloyd iterations per subspace — deliberately NOT m
+    Spark-ML fits: each MLlib fit costs ~1s of job overhead regardless
+    of size (m=16 measured 12-23s), while codebooks only need a
+    distribution sketch — the standard PQ training recipe at any corpus
+    size is sample -> tiny driver model -> broadcast. Deterministic for
+    a deterministic input order (seeded init, fixed iteration count);
+    pass an ordered frame when rerun-stability matters."""
+    import numpy as np
 
     dim = corpus.select(F.size(F.col(vec_col)).alias("d")).first()["d"]
     if m < 1 or dim % m:
         raise ValueError(f"m ({m}) must divide the embedding dim ({dim})")
     sub = dim // m
-    v = as_double_vec(F.col(vec_col))
+    rows = (
+        corpus.select(as_double_vec(F.col(vec_col)).alias("v"))
+        .limit(sample_rows)
+        .collect()
+    )
+    X = np.asarray([r["v"] for r in rows], dtype=np.float64)
+    if X.shape[0] < k:
+        raise ValueError(
+            f"need at least k ({k}) sample vectors, got {X.shape[0]}"
+        )
     books = []
     for j in range(m):
-        train = corpus.select(
-            array_to_vector(F.slice(v, j * sub + 1, sub)).alias("features")
-        )
-        model = KMeans(k=k, seed=seed + j, maxIter=max_iter).fit(train)
-        books.append([[float(x) for x in c] for c in model.clusterCenters()])
+        S = X[:, j * sub : (j + 1) * sub]
+        rng = np.random.default_rng(seed + j)
+        cents = S[rng.choice(S.shape[0], size=k, replace=False)].copy()
+        for _ in range(max_iter):
+            d2 = ((S[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for c in range(k):
+                pts = S[assign == c]
+                if len(pts):
+                    cents[c] = pts.mean(axis=0)
+                else:
+                    # empty cluster: reseed to the point farthest from
+                    # its centroid (deterministic)
+                    cents[c] = S[d2.min(axis=1).argmax()]
+        books.append([[float(x) for x in c] for c in cents])
     return books
+
+
+def _pq_encode_udf(codebooks: list[list[list[float]]]):
+    """Arrow-vectorized PQ encoder: numpy nearest-centroid per subspace.
+
+    NOT expressed as JVM column expressions on purpose: the m x k
+    literal-array score tree (even in array-argmax form) blows past the
+    whole-stage-codegen method limit, falls back to interpreted
+    evaluation, and measured ~20x slower than this Arrow batch path
+    (9s to encode 500 rows). Same lesson as sign_lsh_signature_arrow:
+    per-row trees that scale with model size belong in numpy."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    B = [np.asarray(b, dtype=np.float64) for b in codebooks]
+    half = [0.5 * (b * b).sum(axis=1) for b in B]
+    m = len(B)
+    sub = B[0].shape[1]
+
+    @pandas_udf("code array<int>, norm2 double", PandasUDFType.SCALAR)
+    def enc(v):
+        if not len(v):
+            return pd.DataFrame({"code": [], "norm2": []})
+        X = np.asarray([np.asarray(x, dtype=np.float64) for x in v])
+        codes = np.empty((len(X), m), dtype=np.int32)
+        n2 = np.zeros(len(X))
+        for j in range(m):
+            S = X[:, j * sub : (j + 1) * sub]
+            # argmax of sub.c - |c|^2/2 == nearest centroid (first-match
+            # tie-break, matching array-argmax semantics)
+            cj = (S @ B[j].T - half[j]).argmax(axis=1)
+            codes[:, j] = cj
+            n2 += (2.0 * half[j])[cj]
+        return pd.DataFrame(
+            {"code": [list(map(int, c)) for c in codes], "norm2": n2}
+        )
+
+    return enc
 
 
 def pq_encode(
@@ -735,44 +796,17 @@ def pq_encode(
 ) -> DataFrame:
     """Encode vectors as ``m`` small codebook indices (array<int>) plus
     the reconstruction squared norm (for cosine scoring downstream).
-
-    The per-subspace argmin uses the array-argmax form (argmax of
-    sub.c - |c|^2/2 — equivalent to nearest-centroid, first-match
-    tie-break), NOT a chained when (exponential expression growth — see
-    ROUND_NOTES traps). Pure JVM expressions, map-only: at 100 TB this
-    is a single scan with no shuffle, dim*k multiply-adds per row.
-    PQ at m=8 subvectors of int8 codes is a 32x storage compression of
-    a 64-dim float32 embedding column."""
-    m = len(codebooks)
-    k = len(codebooks[0])
-    sub = len(codebooks[0][0])
-    v = as_double_vec(F.col(vec_col))
-    codes = []
-    for j, book in enumerate(codebooks):
-        s = F.slice(v, j * sub + 1, sub)
-        scores = F.array(
-            *[
-                F.aggregate(
-                    F.zip_with(s, _lit_darray(c), lambda a, b: a * b),
-                    F.lit(0.0),
-                    lambda acc, x: acc + x,
-                )
-                - F.lit(sum(x * x for x in c) / 2.0)
-                for c in book
-            ]
-        )
-        codes.append(
-            (F.array_position(scores, F.array_max(scores)) - 1).cast("int")
-        )
-    out = df.withColumn(code_col, F.array(*codes))
-    norm_luts = [[sum(x * x for x in c) for c in book] for book in codebooks]
-    norm2 = None
-    for j in range(m):
-        term = F.element_at(
-            _lit_darray(norm_luts[j]), F.col(code_col)[j] + 1
-        )
-        norm2 = term if norm2 is None else norm2 + term
-    return out.withColumn(norm_col, norm2)
+    Arrow-batched numpy (see ``_pq_encode_udf`` for why not JVM
+    expressions), map-only: at 100 TB this is a single scan with no
+    shuffle. PQ at m=8 subvectors of int8-range codes is a 32x storage
+    compression of a 64-dim float32 embedding column."""
+    enc = _pq_encode_udf(codebooks)
+    out = df.withColumn("__pq", enc(F.col(vec_col)))
+    return (
+        out.withColumn(code_col, F.col("__pq.code"))
+        .withColumn(norm_col, F.col("__pq.norm2"))
+        .drop("__pq")
+    )
 
 
 def pq_ann_topk(
@@ -799,37 +833,39 @@ def pq_ann_topk(
     Returns (query_id, corpus_id, cosine_pq, rank); ranking error is
     bounded by quantization distortion — re-rank the shortlist with
     exact dots when exactness matters."""
-    m = len(codebooks)
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    B = [np.asarray(b, dtype=np.float64) for b in codebooks]
+    m = len(B)
+    sub = B[0].shape[1]
     enc = pq_encode(corpus, codebooks, vec_col).select(
         F.col(corpus_id).alias("__cid"),
         F.col("pq_code").alias("__code"),
         F.col("pq_norm2").alias("__cn2"),
     )
+
+    # Per-query LUT of subvector-centroid dots, Arrow-batched (the m x k
+    # expression tree hits the same codegen wall as the encoder).
+    @pandas_udf("array<array<double>>", PandasUDFType.SCALAR)
+    def lut_udf(v):
+        if not len(v):
+            return pd.Series([], dtype=object)
+        X = np.asarray([np.asarray(x, dtype=np.float64) for x in v])
+        tables = [X[:, j * sub : (j + 1) * sub] @ B[j].T for j in range(m)]
+        return pd.Series(
+            [
+                [list(tables[j][i]) for j in range(m)]
+                for i in range(len(X))
+            ]
+        )
+
     qv = as_double_vec(F.col(vec_col))
-    sub = len(codebooks[0][0])
-    lut = F.array(
-        *[
-            F.array(
-                *[
-                    F.aggregate(
-                        F.zip_with(
-                            F.slice(qv, j * sub + 1, sub),
-                            _lit_darray(c),
-                            lambda a, b: a * b,
-                        ),
-                        F.lit(0.0),
-                        lambda acc, x: acc + x,
-                    )
-                    for c in codebooks[j]
-                ]
-            )
-            for j in range(m)
-        ]
-    )
     qn2 = F.aggregate(qv, F.lit(0.0), lambda acc, x: acc + x * x)
     q = queries.select(
         F.col(query_id).alias("__qid"),
-        lut.alias("__lut"),
+        lut_udf(F.col(vec_col)).alias("__lut"),
         qn2.alias("__qn2"),
     )
     adc = F.aggregate(

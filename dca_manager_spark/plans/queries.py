@@ -5525,7 +5525,11 @@ def similarity_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), "embedding"
     )
     c_df = emb.select(F.col("vec_id").alias("neighbor_id"), "embedding")
-    books = train_pq_codebooks(c_df, m=16, k=16, max_iter=5)
+    # ordered input => deterministic bounded sample => deterministic
+    # codebooks (numpy training; see train_pq_codebooks)
+    books = train_pq_codebooks(
+        c_df.orderBy("neighbor_id"), m=16, k=16, max_iter=10
+    )
     approx = pq_ann_topk(
         q_df, c_df, "query_id", "neighbor_id", books, k=10
     ).select("query_id", "neighbor_id", F.lit(1).alias("_hit"))

@@ -216,3 +216,28 @@ def test_queue_publish_names_monotonic_under_clock_stepback(tmp_path, monkeypatc
     # a fresh instance (process restart) keeps the floor via the counter file
     c = FileQueue(str(tmp_path / "q")).publish("T2", "b", "k2", "kraken", True)
     assert c > b
+
+
+def test_queue_restart_replays_unacked_then_acks(tmp_path):
+    """Restart semantics: a fresh reader (empty ledger) asked to replay
+    a checkpointed range re-plans the files still on disk (unacked ->
+    redelivered, at-least-once) and its commit acks exactly those."""
+    from pathlib import Path
+
+    from dca_manager_spark.io.datasource import FileQueueStreamReader
+
+    qdir = tmp_path / "q"
+    fq = FileQueue(str(qdir))
+    fq.publish("T0", "b", "k0", "kraken", True)
+    fq.publish("T1", "b", "k1", "kraken", True)
+
+    r1 = FileQueueStreamReader({"path": str(qdir)})
+    start, end = r1.initialOffset(), r1.latestOffset()
+    planned = [Path(f).name for p in r1.partitions(start, end) for f in p.files]
+    assert len(planned) == 2
+    # crash before commit: new reader instance, same checkpointed offsets
+    r2 = FileQueueStreamReader({"path": str(qdir)})
+    replanned = [Path(f).name for p in r2.partitions(start, end) for f in p.files]
+    assert sorted(replanned) == sorted(planned), "unacked files must redeliver"
+    r2.commit(end)
+    assert list(qdir.glob("*.json")) == []
