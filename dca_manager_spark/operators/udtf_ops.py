@@ -17,6 +17,7 @@ from __future__ import annotations
 import re
 from collections import Counter
 
+from pyspark.sql import functions as F
 from pyspark.sql.functions import udtf
 
 
@@ -38,3 +39,64 @@ class TopTokensUDTF:
 def register_udtfs(spark) -> None:
     """Register the UDTF surface on a session (idempotent)."""
     spark.udtf.register("top_tokens", TopTokensUDTF)
+
+
+def cogroup_order_fulfillment(orders: "DataFrame", lineitem: "DataFrame"):
+    """Per-order reconciliation via COGROUPED applyInPandas (the last
+    pandas-API surface: groupBy().cogroup().applyInPandas) — each order
+    key's rows from BOTH tables arrive as two aligned pandas frames.
+
+    Semantics (deliberately SQL-expressible so the catalog oracle can
+    verify the cogroup machinery end-to-end): per order, the line count,
+    cent-exact quantity sum, and a fulfilled flag (every line shipped,
+    i.e. no line with returnflag 'R'). Orders with no lines surface with
+    zero lines — the left-cogroup behavior a plain inner join loses.
+
+    Scale: cogroup shuffles BOTH sides once on the key (same exchange an
+    equi join needs) and streams each key's Arrow batches through
+    Python. This is the SLOW path — use it when per-key logic genuinely
+    needs imperative pandas (sessionized reconciliation, model scoring
+    over a key's history); this aggregate exists as the verifiable
+    stand-in. At 100 TB the shape holds: work is per-key, no collect,
+    skew governed by the largest single key."""
+    import pandas as pd
+
+    def fulfill(key, odf: "pd.DataFrame", ldf: "pd.DataFrame") -> "pd.DataFrame":
+        if not len(odf):
+            # lines for an unknown order: nothing to report on
+            return pd.DataFrame(
+                columns=["o_orderkey", "n_lines", "sum_qty", "fulfilled"]
+            )
+        import numpy as np
+
+        qty_cents = (
+            int(np.floor(ldf["l_quantity"].to_numpy() * 100).sum())
+            if len(ldf)
+            else 0
+        )
+        return pd.DataFrame(
+            {
+                "o_orderkey": [key[0]],
+                "n_lines": [len(ldf)],
+                "sum_qty": [qty_cents / 100.0],
+                "fulfilled": [
+                    bool(len(ldf)) and not (ldf["l_returnflag"] == "R").any()
+                ],
+            }
+        )
+
+    return (
+        orders.select("o_orderkey")
+        .groupBy("o_orderkey")
+        .cogroup(
+            lineitem.select(
+                F.col("l_orderkey").alias("o_orderkey"),
+                "l_quantity",
+                "l_returnflag",
+            ).groupBy("o_orderkey")
+        )
+        .applyInPandas(
+            fulfill,
+            schema="o_orderkey long, n_lines long, sum_qty double, fulfilled boolean",
+        )
+    )

@@ -123,6 +123,7 @@ _DRIVER_WINDOW = [
     "fuzzy_match_part_names",
     "training_shard_assignment",
     "similarity_pq_adc",
+    "cogroup_order_fulfillment",
     # -- changed in round 8 --
     "dedup_minhash_lsh",
     "dedup_incremental_batch",
@@ -164,7 +165,6 @@ _DRIVER_WINDOW = [
     "filter_predicate_family",
     "from_json_typed",
     "join_full_outer",
-    "join_left_anti",
 ]
 
 
@@ -5543,3 +5543,40 @@ def similarity_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
             >= 0.25
         ).alias("recall_ok"),
     )
+
+
+@query(
+    "cogroup_order_fulfillment",
+    """
+    SELECT o.o_orderkey,
+           COUNT(l.l_orderkey) AS n_lines,
+           CAST(COALESCE(SUM(CAST(FLOOR(l.l_quantity * 100)
+                                  AS DECIMAL(38,0))), 0) AS DOUBLE) / 100
+             AS sum_qty,
+           (COUNT(l.l_orderkey) > 0
+            AND COUNT(CASE WHEN l.l_returnflag = 'R' THEN 1 END) = 0)
+             AS fulfilled
+    FROM orders o
+    LEFT JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderkey % 331 = 0
+    GROUP BY o.o_orderkey
+    ORDER BY o.o_orderkey
+    """,
+)
+def cogroup_order_fulfillment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COGROUPED applyInPandas (groupBy().cogroup() — the last pandas
+    API surface): per-order reconciliation where each key's rows from
+    BOTH tables arrive as two pandas frames. The aggregate itself is
+    deliberately SQL-expressible so the oracle verifies the cogroup
+    machinery (alignment, empty sides, Arrow batching) end-to-end;
+    the cent-exact quantity sum follows the catalog float policy inside
+    numpy. Bounded input (1/331st of orders), same policy as
+    udtf_top_tokens: per-key Python is the documented slow path — the
+    equivalent JVM plan is the LEFT JOIN + groupBy in the oracle."""
+    from dca_manager_spark.operators.udtf_ops import (
+        cogroup_order_fulfillment as cg,
+    )
+
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 331 == 0)
+    l = t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 331 == 0)
+    return cg(o, l).orderBy("o_orderkey")

@@ -36,3 +36,30 @@ def test_top_tokens_k_zero_emits_nothing(spark):
         "SELECT * FROM __udtf_t0 d, LATERAL top_tokens(d.text, 0) tt"
     ).collect()
     assert rows == []
+
+
+def test_cogroup_fulfillment_empty_sides(spark):
+    """Left-cogroup behavior the oracle's LEFT JOIN mirrors: an order
+    with no lines surfaces (0 lines, unfulfilled); lines with no order
+    vanish."""
+    from dca_manager_spark.operators.udtf_ops import cogroup_order_fulfillment
+
+    orders = spark.createDataFrame(
+        [(1,), (2,), (3,)], "o_orderkey long"
+    )
+    lines = spark.createDataFrame(
+        [
+            (1, 2.0, "N"), (1, 3.5, "N"),   # fulfilled
+            (2, 1.0, "R"),                   # returned line -> unfulfilled
+            (9, 4.0, "N"),                   # no such order -> dropped
+        ],
+        "l_orderkey long, l_quantity double, l_returnflag string",
+    )
+    rows = {
+        r.o_orderkey: r
+        for r in cogroup_order_fulfillment(orders, lines).collect()
+    }
+    assert set(rows) == {1, 2, 3}
+    assert rows[1].n_lines == 2 and rows[1].sum_qty == 5.5 and rows[1].fulfilled
+    assert rows[2].n_lines == 1 and not rows[2].fulfilled
+    assert rows[3].n_lines == 0 and rows[3].sum_qty == 0.0 and not rows[3].fulfilled
