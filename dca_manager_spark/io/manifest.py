@@ -55,6 +55,8 @@ from pyspark.sql import functions as F
 
 from dca_manager_spark.io.merge import WriteOperation, precombine_dedup
 
+_UNSET = object()  # "no prev supplied" sentinel (None = empty table)
+
 _MANIFEST_DIR = "_manifests"
 _DATA_DIR = "data"
 _CHANGES_DIR = "_changes"
@@ -804,6 +806,9 @@ class ManifestTable:
         prev = self._latest_manifest()
         if prev is not None:
             self._merged_schema_json(prev[1], df)  # raises on conflict
+        # `prev` is threaded into the write paths below so the manifest
+        # is loaded ONCE per write, not re-read per path (single-writer;
+        # concurrent commits still conflict loudly at _publish).
         if self.constraints and op != WriteOperation.DELETE:
             # Pin BEFORE validating: otherwise the validated rows and the
             # written rows are different materializations of a possibly
@@ -812,20 +817,20 @@ class ManifestTable:
             df = _pin(df)
             self._check_constraints(df)
         if self.table_type == "mor":
-            self._mor_write(df, op)
+            self._mor_write(df, op, prev=prev)
             return
         if op in (WriteOperation.INSERT, WriteOperation.BULK_INSERT):
-            self._append(df)
+            self._append(df, prev=prev)
             return
         # Pin the batch: the merge path consumes it several times (key
         # set, partition values, union) — a nondeterministic input would
         # otherwise be re-evaluated differently per consumer.
         df = _pin(df)
         if op == WriteOperation.UPSERT:
-            self._merge(df, keep_batch=True)
+            self._merge(df, keep_batch=True, prev=prev)
         else:
             self._merge(precombine_dedup(df, self.keys, self.precombine),
-                        keep_batch=False)
+                        keep_batch=False, prev=prev)
 
     def _merged_schema_json(self, prev_doc: dict | None, df: DataFrame) -> str:
         """Committed schema for the next commit: previous fields plus any
@@ -863,7 +868,7 @@ class ManifestTable:
         )
         return merged.json()
 
-    def _mor_write(self, df: DataFrame, op: WriteOperation) -> None:
+    def _mor_write(self, df: DataFrame, op: WriteOperation, prev=_UNSET) -> None:
         """Merge-on-read write path: EVERY operation lands as new files
         referenced by the next manifest — no existing file is read or
         rewritten, so commit cost is O(batch) regardless of partition
@@ -875,7 +880,8 @@ class ManifestTable:
             df = df.localCheckpoint(eager=True)  # pin the precombined rows
         else:
             df = _pin(df)
-        prev = self._latest_manifest()
+        if prev is _UNSET:
+            prev = self._latest_manifest()
         prev_id, prev_doc = (prev[0], prev[1]) if prev else (None, None)
         prev_files = prev_doc["files"] if prev_doc else []
         next_id = self._next_id(prev_id)
@@ -958,8 +964,9 @@ class ManifestTable:
         )
         return resolved.select(*[F.col(f.name) for f in schema.fields])
 
-    def _append(self, df: DataFrame) -> None:
-        prev = self._latest_manifest()
+    def _append(self, df: DataFrame, prev=_UNSET) -> None:
+        if prev is _UNSET:
+            prev = self._latest_manifest()
         prev_id, prev_files = (prev[0], prev[1]["files"]) if prev else (None, [])
         if self.constraints or self.cluster_by:
             # these features consume the batch more than once (validation
@@ -980,13 +987,14 @@ class ManifestTable:
             op="append",
         )
 
-    def _merge(self, batch: DataFrame, keep_batch: bool) -> None:
+    def _merge(self, batch: DataFrame, keep_batch: bool, prev=_UNSET) -> None:
         if keep_batch:
             batch = precombine_dedup(batch, self.keys, self.precombine)
-        prev = self._latest_manifest()
+        if prev is _UNSET:
+            prev = self._latest_manifest()
         if prev is None:
             if keep_batch:
-                self._append(batch)
+                self._append(batch, prev=None)
             return
         prev_id, prev_doc = prev
         prev_files = prev_doc["files"]

@@ -217,6 +217,13 @@ def _base_hashes(g: Column, hash_fn: str) -> tuple[Column, Column]:
 # a*m1 + b*m2 + c < 2^61 + 2^61 + 2^60 < 2^63.
 MINHASH_P = (1 << 61) - 1
 
+# Generation tag of the permutation family, stamped into every persisted
+# CorpusIndex and checked at load/filter/extend/append time: indexes from
+# a different family produce band hashes that NEVER collide with this
+# code's, which would silently disable dedup. Bump when the family or
+# its constants change.
+MINHASH_FAMILY = "universal-p61-v2"
+
 
 def minhash_perm_constants(s: int) -> tuple[int, int, int]:
     """Deterministic per-permutation constants (a_s, b_s, c_s) for
@@ -417,6 +424,24 @@ class CorpusIndex:
 
     PARAM_KEYS = ("num_hashes", "bands", "k", "mode", "hash_fn")
 
+    @staticmethod
+    def check_family(params: dict, where: str) -> None:
+        """Loud error when a persisted index was built by a DIFFERENT
+        permutation family than this code computes: the scalar params
+        (num_hashes/bands/...) can all match while band hashes from two
+        families never collide — the filter would then silently admit
+        every near-duplicate. The family tag makes the generation
+        explicit; indexes from before the tag existed fail here too
+        (they were built by the degenerate m1 + s*m2 family)."""
+        fam = params.get("family")
+        if fam != MINHASH_FAMILY:
+            raise ValueError(
+                f"{where}: corpus index was built by permutation family "
+                f"{fam!r} but this code computes {MINHASH_FAMILY!r} — "
+                "band hashes are incompatible; rebuild the index with "
+                "build_corpus_index"
+            )
+
     def __init__(
         self,
         grams: DataFrame,
@@ -461,7 +486,11 @@ class CorpusIndex:
         shingled/signed with THIS index's parameters (compatibility by
         construction) and the three frames are unioned — the existing
         corpus side is reused untouched, never recomputed."""
-        batch = build_corpus_index(admitted_df, id_col, text_col, **self.params)
+        CorpusIndex.check_family(self.params, "CorpusIndex.extend")
+        batch = build_corpus_index(
+            admitted_df, id_col, text_col,
+            **{key: self.params[key] for key in self.PARAM_KEYS},
+        )
         return CorpusIndex(
             grams=self.grams.unionByName(batch.grams),
             bands=self.bands.unionByName(batch.bands),
@@ -491,7 +520,11 @@ class CorpusIndex:
 
         with open(os.path.join(path, "index_params.json")) as fh:
             params = json.load(fh)
-        batch = build_corpus_index(admitted_df, id_col, text_col, **params)
+        CorpusIndex.check_family(params, "CorpusIndex.append")
+        batch = build_corpus_index(
+            admitted_df, id_col, text_col,
+            **{key: params[key] for key in CorpusIndex.PARAM_KEYS},
+        )
         batch.grams.write.mode("append").parquet(os.path.join(path, "grams"))
         batch.bands.write.mode("append").parquet(os.path.join(path, "bands"))
         batch.sizes.write.mode("append").parquet(os.path.join(path, "sizes"))
@@ -527,6 +560,7 @@ def build_corpus_index(
             "k": k,
             "mode": mode,
             "hash_fn": hash_fn,
+            "family": MINHASH_FAMILY,
         },
     )
 
@@ -574,6 +608,9 @@ def minhash_incremental_filter(
     )
     banded_new = _banded(sigs_new, bands, rows_per_band, hash_fn)
     if corpus_index is not None:
+        CorpusIndex.check_family(
+            corpus_index.params, "minhash_incremental_filter"
+        )
         called_with = dict(
             zip(
                 CorpusIndex.PARAM_KEYS,

@@ -736,14 +736,20 @@ def train_pq_codebooks(
         for _ in range(max_iter):
             d2 = ((S[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
             assign = d2.argmin(axis=1)
+            empties = []
             for c in range(k):
                 pts = S[assign == c]
                 if len(pts):
                     cents[c] = pts.mean(axis=0)
                 else:
-                    # empty cluster: reseed to the point farthest from
-                    # its centroid (deterministic)
-                    cents[c] = S[d2.min(axis=1).argmax()]
+                    empties.append(c)
+            if empties:
+                # reseed each empty cluster to a DISTINCT far point
+                # (deterministic); one shared argmax would leave
+                # duplicate centroids that stay empty forever
+                far = np.argsort(-d2.min(axis=1))
+                for i, c in enumerate(empties):
+                    cents[c] = S[far[i % len(far)]]
         books.append([[float(x) for x in c] for c in cents])
     return books
 

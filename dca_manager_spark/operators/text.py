@@ -328,13 +328,13 @@ def remove_boilerplate_segments(
 # PII redaction (training-corpus compliance scrub)
 # ---------------------------------------------------------------------------
 
-# Category order IS the contract: counts are taken on the ORIGINAL text
-# (the patterns are mutually non-overlapping by construction — phone
-# requires a leading +country code, card requires 4x4 separated groups,
-# ip requires 4 dotted groups, ssn is 3-2-4 dashed), then redaction is
-# applied left-to-right. Patterns deliberately use only syntax RE2 and
-# Java regex agree on (no lookaround/backrefs, ASCII \b) so a DuckDB
-# oracle reproduces them byte-for-byte.
+# Category order IS the contract: each category counts AND redacts on
+# the output of the previous category, so a span consumed by an earlier
+# replacement (an SSN-shaped local part inside an email, say) is
+# attributed to exactly one category and the audit counts always agree
+# with the redacted output. Patterns deliberately use only syntax RE2
+# and Java regex agree on (no lookaround/backrefs, ASCII \b) so a
+# DuckDB oracle reproduces them byte-for-byte.
 PII_PATTERNS: list[tuple[str, str, str]] = [
     ("email", EMAIL_RE, "<EMAIL>"),
     ("card", r"\b\d{4}[ -]\d{4}[ -]\d{4}[ -]\d{4}\b", "<CARD>"),
@@ -352,17 +352,17 @@ def redact_pii(
     column per category (the audit trail a compliance scrub needs).
 
     Pure JVM ``regexp_count`` / ``regexp_replace`` — whole-stage codegen,
-    no Python in the row path, ~10 regex passes per row total. Counts
-    are computed on the pre-redaction text; replacements chain
-    left-to-right in PII_PATTERNS order, so the output is a fixed
+    no Python in the row path. Each category counts and redacts on the
+    PREVIOUS category's output (see PII_PATTERNS), so counts always
+    match the replacements actually made and the output is a fixed
     function of the input on any engine with compatible regex semantics.
     """
+    count_exprs = []
+    cur = F.col(text_col)
+    for name, pat, repl in PII_PATTERNS:
+        count_exprs.append((f"pii_{name}", F.regexp_count(cur, F.lit(pat))))
+        cur = F.regexp_replace(cur, pat, repl)
     if counts:
-        for name, pat, _ in PII_PATTERNS:
-            df = df.withColumn(
-                f"pii_{name}", F.regexp_count(F.col(text_col), F.lit(pat))
-            )
-    red = F.col(text_col)
-    for _, pat, repl in PII_PATTERNS:
-        red = F.regexp_replace(red, pat, repl)
-    return df.withColumn(text_col, red)
+        for name, expr in count_exprs:
+            df = df.withColumn(name, expr)
+    return df.withColumn(text_col, cur)

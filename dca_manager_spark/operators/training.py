@@ -223,14 +223,19 @@ def shard_assignment(
     """Add a ``shard`` column in [0, n_shards): md5 hash-range of the
     salted id — a pure function of the row, so the assignment is
     identical on any cluster size / partitioning / rerun (and exactly
-    replicable by a SQL oracle). Uniform over shards by md5."""
-    if n_shards < 1:
-        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
-    from dca_manager_spark.operators.sampling import hash_bucket
+    replicable by a SQL oracle). Uniform over shards by md5.
 
-    return df.withColumn(
-        "shard", (hash_bucket(F.col(id_col), seed) % n_shards).cast("int")
-    )
+    The hash is 60 bits (15 md5 hex chars), NOT sampling.hash_bucket's
+    10,000-bucket range: training exports routinely use thousands of
+    shards, and a 10k intermediate range would leave shards >= 10000
+    permanently empty and skew non-divisor counts."""
+    if not 1 <= n_shards <= 1 << 30:
+        raise ValueError(
+            f"n_shards must be in [1, 2^30], got {n_shards}"
+        )
+    key = F.concat(F.lit(seed), F.col(id_col).cast("string"))
+    h = F.conv(F.substring(F.md5(key), 1, 15), 16, 10).cast("bigint")
+    return df.withColumn("shard", (h % n_shards).cast("int"))
 
 
 def write_training_shards(

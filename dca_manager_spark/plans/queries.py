@@ -5336,32 +5336,56 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
                     lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'),
                     ' ssn 123-45-6789') AS text
       FROM documents
+    ),
+    r1 AS (
+      SELECT doc_id,
+             len(regexp_extract_all(text,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+               AS pii_email,
+             regexp_replace(text,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                 '<EMAIL>', 'g') AS text
+      FROM aug
+    ),
+    r2 AS (
+      SELECT doc_id, pii_email,
+             len(regexp_extract_all(text,
+                 '\b\d{4}[ -]\d{4}[ -]\d{4}[ -]\d{4}\b')) AS pii_card,
+             regexp_replace(text,
+                 '\b\d{4}[ -]\d{4}[ -]\d{4}[ -]\d{4}\b', '<CARD>', 'g')
+               AS text
+      FROM r1
+    ),
+    r3 AS (
+      SELECT doc_id, pii_email, pii_card,
+             len(regexp_extract_all(text, '\b\d{3}-\d{2}-\d{4}\b'))
+               AS pii_ssn,
+             regexp_replace(text, '\b\d{3}-\d{2}-\d{4}\b', '<SSN>', 'g')
+               AS text
+      FROM r2
+    ),
+    r4 AS (
+      SELECT doc_id, pii_email, pii_card, pii_ssn,
+             len(regexp_extract_all(text,
+                 '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS pii_ip,
+             regexp_replace(text,
+                 '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g')
+               AS text
+      FROM r3
+    ),
+    r5 AS (
+      SELECT doc_id, pii_email, pii_card, pii_ssn, pii_ip,
+             len(regexp_extract_all(text,
+                 '\+\d{1,2}[ -]?\(?\d{3}\)?[ -]?\d{3}[ -]?\d{4}\b'))
+               AS pii_phone,
+             regexp_replace(text,
+                 '\+\d{1,2}[ -]?\(?\d{3}\)?[ -]?\d{3}[ -]?\d{4}\b',
+                 '<PHONE>', 'g') AS text
+      FROM r4
     )
-    SELECT doc_id,
-           len(regexp_extract_all(text,
-               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS pii_email,
-           len(regexp_extract_all(text,
-               '\b\d{4}[ -]\d{4}[ -]\d{4}[ -]\d{4}\b')) AS pii_card,
-           len(regexp_extract_all(text, '\b\d{3}-\d{2}-\d{4}\b')) AS pii_ssn,
-           len(regexp_extract_all(text,
-               '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS pii_ip,
-           len(regexp_extract_all(text,
-               '\+\d{1,2}[ -]?\(?\d{3}\)?[ -]?\d{3}[ -]?\d{4}\b')) AS pii_phone,
-           md5(
-             regexp_replace(
-               regexp_replace(
-                 regexp_replace(
-                   regexp_replace(
-                     regexp_replace(text,
-                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
-                       '<EMAIL>', 'g'),
-                     '\b\d{4}[ -]\d{4}[ -]\d{4}[ -]\d{4}\b', '<CARD>', 'g'),
-                   '\b\d{3}-\d{2}-\d{4}\b', '<SSN>', 'g'),
-                 '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
-               '\+\d{1,2}[ -]?\(?\d{3}\)?[ -]?\d{3}[ -]?\d{4}\b',
-               '<PHONE>', 'g')
-           ) AS redacted_md5
-    FROM aug
+    SELECT doc_id, pii_email, pii_card, pii_ssn, pii_ip, pii_phone,
+           md5(text) AS redacted_md5
+    FROM r5
     ORDER BY doc_id
     """,
 )
@@ -5371,9 +5395,11 @@ def text_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     PII footer is a deterministic function of doc_id built identically
     on both engines (the raw documents contain no PII, which would make
     the operator's oracle vacuous). Patterns are restricted to the
-    RE2 ∩ Java-regex common syntax; counts are taken pre-redaction on
-    mutually non-overlapping patterns, so both engines agree exactly.
-    Pure JVM regexp — codegen, no Python in the row path."""
+    RE2 ∩ Java-regex common syntax; each category counts and redacts on
+    the PREVIOUS category's output (mirrored by the oracle's CTE chain),
+    so overlapping spans are attributed to exactly one category and the
+    counts always match the redactions actually made. Pure JVM regexp —
+    codegen, no Python in the row path."""
     from dca_manager_spark.operators.text import redact_pii
 
     docs = t(spark, sf_dir, "documents")
@@ -5459,8 +5485,8 @@ def fuzzy_match_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH assigned AS (
       SELECT doc_id,
              CAST(concat('0x', substring(md5(concat('shard',
-                  CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT)
-               % 10000 % 8 AS shard
+                  CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT)
+               % 8 AS shard
       FROM documents
     )
     SELECT shard, COUNT(*) AS n_docs,
@@ -5506,8 +5532,9 @@ def similarity_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     the corpus is scored through m=16 codebook indices (16 LUT reads +
     adds per pair instead of 64 multiplies; 16 ints per row instead of
     64 floats — the memory-bandwidth design point of PQ). Codebooks are
-    Spark-ML k-means per subspace (pinned seeds); assignment depends on
-    the trained model, so the oracle is the in-bounds pattern
+    numpy k-means per subspace over a bounded ordered sample (seeded —
+    see train_pq_codebooks for why not Spark-ML fits); assignment
+    depends on the trained model, so the oracle is the in-bounds pattern
     (similarity_ivf_learned's): every query answered + recall@10 vs the
     exact brute force above a generous 0.25 floor (measured 0.36-0.47
     across SFs on these UNSTRUCTURED synthetic vectors — the worst case

@@ -44,27 +44,35 @@ class FileQueue:
         last + 1, max existing name + 1): wall clock keeps names roughly
         time-meaningful, the persisted floor survives restarts, and the
         directory scan floor covers a missing/deleted counter file (queue
-        dirs are control-plane small, so the scan is cheap). Concurrent
-        publishers can race the counter file to the same nanos — the uuid
-        suffix keeps names unique, and the reader's planned-delivery
-        ledger (io/datasource.py) delivers late-visible names regardless
-        of watermark, so a tie is harmless."""
-        floor = 0
-        try:
-            floor = int(self._counter_file.read_text())
-        except (FileNotFoundError, ValueError):
-            prefixes = [
-                int(f.name.split("-", 1)[0])
-                for f in self.path.glob("*.json")
-                if f.name.split("-", 1)[0].isdigit()
-            ]
-            if prefixes:
-                floor = max(prefixes)
-        nanos = max(time.time_ns(), floor + 1)
-        tmp = self.path / f".last_published.{uuid.uuid4().hex}.tmp"
-        tmp.write_text(str(nanos))
-        tmp.rename(self._counter_file)  # atomic counter advance
-        return nanos
+        dirs are control-plane small, so the scan is cheap).
+
+        The read-bump-write runs under an advisory ``flock`` so a pair
+        of concurrent publishers cannot interleave and move the counter
+        BACKWARD (last-writer-wins with a smaller nanos would re-open
+        the below-watermark window for every later publish). The tmp
+        file has a FIXED name inside the critical section — a crash
+        leaves at most one, overwritten by the next publish, never an
+        accumulating leak."""
+        import fcntl
+
+        with open(self.path / ".last_published.lock", "w") as lock:
+            fcntl.flock(lock, fcntl.LOCK_EX)
+            floor = 0
+            try:
+                floor = int(self._counter_file.read_text())
+            except (FileNotFoundError, ValueError):
+                prefixes = [
+                    int(f.name.split("-", 1)[0])
+                    for f in self.path.glob("*.json")
+                    if f.name.split("-", 1)[0].isdigit()
+                ]
+                if prefixes:
+                    floor = max(prefixes)
+            nanos = max(time.time_ns(), floor + 1)
+            tmp = self.path / ".last_published.tmp"
+            tmp.write_text(str(nanos))
+            tmp.rename(self._counter_file)  # atomic counter advance
+            return nanos
 
     # -- producer side (A11) ------------------------------------------------
     def publish(

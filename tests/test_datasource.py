@@ -241,3 +241,37 @@ def test_queue_restart_replays_unacked_then_acks(tmp_path):
     assert sorted(replanned) == sorted(planned), "unacked files must redeliver"
     r2.commit(end)
     assert list(qdir.glob("*.json")) == []
+
+
+def test_queue_counter_monotonic_under_concurrent_publishers(tmp_path, monkeypatch):
+    """Two publishers racing the counter (with one clock stepped back)
+    must still mint strictly increasing names — the flock critical
+    section prevents a last-writer-wins counter regression."""
+    import itertools
+    import threading
+
+    import dca_manager_spark.streaming.queue_source as qs
+
+    clock = itertools.cycle(
+        [3_000_000_000_000_000_000, 1_000_000_000_000_000_000]
+    )
+    monkeypatch.setattr(qs.time, "time_ns", lambda: next(clock))
+    q1 = FileQueue(str(tmp_path / "q"))
+    q2 = FileQueue(str(tmp_path / "q"))
+    names = []
+    lock = __import__("threading").Lock()
+
+    def pub(fq, n):
+        for i in range(n):
+            m = fq.publish(f"T{i}", "b", "k", "kraken", True)
+            with lock:
+                names.append(m)
+
+    ts = [threading.Thread(target=pub, args=(q, 25)) for q in (q1, q2)]
+    [t.start() for t in ts]
+    [t.join() for t in ts]
+    prefixes = sorted(int(n.split("-", 1)[0]) for n in names)
+    assert len(set(prefixes)) == 50, "nanos prefixes must be unique"
+    # no leaked uuid tmp files
+    leftovers = [f.name for f in (tmp_path / "q").iterdir() if f.name.endswith(".tmp")]
+    assert leftovers in ([], [".last_published.tmp"])

@@ -486,3 +486,43 @@ def test_minhash_recall_at_moderate_jaccard(spark):
         "permutation family has degenerated again (see "
         "minhash_perm_constants)"
     )
+
+
+def test_corpus_index_family_mismatch_is_loud(spark):
+    """A persisted index from a DIFFERENT permutation-family generation
+    must fail loudly everywhere it could silently disable dedup (its
+    band hashes never collide with this code's)."""
+    from dca_manager_spark.operators.dedup import (
+        CorpusIndex,
+        build_corpus_index,
+        minhash_incremental_filter,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f g h"), (2, "i j k l m n o p")],
+        "doc_id long, text string",
+    )
+    idx = build_corpus_index(docs, "doc_id", "text", num_hashes=16, bands=8)
+    assert idx.params["family"]  # stamped
+    stale = CorpusIndex(
+        idx.grams, idx.bands, idx.sizes,
+        {**idx.params, "family": "km-legacy-v1"},
+    )
+    batch = spark.createDataFrame([(3, "a b c d e f g x")], "doc_id long, text string")
+    kw = {k: idx.params[k] for k in CorpusIndex.PARAM_KEYS}
+    with pytest.raises(ValueError, match="family"):
+        minhash_incremental_filter(
+            batch, None, "doc_id", "text", corpus_index=stale, **kw
+        )
+    with pytest.raises(ValueError, match="family"):
+        stale.extend(batch, "doc_id", "text")
+    import json as _json
+
+    path = str(spark.conf.get("spark.sql.warehouse.dir")).replace("file:", "") + "/fam_idx"
+    idx.save(path)
+    p = path + "/index_params.json"
+    doc = _json.load(open(p))
+    doc["family"] = "km-legacy-v1"
+    _json.dump(doc, open(p, "w"))
+    with pytest.raises(ValueError, match="family"):
+        CorpusIndex.append(spark, path, batch, "doc_id", "text")

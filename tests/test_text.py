@@ -258,3 +258,22 @@ def test_redact_pii_counts_and_redaction(spark):
     bare = TX.redact_pii(df, counts=False)
     assert bare.columns == ["doc_id", "text"]
     assert "<SSN>" in {r.doc_id: r.text for r in bare.collect()}[3]
+
+
+def test_redact_pii_overlap_attributed_to_one_category(spark):
+    """An SSN/IP-shaped span INSIDE an email must be counted as the
+    email that consumed it, not double-reported: counts are taken on
+    the progressively redacted text, so the audit trail always matches
+    the replacements actually made."""
+    df = spark.createDataFrame(
+        [
+            (1, "reach me at 123-45-6789@mail.com today"),
+            (2, "or 1.2.3.4@example.org please"),
+        ],
+        "doc_id int, text string",
+    )
+    out = {r.doc_id: r for r in TX.redact_pii(df).collect()}
+    assert out[1].pii_email == 1 and out[1].pii_ssn == 0
+    assert "<SSN>" not in out[1].text and "<EMAIL>" in out[1].text
+    assert out[2].pii_email == 1 and out[2].pii_ip == 0
+    assert "<IP>" not in out[2].text
