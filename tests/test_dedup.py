@@ -488,7 +488,7 @@ def test_minhash_recall_at_moderate_jaccard(spark):
     )
 
 
-def test_corpus_index_family_mismatch_is_loud(spark):
+def test_corpus_index_family_mismatch_is_loud(spark, tmp_path):
     """A persisted index from a DIFFERENT permutation-family generation
     must fail loudly everywhere it could silently disable dedup (its
     band hashes never collide with this code's)."""
@@ -518,7 +518,7 @@ def test_corpus_index_family_mismatch_is_loud(spark):
         stale.extend(batch, "doc_id", "text")
     import json as _json
 
-    path = str(spark.conf.get("spark.sql.warehouse.dir")).replace("file:", "") + "/fam_idx"
+    path = str(tmp_path / "fam_idx")
     idx.save(path)
     p = path + "/index_params.json"
     doc = _json.load(open(p))
