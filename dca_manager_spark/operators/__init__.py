@@ -28,6 +28,17 @@ from dca_manager_spark.operators.similarity import (
     lsh_ann_topk,
     quantize_embeddings,
 )
+from dca_manager_spark.operators.retrieval import (
+    bm25_scores,
+    collocation_lift,
+    tfidf_topk,
+)
+from dca_manager_spark.operators.relational import (
+    mad_outlier_stats,
+    scd2_apply,
+    sessionize_gaps,
+)
+from dca_manager_spark.operators.arrow_ops import quantize_profile_arrow
 from dca_manager_spark.operators.skew import salted_join, salted_sum
 from dca_manager_spark.operators.corpus import prepare_corpus
 from dca_manager_spark.operators.training import (
@@ -51,4 +62,7 @@ __all__ = [
     "prepare_corpus",
     "deterministic_shuffle", "pack_sequences", "mixture_sample",
     "chunk_documents",
+    "tfidf_topk", "bm25_scores", "collocation_lift",
+    "sessionize_gaps", "scd2_apply", "mad_outlier_stats",
+    "quantize_profile_arrow",
 ]

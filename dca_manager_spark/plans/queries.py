@@ -111,7 +111,20 @@ _DRIVER_WINDOW = [
     # whose last driver row is r5, then r6-scored entries alphabetically
     # until the window holds 50. Everything rotated out is r6/r7-green
     # and unchanged; the full catalog is still verified each round by
-    # scripts/driver_sim.py regardless of window membership.
+    # scripts/driver_sim.py regardless of window membership. The round-8
+    # CONTINUATION session then prepended its 8 brand-new queries and
+    # trimmed the r6-scored tail back to exactly 50.
+    # -- added in the round-8 continuation session (retrieval stats,
+    # sessionization, MAD outliers, HLL sketches, SCD2, mapInArrow twin):
+    # no driver row yet, scored first --
+    "text_tfidf_topk",
+    "text_bm25_rank",
+    "text_pmi_collocations",
+    "events_sessionize_gaps",
+    "events_outliers_mad",
+    "agg_hll_sketch",
+    "scd2_dimension_merge",
+    "embedding_quantize_arrow",
     "q2_min_cost_supplier",
     "q9_product_profit",
     "q11_important_stock",
@@ -157,14 +170,6 @@ _DRIVER_WINDOW = [
     "agg_rollup_region_nation",
     "asof_join_purchase_view",
     "corpus_prep_pipeline",
-    "cross_join_region_types",
-    "dedup_embedding_cosine",
-    "dedup_embedding_cosine_exact",
-    "distinct_projection",
-    "explode_word_counts",
-    "filter_predicate_family",
-    "from_json_typed",
-    "join_full_outer",
 ]
 
 
@@ -5607,3 +5612,397 @@ def cogroup_order_fulfillment(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 331 == 0)
     l = t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 331 == 0)
     return cg(o, l).orderBy("o_orderkey")
+
+
+# ===========================================================================
+# Corpus retrieval statistics (round 8: TF-IDF / BM25 / collocations —
+# relevance filtering, keyword extraction and phrase mining for
+# training-data curation; operators/retrieval.py)
+# ===========================================================================
+
+_TOK_CTE = (
+    "SELECT doc_id, unnest(list_filter(regexp_split_to_array("
+    "trim(lower(text)), '\\s+'), x -> x != '')) AS token FROM documents"
+)
+
+
+@query(
+    "text_tfidf_topk",
+    f"""
+    WITH tok AS ({_TOK_CTE}),
+    tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY doc_id, token),
+    dft AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
+    n AS (SELECT COUNT(*) AS n FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.token, tf.tf, dft.df,
+             tf.tf * ((n.n + 1.0) / (dft.df + 1.0)) AS tfidf
+      FROM tf JOIN dft USING (token) CROSS JOIN n
+    ),
+    ranked AS (
+      SELECT *, CAST(ROW_NUMBER() OVER (
+        PARTITION BY doc_id ORDER BY tfidf DESC, token) AS INT) AS rnk
+      FROM scored
+    )
+    SELECT doc_id, token, tf, df, tfidf, rnk
+    FROM ranked WHERE rnk <= 3
+    ORDER BY doc_id, rnk
+    """,
+)
+def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF keywords per document — the standard metadata tag for
+    corpus browsing/clustering. Rational idf (N+1)/(df+1) keeps ln() out
+    of the hashed output (catalog float policy); ln-idf ranks are pinned
+    equal where it matters by the pytest against the log variant. One
+    explode, two hash aggregates off the same child, a token equi join,
+    a broadcast 1-row N, and a per-doc top-k window — no skew (token df
+    is aggregated before joining, so hot tokens never fan out)."""
+    from dca_manager_spark.operators.retrieval import tfidf_topk
+
+    docs = t(spark, sf_dir, "documents")
+    out = tfidf_topk(docs, "doc_id", "text", k=3, idf="ratio")
+    return out.orderBy("doc_id", "rnk")
+
+
+@query(
+    "text_bm25_rank",
+    f"""
+    WITH tok AS ({_TOK_CTE}),
+    dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY doc_id),
+    tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok
+           WHERE token IN ('join', 'hash', 'vector') GROUP BY doc_id, token),
+    dft AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
+    consts AS (
+      SELECT (SELECT COUNT(*) FROM documents) AS n,
+             (SELECT CAST(SUM(dl) AS BIGINT) FROM dl) AS sum_dl,
+             (SELECT COUNT(*) FROM dl) AS n_dl
+    ),
+    per_term AS (
+      SELECT tf.doc_id, tf.token,
+             ((c.n + 1.0) / (dft.df + 1.0))
+               * CAST(44 * tf.tf AS DOUBLE)
+               / (CAST(20 * tf.tf + 6 AS DOUBLE)
+                  + CAST(18 * dl.dl * c.n_dl AS DOUBLE)
+                    / CAST(c.sum_dl AS DOUBLE))
+               AS s
+      FROM tf JOIN dft USING (token) JOIN dl USING (doc_id) CROSS JOIN consts c
+    )
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits,
+           COALESCE(SUM(CASE WHEN token = 'hash' THEN s END), 0.0)
+             + COALESCE(SUM(CASE WHEN token = 'join' THEN s END), 0.0)
+             + COALESCE(SUM(CASE WHEN token = 'vector' THEN s END), 0.0)
+             AS bm25
+    FROM per_term
+    GROUP BY doc_id
+    ORDER BY bm25 DESC, doc_id
+    LIMIT 100
+    """,
+)
+def text_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-100 documents for the query {join, hash, vector} — the
+    relevance gate a curation pipeline runs against topic probes. The
+    term filter is a literal IN pushed into the exploded scan, so the tf
+    aggregate touches only matching occurrences; doc length and corpus
+    constants arrive by equi join + broadcast 1-row frame. k1=1.2 and
+    b=0.75 enter as exact rationals so every multiplication is an exact
+    integer product — matching textual op order alone was NOT enough:
+    DuckDB's compiled a*b+c contracts to a fused multiply-add and came
+    out 1 ulp off until the restatement (see bm25_scores' docstring).
+    The per-doc total is one conditional sum per term combined
+    left-to-right in sorted-term order — a bare SUM over matched terms
+    is order-nondeterministic."""
+    from dca_manager_spark.operators.retrieval import bm25_scores
+    from dca_manager_spark.operators.relational import top_k
+
+    docs = t(spark, sf_dir, "documents")
+    out = bm25_scores(docs, "doc_id", "text", ["join", "hash", "vector"])
+    return top_k(out, 100, F.desc("bm25"), F.asc("doc_id")).select(
+        "doc_id", "n_hits", "bm25"
+    )
+
+
+@query(
+    "text_pmi_collocations",
+    """
+    WITH tok AS (
+      SELECT list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+                         x -> x != '') AS ts
+      FROM documents
+    ),
+    big AS (
+      SELECT unnest(list_transform(range(1, len(ts)),
+                                   i -> ts[i] || ' ' || ts[i + 1])) AS bigram
+      FROM tok
+    ),
+    cxy AS (SELECT bigram, COUNT(*) AS c_xy FROM big
+            GROUP BY bigram HAVING COUNT(*) >= 5),
+    uni AS (SELECT unnest(ts) AS token FROM tok),
+    ct AS (SELECT token, COUNT(*) AS c FROM uni GROUP BY token),
+    tot AS (SELECT COUNT(*) AS n_tok FROM uni),
+    scored AS (
+      SELECT cxy.bigram, cxy.c_xy, cx.c AS c_x, cy.c AS c_y,
+             CAST(cxy.c_xy AS DOUBLE) * tot.n_tok / cx.c / cy.c AS lift
+      FROM cxy
+      JOIN ct cx ON split_part(cxy.bigram, ' ', 1) = cx.token
+      JOIN ct cy ON split_part(cxy.bigram, ' ', 2) = cy.token
+      CROSS JOIN tot
+    )
+    SELECT bigram, c_xy, c_x, c_y, lift
+    FROM scored ORDER BY lift DESC, bigram LIMIT 50
+    """,
+)
+def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 bigram collocations by lift = P(xy)/(P(x)P(y)) — phrase
+    mining for tokenizer/vocab construction. PMI = ln(lift) and ln is
+    monotone, so this IS the PMI ranking, expressed log-free for
+    cross-engine exactness. Bigrams are built JVM-side by zipping the
+    token array with its own tail (no positional self-join); three hash
+    aggregates + two equi joins on component tokens; totals broadcast;
+    top-k is TakeOrderedAndProject."""
+    from dca_manager_spark.operators.retrieval import collocation_lift
+
+    docs = t(spark, sf_dir, "documents")
+    return collocation_lift(docs, "doc_id", "text", min_count=5, k=50)
+
+
+# ===========================================================================
+# Event analytics additions (round 8): gaps-and-islands sessionization,
+# robust outlier profiling
+# ===========================================================================
+
+
+@query(
+    "events_sessionize_gaps",
+    f"""
+    WITH ord AS (
+      SELECT user_id, event_id, ts, value,
+             CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                       OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+                  THEN 1 ELSE 0 END AS is_start
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+      SELECT *, SUM(is_start) OVER (
+        PARTITION BY user_id ORDER BY ts, event_id
+        ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM ord
+    )
+    SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           MIN(ts) AS session_start, MAX(ts) AS session_end,
+           {o_dsum("value")} AS total_value
+    FROM sess
+    GROUP BY user_id, session_id
+    ORDER BY user_id, session_id
+    """,
+)
+def events_sessionize_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands sessionization (30-min inactivity gap) — the
+    foundational clickstream shape that session_window handles in
+    streaming and this two-window plan handles in batch. Both windows
+    partition by user_id (high-cardinality key): ONE shuffle, then
+    per-user lag + running sum; session stats are a grouped aggregate on
+    the same key, which AQE coalesces into the same exchange. Timestamp
+    math is exact integer microseconds (second-truncating unix_timestamp
+    would misjudge sub-second gaps at the 1800s boundary)."""
+    from dca_manager_spark.operators.relational import sessionize_gaps
+
+    ev = t(spark, sf_dir, "events")
+    sess = sessionize_gaps(ev, "user_id", "ts", 1800.0, "event_id")
+    return (
+        sess.groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            dsum(F.col("value")).alias("total_value"),
+        )
+        .orderBy("user_id", "session_id")
+    )
+
+
+@query(
+    "events_outliers_mad",
+    """
+    WITH med AS (
+      SELECT event_type, quantile_cont(FLOOR(value * 100), 0.5) AS med
+      FROM events GROUP BY event_type
+    ),
+    j AS (
+      SELECT e.event_type, FLOOR(e.value * 100) AS cv, m.med
+      FROM events e JOIN med m USING (event_type)
+    ),
+    mad AS (
+      SELECT event_type, quantile_cont(ABS(cv - med), 0.5) AS mad
+      FROM j GROUP BY event_type
+    )
+    SELECT j.event_type, CAST(COUNT(*) AS BIGINT) AS n,
+           ANY_VALUE(j.med) / 100 AS median_value,
+           ANY_VALUE(mad.mad) / 100 AS mad_value,
+           CAST(SUM(CASE WHEN mad.mad > 0
+                          AND 0.6745 * ABS(j.cv - j.med) / mad.mad > 3.5
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM j JOIN mad USING (event_type)
+    GROUP BY j.event_type
+    ORDER BY j.event_type
+    """,
+)
+def events_outliers_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type robust outlier profile: median, MAD, and the count
+    of |modified z| > 3.5 rows — the data-quality gate that survives the
+    corrupt feed values that wreck mean/stddev z-scores. Values quantize
+    to integer cents so the exact medians are engine-independent (both
+    engines linear-interpolate quantiles on exact integers); the z
+    comparison uses one fixed double op order. Two group-keyed exact
+    percentiles + two equi joins of tiny per-group frames back onto the
+    rows — no global ordering anywhere."""
+    from dca_manager_spark.operators.relational import mad_outlier_stats
+
+    ev = t(spark, sf_dir, "events")
+    return mad_outlier_stats(ev, "event_type", "value", 3.5).orderBy("event_type")
+
+
+# ===========================================================================
+# Sketch aggregates, SCD2, and the mapInArrow surface (round 8 cont.)
+# ===========================================================================
+
+
+@query(
+    "agg_hll_sketch",
+    """
+    SELECT o_orderpriority,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS exact_distinct,
+           TRUE AS within_5pct
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def agg_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable HLL sketches (Datasketches, Spark 3.5+) — the scale
+    story for distinct counts: per-(priority, status) sketches are built
+    in one pass, then MERGED up to per-priority with hll_union_agg —
+    exactly how a 100 TB pipeline maintains daily sketches and unions
+    them into rolling windows without re-reading history (approx_
+    count_distinct can't do that: its partial state isn't a queryable/
+    storable column). Like the approx family, the sketch estimate is
+    engine-specific, so the hashed output is the EXACT distinct plus an
+    in-bounds boolean: lgConfigK=14 gives ~0.8% relative error; 5%
+    holds with wide margin on any partitioning."""
+    o = t(spark, sf_dir, "orders")
+    sketches = o.groupBy("o_orderpriority", "o_orderstatus").agg(
+        F.hll_sketch_agg("o_custkey", F.lit(14)).alias("__sk"),
+        F.count_distinct("o_custkey").alias("__part_exact"),
+    )
+    merged = sketches.groupBy("o_orderpriority").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("__sk")).alias("__est"),
+    )
+    exact = o.groupBy("o_orderpriority").agg(
+        F.count_distinct("o_custkey").alias("exact_distinct")
+    )
+    return (
+        exact.join(merged, "o_orderpriority")
+        .select(
+            "o_orderpriority",
+            "exact_distinct",
+            (
+                F.abs(F.col("__est") - F.col("exact_distinct"))
+                <= 0.05 * F.col("exact_distinct")
+            ).alias("within_5pct"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
+    "scd2_dimension_merge",
+    """
+    WITH base AS (
+      SELECT c_custkey AS cust_id, c_mktsegment AS segment, c_acctbal AS acctbal
+      FROM customer
+    ),
+    dim AS (
+      SELECT cust_id, segment, acctbal,
+             TIMESTAMP '2024-01-01 00:00:00' AS valid_from,
+             CAST(NULL AS TIMESTAMP) AS valid_to
+      FROM base
+    ),
+    upd AS (
+      SELECT cust_id, segment, acctbal + 100 AS acctbal,
+             TIMESTAMP '2024-06-01 00:00:00' AS eff
+      FROM base WHERE cust_id % 5 = 0
+      UNION ALL
+      SELECT cust_id, segment, acctbal, TIMESTAMP '2024-06-01 00:00:00'
+      FROM base WHERE cust_id % 3 = 1 AND cust_id % 5 != 0
+      UNION ALL
+      SELECT cust_id + 1000000, 'NEWSEG', 0.0, TIMESTAMP '2024-06-01 00:00:00'
+      FROM base WHERE cust_id % 97 = 0
+    ),
+    changed AS (
+      SELECT u.* FROM upd u LEFT JOIN dim d ON u.cust_id = d.cust_id
+      WHERE d.cust_id IS NULL OR u.segment != d.segment OR u.acctbal != d.acctbal
+    )
+    SELECT * FROM (
+      SELECT d.cust_id, d.segment, d.acctbal, d.valid_from,
+             CASE WHEN c.cust_id IS NOT NULL THEN c.eff END AS valid_to
+      FROM dim d LEFT JOIN changed c ON d.cust_id = c.cust_id
+      UNION ALL
+      SELECT cust_id, segment, acctbal, eff AS valid_from,
+             CAST(NULL AS TIMESTAMP) AS valid_to
+      FROM changed
+    )
+    ORDER BY cust_id, valid_from
+    """,
+)
+def scd2_dimension_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type 2 (operators/relational.scd2_apply)
+    applied to a synthesized update batch over the customer dim: balance
+    bumps (every 5th key -> close + new version), no-op updates (every
+    3rd key -> must stay open and untouched), and unseen keys (every
+    97th, shifted by 1e6 -> fresh open rows). One full-outer join on the
+    dimension key + a union — no window, no collect; the oracle replays
+    the same semantics as SQL CTEs. Exercises all four SCD2 paths in a
+    single driver-hashed result."""
+    from dca_manager_spark.operators.relational import scd2_apply
+
+    cust = t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("cust_id"),
+        F.col("c_mktsegment").alias("segment"),
+        F.col("c_acctbal").alias("acctbal"),
+    )
+    dim = cust.withColumn(
+        "valid_from", F.lit("2024-01-01 00:00:00").cast("timestamp")
+    ).withColumn("valid_to", F.lit(None).cast("timestamp"))
+    eff = F.lit("2024-06-01 00:00:00").cast("timestamp")
+    updates = (
+        cust.filter(F.col("cust_id") % 5 == 0)
+        .withColumn("acctbal", F.col("acctbal") + 100)
+        .unionByName(
+            cust.filter((F.col("cust_id") % 3 == 1) & (F.col("cust_id") % 5 != 0))
+        )
+        .unionByName(
+            cust.filter(F.col("cust_id") % 97 == 0).select(
+                (F.col("cust_id") + 1000000).alias("cust_id"),
+                F.lit("NEWSEG").alias("segment"),
+                F.lit(0.0).alias("acctbal"),
+            )
+        )
+        .withColumn("effective_ts", eff)
+    )
+    out = scd2_apply(dim, updates, "cust_id", ["segment", "acctbal"])
+    return out.orderBy("cust_id", "valid_from")
+
+
+@query("embedding_quantize_arrow", QUERIES["embedding_quantize_int8"].oracle)
+def embedding_quantize_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The mapInArrow surface: the int8-quantization profile computed in
+    an Arrow-native numpy kernel (operators/arrow_ops.py) and held to the
+    IDENTICAL oracle as the JVM-expression embedding_quantize_int8 —
+    same scale, code checksum, and max reconstruction error bit-for-bit,
+    proving the Arrow path's float64 op sequence matches the JVM's. The
+    kernel sees raw pyarrow RecordBatches (no pandas boxing); columns
+    are pruned before the Python barrier."""
+    from dca_manager_spark.operators.arrow_ops import quantize_profile_arrow
+
+    emb = t(spark, sf_dir, "embeddings")
+    return quantize_profile_arrow(emb).orderBy("vec_id")

@@ -234,6 +234,11 @@ def test_catalog_wide_no_accidental_cartesian(spark):
         "similarity_pq_adc",           # ADC scan (broadcast queries x
                                        # corpus codes) + the same exact
                                        # baseline for its recall floor
+        "text_tfidf_topk",             # 1-row broadcast corpus-size N
+                                       # under the idf — same shape as
+                                       # q11/q22's scalar subquery
+        "text_bm25_rank",              # 1-row broadcast (N, sum_dl, n_dl)
+        "text_pmi_collocations",       # 1-row broadcast token total
     }
     flagged = {}
     for name in QUERIES:

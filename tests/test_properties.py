@@ -366,11 +366,16 @@ cdc_ops = st.lists(
                                  HealthCheck.function_scoped_fixture])
 def test_records_incremental_matches_replay_model(spark, tmp_path_factory, seq):
     """For ANY op sequence and ANY resume point, read_incremental(
-    records=True) equals an independent Python replay of the change
-    semantics: per (key, partition), the latest change after the resume
-    point — all of that commit's rows if it was an upsert/insert
-    (duplicates intact), nothing if it was a delete. Prices are globally
-    unique so precombine winners are deterministic."""
+    records=True) equals an independent Python replay of the documented
+    change-capture semantics. Identity is (key, partition); per identity,
+    the newest SUPERSEDING change (upsert row 'u', upsert preimage 'p',
+    delete 'd') wins — its rows appear only if it is an upsert of that
+    identity (a preimage with no same-commit 'u' is a removal: the key
+    moved partitions) — and additive bulk-insert rows from EVERY commit
+    after that point survive (duplicates intact). Prices are globally
+    unique so precombine winners are deterministic. Hypothesis found the
+    partition-move case (r8): an upsert that relocates a key must surface
+    the old identity's disappearance, not a stale version of it."""
     from dca_manager_spark.io.manifest import ManifestTable
 
     path = tmp_path_factory.mktemp("cdcprop") / "t"
@@ -379,7 +384,8 @@ def test_records_incremental_matches_replay_model(spark, tmp_path_factory, seq):
         partition_by=("pair",),
     )
     state: list[tuple[str, str, int]] = []   # live rows (key, pair, price)
-    changes: list[tuple[str, dict]] = []     # per commit: (op, {(k,p): rows})
+    # per commit: {(key, pair): [(op, [rows])]} with op in u/p/d/i
+    changes: list[dict[tuple, list]] = []
     counter = 0
     for op, batch in seq:
         rows = []
@@ -394,12 +400,12 @@ def test_records_incremental_matches_replay_model(spark, tmp_path_factory, seq):
             # Delete against a never-committed table is a no-op: no
             # manifest is published (mirrors _merge's early return).
             continue
+        ch: dict[tuple, list] = {}
         if op == "bulk_insert":
             state += rows
-            ch = {}
             for r in rows:
-                ch.setdefault((r[0], r[1]), []).append(r)
-            changes.append(("u", ch))
+                ch.setdefault((r[0], r[1]), []).append(("i", [r]))
+            changes.append(ch)
             continue
         # precombine: one survivor per key, max price
         winners: dict[str, tuple[str, str, int]] = {}
@@ -413,24 +419,36 @@ def test_records_incremental_matches_replay_model(spark, tmp_path_factory, seq):
         state = [s for s in state if not (s[0] in winners and s[1] in touched)]
         if op == "upsert":
             state += list(winners.values())
-            changes.append(("u", {(r[0], r[1]): [r] for r in winners.values()}))
-        else:
-            ch = {}
+            for r in winners.values():
+                ch.setdefault((r[0], r[1]), []).append(("u", [r]))
             for s in hit:
-                ch.setdefault((s[0], s[1]), []).append(s)
-            changes.append(("d", ch))
+                ch.setdefault((s[0], s[1]), []).append(("p", [s]))
+        else:
+            for s in hit:
+                ch.setdefault((s[0], s[1]), []).append(("d", [s]))
+        changes.append(ch)
 
     ids = table.commits()
     assert len(ids) == len(changes)
     for i, since in enumerate(ids):
-        # replay commits i+1.. : latest change per (key, pair)
-        latest: dict[tuple, tuple[str, list]] = {}
-        for op, ch in changes[i + 1:]:
-            for ident, rows in ch.items():
-                latest[ident] = (op, rows)
-        want = sorted(
-            r for (op, rows) in latest.values() if op == "u" for r in rows
-        )
+        rng = changes[i + 1:]
+        idents = set().union(*[set(c) for c in rng]) if rng else set()
+        want = []
+        for ident in idents:
+            sup = -1
+            for j, c in enumerate(rng):
+                if ident in c and any(o != "i" for o, _ in c[ident]):
+                    sup = j
+            if sup >= 0:
+                want += [
+                    r for o, rs in rng[sup][ident] if o == "u" for r in rs
+                ]
+            for j in range(sup + 1, len(rng)):
+                if ident in rng[j]:
+                    want += [
+                        r for o, rs in rng[j][ident] if o == "i" for r in rs
+                    ]
+        want = sorted(want)
         got = sorted(
             (r.transaction_id, r.pair, r.price)
             for r in table.read_incremental(since, records=True).collect()
