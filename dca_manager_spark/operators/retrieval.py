@@ -48,12 +48,15 @@ def tfidf_topk(
     output is a unique row set.
 
     Plan shape: one explode over the corpus; ``tf`` is a (doc, token) hash
-    aggregate; ``df`` is a (token) aggregate over the distinct pairs —
-    BOTH computed from the same exploded child, partial+final, map-side
-    combined; N arrives via a broadcast one-row cross join (never a global
-    window). The (doc, token) x (token) join is an equi join on the token.
-    The final per-doc top-k window partitions by document — millions of
-    small partitions, no skew. Everything is JVM expressions.
+    aggregate, materialized once (lazy localCheckpoint — the repo's
+    standard Generate barrier: Spark does not share common subplans, so
+    without it the explode+aggregate would run twice, once under the
+    ``df`` branch and once under the join); ``df`` is a (token) aggregate
+    over the pinned pairs; N arrives via a broadcast one-row cross join
+    (never a global window). The (doc, token) x (token) join is an equi
+    join on the token. The final per-doc top-k window partitions by
+    document — millions of small partitions, no skew. Everything is JVM
+    expressions.
 
     ``idf="ratio"``: (N+1)/(df+1), exact IEEE division, hash-stable across
     engines. ``idf="log"``: ln((N+1)/(df+1)) + 1 (smooth idf, sklearn-style)
@@ -62,7 +65,11 @@ def tfidf_topk(
     if idf not in ("ratio", "log"):
         raise ValueError(f"idf must be 'ratio' or 'log', got {idf!r}")
     terms = _term_frame(df, id_col, text_col)
-    tf = terms.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("tf"))
+    tf = (
+        terms.groupBy(id_col, "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=False)
+    )
     df_t = (
         tf.groupBy("token")
         .agg(F.count(F.lit(1)).alias("df"))
@@ -101,10 +108,14 @@ def bm25_scores(
     score = sum over matched terms of
         idf(t) * tf * (k1+1) / (tf + k1 * (1 - b + b * dl/avgdl))
 
-    The term list is a literal IN filter pushed into the exploded scan, so
-    the per-term aggregate only touches matching occurrences; ``dl`` is a
-    per-doc aggregate over the same explode; N and the corpus length sums
-    broadcast as a one-row frame.
+    Plan shape: ONE explode over the corpus feeding ONE per-doc aggregate
+    that computes the doc length and one conditional count per query term
+    (map-side combined — the shuffle carries n_docs rows, never the token
+    multiset); the per-term document frequencies, corpus length sum and N
+    reduce to a single broadcast 1-row frame off the same pinned
+    aggregate; scoring is a pure projection. No per-(doc, term) rows ever
+    materialize, so the plan's width scales with the query bag (small by
+    nature), not the corpus vocabulary.
 
     Cross-engine exactness (this bit DuckDB at 1 ulp in round 8): a
     compiled engine may contract ``a*b + c`` into a fused multiply-add,
@@ -138,46 +149,54 @@ def bm25_scores(
     a_num = k1n * bd + m       # M*(k1+1)
     c_const = k1n * (bd - bn)  # M*k1*(1-b)
     d_coef = k1n * bn          # M*k1*b
-    terms = _term_frame(df, id_col, text_col)
-    dl = terms.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))
-    tf = (
-        terms.filter(F.col("token").isin([t.lower() for t in query_terms]))
-        .groupBy(id_col, "token")
-        .agg(F.count(F.lit(1)).alias("tf"))
-    )
-    df_t = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
-    consts = df.select(F.count(F.lit(1)).alias("__n")).crossJoin(
-        dl.select(
-            F.sum("dl").alias("__sum_dl"), F.count(F.lit(1)).alias("__n_dl")
-        )
-    )
-    ratio = (F.col("__n") + F.lit(1.0)) / (F.col("df") + F.lit(1.0))
-    idf_expr = ratio if idf == "ratio" else F.log(ratio) + F.lit(1.0)
-    denom = (
-        (F.lit(m) * F.col("tf") + F.lit(c_const)).cast("double")
-        + (F.lit(d_coef) * F.col("dl") * F.col("__n_dl")).cast("double")
-        / F.col("__sum_dl").cast("double")
-    )
-    per_term = (
-        tf.join(df_t, "token")
-        .join(dl, id_col)
-        .crossJoin(F.broadcast(consts))
-        .withColumn(
-            "__s", idf_expr * (F.lit(a_num) * F.col("tf")).cast("double") / denom
-        )
-    )
     terms_sorted = sorted({t.lower() for t in query_terms})
-    per_term_sums = [
-        F.sum(F.when(F.col("token") == term, F.col("__s"))).alias(f"__s_{i}")
-        for i, term in enumerate(terms_sorted)
-    ]
-    g = per_term.groupBy(id_col).agg(
-        F.count(F.lit(1)).alias("n_hits"), *per_term_sums
+    terms = _term_frame(df, id_col, text_col)
+    # one per-doc aggregate: doc length + a conditional count per term;
+    # pinned (lazy localCheckpoint) because both the broadcast constants
+    # and the scoring projection read it — Spark won't share the subplan
+    g = (
+        terms.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("dl"),
+            *[
+                F.sum((F.col("token") == term).cast("long")).alias(f"__tf_{i}")
+                for i, term in enumerate(terms_sorted)
+            ],
+        )
+        .localCheckpoint(eager=False)
     )
-    total = F.coalesce(F.col("__s_0"), F.lit(0.0))
+    consts = df.select(F.count(F.lit(1)).alias("__n")).crossJoin(
+        g.select(
+            F.sum("dl").alias("__sum_dl"),
+            F.count(F.lit(1)).alias("__n_dl"),
+            *[
+                F.sum((F.col(f"__tf_{i}") > 0).cast("long")).alias(f"__df_{i}")
+                for i in range(len(terms_sorted))
+            ],
+        )
+    )
+    scored = g.crossJoin(F.broadcast(consts))
+
+    def term_score(i: int) -> F.Column:
+        tf = F.col(f"__tf_{i}")
+        ratio = (F.col("__n") + F.lit(1.0)) / (F.col(f"__df_{i}") + F.lit(1.0))
+        idf_expr = ratio if idf == "ratio" else F.log(ratio) + F.lit(1.0)
+        denom = (
+            (F.lit(m) * tf + F.lit(c_const)).cast("double")
+            + (F.lit(d_coef) * F.col("dl") * F.col("__n_dl")).cast("double")
+            / F.col("__sum_dl").cast("double")
+        )
+        s = idf_expr * (F.lit(a_num) * tf).cast("double") / denom
+        return F.when(tf > 0, s).otherwise(F.lit(0.0))
+
+    total = term_score(0)
+    hits = (F.col("__tf_0") > 0).cast("long")
     for i in range(1, len(terms_sorted)):
-        total = total + F.coalesce(F.col(f"__s_{i}"), F.lit(0.0))
-    return g.select(id_col, "n_hits", total.alias("bm25"))
+        total = total + term_score(i)
+        hits = hits + (F.col(f"__tf_{i}") > 0).cast("long")
+    return scored.filter(hits > 0).select(
+        F.col(id_col), hits.alias("n_hits"), total.alias("bm25")
+    )
 
 
 def collocation_lift(
@@ -197,9 +216,11 @@ def collocation_lift(
 
     Plan: bigrams are built JVM-side by zipping the token array with its
     own tail (``zip_with(slice(...), slice(...))``) — no positional
-    self-join, no Python. Three hash aggregates (bigram counts, unigram
-    counts, corpus totals) + two equi joins on the component tokens; the
-    one-row totals broadcast. ``lift`` is computed with a FIXED operation
+    self-join, no Python. Two explodes total (bigrams; unigrams once —
+    the unigram count frame is pinned via lazy localCheckpoint and reused
+    by both component joins AND the corpus total, which is just the sum
+    of its counts); joins on the component tokens are equi joins; the
+    one-row total broadcasts. ``lift`` is computed with a FIXED operation
     order — (c_xy * N) / c_x / c_y in doubles — mirrored in the oracle.
     Top-k is TakeOrderedAndProject (per-partition heaps), not a global
     sort.
@@ -218,8 +239,12 @@ def collocation_lift(
         .filter(F.col("c_xy") >= min_count)
     )
     unigrams = toks.select(F.explode("__t").alias("token"))
-    c_t = unigrams.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
-    totals = unigrams.select(F.count(F.lit(1)).alias("__n_tok"))
+    c_t = (
+        unigrams.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    totals = c_t.select(F.sum("c").alias("__n_tok"))
     split = F.split(F.col("bigram"), " ", 2)
     scored = (
         c_xy.withColumn("__x", split.getItem(0))

@@ -5699,17 +5699,19 @@ def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def text_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 top-100 documents for the query {join, hash, vector} — the
-    relevance gate a curation pipeline runs against topic probes. The
-    term filter is a literal IN pushed into the exploded scan, so the tf
-    aggregate touches only matching occurrences; doc length and corpus
-    constants arrive by equi join + broadcast 1-row frame. k1=1.2 and
-    b=0.75 enter as exact rationals so every multiplication is an exact
+    relevance gate a curation pipeline runs against topic probes. ONE
+    explode feeds ONE per-doc aggregate (doc length + a conditional
+    count per query term, map-side combined — the shuffle carries
+    n_docs rows, never the token multiset); document frequencies and
+    corpus constants reduce to a broadcast 1-row frame off the same
+    pinned aggregate; scoring is a pure projection. k1=1.2 and b=0.75
+    enter as exact rationals so every multiplication is an exact
     integer product — matching textual op order alone was NOT enough:
     DuckDB's compiled a*b+c contracts to a fused multiply-add and came
     out 1 ulp off until the restatement (see bm25_scores' docstring).
-    The per-doc total is one conditional sum per term combined
-    left-to-right in sorted-term order — a bare SUM over matched terms
-    is order-nondeterministic."""
+    The per-doc total combines per-term scores left-to-right in
+    sorted-term order — a bare SUM over matched terms is
+    order-nondeterministic."""
     from dca_manager_spark.operators.retrieval import bm25_scores
     from dca_manager_spark.operators.relational import top_k
 
