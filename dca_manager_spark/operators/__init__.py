@@ -39,6 +39,7 @@ from dca_manager_spark.operators.relational import (
     sessionize_gaps,
 )
 from dca_manager_spark.operators.arrow_ops import quantize_profile_arrow
+from dca_manager_spark.operators.graph import pagerank
 from dca_manager_spark.operators.skew import salted_join, salted_sum
 from dca_manager_spark.operators.corpus import prepare_corpus
 from dca_manager_spark.operators.training import (
@@ -65,4 +66,5 @@ __all__ = [
     "tfidf_topk", "bm25_scores", "collocation_lift",
     "sessionize_gaps", "scd2_apply", "mad_outlier_stats",
     "quantize_profile_arrow",
+    "pagerank",
 ]

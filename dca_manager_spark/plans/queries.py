@@ -125,6 +125,7 @@ _DRIVER_WINDOW = [
     "agg_hll_sketch",
     "scd2_dimension_merge",
     "embedding_quantize_arrow",
+    "graph_pagerank",
     "q2_min_cost_supplier",
     "q9_product_profit",
     "q11_important_stock",
@@ -169,7 +170,6 @@ _DRIVER_WINDOW = [
     "agg_grouping_sets",
     "agg_rollup_region_nation",
     "asof_join_purchase_view",
-    "corpus_prep_pipeline",
 ]
 
 
@@ -6008,3 +6008,70 @@ def embedding_quantize_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = t(spark, sf_dir, "embeddings")
     return quantize_profile_arrow(emb).orderBy("vec_id")
+
+
+@query(
+    "graph_pagerank",
+    """
+    WITH pairs AS (
+      SELECT DISTINCT l_suppkey AS s, l_partkey + 2000000 AS p FROM lineitem
+    ),
+    e AS (SELECT s AS src, p AS dst FROM pairs
+          UNION ALL
+          SELECT p AS src, s AS dst FROM pairs),
+    nodes AS (SELECT src AS node_id FROM e UNION SELECT dst FROM e),
+    n AS (SELECT COUNT(*) AS n FROM nodes),
+    deg AS (SELECT src, COUNT(*) AS deg FROM e GROUP BY src),
+    r0 AS (SELECT node_id, 1000000000000 // n.n AS rq FROM nodes CROSS JOIN n),
+    s1 AS (SELECT e.dst AS node_id, CAST(SUM(r.rq // d.deg) AS BIGINT) AS s
+           FROM e JOIN r0 r ON e.src = r.node_id JOIN deg d ON e.src = d.src
+           GROUP BY e.dst),
+    r1 AS (SELECT nodes.node_id,
+                  CAST((150000000000 // n.n)
+                       + (17 * COALESCE(s1.s, 0)) // 20 AS BIGINT) AS rq
+           FROM nodes CROSS JOIN n LEFT JOIN s1 USING (node_id)),
+    s2 AS (SELECT e.dst AS node_id, CAST(SUM(r.rq // d.deg) AS BIGINT) AS s
+           FROM e JOIN r1 r ON e.src = r.node_id JOIN deg d ON e.src = d.src
+           GROUP BY e.dst),
+    r2 AS (SELECT nodes.node_id,
+                  CAST((150000000000 // n.n)
+                       + (17 * COALESCE(s2.s, 0)) // 20 AS BIGINT) AS rq
+           FROM nodes CROSS JOIN n LEFT JOIN s2 USING (node_id)),
+    s3 AS (SELECT e.dst AS node_id, CAST(SUM(r.rq // d.deg) AS BIGINT) AS s
+           FROM e JOIN r2 r ON e.src = r.node_id JOIN deg d ON e.src = d.src
+           GROUP BY e.dst),
+    r3 AS (SELECT nodes.node_id,
+                  CAST((150000000000 // n.n)
+                       + (17 * COALESCE(s3.s, 0)) // 20 AS BIGINT) AS rq
+           FROM nodes CROSS JOIN n LEFT JOIN s3 USING (node_id))
+    SELECT node_id, rq AS rank_q,
+           CAST(rq AS DOUBLE) / 1000000000000.0 AS rank
+    FROM r3
+    ORDER BY rank_q DESC, node_id
+    LIMIT 100
+    """,
+)
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (3 iterations, damping 17/20) over the supplier-part
+    co-occurrence graph — the canonical iterative-algorithm shape: per
+    round one equi join of ranks onto edge sources + one exact integer
+    aggregate by destination, lineage truncated per round like the CC
+    loop. Ranks are FIXED-POINT integers (1e12 quanta): integer division
+    for per-edge contributions, exact order-independent integer sums,
+    and integer damping — the recurrence has ZERO float operations, so
+    the oracle's unrolled CTE replay matches bit-for-bit (a float
+    formulation would be partitioning-dependent AND FMA-contractible).
+    Top-100 is TakeOrderedAndProject with a node-id tie-break."""
+    from dca_manager_spark.operators.graph import pagerank
+
+    li = t(spark, sf_dir, "lineitem").select("l_suppkey", "l_partkey").distinct()
+    fwd = li.select(
+        F.col("l_suppkey").alias("src"),
+        (F.col("l_partkey") + 2000000).alias("dst"),
+    )
+    rev = li.select(
+        (F.col("l_partkey") + 2000000).alias("src"),
+        F.col("l_suppkey").alias("dst"),
+    )
+    pr = pagerank(fwd.unionByName(rev), "src", "dst", iters=3, damping=0.85)
+    return pr.orderBy(F.desc("rank_q"), F.asc("node_id")).limit(100)

@@ -20,10 +20,22 @@ def stream_stream_join(
     right_ts: str,
     lookback: str = "1 hour",
     watermark: str = "10 minutes",
+    how: str = "inner",
 ) -> DataFrame:
-    """Inner-join right rows whose ``right_ts`` is within [left_ts -
-    lookback, left_ts], equi-matched on ``on`` — e.g. 'purchases joined to
-    the clicks of the preceding hour' with bounded state on both sides."""
+    """Join right rows whose ``right_ts`` is within [left_ts - lookback,
+    left_ts], equi-matched on ``on`` — e.g. 'purchases joined to the
+    clicks of the preceding hour' with bounded state on both sides.
+
+    ``how="left_outer"`` emits an unmatched left row (nulls on the right)
+    only once the watermark proves no match can still arrive — i.e. when
+    the left row's state is evicted. Until then the row is neither
+    emitted nor dropped; a consumer must not treat the absence of a row
+    in early micro-batches as a non-match. The same time-range predicate
+    is what makes the outer join legal at all: Spark rejects outer
+    stream-stream joins whose state it cannot bound.
+    """
+    if how not in ("inner", "left_outer"):
+        raise ValueError(f"how must be 'inner' or 'left_outer', got {how!r}")
     l = left.withWatermark(left_ts, watermark)
     r = right.withWatermark(right_ts, watermark)
     cond = F.lit(True)
@@ -34,7 +46,7 @@ def stream_stream_join(
         & (F.col(right_ts) >= F.col(left_ts) - F.expr(f"INTERVAL {lookback}"))
         & (F.col(right_ts) <= F.col(left_ts))
     )
-    return l.join(r, cond, "inner")
+    return l.join(r, cond, how)
 
 
 def stream_static_enrich(stream: DataFrame, dim: DataFrame, on: list[str]) -> DataFrame:

@@ -239,6 +239,7 @@ def test_catalog_wide_no_accidental_cartesian(spark):
                                        # q11/q22's scalar subquery
         "text_bm25_rank",              # 1-row broadcast (N, sum_dl, n_dl)
         "text_pmi_collocations",       # 1-row broadcast token total
+        "graph_pagerank",              # 1-row broadcast node count N
     }
     flagged = {}
     for name in QUERIES:

@@ -318,6 +318,57 @@ def test_stream_stream_join_bounded(spark, tmp_path):
     assert sorted(r.cts.minute for r in out) == [0, 30]
 
 
+
+
+def test_stream_stream_left_outer_emits_on_eviction(spark, tmp_path):
+    """Left-outer stream-stream join: an unmatched left row is emitted
+    with right-side nulls ONLY once the watermark proves no match can
+    still arrive. Run 1 ingests everything (the matched pair emits; the
+    unmatched row is held in state); run 2 on the same checkpoint sees
+    the advanced watermark evict it and emit the null-padded row —
+    exactly the consumer contract the docstring warns about."""
+    from dca_manager_spark.streaming.joins import stream_stream_join
+
+    base = datetime.datetime(2024, 1, 1, 10, 0, 0)
+    clicks_dir, purch_dir = tmp_path / "clicks", tmp_path / "purch"
+    clicks_dir.mkdir(), purch_dir.mkdir()
+    (clicks_dir / "c.json").write_text(
+        "\n".join([
+            json.dumps({"user_id": 1, "cts": base.isoformat()}),
+            # far-future sentinel: advances the right watermark way past
+            # every real row's eviction horizon
+            json.dumps({"user_id": 9, "cts": (base + datetime.timedelta(hours=20)).isoformat()}),
+        ])
+    )
+    (purch_dir / "p.json").write_text(
+        "\n".join([
+            json.dumps({"user_id": 1, "pts": (base + datetime.timedelta(minutes=45)).isoformat()}),
+            json.dumps({"user_id": 2, "pts": (base + datetime.timedelta(minutes=45)).isoformat()}),
+            json.dumps({"user_id": 8, "pts": (base + datetime.timedelta(hours=20)).isoformat()}),
+        ])
+    )
+
+    def build():
+        clicks = spark.readStream.schema("user_id long, cts timestamp").json(str(clicks_dir))
+        purch = spark.readStream.schema("user_id long, pts timestamp").json(str(purch_dir))
+        return stream_stream_join(
+            purch, clicks, on=["user_id"], left_ts="pts", right_ts="cts",
+            lookback="1 hour", how="left_outer",
+        ).select(purch.user_id.alias("uid"), "pts", "cts")
+
+    out: list = []
+    drain(build(), str(tmp_path / "ckpt"), lambda df, _: out.extend(df.collect()))
+    matched = {r.uid: r.cts for r in out if r.cts is not None}
+    assert matched == {1: base}
+    # the unmatched row must NOT have been emitted as a non-match yet
+    # unless the watermark already evicted it in run 1; either way, by
+    # the end of run 2 it is present exactly once with a null right side
+    drain(build(), str(tmp_path / "ckpt"), lambda df, _: out.extend(df.collect()))
+    nulls = [r for r in out if r.cts is None]
+    assert [(r.uid, r.cts) for r in nulls].count((2, None)) == 1
+    assert {r.uid for r in out if r.cts is not None} == {1}
+
+
 def test_stream_static_enrich(spark, tmp_path):
     from dca_manager_spark.streaming.joins import stream_static_enrich
 
