@@ -19,10 +19,12 @@ from dca_manager_spark.operators.sampling import (
     train_val_test_split,
 )
 from dca_manager_spark.operators.similarity import (
+    cosine_cross_lsh,
     cosine_pairs,
     cosine_pairs_lsh,
     cosine_topk,
     cosine_topk_int8,
+    decontaminate_embeddings,
     dequantize_embeddings,
     ivf_ann_topk,
     lsh_ann_topk,
@@ -55,7 +57,8 @@ __all__ = [
     "minhash_lsh_pairs", "minhash_incremental_filter", "simhash_pairs",
     "CorpusIndex", "build_corpus_index",
     "connected_components", "dedup_keep_canonical",
-    "cosine_topk", "cosine_pairs", "cosine_pairs_lsh", "lsh_ann_topk",
+    "cosine_topk", "cosine_pairs", "cosine_pairs_lsh", "cosine_cross_lsh",
+    "decontaminate_embeddings", "lsh_ann_topk",
     "ivf_ann_topk", "quantize_embeddings", "dequantize_embeddings",
     "cosine_topk_int8",
     "train_val_test_split", "stratified_hash_sample", "exact_k_sample",

@@ -262,6 +262,65 @@ def cosine_pairs(
     )
 
 
+def _sign_sig_frame(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    num_planes: int,
+    num_tables: int,
+    use_arrow: bool,
+) -> DataFrame:
+    """(__id, __v, __n, __table, __sig): one row per (vector, LSH table)
+    with the table's sign signature — the shared front half of every
+    bucketed pair/cross matcher."""
+    tables = max(num_tables, 1)
+    if use_arrow:
+        sigs = F.array(
+            *[
+                sign_lsh_signature_arrow(num_planes, plane_offset=t * 1009)(
+                    F.col(vec_col)
+                )
+                for t in range(tables)
+            ]
+        )
+    else:
+        sigs = F.array(
+            *[
+                sign_lsh_signature(F.col(vec_col), num_planes, plane_offset=t * 1009)
+                for t in range(tables)
+            ]
+        )
+    return df.select(
+        F.col(id_col).alias("__id"),
+        F.col(vec_col).alias("__v"),
+        qnorm(F.col(vec_col)).alias("__n"),
+        F.posexplode(sigs).alias("__table", "__sig"),
+    )
+
+
+def _multi_probe(sig: DataFrame, probe_bits: int, num_planes: int) -> DataFrame:
+    """Expand ONE join side's signatures with every XOR mask of popcount
+    <= probe_bits (asymmetric multi-probe; identity mask included)."""
+    if probe_bits <= 0:
+        return sig
+    from itertools import combinations
+
+    masks = [0] + [
+        sum(1 << p for p in combo)
+        for k in range(1, probe_bits + 1)
+        for combo in combinations(range(num_planes), k)
+    ]
+    return sig.select(
+        "__id",
+        "__v",
+        "__n",
+        "__table",
+        F.explode(
+            F.array(*[F.col("__sig").bitwiseXOR(F.lit(m)) for m in masks])
+        ).alias("__sig"),
+    )
+
+
 def cosine_pairs_lsh(
     df: DataFrame,
     id_col: str,
@@ -295,47 +354,8 @@ def cosine_pairs_lsh(
     a 9x expansion of ONE side's bucket rows (asymmetric: the other side
     stays raw, so pairs are not double-expanded).
     """
-    tables = max(num_tables, 1)
-
-    def sigs(vec: Column) -> Column:
-        if use_arrow:
-            return F.array(
-                *[
-                    sign_lsh_signature_arrow(num_planes, plane_offset=t * 1009)(vec)
-                    for t in range(tables)
-                ]
-            )
-        return F.array(
-            *[
-                sign_lsh_signature(vec, num_planes, plane_offset=t * 1009)
-                for t in range(tables)
-            ]
-        )
-
-    sig = df.select(
-        F.col(id_col).alias("__id"),
-        F.col(vec_col).alias("__v"),
-        qnorm(F.col(vec_col)).alias("__n"),
-        F.posexplode(sigs(F.col(vec_col))).alias("__table", "__sig"),
-    )
-    probed = sig
-    if probe_bits > 0:
-        from itertools import combinations
-
-        masks = [0] + [
-            sum(1 << p for p in combo)
-            for k in range(1, probe_bits + 1)
-            for combo in combinations(range(num_planes), k)
-        ]
-        probed = sig.select(
-            "__id",
-            "__v",
-            "__n",
-            "__table",
-            F.explode(
-                F.array(*[F.col("__sig").bitwiseXOR(F.lit(m)) for m in masks])
-            ).alias("__sig"),
-        )
+    sig = _sign_sig_frame(df, id_col, vec_col, num_planes, num_tables, use_arrow)
+    probed = _multi_probe(sig, probe_bits, num_planes)
     a, b = probed.alias("a"), sig.alias("b")
     cand = (
         a.join(b, on=["__table", "__sig"])
@@ -905,3 +925,111 @@ def pq_ann_topk(
             "rank",
         )
     )
+
+
+def cosine_cross_lsh(
+    left: DataFrame,
+    right: DataFrame,
+    left_id: str,
+    right_id: str,
+    vec_col: str = "embedding",
+    threshold: float = 0.4,
+    num_planes: int = 8,
+    num_tables: int = 4,
+    probe_bits: int = 0,
+    use_arrow: bool = True,
+) -> DataFrame:
+    """Cross-set near-dup pairs: (left, right) vectors sharing a sign-LSH
+    bucket in ANY table, exact-verified at cosine >= ``threshold``.
+
+    The two-corpus sibling of :func:`cosine_pairs_lsh` (same planes,
+    buckets, probe scheme, quantized verify — zero false positives, the
+    standard hyperplane-LSH recall curve) for set-vs-set problems:
+    benchmark decontamination (training corpus vs eval embeddings),
+    cross-snapshot dedup, catalog linkage. Candidates come from an equi
+    join on (table, signature) — LEFT side multi-probed, RIGHT side raw,
+    so cost tracks cross-bucket collisions, never |left| x |right|.
+    Returns one row per verified pair: (left_id, right_id, cosine).
+    """
+    if left_id == right_id:
+        raise ValueError(
+            f"left_id and right_id must differ (both {left_id!r}): the output "
+            "carries one column per side — rename one input id first"
+        )
+    ls = _multi_probe(
+        _sign_sig_frame(left, left_id, vec_col, num_planes, num_tables, use_arrow),
+        probe_bits,
+        num_planes,
+    ).alias("a")
+    rs = _sign_sig_frame(
+        right, right_id, vec_col, num_planes, num_tables, use_arrow
+    ).alias("b")
+    cand = (
+        ls.join(rs, on=["__table", "__sig"])
+        .select(
+            F.col("a.__id").alias("__ida"),
+            F.col("a.__v").alias("__va"),
+            F.col("a.__n").alias("__na"),
+            F.col("b.__id").alias("__idb"),
+            F.col("b.__v").alias("__vb"),
+            F.col("b.__n").alias("__nb"),
+        )
+        .distinct()
+    )
+    if use_arrow:
+        dot = qdot_arrow()(F.col("__va"), F.col("__vb"))
+    else:
+        dot = qdot(F.col("__va"), F.col("__vb"))
+    return (
+        cand.withColumn("cosine", qcosine(dot, F.col("__na"), F.col("__nb")))
+        .filter(F.col("cosine") >= threshold)
+        .select(
+            F.col("__ida").alias(left_id),
+            F.col("__idb").alias(right_id),
+            "cosine",
+        )
+    )
+
+
+def decontaminate_embeddings(
+    corpus: DataFrame,
+    eval_set: DataFrame,
+    corpus_id: str,
+    eval_id: str,
+    vec_col: str = "embedding",
+    threshold: float = 0.4,
+    num_planes: int = 8,
+    num_tables: int = 4,
+    probe_bits: int = 1,
+    use_arrow: bool = True,
+) -> DataFrame:
+    """Embedding-space benchmark decontamination: drop every corpus row
+    whose vector is near-duplicate (cosine >= threshold) of ANY eval-set
+    vector — the semantic sibling of the n-gram scrub in
+    operators/dedup.ngram_decontaminate, catching paraphrases and
+    re-encodings that exact n-grams miss. Returns the surviving corpus
+    rows unchanged.
+
+    Plan: cross-set LSH candidates + exact verify (see cosine_cross_lsh)
+    -> distinct contaminated corpus ids -> one LEFT ANTI join. The eval
+    set is typically tiny next to the corpus; its signature frame stays
+    broadcast-sized, so the candidate join is effectively a bucket-
+    pruned broadcast probe at scale. Recall follows the LSH curve — at
+    the default 8x4+1-probe a cosine-0.9 contaminant is caught with
+    P ~ 0.97 per the hyperplane formula; raise num_tables for stricter
+    guarantees (cost is linear in tables).
+    """
+    hits = cosine_cross_lsh(
+        corpus,
+        eval_set,
+        corpus_id,
+        eval_id,
+        vec_col,
+        threshold,
+        num_planes,
+        num_tables,
+        probe_bits,
+        use_arrow,
+    )
+    flagged = hits.select(F.col(corpus_id)).distinct()
+    return corpus.join(flagged, on=corpus_id, how="left_anti")

@@ -126,6 +126,7 @@ _DRIVER_WINDOW = [
     "scd2_dimension_merge",
     "embedding_quantize_arrow",
     "graph_pagerank",
+    "embedding_decontaminate",
     "q2_min_cost_supplier",
     "q9_product_profit",
     "q11_important_stock",
@@ -169,7 +170,6 @@ _DRIVER_WINDOW = [
     "agg_distinct_per_segment",
     "agg_grouping_sets",
     "agg_rollup_region_nation",
-    "asof_join_purchase_view",
 ]
 
 
@@ -6075,3 +6075,96 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pr = pagerank(fwd.unionByName(rev), "src", "dst", iters=3, damping=0.85)
     return pr.orderBy(F.desc("rank_q"), F.asc("node_id")).limit(100)
+
+
+@query(
+    "embedding_decontaminate",
+    f"""
+    WITH dim AS (
+      SELECT MAX(len({_QVEC})) AS d FROM embeddings
+    ),
+    planes AS (
+      SELECT t.t AS tbl, p.p AS p, i.i AS i,
+             (CAST(concat('0x', substring(md5(concat('p',
+                    CAST(t.t * 1009 + p.p AS VARCHAR), ',',
+                    CAST(i.i AS VARCHAR))), 1, 8)) AS BIGINT)
+              % 2000003) / 1000003.0 - 1.0 AS w
+      FROM (SELECT unnest(range(0, 4)) AS t) t,
+           (SELECT unnest(range(0, 8)) AS p) p,
+           (SELECT unnest(range(0, (SELECT d FROM dim))) AS i) i
+    ),
+    vecs AS (
+      SELECT vec_id, {_QVEC} AS v,
+             CAST(list_sum(list_transform({_QVEC}, x ->
+                  CAST(FLOOR(x * x * 1000000000000) AS BIGINT))) AS BIGINT) AS nq
+      FROM embeddings WHERE vec_id < 1000
+    ),
+    dots AS (
+      SELECT v.vec_id, pl.tbl, pl.p,
+             CAST(SUM(CAST(FLOOR(v.v[pl.i + 1] * pl.w * 1000000000000) AS BIGINT))
+                  AS BIGINT) AS dq
+      FROM vecs v, planes pl
+      GROUP BY v.vec_id, pl.tbl, pl.p
+    ),
+    sigs AS (
+      SELECT vec_id, tbl,
+             CAST(SUM(CASE WHEN dq > 0 THEN (1::BIGINT << p) ELSE 0 END)
+                  AS BIGINT) AS sig
+      FROM dots GROUP BY vec_id, tbl
+    ),
+    masks AS (
+      SELECT unnest([0, 1, 2, 4, 8, 16, 32, 64, 128]) AS m
+    ),
+    cand AS (
+      -- corpus side (vec_id < 900) multi-probed, eval side raw
+      SELECT DISTINCT a.vec_id AS cid, b.vec_id AS eid
+      FROM sigs a, masks, sigs b
+      WHERE a.vec_id % 10 != 0 AND b.vec_id % 10 = 0
+        AND b.tbl = a.tbl AND b.sig = xor(a.sig, masks.m)
+    ),
+    contaminated AS (
+      SELECT DISTINCT cid FROM (
+        SELECT cd.cid,
+               CAST(CAST(list_sum(list_transform(range(1, len(a.v) + 1), i ->
+                      CAST(FLOOR(a.v[i] * b.v[i] * 1000000000000) AS BIGINT))) AS BIGINT)
+                    AS DOUBLE)
+                 / (sqrt(CAST(a.nq AS DOUBLE)) * sqrt(CAST(b.nq AS DOUBLE))) AS cosine
+        FROM cand cd
+        JOIN vecs a ON a.vec_id = cd.cid
+        JOIN vecs b ON b.vec_id = cd.eid
+      ) WHERE cosine >= 0.4
+    )
+    SELECT e.vec_id, e.label
+    FROM embeddings e
+    WHERE e.vec_id < 1000 AND e.vec_id % 10 != 0
+      AND e.vec_id NOT IN (SELECT cid FROM contaminated)
+    ORDER BY e.vec_id
+    """,
+)
+def embedding_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space benchmark decontamination: corpus vectors
+    (bounded ids, 9 of each 10) near-duplicate to ANY eval vector
+    (every 10th id — a modular split so the eval side is non-empty at
+    every testdata SF) at cosine
+    >= 0.4 are dropped — the semantic sibling of text_decontaminate's
+    n-gram scrub, catching paraphrases/re-encodings n-grams miss.
+    Candidates come from the SAME md5-derived sign-LSH buckets as
+    dedup_embedding_cosine (8 bits x 4 tables, corpus side 1-bit
+    multi-probed), exact-verified, then one LEFT ANTI join; the oracle
+    replays planes -> signatures -> probe -> verify -> NOT IN
+    bit-for-bit, so the surviving id set matches exactly. At scale the
+    eval side is tiny: its signature frame broadcasts and the scrub is
+    a bucket-pruned probe over the corpus, never |corpus| x |eval|."""
+    from dca_manager_spark.operators.similarity import decontaminate_embeddings
+
+    emb = t(spark, sf_dir, "embeddings")
+    bounded = emb.filter(F.col("vec_id") < 1000)
+    corpus = bounded.filter(F.col("vec_id") % 10 != 0)
+    eval_set = bounded.filter(F.col("vec_id") % 10 == 0).select(
+        F.col("vec_id").alias("eval_id"), "embedding"
+    )
+    out = decontaminate_embeddings(
+        corpus, eval_set, "vec_id", "eval_id",
+        threshold=0.4, num_planes=8, num_tables=4, probe_bits=1,
+    )
+    return out.select("vec_id", "label").orderBy("vec_id")

@@ -400,3 +400,69 @@ def test_pq_dim_divisibility_is_loud(spark):
     )
     with pytest.raises(ValueError, match="divide"):
         train_pq_codebooks(df, m=3)
+
+
+def test_cosine_cross_lsh_zero_fp_and_exact_copies_caught(spark):
+    """Cross-set LSH: every emitted pair is exact-verified (zero false
+    positives vs a brute-force numpy check), and an exact copy across
+    the sets is ALWAYS caught (identical vectors share every bucket)."""
+    import numpy as np
+
+    from dca_manager_spark.operators.similarity import cosine_cross_lsh
+
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=(6, 16)).astype("float32")
+    left_rows = [(i, base[i].tolist()) for i in range(6)]
+    # right: exact copies of 0 and 3, plus two unrelated vectors
+    right_rows = [
+        (100, base[0].tolist()),
+        (103, base[3].tolist()),
+        (110, rng.normal(size=16).astype("float32").tolist()),
+        (111, rng.normal(size=16).astype("float32").tolist()),
+    ]
+    left = spark.createDataFrame(left_rows, "lid long, embedding array<float>")
+    right = spark.createDataFrame(right_rows, "rid long, embedding array<float>")
+    got = cosine_cross_lsh(
+        left, right, "lid", "rid", threshold=0.9, num_planes=8, num_tables=4,
+        probe_bits=1,
+    ).collect()
+    pairs = {(r.lid, r.rid) for r in got}
+    assert (0, 100) in pairs and (3, 103) in pairs
+    # zero false positives: brute-force cosines of all emitted pairs >= 0.9
+    L = {i: np.asarray(v, dtype=np.float64) for i, v in left_rows}
+    R = {i: np.asarray(v, dtype=np.float64) for i, v in right_rows}
+    for r in got:
+        a, b = L[r.lid], R[r.rid]
+        c = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+        assert c >= 0.9 - 1e-9
+
+
+def test_cosine_cross_lsh_rejects_same_id_name(spark):
+    from dca_manager_spark.operators.similarity import cosine_cross_lsh
+
+    df = spark.createDataFrame([(1, [1.0])], "vec_id long, embedding array<float>")
+    with pytest.raises(ValueError, match="must differ"):
+        cosine_cross_lsh(df, df, "vec_id", "vec_id")
+
+
+def test_decontaminate_embeddings_drops_copies_keeps_rest(spark):
+    import numpy as np
+
+    from dca_manager_spark.operators.similarity import decontaminate_embeddings
+
+    rng = np.random.default_rng(11)
+    base = rng.normal(size=(5, 16)).astype("float32")
+    corpus = spark.createDataFrame(
+        [(i, base[i].tolist(), f"doc{i}") for i in range(5)],
+        "cid long, embedding array<float>, payload string",
+    )
+    eval_set = spark.createDataFrame(
+        [(900, base[2].tolist()), (901, base[4].tolist())],
+        "eid long, embedding array<float>",
+    )
+    out = decontaminate_embeddings(
+        corpus, eval_set, "cid", "eid", threshold=0.95, probe_bits=1
+    )
+    rows = {r.cid: r.payload for r in out.collect()}
+    assert set(rows) == {0, 1, 3}
+    assert rows[0] == "doc0"  # rows pass through unchanged
