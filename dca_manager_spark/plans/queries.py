@@ -127,6 +127,9 @@ _DRIVER_WINDOW = [
     "embedding_quantize_arrow",
     "graph_pagerank",
     "embedding_decontaminate",
+    "events_value_histogram",
+    "events_sequence_detect",
+    "text_quality_logit",
     "q2_min_cost_supplier",
     "q9_product_profit",
     "q11_important_stock",
@@ -167,9 +170,6 @@ _DRIVER_WINDOW = [
     "agg_approx_distinct",
     "agg_approx_percentile",
     "agg_cube_status_priority",
-    "agg_distinct_per_segment",
-    "agg_grouping_sets",
-    "agg_rollup_region_nation",
 ]
 
 
@@ -6168,3 +6168,143 @@ def embedding_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         threshold=0.4, num_planes=8, num_tables=4, probe_bits=1,
     )
     return out.select("vec_id", "label").orderBy("vec_id")
+
+
+@query(
+    "events_value_histogram",
+    """
+    WITH bounds AS (
+      SELECT MIN(value) AS lo, MAX(value) AS hi FROM events
+    )
+    SELECT event_type,
+           CAST(least(FLOOR((value - b.lo) / ((b.hi - b.lo) / 20.0)), 19)
+                AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM events CROSS JOIN bounds b
+    GROUP BY event_type, bucket
+    ORDER BY event_type, bucket
+    """,
+)
+def events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution profiling: 20 equi-width value buckets per event
+    type over the GLOBAL range (shared edges keep types comparable) —
+    the histogram half of data profiling that profile_orders' min/max
+    summary can't show. One 1-row bounds aggregate broadcasts; the
+    bucket expression is subtract -> divide -> floor -> clamp (no
+    multiply-add anywhere, so no FMA exposure) and the counts are one
+    partial+final hash aggregate. The max value lands in bucket 20 by
+    pure arithmetic and is clamped to 19 — the standard closed-top-edge
+    convention."""
+    ev = t(spark, sf_dir, "events")
+    bounds = ev.agg(F.min("value").alias("__lo"), F.max("value").alias("__hi"))
+    width = (F.col("__hi") - F.col("__lo")) / F.lit(20.0)
+    bucket = F.least(
+        F.floor((F.col("value") - F.col("__lo")) / width), F.lit(19)
+    ).cast("long")
+    return (
+        ev.crossJoin(F.broadcast(bounds))
+        .groupBy("event_type", bucket.alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("event_type", "bucket")
+    )
+
+
+@query(
+    "events_sequence_detect",
+    """
+    WITH nxt AS (
+      SELECT user_id, event_type,
+             lead(event_type, 1) OVER w AS e1,
+             lead(event_type, 2) OVER w AS e2
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id,
+           CAST(SUM(CASE WHEN event_type = 'view' AND e1 = 'click'
+                          AND e2 = 'purchase' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_conversions
+    FROM nxt
+    GROUP BY user_id
+    HAVING SUM(CASE WHEN event_type = 'view' AND e1 = 'click'
+                     AND e2 = 'purchase' THEN 1 ELSE 0 END) > 0
+    ORDER BY user_id
+    """,
+)
+def events_sequence_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strict-adjacency sequence detection (MATCH_RECOGNIZE-style): count
+    view -> click -> purchase triples with NO intervening event, per
+    user — the strict sibling of events_funnel's any-order containment.
+    One window (partitioned by user, totally ordered by ts + event_id)
+    provides both lookaheads; the flag sum collapses into the same
+    user-keyed exchange. At 100 TB this is one shuffle on a high-
+    cardinality key, state bounded by two lookahead rows per task."""
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    hit = (
+        (F.col("event_type") == "view")
+        & (F.lead("event_type", 1).over(w) == "click")
+        & (F.lead("event_type", 2).over(w) == "purchase")
+    ).cast("int")
+    return (
+        ev.select("user_id", hit.alias("__hit"))
+        .groupBy("user_id")
+        .agg(F.sum("__hit").alias("n_conversions"))
+        .filter(F.col("n_conversions") > 0)
+        .orderBy("user_id")
+    )
+
+
+@query(
+    "text_quality_logit",
+    f"""
+    WITH f AS (
+      SELECT doc_id,
+             CAST(len({_TOKENS.format(c='text')}) AS BIGINT) AS n_tokens,
+             CAST(FLOOR((CAST(length(regexp_replace(text, '{_PUNCT_RE}', '', 'g')) AS DOUBLE)
+               / CAST(greatest(length(text), 1) AS DOUBLE)) * 1000) AS BIGINT) AS punct_q,
+             CAST(FLOOR((CAST({_sw_count('text', _EN_WORDS)} AS DOUBLE)
+               / CAST(greatest(len({_TOKENS.format(c='text')}), 1) AS DOUBLE)) * 1000)
+               AS BIGINT) AS stop_q,
+             CAST(least(length(text), 2000) AS BIGINT) AS len_q
+      FROM documents
+    )
+    SELECT doc_id, n_tokens,
+           CAST(-3000 + 8 * n_tokens + 2 * stop_q - 3 * punct_q + len_q
+                AS BIGINT) AS logit_q,
+           (-3000 + 8 * n_tokens + 2 * stop_q - 3 * punct_q + len_q) > 0
+             AS accept
+    FROM f
+    ORDER BY doc_id
+    """,
+)
+def text_quality_logit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-scored quality gating, the shape a learned curation filter
+    runs at scale: a linear scorer over engineered features as ONE pure
+    projection — no UDF, no model server in the hot path. Features are
+    quantized to integer per-mille FIRST (floor(ratio*1000): each ratio
+    is a single deterministic division, the *1000 a single multiply),
+    then the logit is pure INTEGER weight arithmetic — exact, order-
+    independent, immune to the FMA contraction that bit the float BM25
+    formulation. Weights are fixed here; a trained model would broadcast
+    them as literals the same way. accept = logit > 0 is the gate a
+    corpus-prep pipeline filters on."""
+    from dca_manager_spark.operators import text as TX
+
+    c = F.col("text")
+    n_tokens = TX.token_count(c).cast("long")
+    punct_q = F.floor(TX.punct_ratio(c) * 1000)
+    stop_q = F.floor(TX.stopword_ratio(c) * 1000)
+    len_q = F.least(F.length(c), F.lit(2000)).cast("long")
+    logit_q = (
+        F.lit(-3000) + 8 * n_tokens + 2 * stop_q - 3 * punct_q + len_q
+    )
+    return (
+        t(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            n_tokens.alias("n_tokens"),
+            logit_q.alias("logit_q"),
+            (logit_q > 0).alias("accept"),
+        )
+        .orderBy("doc_id")
+    )

@@ -240,6 +240,7 @@ def test_catalog_wide_no_accidental_cartesian(spark):
         "text_bm25_rank",              # 1-row broadcast (N, sum_dl, n_dl)
         "text_pmi_collocations",       # 1-row broadcast token total
         "graph_pagerank",              # 1-row broadcast node count N
+        "events_value_histogram",      # 1-row broadcast global min/max bounds
     }
     flagged = {}
     for name in QUERIES:
