@@ -130,6 +130,7 @@ _DRIVER_WINDOW = [
     "events_value_histogram",
     "events_sequence_detect",
     "text_quality_logit",
+    "similarity_hybrid_rrf",
     "q2_min_cost_supplier",
     "q9_product_profit",
     "q11_important_stock",
@@ -169,7 +170,6 @@ _DRIVER_WINDOW = [
     # -- last scored r6 --
     "agg_approx_distinct",
     "agg_approx_percentile",
-    "agg_cube_status_priority",
 ]
 
 
@@ -6308,3 +6308,123 @@ def text_quality_logit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@query(
+    "similarity_hybrid_rrf",
+    f"""
+    WITH tok AS ({_TOK_CTE}),
+    dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY doc_id),
+    tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok
+           WHERE token IN ('join', 'hash', 'vector') GROUP BY doc_id, token),
+    dft AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
+    consts AS (
+      SELECT (SELECT COUNT(*) FROM documents) AS n,
+             (SELECT CAST(SUM(dl) AS BIGINT) FROM dl) AS sum_dl,
+             (SELECT COUNT(*) FROM dl) AS n_dl
+    ),
+    per_term AS (
+      SELECT tf.doc_id, tf.token,
+             ((c.n + 1.0) / (dft.df + 1.0))
+               * CAST(44 * tf.tf AS DOUBLE)
+               / (CAST(20 * tf.tf + 6 AS DOUBLE)
+                  + CAST(18 * dl.dl * c.n_dl AS DOUBLE)
+                    / CAST(c.sum_dl AS DOUBLE))
+               AS s
+      FROM tf JOIN dft USING (token) JOIN dl USING (doc_id) CROSS JOIN consts c
+    ),
+    bm AS (
+      SELECT doc_id,
+             COALESCE(SUM(CASE WHEN token = 'hash' THEN s END), 0.0)
+               + COALESCE(SUM(CASE WHEN token = 'join' THEN s END), 0.0)
+               + COALESCE(SUM(CASE WHEN token = 'vector' THEN s END), 0.0)
+               AS bm25
+      FROM per_term GROUP BY doc_id
+    ),
+    ra AS (
+      SELECT doc_id, ra FROM (
+        SELECT doc_id,
+               CAST(ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS BIGINT) AS ra
+        FROM bm
+      ) WHERE ra <= 100
+    ),
+    e AS (
+      SELECT vec_id, {_QVEC} AS v,
+             CAST(list_sum(list_transform({_QVEC}, x ->
+                  CAST(FLOOR(x * x * 1000000000000) AS BIGINT))) AS BIGINT) AS nq
+      FROM embeddings WHERE vec_id < 1000
+    ),
+    qv AS (SELECT * FROM e WHERE vec_id = 0),
+    cos AS (
+      SELECT c.vec_id AS doc_id,
+             CAST(CAST(list_sum(list_transform(range(1, len(qv.v) + 1), i ->
+                    CAST(FLOOR(qv.v[i] * c.v[i] * 1000000000000) AS BIGINT))) AS BIGINT)
+                  AS DOUBLE)
+               / (sqrt(CAST(qv.nq AS DOUBLE)) * sqrt(CAST(c.nq AS DOUBLE))) AS cosine
+      FROM e c, qv
+      WHERE c.vec_id > 0
+    ),
+    rb AS (
+      SELECT doc_id, rb FROM (
+        SELECT doc_id,
+               CAST(ROW_NUMBER() OVER (ORDER BY cosine DESC, doc_id) AS BIGINT) AS rb
+        FROM cos
+      ) WHERE rb <= 100
+    ),
+    fused AS (
+      SELECT COALESCE(ra.doc_id, rb.doc_id) AS doc_id,
+             ra.ra AS bm25_rank, rb.rb AS cosine_rank,
+             COALESCE(1.0 / (60 + ra.ra), 0.0)
+               + COALESCE(1.0 / (60 + rb.rb), 0.0) AS rrf
+      FROM ra FULL OUTER JOIN rb ON ra.doc_id = rb.doc_id
+    )
+    SELECT doc_id, bm25_rank, cosine_rank, rrf
+    FROM fused
+    ORDER BY rrf DESC, doc_id
+    LIMIT 20
+    """,
+)
+def similarity_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval via reciprocal-rank fusion — the standard way a
+    RAG/curation stack combines a lexical ranker with a semantic one
+    without calibrating their incomparable scores: rrf = 1/(60+rank_a)
+    + 1/(60+rank_b) over the two top-100 lists (missing list membership
+    contributes 0). Ranker A is the BM25 query {join, hash, vector};
+    ranker B is exact cosine against query vector 0 over the bounded
+    embedding set, ids shared with doc_ids (the testdata's synthetic
+    linkage). RRF arithmetic is two exact divisions + one fixed-order
+    add — no products, no FMA exposure. The rank_a window runs over the
+    LIMIT-100 frame (bounded by construction, whitelisted); rank_b comes
+    from cosine_topk's per-query partitioned window. Both ranks travel
+    to the output so the fusion is auditable."""
+    from dca_manager_spark.operators.retrieval import bm25_scores
+    from dca_manager_spark.operators.similarity import cosine_topk
+
+    docs = t(spark, sf_dir, "documents")
+    bm = bm25_scores(docs, "doc_id", "text", ["join", "hash", "vector"])
+    top_a = bm.orderBy(F.desc("bm25"), F.asc("doc_id")).limit(100)
+    ra = top_a.withColumn(
+        "ra",
+        F.row_number().over(Window.orderBy(F.desc("bm25"), F.asc("doc_id"))).cast("long"),
+    ).select("doc_id", "ra")
+
+    emb = t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 1000)
+    qv = emb.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+    corpus = emb.filter(F.col("vec_id") > 0).select(
+        F.col("vec_id").alias("doc_id"), "embedding"
+    )
+    rb = cosine_topk(qv, corpus, "qid", "doc_id", k=100).select(
+        "doc_id", F.col("rank").cast("long").alias("rb")
+    )
+    fused = ra.join(rb, "doc_id", "full_outer").select(
+        "doc_id",
+        F.col("ra").alias("bm25_rank"),
+        F.col("rb").alias("cosine_rank"),
+        (
+            F.coalesce(F.lit(1.0) / (F.lit(60) + F.col("ra")), F.lit(0.0))
+            + F.coalesce(F.lit(1.0) / (F.lit(60) + F.col("rb")), F.lit(0.0))
+        ).alias("rrf"),
+    )
+    return fused.orderBy(F.desc("rrf"), F.asc("doc_id")).limit(20)

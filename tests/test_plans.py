@@ -241,6 +241,10 @@ def test_catalog_wide_no_accidental_cartesian(spark):
         "text_pmi_collocations",       # 1-row broadcast token total
         "graph_pagerank",              # 1-row broadcast node count N
         "events_value_histogram",      # 1-row broadcast global min/max bounds
+        "similarity_hybrid_rrf",       # ranker B is the brute-force cosine
+                                       # baseline (1 broadcast query vector
+                                       # x bounded corpus) + 1-row BM25
+                                       # broadcast constants
     }
     flagged = {}
     for name in QUERIES:
@@ -268,6 +272,9 @@ def test_catalog_wide_no_unpartitioned_windows(spark):
         # produced by orderBy().limit(n_cells) — a constant-size input
         # (operators/similarity.py default-seeds path), not the corpus.
         "similarity_ivf_ann",
+        # rank_a window runs over the LIMIT-100 BM25 frame — bounded by
+        # construction (the fused lists are fixed-size by definition)
+        "similarity_hybrid_rrf",
     }
     flagged = {}
     for name in QUERIES:
