@@ -131,6 +131,7 @@ _DRIVER_WINDOW = [
     "events_sequence_detect",
     "text_quality_logit",
     "similarity_hybrid_rrf",
+    "events_rolling_anomaly",
     "q2_min_cost_supplier",
     "q9_product_profit",
     "q11_important_stock",
@@ -169,7 +170,6 @@ _DRIVER_WINDOW = [
     "window_range_frame",
     # -- last scored r6 --
     "agg_approx_distinct",
-    "agg_approx_percentile",
 ]
 
 
@@ -6428,3 +6428,81 @@ def similarity_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("rrf"),
     )
     return fused.orderBy(F.desc("rrf"), F.asc("doc_id")).limit(20)
+
+
+@query(
+    "events_rolling_anomaly",
+    """
+    WITH c AS (
+      SELECT event_type, ts, event_id,
+             CAST(FLOOR(value * 100) AS BIGINT) AS cv
+      FROM events
+    ),
+    r AS (
+      SELECT event_type, cv,
+             CAST(SUM(cv) OVER w AS BIGINT) AS s1,
+             CAST(SUM(cv * cv) OVER w AS BIGINT) AS s2,
+             CAST(COUNT(*) OVER w AS BIGINT) AS n
+      FROM c
+      WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+                   ROWS BETWEEN 99 PRECEDING AND CURRENT ROW)
+    ),
+    z AS (
+      SELECT event_type, cv, n,
+             CAST(s1 AS DOUBLE) / n AS mu,
+             sqrt(greatest((CAST(s2 AS DOUBLE) - CAST(s1 * s1 AS DOUBLE) / n) / n,
+                           0.0)) AS sigma
+      FROM r
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN n >= 30 AND sigma > 0
+                          AND abs(cv - mu) > 3 * sigma
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies
+    FROM z
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def events_rolling_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling anomaly detection: per event type, a trailing-100-row
+    mean/std over integer cents flags points beyond 3 sigma (warm-up
+    gated at n >= 30) — the streaming-adjacent batch shape for feed
+    monitoring, complementing events_outliers_mad's global-robust gate.
+    The rolling moments are EXACT integer window sums (sum, sum of
+    squares, count — order-independent); mean/variance/sigma are a fixed
+    op sequence with no multiply-add patterns (the one subtraction takes
+    a cast and a division result, neither contractible), and the 3-sigma
+    comparison is a single multiply against an absolute difference. One
+    shuffle on the type key; window state is 100 rows per task."""
+    ev = t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(-99, 0)
+    )
+    cv = F.floor(F.col("value") * 100)
+    base = ev.select(
+        "event_type",
+        cv.alias("cv"),
+        F.sum(cv).over(w).alias("s1"),
+        F.sum(cv * cv).over(w).alias("s2"),
+        F.count(F.lit(1)).over(w).alias("n"),
+    )
+    mu = F.col("s1").cast("double") / F.col("n")
+    sigma = F.sqrt(
+        F.greatest(
+            (F.col("s2").cast("double") - (F.col("s1") * F.col("s1")).cast("double") / F.col("n"))
+            / F.col("n"),
+            F.lit(0.0),
+        )
+    )
+    flagged = base.select(
+        "event_type",
+        ((F.col("n") >= 30) & (sigma > 0) & (F.abs(F.col("cv") - mu) > 3 * sigma)).cast("int").alias("__a"),
+    )
+    return (
+        flagged.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_rows"), F.sum("__a").alias("n_anomalies"))
+        .orderBy("event_type")
+    )
