@@ -100,3 +100,45 @@ def cogroup_order_fulfillment(orders: "DataFrame", lineitem: "DataFrame"):
             schema="o_orderkey long, n_lines long, sum_qty double, fulfilled boolean",
         )
     )
+
+
+def arrow_flag_stats(lineitem: "DataFrame"):
+    """Per-returnflag stats via grouped applyInArrow (Spark 4) — the
+    Arrow-native grouped-map: each key's rows arrive as ONE
+    pyarrow.Table (no pandas boxing), the kernel runs numpy over the
+    Arrow buffers, and one Table row goes back.
+
+    Semantics are deliberately SQL-expressible (count + cent-exact
+    quantity sum + max extended price) so the oracle verifies the
+    applyInArrow machinery — grouping, whole-key Table assembly, Arrow
+    round-trip — end-to-end. Same caveat as every grouped-map: the
+    WHOLE key materializes per Python call, so keys must be bounded or
+    pre-aggregated; the built-in groupBy in the oracle is the fast
+    path, this is the escape hatch for per-key kernels JVM expressions
+    can't write."""
+    import numpy as np
+    import pyarrow as pa
+
+    def stats(table: "pa.Table") -> "pa.Table":
+        qty = np.asarray(table.column("l_quantity").to_numpy(zero_copy_only=False),
+                         dtype=np.float64)
+        price = np.asarray(
+            table.column("l_extendedprice").to_numpy(zero_copy_only=False),
+            dtype=np.float64,
+        )
+        flag = table.column("l_returnflag")[0].as_py()
+        cents = int(np.floor(qty * 100).sum())
+        return pa.Table.from_arrays(
+            [
+                pa.array([flag], type=pa.string()),
+                pa.array([len(qty)], type=pa.int64()),
+                pa.array([cents / 100.0], type=pa.float64()),
+                pa.array([float(price.max())], type=pa.float64()),
+            ],
+            names=["l_returnflag", "n_lines", "sum_qty", "max_price"],
+        )
+
+    return lineitem.groupBy("l_returnflag").applyInArrow(
+        stats,
+        schema="l_returnflag string, n_lines long, sum_qty double, max_price double",
+    )

@@ -132,6 +132,7 @@ _DRIVER_WINDOW = [
     "text_quality_logit",
     "similarity_hybrid_rrf",
     "events_rolling_anomaly",
+    "applyinarrow_flag_stats",
     "q2_min_cost_supplier",
     "q9_product_profit",
     "q11_important_stock",
@@ -168,8 +169,6 @@ _DRIVER_WINDOW = [
     "train_val_test_split",
     "union_missing_columns",
     "window_range_frame",
-    # -- last scored r6 --
-    "agg_approx_distinct",
 ]
 
 
@@ -6506,3 +6505,32 @@ def events_rolling_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_rows"), F.sum("__a").alias("n_anomalies"))
         .orderBy("event_type")
     )
+
+
+@query(
+    "applyinarrow_flag_stats",
+    """
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(CAST(FLOOR(l_quantity * 100) AS DECIMAL(38,0))) AS DOUBLE)
+             / 100 AS sum_qty,
+           MAX(l_extendedprice) AS max_price
+    FROM lineitem
+    WHERE l_orderkey % 101 = 0
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def applyinarrow_flag_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped applyInArrow (Spark 4's Arrow-native grouped-map — with
+    this the Python surface is complete: pandas_udf, mapInPandas,
+    applyInPandas, applyInPandasWithState, cogrouped applyInPandas,
+    mapInArrow, applyInArrow, UDTF): per-returnflag stats computed by a
+    numpy kernel over each key's whole pyarrow.Table, held to a plain
+    groupBy oracle. Bounded to 1/101st of lineitem — grouped-map
+    materializes the entire key per Python call, the documented
+    slow-path trade (operators/udtf_ops.arrow_flag_stats)."""
+    from dca_manager_spark.operators.udtf_ops import arrow_flag_stats
+
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 101 == 0)
+    return arrow_flag_stats(li).orderBy("l_returnflag")
