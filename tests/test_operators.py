@@ -375,3 +375,58 @@ def test_write_training_shards_layout_and_determinism(spark, tmp_path):
     assert again == expect
     with pytest.raises(ValueError, match="n_shards"):
         shard_assignment(df, "doc_id", 0)
+
+
+def test_rolling_anomaly_warmup_and_spike(spark):
+    """events_rolling_anomaly's recurrence on a constructed series: a
+    spike inside the n>=30 warm-up is NOT flagged, an identical spike
+    after warm-up is flagged exactly once. Uses the catalog query over a
+    temp parquet dir shaped like the events table."""
+    import datetime
+
+    import dca_manager_spark.plans.queries as Q
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = []
+    for i in range(80):
+        # constant-ish signal with slight alternation so sigma > 0
+        v = 10.0 + (0.02 if i % 2 else -0.02)
+        if i in (10, 60):
+            v = 500.0   # spikes: one inside warm-up, one after
+        rows.append((i, base + datetime.timedelta(seconds=i), 1, "click", v, "{}"))
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        df.coalesce(1).write.parquet(f"{d}/events.parquet")
+        out = {r.event_type: (r.n_rows, r.n_anomalies)
+               for r in Q.QUERIES["events_rolling_anomaly"].fn(spark, d).collect()}
+    n_rows, n_anom = out["click"]
+    assert n_rows == 80
+    # row 10 is inside warm-up (n=11 < 30): not flagged. Row 60 is
+    # flagged. The spike also inflates sigma for the NEXT 99 rows, which
+    # shields later points — so exactly one anomaly total.
+    assert n_anom == 1
+
+
+def test_applyinarrow_flag_stats_matches_groupby(spark):
+    from pyspark.sql import functions as F
+
+    from dca_manager_spark.operators.udtf_ops import arrow_flag_stats
+
+    li = spark.createDataFrame(
+        [
+            (1, 1.01, 10.0, "A"),
+            (2, 2.5, 30.0, "A"),
+            (3, 4.0, 20.0, "R"),
+        ],
+        "l_orderkey long, l_quantity double, l_extendedprice double, "
+        "l_returnflag string",
+    )
+    got = {r.l_returnflag: (r.n_lines, r.sum_qty, r.max_price)
+           for r in arrow_flag_stats(li).collect()}
+    assert got == {"A": (2, 3.51, 30.0), "R": (1, 4.0, 20.0)}
