@@ -190,3 +190,99 @@ def track_order_lifecycle_tws(events: DataFrame) -> DataFrame:
         outputMode="append",
         timeMode="none",
     )
+
+
+SESSION_OUTPUT_SCHEMA = (
+    "user_id long, session_start timestamp, session_end timestamp, "
+    "n_events long, closed_by string"
+)
+SESSION_STATE_SCHEMA = (
+    "session_start timestamp, last_ts timestamp, n_events long"
+)
+
+
+def sessionize_stream(
+    events: DataFrame,
+    gap_seconds: float = 1800.0,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming twin of operators/relational.sessionize_gaps: per-user
+    gap sessionization over an event stream with ``applyInPandasWithState``
+    + EVENT-TIME timeouts.
+
+    events: streaming DF with (user_id long, ts timestamp, ...). Emits one
+    row per CLOSED session: a session closes when a later event of the
+    same user arrives more than ``gap_seconds`` after it (closed_by =
+    'gap'), or when the watermark passes its last event + gap with no
+    successor (closed_by = 'timeout') — so the final session of an idle
+    user still emits, which a pure lag/window formulation can never do on
+    an unbounded stream.
+
+    Parity contract (pinned by test): the (session_start, session_end,
+    n_events) triples equal the batch sessionize_gaps aggregate over the
+    same prefix of events, for every session the stream has closed.
+
+    Scale: state is ONE open-session triple per active user, keyed by the
+    groupBy; eviction is the event-time timeout, so idle users cost
+    nothing after watermark + gap. Per micro-batch work is per-key pandas
+    over that key's new rows only.
+    """
+    gap = float(gap_seconds)
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        uid = key[0]
+
+        def close(ss, lt, n, how):
+            return pd.DataFrame(
+                {
+                    "user_id": [uid],
+                    "session_start": [ss],
+                    "session_end": [lt],
+                    "n_events": [n],
+                    "closed_by": [how],
+                }
+            )
+
+        if state.hasTimedOut:
+            ss, lt, n = state.get
+            state.remove()
+            yield close(ss, lt, n, "timeout")
+            return
+
+        ss = lt = None
+        n = 0
+        if state.exists:
+            ss, lt, n = state.get
+        rows = pd.concat(list(pdfs), ignore_index=True).sort_values(
+            ["ts", "user_id"]
+        )
+        out = []
+        for row in rows.itertuples():
+            ts = row.ts.to_pydatetime() if hasattr(row.ts, "to_pydatetime") else row.ts
+            if lt is None:
+                ss, lt, n = ts, ts, 1
+            elif (ts - lt).total_seconds() > gap:
+                out.append((ss, lt, n))
+                ss, lt, n = ts, ts, 1
+            else:
+                lt = ts
+                n += 1
+        state.update((ss, lt, n))
+        # event-time eviction: fire once the watermark passes last+gap
+        state.setTimeoutTimestamp(int(lt.timestamp() * 1000) + int(gap * 1000))
+        if out:
+            yield pd.concat([close(s, e, c, "gap") for (s, e, c) in out])
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fn,
+            outputStructType=SESSION_OUTPUT_SCHEMA,
+            stateStructType=SESSION_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )

@@ -369,6 +369,87 @@ def test_stream_stream_left_outer_emits_on_eviction(spark, tmp_path):
     assert {r.uid for r in out if r.cts is not None} == {1}
 
 
+def test_sessionize_stream_gap_and_timeout_with_batch_parity(spark, tmp_path):
+    """Streaming sessionization twin: a session closes by GAP when a
+    later event arrives past the gap, and by event-time TIMEOUT when the
+    watermark passes its last event + gap with no successor. The closed
+    (start, end, n) triples must equal the batch sessionize_gaps
+    aggregate over the same events — the batch/streaming parity
+    contract."""
+    from dca_manager_spark.operators.relational import sessionize_gaps
+    from dca_manager_spark.streaming.stateful import sessionize_stream
+
+    base = datetime.datetime(2024, 1, 1, 0, 0, 0)
+    src = tmp_path / "ev"
+    src.mkdir()
+
+    def write(name, rows):
+        (src / name).write_text(
+            "\n".join(
+                json.dumps({"user_id": u, "ts": (base + datetime.timedelta(seconds=s)).isoformat()})
+                for u, s in rows
+            )
+        )
+
+    def run():
+        stream = spark.readStream.schema("user_id long, ts timestamp").json(str(src))
+        out: list = []
+        drain(
+            sessionize_stream(stream, gap_seconds=1800.0),
+            str(tmp_path / "ckpt"),
+            lambda df, _: out.extend(df.collect()),
+        )
+        return out
+
+    closed: list = []
+    # run 1: user 1 opens a session (2 events, 10 min apart) — nothing closes
+    write("f1.json", [(1, 0), (1, 600)])
+    closed += run()
+    assert closed == []
+    # run 2: user 1 reappears 2h later (gap-closes session 1);
+    # user 2 far ahead pushes the watermark for the next run
+    write("f2.json", [(1, 7200), (2, 72000)])
+    closed += run()
+    got = {(r.user_id, r.session_start, r.session_end, r.n_events, r.closed_by)
+           for r in closed}
+    assert (1, base, base + datetime.timedelta(seconds=600), 2, "gap") in got
+    # availableNow runs a final no-data batch after the watermark
+    # advances (72000s - 10min), so user 1's second session (7200s) times
+    # out within the SAME run — both closures land here
+    assert len(closed) == 2
+    # run 3: another user-2 event 1h later gap-closes user 2's first
+    # session (user 1 has no state left)
+    write("f3.json", [(2, 75600)])
+    closed += run()
+    got = {(r.user_id, int((r.session_start - base).total_seconds()),
+            int((r.session_end - base).total_seconds()), r.n_events, r.closed_by)
+           for r in closed}
+    assert (1, 0, 600, 2, "gap") in got
+    assert (1, 7200, 7200, 1, "timeout") in got
+    assert (2, 72000, 72000, 1, "gap") in got
+    assert len(closed) == 3
+    # batch parity: every stream-closed session equals the batch
+    # aggregate of the same events
+    all_events = [(1, 0), (1, 600), (1, 7200), (2, 72000), (2, 75600)]
+    bdf = spark.createDataFrame(
+        [(u, base + datetime.timedelta(seconds=s), u * 100000 + s)
+         for u, s in all_events],
+        "user_id long, ts timestamp, event_id long",
+    )
+    batch = (
+        sessionize_gaps(bdf, "user_id", "ts", 1800.0, "event_id")
+        .groupBy("user_id", "session_id")
+        .agg(F.min("ts").alias("s"), F.max("ts").alias("e"), F.count("*").alias("n"))
+        .collect()
+    )
+    batch_set = {(r.user_id, int((r.s - base).total_seconds()),
+                  int((r.e - base).total_seconds()), r.n) for r in batch}
+    stream_set = {(u, s, e, n) for (u, s, e, n, _) in got}
+    # stream has closed every session except user 2's last (still open)
+    assert stream_set <= batch_set
+    assert batch_set - stream_set == {(2, 75600, 75600, 1)}
+
+
 def test_stream_static_enrich(spark, tmp_path):
     from dca_manager_spark.streaming.joins import stream_static_enrich
 
