@@ -42,6 +42,11 @@ from dca_manager_spark.operators.relational import (
 )
 from dca_manager_spark.operators.arrow_ops import quantize_profile_arrow
 from dca_manager_spark.operators.graph import pagerank
+from dca_manager_spark.operators.embedding_index import (
+    EmbeddingIndex,
+    build_embedding_index,
+    embedding_incremental_filter,
+)
 from dca_manager_spark.operators.skew import salted_join, salted_sum
 from dca_manager_spark.operators.corpus import prepare_corpus
 from dca_manager_spark.operators.training import (
@@ -70,4 +75,5 @@ __all__ = [
     "sessionize_gaps", "scd2_apply", "mad_outlier_stats",
     "quantize_profile_arrow",
     "pagerank",
+    "EmbeddingIndex", "build_embedding_index", "embedding_incremental_filter",
 ]

@@ -133,6 +133,7 @@ _DRIVER_WINDOW = [
     "similarity_hybrid_rrf",
     "events_rolling_anomaly",
     "applyinarrow_flag_stats",
+    "embedding_incremental_admit",
     "q2_min_cost_supplier",
     "q9_product_profit",
     "q11_important_stock",
@@ -167,7 +168,6 @@ _DRIVER_WINDOW = [
     "stat_corr_manual",
     "stratified_hash_sample",
     "train_val_test_split",
-    "union_missing_columns",
     "window_range_frame",
 ]
 
@@ -6534,3 +6534,93 @@ def applyinarrow_flag_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 101 == 0)
     return arrow_flag_stats(li).orderBy("l_returnflag")
+
+
+@query(
+    "embedding_incremental_admit",
+    f"""
+    WITH dim AS (
+      SELECT MAX(len({_QVEC})) AS d FROM embeddings
+    ),
+    planes AS (
+      SELECT t.t AS tbl, p.p AS p, i.i AS i,
+             (CAST(concat('0x', substring(md5(concat('p',
+                    CAST(t.t * 1009 + p.p AS VARCHAR), ',',
+                    CAST(i.i AS VARCHAR))), 1, 8)) AS BIGINT)
+              % 2000003) / 1000003.0 - 1.0 AS w
+      FROM (SELECT unnest(range(0, 4)) AS t) t,
+           (SELECT unnest(range(0, 8)) AS p) p,
+           (SELECT unnest(range(0, (SELECT d FROM dim))) AS i) i
+    ),
+    vecs AS (
+      SELECT vec_id, {_QVEC} AS v,
+             CAST(list_sum(list_transform({_QVEC}, x ->
+                  CAST(FLOOR(x * x * 1000000000000) AS BIGINT))) AS BIGINT) AS nq
+      FROM embeddings WHERE vec_id < 1000
+    ),
+    dots AS (
+      SELECT v.vec_id, pl.tbl, pl.p,
+             CAST(SUM(CAST(FLOOR(v.v[pl.i + 1] * pl.w * 1000000000000) AS BIGINT))
+                  AS BIGINT) AS dq
+      FROM vecs v, planes pl
+      GROUP BY v.vec_id, pl.tbl, pl.p
+    ),
+    sigs AS (
+      SELECT vec_id, tbl,
+             CAST(SUM(CASE WHEN dq > 0 THEN (1::BIGINT << p) ELSE 0 END)
+                  AS BIGINT) AS sig
+      FROM dots GROUP BY vec_id, tbl
+    ),
+    masks AS (
+      SELECT unnest([0, 1, 2, 4, 8, 16, 32, 64, 128]) AS m
+    ),
+    cand AS (
+      -- batch side (every 10th id) multi-probed, corpus index raw
+      SELECT DISTINCT a.vec_id AS bid, b.vec_id AS cid
+      FROM sigs a, masks, sigs b
+      WHERE a.vec_id % 10 = 0 AND b.vec_id % 10 != 0
+        AND b.tbl = a.tbl AND b.sig = xor(a.sig, masks.m)
+    ),
+    flagged AS (
+      SELECT DISTINCT bid FROM (
+        SELECT cd.bid,
+               CAST(CAST(list_sum(list_transform(range(1, len(a.v) + 1), i ->
+                      CAST(FLOOR(a.v[i] * b.v[i] * 1000000000000) AS BIGINT))) AS BIGINT)
+                    AS DOUBLE)
+                 / (sqrt(CAST(a.nq AS DOUBLE)) * sqrt(CAST(b.nq AS DOUBLE))) AS cosine
+        FROM cand cd
+        JOIN vecs a ON a.vec_id = cd.bid
+        JOIN vecs b ON b.vec_id = cd.cid
+      ) WHERE cosine >= 0.4
+    )
+    SELECT e.vec_id, e.label
+    FROM embeddings e
+    WHERE e.vec_id < 1000 AND e.vec_id % 10 = 0
+      AND e.vec_id NOT IN (SELECT bid FROM flagged)
+    ORDER BY e.vec_id
+    """,
+)
+def embedding_incremental_admit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The vector-side steady-state admission gate
+    (operators/embedding_index.py): an arriving batch (every 10th id) is
+    signed + 1-bit multi-probed and bucket-joined against the persisted
+    corpus index's signatures (the other 9/10); only candidates fetch
+    verification payloads and pay the exact quantized cosine; survivors
+    are admitted via one LEFT ANTI join. The corpus is never re-signed
+    per batch — build_embedding_index runs once, append() grows it
+    O(batch). Oracle replays planes -> signatures -> probe -> verify ->
+    NOT IN bit-for-bit (same md5 plane family as dedup_embedding_cosine,
+    with the probe side swapped to the batch)."""
+    from dca_manager_spark.operators.embedding_index import (
+        build_embedding_index,
+        embedding_incremental_filter,
+    )
+
+    emb = t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 1000)
+    corpus = emb.filter(F.col("vec_id") % 10 != 0)
+    batch = emb.filter(F.col("vec_id") % 10 == 0)
+    idx = build_embedding_index(corpus, "vec_id", "embedding")
+    out = embedding_incremental_filter(
+        batch, "vec_id", "embedding", idx, threshold=0.4, probe_bits=1
+    )
+    return out.select("vec_id", "label").orderBy("vec_id")
