@@ -92,3 +92,60 @@ def stream_corpus_ingest(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_embedding_ingest(
+    stream_df: DataFrame,
+    table,
+    index_path: str,
+    checkpoint_dir: str,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.9,
+    probe_bits: int = 1,
+    available_now: bool = True,
+    query_name: str = "embedding-ingest",
+) -> StreamingQuery:
+    """The vector twin of :func:`stream_corpus_ingest`: per micro-batch,
+    near-dup-gate arriving embeddings against the PERSISTED sign-LSH
+    index (operators/embedding_index.EmbeddingIndex — the corpus is
+    never re-signed), upsert survivors into the keyed lake table, then
+    grow the on-disk index O(batch) so the next batch dedups against
+    them too.
+
+    The crash/replay argument is inherited verbatim from the text loop
+    (module doc above): filter-first makes a fully-indexed replay
+    self-suppressing (every vector is a cosine-1.0 duplicate of itself);
+    table-write-before-index-append means no failure mode strands
+    admitted vectors as indexed-but-never-written; the one non-atomic
+    window is EmbeddingIndex.append's own two-parquet append, with the
+    same rebuild-on-mid-append-crash contract.
+    """
+    from dca_manager_spark.operators.embedding_index import (
+        EmbeddingIndex,
+        embedding_incremental_filter,
+    )
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        spark = batch_df.sparkSession
+        index = EmbeddingIndex.load(spark, index_path)
+        survivors = embedding_incremental_filter(
+            batch_df, id_col, vec_col, index,
+            threshold=threshold, probe_bits=probe_bits,
+        )
+        survivors = survivors.localCheckpoint(eager=True)
+        if survivors.isEmpty():
+            return
+        table.write(survivors, "upsert")
+        EmbeddingIndex.append(spark, index_path, survivors, id_col, vec_col)
+
+    writer = (
+        stream_df.writeStream.queryName(query_name)
+        .foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -832,3 +832,76 @@ def test_stream_corpus_ingest_loop(spark, tmp_path):
     }
     # doc 11 and 21 indexed exactly once: 10 words -> 8 distinct 3-shingles
     assert per_doc[11] == 8 and per_doc[21] == 8
+
+
+def test_stream_embedding_ingest_loop(spark, tmp_path):
+    """Vector twin of the corpus-ingest loop: batch 2's near-dup of
+    batch 1's ADMITTED vector is caught only by the grown on-disk index,
+    and a full fresh-checkpoint replay is self-suppressed with no
+    signature-row duplication."""
+    import os
+
+    import numpy as np
+
+    from dca_manager_spark.io.manifest import ManifestTable
+    from dca_manager_spark.operators.embedding_index import build_embedding_index
+    from dca_manager_spark.streaming.corpus_ingest import stream_embedding_ingest
+
+    rng = np.random.default_rng(31)
+    base = rng.normal(size=(4, 16)).astype("float32")
+    corpus = spark.createDataFrame(
+        [(1, base[0].tolist()), (2, base[1].tolist())],
+        "vec_id long, embedding array<float>",
+    )
+    table = ManifestTable(
+        spark, str(tmp_path / "emb_tbl"), keys=("vec_id",),
+        precombine="vec_id", partition_by=(),
+    )
+    table.write(corpus, "upsert")
+    idx_path = str(tmp_path / "emb_idx")
+    build_embedding_index(corpus, "vec_id", "embedding").save(idx_path)
+
+    src = tmp_path / "vecs_in"
+    src.mkdir()
+    novel_a, novel_b = base[2], base[3]
+    b1 = [
+        {"vec_id": 10, "embedding": base[0].tolist()},  # dup of corpus 1
+        {"vec_id": 11, "embedding": novel_a.tolist()},  # admitted
+    ]
+    b2 = [
+        {"vec_id": 20, "embedding": novel_a.tolist()},  # dup of ADMITTED 11
+        {"vec_id": 21, "embedding": novel_b.tolist()},  # admitted
+    ]
+    (src / "a_b1.json").write_text("\n".join(json.dumps(r) for r in b1))
+    (src / "b_b2.json").write_text("\n".join(json.dumps(r) for r in b2))
+    now = 1_700_000_000
+    os.utime(src / "a_b1.json", (now, now))
+    os.utime(src / "b_b2.json", (now + 10, now + 10))
+
+    def stream():
+        return (
+            spark.readStream.schema("vec_id long, embedding array<float>")
+            .option("maxFilesPerTrigger", "1")
+            .json(str(src))
+        )
+
+    q = stream_embedding_ingest(
+        stream(), table, idx_path, str(tmp_path / "ck"), "vec_id", "embedding",
+        threshold=0.9,
+    )
+    q.awaitTermination(120)
+    assert sorted(r.vec_id for r in table.read().collect()) == [1, 2, 11, 21]
+
+    q2 = stream_embedding_ingest(
+        stream(), table, idx_path, str(tmp_path / "ck2"), "vec_id", "embedding",
+        threshold=0.9,
+    )
+    q2.awaitTermination(120)
+    assert sorted(r.vec_id for r in table.read().collect()) == [1, 2, 11, 21]
+    sigs = spark.read.parquet(os.path.join(idx_path, "sigs"))
+    per_vec = {
+        r["__id"]: r["n"]
+        for r in sigs.groupBy("__id").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    # 4 tables -> exactly 4 signature rows per indexed vector, no replay dups
+    assert per_vec[11] == 4 and per_vec[21] == 4
