@@ -246,7 +246,11 @@ def mad_outlier_stats(
     med = df.groupBy(group_col).agg(
         F.expr(f"percentile(FLOOR({value_col} * 100), 0.5)").alias("__med")
     )
-    with_med = df.join(med, group_col)
+    # pinned: both the MAD aggregate and the z-scoring read this frame,
+    # and Spark shares no common subplans — without the barrier the
+    # input scan + median join would run twice (the repo's documented
+    # Generate-barrier trap)
+    with_med = df.join(med, group_col).localCheckpoint(eager=False)
     mad = with_med.groupBy(group_col).agg(
         F.expr(
             f"percentile(ABS(FLOOR({value_col} * 100) - __med), 0.5)"

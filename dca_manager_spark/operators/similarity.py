@@ -1012,18 +1012,21 @@ def decontaminate_embeddings(
 
     Plan: cross-set LSH candidates + exact verify (see cosine_cross_lsh)
     -> distinct contaminated corpus ids -> one LEFT ANTI join. The eval
-    set is typically tiny next to the corpus; its signature frame stays
-    broadcast-sized, so the candidate join is effectively a bucket-
-    pruned broadcast probe at scale. Recall follows the LSH curve — at
-    the default 8x4+1-probe a cosine-0.9 contaminant is caught with
-    P ~ 0.97 per the hyperplane formula; raise num_tables for stricter
-    guarantees (cost is linear in tables).
+    set is typically tiny next to the corpus, so it takes the LEFT
+    (multi-probed) side: the XOR probe is symmetric — eval_sig ^ m ==
+    corpus_sig iff corpus_sig ^ m == eval_sig — so the candidate set is
+    identical either way, but probing the small side keeps the corpus
+    signature frame at num_tables rows/vector instead of multiplying it
+    by the probe masks (9x at 1 bit over 8 planes). Recall follows the
+    LSH curve — at the default 8x4+1-probe a cosine-0.9 contaminant is
+    caught with P ~ 0.97 per the hyperplane formula; raise num_tables
+    for stricter guarantees (cost is linear in tables).
     """
     hits = cosine_cross_lsh(
-        corpus,
         eval_set,
-        corpus_id,
+        corpus,
         eval_id,
+        corpus_id,
         vec_col,
         threshold,
         num_planes,

@@ -5892,8 +5892,7 @@ def agg_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     holds with wide margin on any partitioning."""
     o = t(spark, sf_dir, "orders")
     sketches = o.groupBy("o_orderpriority", "o_orderstatus").agg(
-        F.hll_sketch_agg("o_custkey", F.lit(14)).alias("__sk"),
-        F.count_distinct("o_custkey").alias("__part_exact"),
+        F.hll_sketch_agg("o_custkey", F.lit(14)).alias("__sk")
     )
     merged = sketches.groupBy("o_orderpriority").agg(
         F.hll_sketch_estimate(F.hll_union_agg("__sk")).alias("__est"),
@@ -6115,7 +6114,10 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT unnest([0, 1, 2, 4, 8, 16, 32, 64, 128]) AS m
     ),
     cand AS (
-      -- corpus side (vec_id < 900) multi-probed, eval side raw
+      -- probed on the corpus side here; the engine probes the EVAL side
+      -- (XOR probing is symmetric, so the candidate set is identical —
+      -- the engine picks the small side to avoid multiplying the corpus
+      -- signature frame by the masks)
       SELECT DISTINCT a.vec_id AS cid, b.vec_id AS eid
       FROM sigs a, masks, sigs b
       WHERE a.vec_id % 10 != 0 AND b.vec_id % 10 = 0
@@ -6148,8 +6150,10 @@ def embedding_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     >= 0.4 are dropped — the semantic sibling of text_decontaminate's
     n-gram scrub, catching paraphrases/re-encodings n-grams miss.
     Candidates come from the SAME md5-derived sign-LSH buckets as
-    dedup_embedding_cosine (8 bits x 4 tables, corpus side 1-bit
-    multi-probed), exact-verified, then one LEFT ANTI join; the oracle
+    dedup_embedding_cosine (8 bits x 4 tables, the SMALL eval side 1-bit
+    multi-probed — XOR probing is symmetric, so which side carries the
+    masks changes cost, never candidates), exact-verified, then one
+    LEFT ANTI join; the oracle
     replays planes -> signatures -> probe -> verify -> NOT IN
     bit-for-bit, so the surviving id set matches exactly. At scale the
     eval side is tiny: its signature frame broadcasts and the scrub is
@@ -6176,8 +6180,9 @@ def embedding_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT MIN(value) AS lo, MAX(value) AS hi FROM events
     )
     SELECT event_type,
-           CAST(least(FLOOR((value - b.lo) / ((b.hi - b.lo) / 20.0)), 19)
-                AS BIGINT) AS bucket,
+           CAST(CASE WHEN b.hi > b.lo
+                     THEN least(FLOOR((value - b.lo) / ((b.hi - b.lo) / 20.0)), 19)
+                     ELSE 0 END AS BIGINT) AS bucket,
            CAST(COUNT(*) AS BIGINT) AS n
     FROM events CROSS JOIN bounds b
     GROUP BY event_type, bucket
@@ -6197,9 +6202,12 @@ def events_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = t(spark, sf_dir, "events")
     bounds = ev.agg(F.min("value").alias("__lo"), F.max("value").alias("__hi"))
     width = (F.col("__hi") - F.col("__lo")) / F.lit(20.0)
-    bucket = F.least(
-        F.floor((F.col("value") - F.col("__lo")) / width), F.lit(19)
-    ).cast("long")
+    # degenerate range (constant column / single row) guards the ANSI
+    # division, same convention as mad_outlier_stats
+    bucket = F.when(
+        F.col("__hi") > F.col("__lo"),
+        F.least(F.floor((F.col("value") - F.col("__lo")) / width), F.lit(19)),
+    ).otherwise(F.lit(0)).cast("long")
     return (
         ev.crossJoin(F.broadcast(bounds))
         .groupBy("event_type", bucket.alias("bucket"))
@@ -6449,7 +6457,8 @@ def similarity_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     z AS (
       SELECT event_type, cv, n,
              CAST(s1 AS DOUBLE) / n AS mu,
-             sqrt(greatest((CAST(s2 AS DOUBLE) - CAST(s1 * s1 AS DOUBLE) / n) / n,
+             sqrt(greatest((CAST(s2 AS DOUBLE)
+                            - (CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)) / n) / n,
                            0.0)) AS sigma
       FROM r
     )
@@ -6489,9 +6498,18 @@ def events_rolling_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).over(w).alias("n"),
     )
     mu = F.col("s1").cast("double") / F.col("n")
+    # s1 squared in DOUBLE: a long product overflows int64 once |s1|
+    # exceeds ~3e9 (plausible window sums for large-magnitude feeds) —
+    # silently non-ANSI, a crash under ANSI. The double product is
+    # correctly rounded identically in both engines, and it feeds a
+    # DIVISION (not directly an add), so no FMA-contraction exposure.
     sigma = F.sqrt(
         F.greatest(
-            (F.col("s2").cast("double") - (F.col("s1") * F.col("s1")).cast("double") / F.col("n"))
+            (
+                F.col("s2").cast("double")
+                - (F.col("s1").cast("double") * F.col("s1").cast("double"))
+                / F.col("n")
+            )
             / F.col("n"),
             F.lit(0.0),
         )

@@ -222,12 +222,31 @@ def sessionize_stream(
     n_events) triples equal the batch sessionize_gaps aggregate over the
     same prefix of events, for every session the stream has closed.
 
+    Late data: a late-but-within-watermark event that lands inside (or
+    up to gap before) the OPEN session is absorbed into it — the span
+    only ever widens (start = min, end = max), never regresses. With
+    O(1) state per user, exact retroactive session SPLITS are not
+    representable; keep the watermark delay <= gap_seconds and the
+    absorbed approximation equals the batch result except when a late
+    event should have seeded its own already-closed session.
+
     Scale: state is ONE open-session triple per active user, keyed by the
     groupBy; eviction is the event-time timeout, so idle users cost
     nothing after watermark + gap. Per micro-batch work is per-key pandas
     over that key's new rows only.
     """
+    import datetime as _dt
+    from zoneinfo import ZoneInfo
+
     gap = float(gap_seconds)
+    # Rows reach the pandas worker as tz-NAIVE wall times in the Spark
+    # SESSION timezone; naive .timestamp() would interpret them in the
+    # OS-local zone instead (wrong timeout epoch on any non-UTC host,
+    # possibly even behind the watermark). Capture the session zone at
+    # plan-build time and localize explicitly.
+    session_tz = ZoneInfo(
+        events.sparkSession.conf.get("spark.sql.session.timeZone") or "UTC"
+    )
 
     def fn(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
@@ -255,9 +274,7 @@ def sessionize_stream(
         n = 0
         if state.exists:
             ss, lt, n = state.get
-        rows = pd.concat(list(pdfs), ignore_index=True).sort_values(
-            ["ts", "user_id"]
-        )
+        rows = pd.concat(list(pdfs), ignore_index=True).sort_values("ts")
         out = []
         for row in rows.itertuples():
             ts = row.ts.to_pydatetime() if hasattr(row.ts, "to_pydatetime") else row.ts
@@ -267,11 +284,14 @@ def sessionize_stream(
                 out.append((ss, lt, n))
                 ss, lt, n = ts, ts, 1
             else:
-                lt = ts
-                n += 1
+                # absorb (possibly late) event: the span only widens —
+                # a backward lt would shrink future gap checks and close
+                # sessions the batch twin keeps open
+                ss, lt, n = min(ss, ts), max(lt, ts), n + 1
         state.update((ss, lt, n))
         # event-time eviction: fire once the watermark passes last+gap
-        state.setTimeoutTimestamp(int(lt.timestamp() * 1000) + int(gap * 1000))
+        epoch_ms = int(lt.replace(tzinfo=session_tz).timestamp() * 1000)
+        state.setTimeoutTimestamp(epoch_ms + int(gap * 1000))
         if out:
             yield pd.concat([close(s, e, c, "gap") for (s, e, c) in out])
 

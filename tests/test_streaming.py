@@ -905,3 +905,52 @@ def test_stream_embedding_ingest_loop(spark, tmp_path):
     }
     # 4 tables -> exactly 4 signature rows per indexed vector, no replay dups
     assert per_vec[11] == 4 and per_vec[21] == 4
+
+
+def test_sessionize_stream_late_event_does_not_regress_span(spark, tmp_path):
+    """A late-but-within-watermark event landing INSIDE the open session
+    is absorbed without moving last_ts backward: a follower that is
+    within the gap of the TRUE session end must stay in the same session
+    (the r8 review finding — a regressed last_ts closed sessions the
+    batch twin keeps open)."""
+    from dca_manager_spark.streaming.stateful import sessionize_stream
+
+    base = datetime.datetime(2024, 1, 1)
+    src = tmp_path / "ev"
+    src.mkdir()
+
+    def write(name, secs):
+        (src / name).write_text(
+            "\n".join(
+                json.dumps({"user_id": 1, "ts": (base + datetime.timedelta(seconds=s)).isoformat()})
+                for s in secs
+            )
+        )
+
+    def run():
+        stream = spark.readStream.schema("user_id long, ts timestamp").json(str(src))
+        out: list = []
+        drain(
+            sessionize_stream(stream, gap_seconds=1800.0),
+            str(tmp_path / "ckpt"),
+            lambda df, _: out.extend(df.collect()),
+        )
+        return out
+
+    closed: list = []
+    write("f1.json", [1000, 1800])          # open session, lt = 1800
+    closed += run()
+    write("f2.json", [1500])                # LATE (watermark = 1200): absorb
+    closed += run()
+    # 3350 - 1800 = 1550 <= gap: same session. (With a regressed
+    # lt = 1500 the gap would read 1850 and wrongly close.)
+    write("f3.json", [3350])
+    closed += run()
+    write("f4.json", [100000])              # watermark push -> timeout flush
+    closed += run()
+    sessions = {
+        (int((r.session_start - base).total_seconds()),
+         int((r.session_end - base).total_seconds()), r.n_events)
+        for r in closed
+    }
+    assert (1000, 3350, 4) in sessions
