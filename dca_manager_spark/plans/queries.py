@@ -134,6 +134,7 @@ _DRIVER_WINDOW = [
     "events_rolling_anomaly",
     "applyinarrow_flag_stats",
     "embedding_incremental_admit",
+    "stat_regression_by_group",
     "q2_min_cost_supplier",
     "q9_product_profit",
     "q11_important_stock",
@@ -168,7 +169,6 @@ _DRIVER_WINDOW = [
     "stat_corr_manual",
     "stratified_hash_sample",
     "train_val_test_split",
-    "window_range_frame",
 ]
 
 
@@ -6642,3 +6642,81 @@ def embedding_incremental_admit(spark: SparkSession, sf_dir: str) -> DataFrame:
         batch, "vec_id", "embedding", idx, threshold=0.4, probe_bits=1
     )
     return out.select("vec_id", "label").orderBy("vec_id")
+
+
+@query(
+    "stat_regression_by_group",
+    """
+    WITH mn AS (
+      SELECT MIN(epoch_us(ts)) AS mn FROM events
+    ),
+    pts AS (
+      SELECT event_type,
+             (epoch_us(ts) - m.mn) // 1000000 AS x,
+             CAST(FLOOR(value * 100) AS BIGINT) AS y
+      FROM events CROSS JOIN mn m
+    ),
+    s AS (
+      SELECT event_type,
+             COUNT(*) AS n,
+             SUM(x) AS sx, SUM(y) AS sy,
+             SUM(x * y) AS sxy, SUM(x * x) AS sxx, SUM(y * y) AS syy
+      FROM pts GROUP BY event_type
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS n,
+           CAST(n * sxy - sx * sy AS DOUBLE)
+             / CAST(n * sxx - sx * sx AS DOUBLE) AS slope,
+           CAST(sy * sxx - sx * sxy AS DOUBLE)
+             / CAST(n * sxx - sx * sx AS DOUBLE) AS intercept,
+           (CAST(n * sxy - sx * sy AS DOUBLE)
+              / CAST(n * sxx - sx * sx AS DOUBLE))
+             * (CAST(n * sxy - sx * sy AS DOUBLE)
+                  / CAST(n * syy - sy * sy AS DOUBLE)) AS r2
+    FROM s
+    ORDER BY event_type
+    """,
+)
+def stat_regression_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group closed-form OLS (value trend over time per event type)
+    with EXACT arithmetic end-to-end: x = whole seconds since the global
+    first event (integer), y = integer cents, the five moment sums
+    accumulate as DECIMAL(38,0) (Spark) / HUGEINT (DuckDB) — both exact
+    — and slope/intercept/r2 finish as big-int -> double casts and
+    divisions plus ONE multiply of two division results: every rounding
+    is a single correctly-rounded op, no multiply feeding an add, so no
+    FMA contraction anywhere (a naive float n*Sxy - Sx*Sy is exactly the
+    contractible shape that bit BM25). One broadcast 1-row min, one
+    partial+final grouped aggregate — the canonical two-pass regression
+    at any scale."""
+    ev = t(spark, sf_dir, "events")
+    mn = ev.agg(
+        F.min(F.unix_micros(F.col("ts").cast("timestamp"))).alias("__mn")
+    )
+    x = F.expr("(unix_micros(cast(ts as timestamp)) - __mn) div 1000000")
+    y = F.floor(F.col("value") * 100)
+    dec = "decimal(38,0)"
+    pts = ev.crossJoin(F.broadcast(mn)).select(
+        "event_type", x.alias("x"), y.alias("y")
+    )
+    s = pts.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum((F.col("x") * F.col("y")).cast(dec)).alias("sxy"),
+        F.sum((F.col("x") * F.col("x")).cast(dec)).alias("sxx"),
+        F.sum((F.col("y") * F.col("y")).cast(dec)).alias("syy"),
+    )
+    n_d = F.col("n").cast(dec)
+    sx_d, sy_d = F.col("sx").cast(dec), F.col("sy").cast(dec)
+    num = n_d * F.col("sxy") - sx_d * sy_d
+    den = n_d * F.col("sxx") - sx_d * sx_d
+    den_y = n_d * F.col("syy") - sy_d * sy_d
+    i_num = sy_d * F.col("sxx") - sx_d * F.col("sxy")
+    slope = num.cast("double") / den.cast("double")
+    return s.select(
+        "event_type",
+        "n",
+        slope.alias("slope"),
+        (i_num.cast("double") / den.cast("double")).alias("intercept"),
+        (slope * (num.cast("double") / den_y.cast("double"))).alias("r2"),
+    ).orderBy("event_type")

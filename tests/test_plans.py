@@ -241,6 +241,7 @@ def test_catalog_wide_no_accidental_cartesian(spark):
         "text_pmi_collocations",       # 1-row broadcast token total
         "graph_pagerank",              # 1-row broadcast node count N
         "events_value_histogram",      # 1-row broadcast global min/max bounds
+        "stat_regression_by_group",    # 1-row broadcast global min ts
         "similarity_hybrid_rrf",       # ranker B is the brute-force cosine
                                        # baseline (1 broadcast query vector
                                        # x bounded corpus) + 1-row BM25
