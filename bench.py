@@ -151,14 +151,34 @@ def main() -> None:
             pass
 
     timings: dict[str, float] = {}
+    stats: dict[str, dict] = {}
     for name in names:
-        best = float("inf")
+        samples = []
         for _ in range(RUNS):
             gc.collect()  # release prior queries' localCheckpoint RDDs
             start = time.perf_counter()
             run_full(qs[name](spark, sf_dir))
-            best = min(best, time.perf_counter() - start)
+            samples.append(time.perf_counter() - start)
+        best = min(samples)
+        mean = sum(samples) / len(samples)
+        var = sum((s - mean) ** 2 for s in samples) / len(samples)
         timings[name] = round(best, 3)
+        # Variance record (ADVICE r8 #5): min-of-N is the steady-state
+        # figure; stddev sizes the noise band so cross-round comparisons
+        # can tell measurement jitter from real regressions. The
+        # per-entry drift budget is the larger of 5% and 2 sigma
+        # relative to the minimum — an entry moving beyond it on
+        # unchanged code is a machine-state artifact worth rerunning,
+        # beyond it on changed code is a regression.
+        stats[name] = {
+            "min": round(best, 3),
+            "mean": round(mean, 3),
+            "stddev": round(var ** 0.5, 3),
+            "runs": [round(s, 3) for s in samples],
+            "drift_budget_pct": round(
+                max(5.0, 200.0 * (var ** 0.5) / best if best > 0 else 5.0), 1
+            ),
+        }
 
     # Per-query overhead floor: job launch + the noop sink with ZERO data
     # work and a trivial plan (a 1-row range) — the irreducible per-entry
@@ -214,6 +234,7 @@ def main() -> None:
                 "overhead_per_query_sec": overhead,
                 "total_floor_adjusted": total_floor_adjusted,
                 "queries": timings,
+                "query_stats": stats,
             },
             fh,
             indent=1,

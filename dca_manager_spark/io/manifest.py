@@ -109,6 +109,33 @@ def _pin(df: DataFrame) -> DataFrame:
     return pinned
 
 
+def _nullable_normalized(dt):
+    """Recursively force every nested nullability flag (array
+    containsNull, map valueContainsNull, struct field nullable) to True,
+    so type equality compares PHYSICAL type only. Parquet bytes are
+    identical across these flags; treating them as conflicts would
+    reject batches whose upstream plan merely proved/lost a non-null
+    invariant."""
+    from pyspark.sql.types import ArrayType, MapType, StructField, StructType
+
+    if isinstance(dt, ArrayType):
+        return ArrayType(_nullable_normalized(dt.elementType), True)
+    if isinstance(dt, MapType):
+        return MapType(
+            _nullable_normalized(dt.keyType),
+            _nullable_normalized(dt.valueType),
+            True,
+        )
+    if isinstance(dt, StructType):
+        return StructType(
+            [
+                StructField(f.name, _nullable_normalized(f.dataType), True)
+                for f in dt.fields
+            ]
+        )
+    return dt
+
+
 def zorder_key(df: DataFrame, cols: list[str], bits: int = 4) -> Column:
     """Z-order (Morton) key over ``cols``: per-column PERCENTILE bucket ids
     (skew-robust, unlike equi-width) bit-interleaved so that a z-range
@@ -838,20 +865,29 @@ class ManifestTable:
         the COW merge path gets from unionByName."""
         if prev_doc is None:
             return df.schema.json()
-        from pyspark.sql.types import StructType
+        from pyspark.sql.types import StructField, StructType
 
         prev = StructType.fromJson(json.loads(prev_doc["schema"]))
         by_name = {f.name: f for f in prev.fields}
-        # An overlapping batch field with a DIFFERENT dataType must fail
-        # LOUDLY here, before publish: the commit's parquet files hold the
-        # batch type while the committed schema would keep the old one, so
-        # the write would succeed and every later read() would die with a
-        # parquet conversion error — an unreadable-but-committed table.
+        batch_by_name = {f.name: f for f in df.schema.fields}
+        # An overlapping batch field with a DIFFERENT physical dataType
+        # must fail LOUDLY here, before publish: the commit's parquet
+        # files hold the batch type while the committed schema would keep
+        # the old one, so the write would succeed and every later read()
+        # would die with a parquet conversion error — an
+        # unreadable-but-committed table. Nullability-ONLY differences
+        # inside nested types (array containsNull, struct field nullable
+        # flips from a slightly different upstream plan) are NOT physical
+        # conflicts — the parquet bytes are identical either way — so the
+        # comparison is nullability-insensitive and the committed schema
+        # widens those flags to nullable instead of rejecting the batch.
         conflicts = [
             (f.name, by_name[f.name].dataType.simpleString(),
              f.dataType.simpleString())
             for f in df.schema.fields
-            if f.name in by_name and by_name[f.name].dataType != f.dataType
+            if f.name in by_name
+            and _nullable_normalized(by_name[f.name].dataType)
+            != _nullable_normalized(f.dataType)
         ]
         if conflicts:
             detail = ", ".join(
@@ -863,8 +899,25 @@ class ManifestTable:
                 "Cast the batch to the committed type before writing "
                 "(type CHANGES need a table rewrite, not a commit)."
             )
+        kept = []
+        for f in prev.fields:
+            bf = batch_by_name.get(f.name)
+            if bf is not None and bf.dataType != f.dataType:
+                # Same physical type, different nested nullability: widen
+                # to the fully-nullable normalization so the committed
+                # metadata never claims non-null where a batch file may
+                # legitimately hold nulls.
+                kept.append(
+                    StructField(
+                        f.name,
+                        _nullable_normalized(f.dataType),
+                        f.nullable or bf.nullable,
+                    )
+                )
+            else:
+                kept.append(f)
         merged = StructType(
-            prev.fields + [f for f in df.schema.fields if f.name not in by_name]
+            kept + [f for f in df.schema.fields if f.name not in by_name]
         )
         return merged.json()
 

@@ -55,8 +55,22 @@ from dca_manager_spark.operators.training import (
     mixture_sample,
     pack_sequences,
 )
+from dca_manager_spark.operators.bpe import (
+    bpe_encode_word,
+    bpe_tokenize,
+    train_bpe_merges,
+    word_frequencies,
+)
+from dca_manager_spark.operators.sketches import (
+    ddsketch_build,
+    ddsketch_merge,
+    ddsketch_quantile,
+)
 
 __all__ = [
+    "bpe_encode_word", "bpe_tokenize", "train_bpe_merges",
+    "word_frequencies",
+    "ddsketch_build", "ddsketch_merge", "ddsketch_quantile",
     "asof_join", "range_join", "top_k",
     "exact_dedup", "exact_dedup_by_content", "ngram_jaccard_pairs",
     "minhash_lsh_pairs", "minhash_incremental_filter", "simhash_pairs",

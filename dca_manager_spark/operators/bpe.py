@@ -1,0 +1,354 @@
+"""Corpus-trained byte-pair encoding (BPE): learned merges + vectorized
+apply, so token budgets (pack_sequences, chunk_documents, mixture caps)
+run on REAL subword counts instead of the bpe_ish regex heuristic.
+
+Reference scope: the reference repo has no tokenizer — this belongs to
+the LLM-training-pipeline surface the brief adds on top of the
+reference's operators (dca-manager's pipeline stops at transaction
+loading; see SURVEY.md §2C). Algorithm is the public Sennrich et al.
+2016 merge-learning recipe (plain pair counting over a word-frequency
+table) re-expressed Spark-first.
+
+Two training paths, bit-identical merges:
+
+- ``method="distributed"`` — the corpus-scale shape. One distributed
+  pass builds the distinct-word frequency frame (the only corpus-sized
+  job), then each merge round is one JVM-side adjacent-pair explode +
+  weighted count + a single-row argmax collect, with the word frame
+  lineage-pinned per round (``localCheckpoint``, like graph.pagerank).
+  Nothing corpus-sized ever reaches the driver; rounds are bounded by
+  ``n_merges``; per-round frame SHRINKS (fully-merged words drop out).
+- ``method="local"`` — bounded-model path: collect the top
+  ``max_words`` words by (freq, word) — a deliberate driver-side model
+  fit like similarity.train_pq_codebooks — and run the identical merge
+  loop in pure Python. Identical output whenever the vocabulary fits
+  the cap (tested); use when round-trip latency dominates (small/medium
+  corpora, interactive).
+
+Determinism: pretokenization is a fixed ASCII regex (explicit
+whitespace class — Java and Python ``\\s`` disagree on unicode spaces);
+the argmax tie-break is (max count, then lexicographically smallest
+pair) on both paths and in the pure-Python replay used as the test
+oracle. Same corpus -> same merges, independent of partitioning.
+
+Apply is an Arrow-vectorized pandas UDF with a broadcast rank table and
+a per-batch word cache (words repeat; each distinct word is encoded
+once per batch) — never a per-row Python UDF in the hot path.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Iterable
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Letter runs, digit runs, or a single non-alphanumeric-non-space char.
+# Whitespace is an EXPLICIT ASCII class: Java regex \s (Spark) excludes
+# unicode spaces that Python re \s includes — a silent cross-engine
+# divergence on e.g. \xa0. Both engines see this exact class.
+_WS = " \\t\\n\\r\\x0b\\x0c"
+PRETOKEN_PATTERN = f"[a-z]+|[0-9]+|[^a-z0-9{_WS}]"
+_PRETOKEN_RE = re.compile(PRETOKEN_PATTERN)
+
+
+def pretokenize_col(col: Column) -> Column:
+    """Pretokens of a text column (lowercased), as array<string> — the
+    JVM-side twin of ``pretokenize`` below; whole-stage-codegen regex,
+    no Python."""
+    return F.regexp_extract_all(F.lower(col), F.lit(PRETOKEN_PATTERN), 0)
+
+
+def pretokenize(text: str) -> list[str]:
+    """Python twin of ``pretokenize_col`` (training replay + apply UDF)."""
+    return _PRETOKEN_RE.findall(text.lower())
+
+
+def word_frequencies(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Distinct-word frequency frame (word string, freq long): the ONE
+    corpus-sized job in BPE training — explode pretokens, count. At 100
+    TB this is a single map-side-combined aggregate; everything after
+    runs on the distinct-word table (Heaps' law: ~1e6-1e8 rows), which
+    is why BPE training scales at all."""
+    return (
+        df.select(F.explode(pretokenize_col(F.col(text_col))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+
+
+def _merge_word(syms: list[str], a: str, b: str) -> list[str]:
+    """Left-to-right non-overlapping replacement of adjacent (a, b) with
+    a+b — the Sennrich merge step. 'aaa' + (a,a) -> ['aa','a']."""
+    out: list[str] = []
+    i = 0
+    n = len(syms)
+    while i < n:
+        if i + 1 < n and syms[i] == a and syms[i + 1] == b:
+            out.append(a + b)
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return out
+
+
+def _best_pair(pair_counts: dict) -> tuple[tuple[str, str], int] | None:
+    """Deterministic argmax: highest count, ties to the lexicographically
+    smallest pair. Shared by the local path and the test replay."""
+    if not pair_counts:
+        return None
+    best = min(pair_counts.items(), key=lambda kv: (-kv[1], kv[0]))
+    return best[0], best[1]
+
+
+def _merge_loop(
+    word_freqs: Iterable[tuple[list[str], int]], n_merges: int, min_count: int
+) -> list[tuple[str, str]]:
+    """Pure-Python merge learning over (symbol-list, freq) pairs — the
+    local path's core and the exact replay oracle for the distributed
+    path. Counts ADJACENT pairs per occurrence (overlapping: 'aaa'
+    contributes (a,a) twice), weighted by word frequency."""
+    words = [(list(s), f) for s, f in word_freqs if len(s) > 1]
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        counts: dict[tuple[str, str], int] = {}
+        for syms, freq in words:
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                counts[p] = counts.get(p, 0) + freq
+        top = _best_pair(counts)
+        if top is None or top[1] < min_count:
+            break
+        (a, b), _cnt = top
+        merges.append((a, b))
+        words = [
+            (ms, f)
+            for s, f in words
+            for ms in [_merge_word(s, a, b) if a in s else s]
+            if len(ms) > 1
+        ]
+    return merges
+
+
+def _apply_merge_col(syms_col: Column, a: str, b: str) -> Column:
+    """JVM-side left-to-right merge of adjacent (a, b) -> a+b: a fold
+    (``F.aggregate``) carrying one pending symbol — when pending == a
+    and the next symbol == b, emit the merged token and clear pending
+    (so a merged token never re-merges within the round, exactly
+    ``_merge_word``). Whole-stage-codegen; no Python roundtrip in the
+    training loop. Symbols are never empty strings (the char split
+    filters them), but a ``has`` flag keeps the fold correct anyway."""
+
+    def _st(out: Column, pend: Column, has: Column) -> Column:
+        return F.struct(out.alias("out"), pend.alias("pend"), has.alias("has"))
+
+    merged = F.lit(a + b)
+    empty = F.expr("cast(array() as array<string>)")
+    init = _st(empty, F.lit(""), F.lit(False))
+
+    def step(acc: Column, x: Column) -> Column:
+        return (
+            F.when(~acc["has"], _st(acc["out"], x, F.lit(True)))
+            .when(
+                (acc["pend"] == F.lit(a)) & (x == F.lit(b)),
+                _st(
+                    F.concat(acc["out"], F.array(merged)),
+                    F.lit(""),
+                    F.lit(False),
+                ),
+            )
+            .otherwise(
+                _st(
+                    F.concat(acc["out"], F.array(acc["pend"])),
+                    x,
+                    F.lit(True),
+                )
+            )
+        )
+
+    def fin(acc: Column) -> Column:
+        return F.when(
+            acc["has"], F.concat(acc["out"], F.array(acc["pend"]))
+        ).otherwise(acc["out"])
+
+    return F.aggregate(syms_col, init, step, fin)
+
+
+def train_bpe_merges(
+    corpus: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 64,
+    min_count: int = 2,
+    method: str = "distributed",
+    max_words: int = 262_144,
+) -> list[tuple[str, str]]:
+    """Learn ``n_merges`` BPE merges from a corpus. Returns the ordered
+    merge list (rank = position). Stops early when the best remaining
+    pair's weighted count drops below ``min_count`` (default 2: a merge
+    seen once is memorization, not compression).
+
+    distributed: per round, one adjacent-pair explode + weighted count
+    over the distinct-word frame (JVM transform/explode — no Python), a
+    1-row TakeOrdered collect for the argmax, and a JVM-side fold merge
+    apply (``_apply_merge_col``) pinned with localCheckpoint (bounded
+    lineage, like graph.pagerank). No Python executes anywhere in the
+    round loop. Words reduced to one symbol leave the frame.
+
+    local: bounded top-``max_words`` collect of the word-frequency frame
+    (deterministic hash-free order: freq desc, word asc — truncation
+    drops only the rarest words), then the identical loop in Python.
+    """
+    if n_merges < 0:
+        raise ValueError(f"n_merges must be >= 0, got {n_merges}")
+    if method not in ("distributed", "local"):
+        raise ValueError(f"unknown method {method!r}")
+    wf = word_frequencies(corpus, text_col)
+
+    if method == "local":
+        rows = (
+            wf.orderBy(F.col("freq").desc(), F.col("word").asc())
+            .limit(max_words)
+            .collect()
+        )
+        return _merge_loop(
+            ((list(r["word"]), r["freq"]) for r in rows), n_merges, min_count
+        )
+
+    syms = (
+        wf.select(
+            "freq",
+            F.filter(F.split("word", ""), lambda c: c != "").alias("syms"),
+        )
+        .filter(F.size("syms") > 1)
+        .localCheckpoint(eager=True)
+    )
+    # Right-size the round loop: the distinct-word frame is orders of
+    # magnitude smaller than the corpus (Heaps' law), so a
+    # many-partition layout would make each of the n_merges rounds pay
+    # full task-scheduling overhead for near-empty tasks. One count on
+    # the pinned frame (cheap, runs once) picks the layout: tiny frames
+    # collapse to one partition; big ones keep ~64k words per task.
+    n_words = syms.count()
+    parts = max(1, min(syms.rdd.getNumPartitions(), n_words // 65_536 + 1))
+    if parts < syms.rdd.getNumPartitions():
+        syms = syms.coalesce(parts).localCheckpoint(eager=True)
+    pair_expr = F.explode(
+        F.expr(
+            "transform(slice(syms, 1, size(syms)-1),"
+            " (x, i) -> struct(x as a, syms[i+1] as b))"
+        )
+    ).alias("p")
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        top = (
+            syms.select("freq", pair_expr)
+            .groupBy("p.a", "p.b")
+            .agg(F.sum("freq").alias("cnt"))
+            .orderBy(F.col("cnt").desc(), F.col("a").asc(), F.col("b").asc())
+            .take(1)
+        )
+        if not top or top[0]["cnt"] < min_count:
+            break
+        a, b = top[0]["a"], top[0]["b"]
+        merges.append((a, b))
+        # Apply only where the pair can occur (cheap array_contains
+        # prefilter), JVM-side fold, then re-pin the (shrinking) frame.
+        syms = (
+            syms.select(
+                "freq",
+                F.when(
+                    F.array_contains("syms", a),
+                    _apply_merge_col(F.col("syms"), a, b),
+                )
+                .otherwise(F.col("syms"))
+                .alias("syms"),
+            )
+            .filter(F.size("syms") > 1)
+            .localCheckpoint(eager=True)
+        )
+    return merges
+
+
+def bpe_encode_word(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
+    """Greedy BPE apply to one pretoken: repeatedly merge ALL occurrences
+    of the present pair with the lowest rank. Equivalent to replaying
+    the training merges in rank order (public GPT-2 bpe() shape)."""
+    syms = list(word)
+    while len(syms) > 1:
+        best_rank = None
+        best_pair = None
+        for i in range(len(syms) - 1):
+            r = ranks.get((syms[i], syms[i + 1]))
+            if r is not None and (best_rank is None or r < best_rank):
+                best_rank, best_pair = r, (syms[i], syms[i + 1])
+        if best_pair is None:
+            break
+        syms = _merge_word(syms, best_pair[0], best_pair[1])
+    return syms
+
+
+def bpe_tokenize_udf(merges: list[tuple[str, str]]):
+    """Arrow-vectorized tokenizer: text -> struct(tokens array<string>,
+    n_tokens int, n_pretokens int, reconstruct boolean). The rank table
+    rides the closure (broadcast once per executor); a per-batch cache
+    encodes each distinct word once. ``reconstruct`` pins the partition
+    property: concatenating a word's tokens restores the word exactly."""
+    from pyspark.sql.functions import pandas_udf
+
+    ranks = {tuple(m): i for i, m in enumerate(merges)}
+
+    @pandas_udf(
+        "tokens array<string>, n_tokens int, n_pretokens int,"
+        " reconstruct boolean"
+    )
+    def tok(col):
+        import pandas as pd
+
+        cache: dict[str, list[str]] = {}
+        toks_out, nt_out, np_out, ok_out = [], [], [], []
+        for text in col:
+            if text is None:
+                toks_out.append(None)
+                nt_out.append(None)
+                np_out.append(None)
+                ok_out.append(None)
+                continue
+            words = pretokenize(text)
+            doc_toks: list[str] = []
+            ok = True
+            for w in words:
+                enc = cache.get(w)
+                if enc is None:
+                    enc = bpe_encode_word(w, ranks)
+                    cache[w] = enc
+                doc_toks.extend(enc)
+                if "".join(enc) != w:
+                    ok = False
+            toks_out.append(doc_toks)
+            nt_out.append(len(doc_toks))
+            np_out.append(len(words))
+            ok_out.append(ok)
+        return pd.DataFrame(
+            {
+                "tokens": toks_out,
+                "n_tokens": nt_out,
+                "n_pretokens": np_out,
+                "reconstruct": ok_out,
+            }
+        )
+
+    return tok
+
+
+def bpe_tokenize(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    out_col: str = "bpe",
+) -> DataFrame:
+    """Add ``out_col`` = struct(tokens, n_tokens, n_pretokens,
+    reconstruct) from the learned merges. One Arrow-batched projection;
+    no shuffle."""
+    return df.withColumn(out_col, bpe_tokenize_udf(merges)(F.col(text_col)))

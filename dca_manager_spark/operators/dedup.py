@@ -145,6 +145,7 @@ def ngram_jaccard_pairs(
     k: int = 3,
     threshold: float = 0.6,
     mode: str = "char",
+    max_doc_freq: int | None = None,
 ) -> DataFrame:
     """Exact Jaccard-similar pairs via shingle self-join.
 
@@ -152,19 +153,79 @@ def ngram_jaccard_pairs(
     jaccard >= threshold. The join key is the shingle, so only pairs that
     share at least one shingle are ever materialized; counts are exact.
     Jaccard is computed from integer counts — deterministic double division.
-    """
+
+    ``max_doc_freq`` — the standard posting-list cap: shingles present in
+    more than that many documents (boilerplate, stop-phrases) are dropped
+    from CANDIDATE GENERATION only, which bounds the self-join fan-out
+    (a shingle in f docs contributes f^2/2 candidate rows — one shingle
+    shared by half the corpus is a quadratic blow-up). The Jaccard
+    counts for surviving candidates stay EXACT: intersections are
+    re-counted over the candidates' FULL shingle sets. Only pairs whose
+    every shared shingle is ultra-common are missed — precisely the
+    pairs that are boilerplate-similar rather than content-similar.
+    Default None = no cap (bit-identical to the oracle SQL)."""
     shingled = df.select(
         F.col(id_col).alias("__id"), shingles(F.col(text_col), mode, k).alias("__sh")
     )
     sizes = shingled.select("__id", F.size("__sh").alias("__n"))
     exploded = shingled.select("__id", F.explode("__sh").alias("__g"))
 
-    a, b = exploded.alias("a"), exploded.alias("b")
-    inter = (
-        a.join(b, (F.col("a.__g") == F.col("b.__g")) & (F.col("a.__id") < F.col("b.__id")))
-        .groupBy(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
-        .agg(F.count(F.lit(1)).alias("n_inter"))
-    )
+    if max_doc_freq is None:
+        a, b = exploded.alias("a"), exploded.alias("b")
+        inter = (
+            a.join(
+                b,
+                (F.col("a.__g") == F.col("b.__g"))
+                & (F.col("a.__id") < F.col("b.__id")),
+            )
+            .groupBy(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
+            .agg(F.count(F.lit(1)).alias("n_inter"))
+        )
+    else:
+        if max_doc_freq < 1:
+            raise ValueError(
+                f"max_doc_freq must be >= 1, got {max_doc_freq}"
+            )
+        # Hot shingles are FEW by definition (df > cap bounds their
+        # number by n_postings / cap) -> broadcast anti join.
+        hot = (
+            exploded.groupBy("__g")
+            .agg(F.countDistinct("__id").alias("__df"))
+            .filter(F.col("__df") > max_doc_freq)
+            .select("__g")
+        )
+        lean = exploded.join(F.broadcast(hot), "__g", "left_anti")
+        la, lb = lean.alias("a"), lean.alias("b")
+        cand = (
+            la.join(
+                lb,
+                (F.col("a.__g") == F.col("b.__g"))
+                & (F.col("a.__id") < F.col("b.__id")),
+            )
+            .select(
+                F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b")
+            )
+            .distinct()
+        )
+        # Exact intersection over FULL shingle sets, candidates only:
+        # fan the a-side postings across each id_a's candidates, then an
+        # equi join on (id_b, shingle) keeps exactly the shared ones.
+        ea = exploded.select(
+            F.col("__id").alias("id_a"), F.col("__g").alias("__ga")
+        )
+        eb = exploded.select(
+            F.col("__id").alias("__idb"), F.col("__g").alias("__gb")
+        )
+        inter = (
+            ea.join(cand, "id_a")
+            .join(
+                eb,
+                (F.col("__ga") == F.col("__gb"))
+                & (F.col("id_b") == F.col("__idb")),
+            )
+            .groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).alias("n_inter"))
+        )
     sa = sizes.select(F.col("__id").alias("id_a"), F.col("__n").alias("n_a"))
     sb = sizes.select(F.col("__id").alias("id_b"), F.col("__n").alias("n_b"))
     out = (
@@ -1025,4 +1086,170 @@ def ngram_decontaminate(
             "contaminated_ngrams", F.coalesce("contaminated_ngrams", F.lit(0))
         )
         .withColumn("contaminated", F.col("contaminated_ngrams") > 0)
+    )
+
+
+def duplicate_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    min_tokens: int | None = None,
+    max_gram_docs: int | None = None,
+) -> DataFrame:
+    """Substring-level duplicate-SPAN detection (the Lee et al. 2022
+    "Deduplicating Training Data" case): find maximal passages of >=
+    ``k`` whitespace tokens shared VERBATIM between two documents that
+    whole-doc dedup (MinHash/SimHash/exact) cannot see — e.g. a license
+    block or quoted paragraph duplicated inside otherwise-distinct
+    docs.
+
+    Plan (never all-pairs): every doc emits its k-token sliding windows
+    (JVM transform over a position sequence — one map-side explode);
+    candidate matches are an EQUI join on the window content keyed by
+    the gram, so only docs sharing a window ever meet; maximal spans
+    come from a gaps-and-islands pass — windows of one doc pair lying
+    on the same alignment diagonal (a_pos - b_pos) with consecutive
+    positions collapse into one span via the pos - row_number() trick.
+    Output: (doc_a, doc_b, a_start, b_start, span_tokens) with doc_a <
+    doc_b, positions 0-based in tokens, span_tokens = windows + k - 1.
+
+    Scale: shuffle is on the gram (swap in xxhash64(gram) to shrink the
+    exchange at identical semantics — kept raw here for cross-engine
+    oracle exactness); ``max_gram_docs`` applies the standard
+    posting-list cap — grams appearing in more than that many docs
+    (boilerplate, stop-phrases) are dropped BEFORE the self-join, which
+    bounds the join fan-out quadratic at the cost of missing spans made
+    entirely of ultra-common windows. A span's interior windows are
+    per-pair unique, so the islands logic is cap-agnostic.
+
+    ``min_tokens``: report only spans of at least this many tokens
+    (default ``k`` = every match)."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    min_tokens = k if min_tokens is None else min_tokens
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    grams_arr = F.when(
+        F.size(toks) >= k,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - k),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)),
+        ),
+    ).otherwise(F.expr("cast(array() as array<string>)"))
+    grams = df.select(
+        F.col(id_col).alias("__id"),
+        F.posexplode(grams_arr).alias("__pos", "__g"),
+    )
+    if max_gram_docs is not None:
+        hot = (
+            grams.groupBy("__g")
+            .agg(F.countDistinct("__id").alias("__df"))
+            .filter(F.col("__df") > max_gram_docs)
+            .select("__g")
+        )
+        grams = grams.join(F.broadcast(hot), "__g", "left_anti")
+    a = grams.select(
+        F.col("__id").alias("__ida"),
+        F.col("__pos").alias("__pa"),
+        "__g",
+    )
+    b = grams.select(
+        F.col("__id").alias("__idb"),
+        F.col("__pos").alias("__pb"),
+        "__g",
+    )
+    m = a.join(b, "__g").filter(F.col("__ida") < F.col("__idb"))
+    diag = (F.col("__pa") - F.col("__pb")).alias("__diag")
+    w = Window.partitionBy("__ida", "__idb", "__diag").orderBy("__pa")
+    isl = m.select("__ida", "__idb", "__pa", "__pb", diag).withColumn(
+        "__island", F.col("__pa") - F.row_number().over(w)
+    )
+    return (
+        isl.groupBy("__ida", "__idb", "__diag", "__island")
+        .agg(
+            F.min("__pa").alias("a_start"),
+            F.min("__pb").alias("b_start"),
+            (F.count(F.lit(1)) + F.lit(k - 1)).alias("span_tokens"),
+        )
+        .filter(F.col("span_tokens") >= min_tokens)
+        .select(
+            F.col("__ida").alias("doc_a"),
+            F.col("__idb").alias("doc_b"),
+            "a_start",
+            "b_start",
+            F.col("span_tokens").cast("bigint").alias("span_tokens"),
+        )
+    )
+
+
+def scrub_duplicate_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 8,
+    max_gram_docs: int | None = None,
+) -> DataFrame:
+    """The remediation half of :func:`duplicate_spans` (Lee et al. 2022
+    remove duplicated passages, not whole documents): every maximal
+    cross-doc span is DELETED from the higher-id document of each pair
+    — the lower id keeps the canonical copy, mirroring
+    dedup_keep_canonical's keeper policy — and the surviving tokens are
+    reassembled in order. Returns (id, text, n_tokens_before,
+    n_tokens_after); docs without spans pass through unchanged.
+
+    Plan: spans (equi join + islands, see duplicate_spans) -> per-doc
+    interval UNION (sort by start, running-max end, island when a start
+    clears every prior end — overlapping spans from different partners
+    collapse); -> positions join intervals per doc (the interval list
+    per doc is tiny, grouped into an array and probed with
+    exists(), so no range-join blow-up) -> ordered reassembly via
+    sorted collect. Shuffles: the span join on grams, one window and
+    one aggregate on the doc id."""
+    spans = duplicate_spans(
+        df, id_col, text_col, k=k, max_gram_docs=max_gram_docs
+    )
+    iv = spans.select(
+        F.col("doc_b").alias("__id"),
+        F.col("b_start").alias("__s"),
+        (F.col("b_start") + F.col("span_tokens")).alias("__e"),
+    )
+    w = Window.partitionBy("__id").orderBy("__s", "__e")
+    run_max = F.max("__e").over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    merged = (
+        iv.withColumn(
+            "__new", (F.col("__s") > F.coalesce(run_max, F.lit(-1))).cast("int")
+        )
+        .withColumn("__grp", F.sum("__new").over(w))
+        .groupBy("__id", "__grp")
+        .agg(F.min("__s").alias("__s"), F.max("__e").alias("__e"))
+        .groupBy("__id")
+        .agg(
+            F.collect_list(F.struct("__s", "__e")).alias("__ivs")
+        )
+    )
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    base = df.select(
+        F.col(id_col).alias("__id"),
+        toks.alias("__toks"),
+    ).join(merged, "__id", "left")
+    keep = F.filter(
+        F.transform(
+            F.col("__toks"),
+            lambda tok, i: F.struct(tok.alias("t"), i.alias("p")),
+        ),
+        lambda s: ~F.coalesce(
+            F.exists(
+                F.col("__ivs"),
+                lambda iv: (s["p"] >= iv["__s"]) & (s["p"] < iv["__e"]),
+            ),
+            F.lit(False),
+        ),
+    )
+    return base.select(
+        F.col("__id").alias(id_col),
+        F.array_join(F.transform(keep, lambda s: s["t"]), " ").alias(text_col),
+        F.size("__toks").cast("bigint").alias("n_tokens_before"),
+        F.size(keep).cast("bigint").alias("n_tokens_after"),
     )

@@ -131,3 +131,244 @@ def frame_sample_plan(
             ).alias("frame_ts_ms"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Real image-header metadata (no codec libraries needed)
+# ---------------------------------------------------------------------------
+
+IMAGE_DIMS_SCHEMA = "format string, width int, height int"
+
+
+def png_blob_col(width, height):
+    """JVM-expression PNG header blob: magic + IHDR with big-endian
+    32-bit dims (public PNG spec layout) + bit-depth/color tail. Enough
+    of a real PNG for any header reader; pixel data intentionally
+    absent."""
+    be32 = lambda c: F.unhex(F.lpad(F.hex(c.cast("bigint")), 8, "0"))
+    return F.concat(
+        F.unhex(F.lit("89504E470D0A1A0A" + "0000000D" + "49484452")),
+        be32(width),
+        be32(height),
+        F.unhex(F.lit("0806000000")),
+    )
+
+
+def gif_blob_col(width, height):
+    """JVM-expression GIF89a header: ASCII magic + LITTLE-endian 16-bit
+    logical screen dims (public GIF spec)."""
+    le16 = lambda c: F.unhex(
+        F.concat(
+            F.lpad(F.hex(c.cast("bigint") % 256), 2, "0"),
+            F.lpad(F.hex((c.cast("bigint") / 256).cast("bigint")), 2, "0"),
+        )
+    )
+    return F.concat(
+        F.unhex(F.lit("474946383961")),  # 'GIF89a'
+        le16(width),
+        le16(height),
+        F.unhex(F.lit("F70000")),
+    )
+
+
+def jpeg_blob_col(width, height):
+    """JVM-expression JPEG header: SOI + a full APP0/JFIF segment +
+    SOF0 with big-endian 16-bit (height, width) — so a correct reader
+    MUST walk the segment chain (APP0 first) rather than assume a fixed
+    SOF offset (public JPEG/JFIF layout)."""
+    be16 = lambda c: F.unhex(F.lpad(F.hex(c.cast("bigint")), 4, "0"))
+    app0 = "FFE0" + "0010" + "4A46494600" + "0101" + "00" + "00480048" + "0000"
+    return F.concat(
+        F.unhex(F.lit("FFD8" + app0 + "FFC0" + "0011" + "08")),
+        be16(height),
+        be16(width),
+        F.unhex(F.lit("03011100021101031101")),
+    )
+
+
+def parse_image_header(content: bytes | None):
+    """Pure-Python header parse (stdlib only — no codec libraries):
+    returns (format, width, height) or (None, None, None) for an
+    unrecognized payload. RECOGNIZED-but-truncated/corrupt headers fail
+    LOUDLY (ValueError) — a silently-null dimension on a real PNG is how
+    bad metadata gets into a 100 TB corpus.
+
+    - PNG: 8-byte magic, IHDR big-endian u32 dims at offsets 16/20.
+    - GIF87a/89a: little-endian u16 logical-screen dims at 6/8.
+    - JPEG: SOI then a SEGMENT WALK to the first SOF0/1/2/3/5/6/7/9/
+      A/B/D/E/F marker; big-endian u16 height/width at +5/+7.
+    """
+    if content is None:
+        return (None, None, None)
+    b = bytes(content)
+    if b[:8] == b"\x89PNG\r\n\x1a\n":
+        if len(b) < 24:
+            raise ValueError(f"truncated PNG header ({len(b)} bytes)")
+        if b[12:16] != b"IHDR":
+            raise ValueError("corrupt PNG: first chunk is not IHDR")
+        w = int.from_bytes(b[16:20], "big")
+        h = int.from_bytes(b[20:24], "big")
+        return ("png", w, h)
+    if b[:4] == b"GIF8" and b[4:6] in (b"7a", b"9a"):
+        if len(b) < 10:
+            raise ValueError(f"truncated GIF header ({len(b)} bytes)")
+        w = int.from_bytes(b[6:8], "little")
+        h = int.from_bytes(b[8:10], "little")
+        return ("gif", w, h)
+    if b[:2] == b"\xff\xd8":
+        sof = {0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+               0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF}
+        i = 2
+        while i + 4 <= len(b):
+            if b[i] != 0xFF:
+                raise ValueError(f"corrupt JPEG: no marker at offset {i}")
+            marker = b[i + 1]
+            seg_len = int.from_bytes(b[i + 2 : i + 4], "big")
+            if marker in sof:
+                if i + 9 > len(b):
+                    raise ValueError("truncated JPEG SOF segment")
+                h = int.from_bytes(b[i + 5 : i + 7], "big")
+                w = int.from_bytes(b[i + 7 : i + 9], "big")
+                return ("jpeg", w, h)
+            i += 2 + seg_len
+        raise ValueError("truncated JPEG: no SOF marker before EOF")
+    return (None, None, None)
+
+
+def image_dims_udf():
+    """Arrow-batched header parser: binary content -> struct(format,
+    width, height). stdlib byte slicing per row inside an Arrow batch —
+    no codec import anywhere."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(IMAGE_DIMS_SCHEMA)
+    def dims(col):
+        out_f, out_w, out_h = [], [], []
+        for content in col:
+            f, w, h = parse_image_header(content)
+            out_f.append(f)
+            out_w.append(w)
+            out_h.append(h)
+        return pd.DataFrame({"format": out_f, "width": out_w, "height": out_h})
+
+    return dims
+
+
+def image_dims(df: DataFrame, content_col: str = "content", out_col: str = "img") -> DataFrame:
+    """Attach real header-derived image metadata to a binary column —
+    map-only (one Arrow projection, no shuffle). See parse_image_header
+    for format coverage and the loud-on-truncation contract."""
+    return df.withColumn(out_col, image_dims_udf()(F.col(content_col)))
+
+
+AUDIO_META_SCHEMA = (
+    "format string, channels int, sample_rate int, bits int, duration_ms bigint"
+)
+
+
+def _le_bytes_col(c, n_bytes: int):
+    """Little-endian byte string of an int column (JVM expressions)."""
+    parts = [
+        F.lpad(
+            F.hex((c.cast("bigint") / (256 ** i)).cast("bigint") % 256), 2, "0"
+        )
+        for i in range(n_bytes)
+    ]
+    return F.unhex(F.concat(*parts))
+
+
+def wav_blob_col(channels, sample_rate, bits, n_frames):
+    """JVM-expression RIFF/WAVE header: RIFF + a JUNK chunk BEFORE the
+    fmt chunk (so a correct reader must walk chunks, public RIFF
+    layout), PCM fmt fields little-endian, and a data chunk declaring
+    n_frames * block_align bytes (payload absent — header-only blob)."""
+    block_align = channels.cast("bigint") * (bits.cast("bigint") / 8).cast(
+        "bigint"
+    )
+    byte_rate = sample_rate.cast("bigint") * block_align
+    data_size = n_frames.cast("bigint") * block_align
+    return F.concat(
+        F.unhex(F.lit("52494646")),            # 'RIFF'
+        _le_bytes_col(F.lit(36) + data_size, 4),
+        F.unhex(F.lit("57415645")),            # 'WAVE'
+        F.unhex(F.lit("4A554E4B")),            # 'JUNK' chunk first
+        _le_bytes_col(F.lit(4), 4),
+        F.unhex(F.lit("00000000")),
+        F.unhex(F.lit("666D7420")),            # 'fmt '
+        _le_bytes_col(F.lit(16), 4),
+        _le_bytes_col(F.lit(1), 2),            # PCM
+        _le_bytes_col(channels, 2),
+        _le_bytes_col(sample_rate, 4),
+        _le_bytes_col(byte_rate, 4),
+        _le_bytes_col(block_align, 2),
+        _le_bytes_col(bits, 2),
+        F.unhex(F.lit("64617461")),            # 'data'
+        _le_bytes_col(data_size, 4),
+    )
+
+
+def parse_wav_header(content: bytes | None):
+    """Pure-Python RIFF/WAVE header parse (stdlib only): returns
+    (format, channels, sample_rate, bits, duration_ms) or all-None for
+    a non-RIFF payload. Recognized-but-truncated/corrupt headers raise
+    (same loudness contract as parse_image_header). Walks the chunk
+    chain — fmt need not be first; duration derives from the data
+    chunk's declared size over the byte rate."""
+    if content is None:
+        return (None, None, None, None, None)
+    b = bytes(content)
+    if b[:4] != b"RIFF":
+        return (None, None, None, None, None)
+    if len(b) < 12 or b[8:12] != b"WAVE":
+        raise ValueError("truncated or non-WAVE RIFF header")
+    i = 12
+    fmt = None
+    data_size = None
+    while i + 8 <= len(b):
+        cid = b[i : i + 4]
+        size = int.from_bytes(b[i + 4 : i + 8], "little")
+        if cid == b"fmt ":
+            if i + 8 + 16 > len(b):
+                raise ValueError("truncated WAV fmt chunk")
+            channels = int.from_bytes(b[i + 10 : i + 12], "little")
+            sample_rate = int.from_bytes(b[i + 12 : i + 16], "little")
+            byte_rate = int.from_bytes(b[i + 16 : i + 20], "little")
+            bits = int.from_bytes(b[i + 22 : i + 24], "little")
+            fmt = (channels, sample_rate, byte_rate, bits)
+        elif cid == b"data":
+            data_size = size
+        i += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None:
+        raise ValueError("WAV header has no fmt chunk before EOF")
+    if data_size is None:
+        raise ValueError("WAV header has no data chunk before EOF")
+    channels, sample_rate, byte_rate, bits = fmt
+    if byte_rate <= 0:
+        raise ValueError("corrupt WAV: zero byte rate")
+    duration_ms = data_size * 1000 // byte_rate
+    return ("wav", channels, sample_rate, bits, duration_ms)
+
+
+def audio_meta_udf():
+    """Arrow-batched WAV header parser: binary -> AUDIO_META_SCHEMA."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(AUDIO_META_SCHEMA)
+    def meta(col):
+        cols = {k: [] for k in
+                ("format", "channels", "sample_rate", "bits", "duration_ms")}
+        for content in col:
+            f, ch, sr, bits, dur = parse_wav_header(content)
+            cols["format"].append(f)
+            cols["channels"].append(ch)
+            cols["sample_rate"].append(sr)
+            cols["bits"].append(bits)
+            cols["duration_ms"].append(dur)
+        return pd.DataFrame(cols)
+
+    return meta
+
+
+def audio_meta(df: DataFrame, content_col: str = "content", out_col: str = "audio") -> DataFrame:
+    """Attach real WAV-header metadata to a binary column — map-only."""
+    return df.withColumn(out_col, audio_meta_udf()(F.col(content_col)))

@@ -718,6 +718,7 @@ def train_pq_codebooks(
     seed: int = 13,
     max_iter: int = 10,
     sample_rows: int = 4096,
+    sample_id_col: str | None = None,
 ) -> list[list[list[float]]]:
     """Train product-quantization codebooks: the vector is split into
     ``m`` contiguous subvectors and each subspace gets its own ``k``-way
@@ -729,20 +730,34 @@ def train_pq_codebooks(
     Spark-ML fits: each MLlib fit costs ~1s of job overhead regardless
     of size (m=16 measured 12-23s), while codebooks only need a
     distribution sketch — the standard PQ training recipe at any corpus
-    size is sample -> tiny driver model -> broadcast. Deterministic for
-    a deterministic input order (seeded init, fixed iteration count);
-    pass an ordered frame when rerun-stability matters."""
+    size is sample -> tiny driver model -> broadcast.
+
+    Sampling: with ``sample_id_col`` set, the sample is the
+    ``sample_rows`` rows with the smallest md5(id) rank — a
+    layout-independent uniform draw (TakeOrderedAndProject: per-task
+    top-k heaps, never a full sort), so the codebook sample stays
+    corpus-representative at any scale and the training is deterministic
+    regardless of partitioning. Without it, the first ``sample_rows``
+    rows in plan order are taken (``limit``) — deterministic only for a
+    deterministic input order, and biased toward the leading partitions
+    on a sorted/partitioned corpus; prefer passing an id column."""
     import numpy as np
 
     dim = corpus.select(F.size(F.col(vec_col)).alias("d")).first()["d"]
     if m < 1 or dim % m:
         raise ValueError(f"m ({m}) must divide the embedding dim ({dim})")
     sub = dim // m
-    rows = (
-        corpus.select(as_double_vec(F.col(vec_col)).alias("v"))
-        .limit(sample_rows)
-        .collect()
+    proj = corpus.select(
+        as_double_vec(F.col(vec_col)).alias("v"),
+        *([F.col(sample_id_col).cast("string").alias("__sid")]
+          if sample_id_col else []),
     )
+    if sample_id_col:
+        rank = F.md5(F.concat(F.lit("pq-train"), F.col("__sid")))
+        sample = proj.orderBy(rank, F.col("__sid")).limit(sample_rows)
+    else:
+        sample = proj.limit(sample_rows)
+    rows = sample.select("v").collect()
     X = np.asarray([r["v"] for r in rows], dtype=np.float64)
     if X.shape[0] < k:
         raise ValueError(
@@ -764,12 +779,30 @@ def train_pq_codebooks(
                 else:
                     empties.append(c)
             if empties:
-                # reseed each empty cluster to a DISTINCT far point
-                # (deterministic); one shared argmax would leave
-                # duplicate centroids that stay empty forever
-                far = np.argsort(-d2.min(axis=1))
-                for i, c in enumerate(empties):
-                    cents[c] = S[far[i % len(far)]]
+                # Reseed each empty cluster via greedy farthest-point
+                # ranked against the UPDATED centroids: distances are
+                # recomputed after the mean updates (ranking against the
+                # pre-update d2 could place a "far" point right next to
+                # a centroid that just moved), and each reseeded point
+                # immediately joins the reference set so two empty
+                # clusters can never both land in the same far region.
+                # Deterministic (pure argmax over a fixed sample).
+                nonempty = [c for c in range(k) if c not in empties]
+                if nonempty:
+                    ref = cents[np.asarray(nonempty)]
+                    dmin = (
+                        ((S[:, None, :] - ref[None, :, :]) ** 2)
+                        .sum(axis=2)
+                        .min(axis=1)
+                    )
+                else:
+                    dmin = np.full(S.shape[0], np.inf)
+                for c in empties:
+                    far = int(dmin.argmax())
+                    cents[c] = S[far]
+                    dmin = np.minimum(
+                        dmin, ((S - S[far]) ** 2).sum(axis=1)
+                    )
         books.append([[float(x) for x in c] for c in cents])
     return books
 
@@ -1036,3 +1069,200 @@ def decontaminate_embeddings(
     )
     flagged = hits.select(F.col(corpus_id)).distinct()
     return corpus.join(flagged, on=corpus_id, how="left_anti")
+
+
+def ivf_pq_rerank_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    query_id: str,
+    corpus_id: str,
+    codebooks: list[list[list[float]]],
+    vec_col: str = "embedding",
+    k: int = 10,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    shortlist: int = 64,
+    seeds: DataFrame | None = None,
+) -> DataFrame:
+    """The composed PRODUCTION ANN serving plan — IVF routing -> PQ/ADC
+    shortlist -> exact re-rank — in one DataFrame pipeline:
+
+    1. ROUTE: corpus rows coarse-quantize to their nearest of
+       ``n_cells`` broadcast seeds; queries probe their ``n_probe``
+       nearest cells. Candidate generation is an equi join on the cell
+       id — per-query work is the probed cells' members, never |corpus|.
+    2. SHORTLIST: probed members are scored through their PQ codes only
+       (asymmetric distance: m LUT reads + adds per pair; the candidate
+       stream carries m small ints, not dim floats — the memory-
+       bandwidth win that makes the scan feasible at 100 TB), and each
+       query keeps its ``shortlist`` best.
+    3. RE-RANK: the tiny (|Q| x shortlist) id list joins BACK to the
+       corpus for exact vectors — broadcast hash join keyed on the
+       corpus id, touching full-width vectors only for shortlisted rows
+       — and exact quantized cosine (identical scoring to cosine_topk)
+       produces the final top-``k``.
+
+    Recall factorizes as (true neighbor in a probed cell) x (survives
+    the ADC shortlist); the exact re-rank removes all within-shortlist
+    ordering error, so ``shortlist`` is the recall/cost dial that pure
+    ADC@k lacks. Deterministic end-to-end: seed/cell/rank ties all break
+    on ids.
+
+    ``seeds`` defaults to the ``n_cells`` lowest-id corpus vectors
+    (data-deterministic, oracle-checkable — same contract as
+    ivf_ann_topk); pass train_ivf_seeds output in production.
+    ``codebooks`` come from train_pq_codebooks.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    if seeds is None:
+        seeds = (
+            corpus.select(F.col(corpus_id), F.col(vec_col))
+            .orderBy(F.col(corpus_id))
+            .limit(n_cells)
+            .withColumn(
+                "__cell",
+                F.row_number().over(Window.orderBy(F.col(corpus_id))) - 1,
+            )
+            .select("__cell", F.col(vec_col).alias("__seed_v"))
+        )
+    else:
+        cid, cvec = seeds.columns[0], seeds.columns[1]
+        seeds = seeds.select(
+            F.col(cid).alias("__cell"), F.col(cvec).alias("__seed_v")
+        )
+    seeds = seeds.withColumn("__seed_n", qnorm(F.col("__seed_v")))
+
+    def cell_ranks(df: DataFrame, id_alias: str, keep: int) -> DataFrame:
+        scored = df.crossJoin(F.broadcast(seeds)).withColumn(
+            "__sim",
+            qcosine(
+                qdot(F.col("__v"), F.col("__seed_v")),
+                F.col("__n"),
+                F.col("__seed_n"),
+            ),
+        )
+        w = Window.partitionBy(id_alias).orderBy(
+            F.col("__sim").desc(), F.col("__cell")
+        )
+        return (
+            scored.withColumn("__cr", F.row_number().over(w))
+            .filter(F.col("__cr") <= keep)
+            .select(id_alias, "__cell")
+        )
+
+    B = [np.asarray(b, dtype=np.float64) for b in codebooks]
+    m = len(B)
+    sub = B[0].shape[1]
+
+    # --- corpus side: one scan -> (cid, cell, code, cn2); no vectors ---
+    c_base = corpus.select(
+        F.col(corpus_id).alias("__cid"),
+        F.col(vec_col).alias("__v"),
+        qnorm(F.col(vec_col)).alias("__n"),
+    )
+    c_cells = cell_ranks(c_base, "__cid", 1)
+    c_enc = (
+        pq_encode(corpus, codebooks, vec_col)
+        .select(
+            F.col(corpus_id).alias("__cid"),
+            F.col("pq_code").alias("__code"),
+            F.col("pq_norm2").alias("__cn2"),
+        )
+        .join(c_cells, "__cid")
+    )
+
+    # --- query side: probes + per-query LUT (Arrow; see pq_ann_topk) ---
+    @pandas_udf("array<array<double>>", PandasUDFType.SCALAR)
+    def lut_udf(v):
+        if not len(v):
+            return pd.Series([], dtype=object)
+        X = np.asarray([np.asarray(x, dtype=np.float64) for x in v])
+        tables = [X[:, j * sub : (j + 1) * sub] @ B[j].T for j in range(m)]
+        return pd.Series(
+            [[list(tables[j][i]) for j in range(m)] for i in range(len(X))]
+        )
+
+    qv = as_double_vec(F.col(vec_col))
+    qn2 = F.aggregate(qv, F.lit(0.0), lambda acc, x: acc + x * x)
+    q_base = queries.select(
+        F.col(query_id).alias("__qid"),
+        F.col(vec_col).alias("__v"),
+        qnorm(F.col(vec_col)).alias("__n"),
+    )
+    q_probes = cell_ranks(q_base, "__qid", max(n_probe, 1))
+    q_model = queries.select(
+        F.col(query_id).alias("__qid"),
+        lut_udf(F.col(vec_col)).alias("__lut"),
+        qn2.alias("__qn2"),
+    ).join(q_probes, "__qid")
+
+    # --- ADC over routed candidates -> per-query shortlist of ids ---
+    adc = F.aggregate(
+        F.zip_with(
+            F.col("__code"),
+            F.col("__lut"),
+            lambda cj, lj: F.element_at(lj, cj + 1),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    denom = F.sqrt(F.col("__qn2") * F.col("__cn2"))
+    cand = (
+        c_enc.join(F.broadcast(q_model), "__cell")
+        .filter(F.col("__qid") != F.col("__cid"))
+        .select(
+            "__qid",
+            "__cid",
+            F.when(denom > 0, adc / denom).otherwise(F.lit(0.0)).alias(
+                "__adc"
+            ),
+        )
+        .distinct()  # multi-probe can surface a pair via several cells
+    )
+    ws = Window.partitionBy("__qid").orderBy(
+        F.col("__adc").desc(), F.col("__cid")
+    )
+    short = (
+        cand.withColumn("__sr", F.row_number().over(ws))
+        .filter(F.col("__sr") <= shortlist)
+        .select("__qid", "__cid")
+    )
+
+    # --- exact re-rank: shortlist ids fetch exact vectors ---
+    rer = (
+        c_base.join(F.broadcast(short), "__cid")
+        .join(
+            F.broadcast(
+                q_base.select(
+                    "__qid",
+                    F.col("__v").alias("__qv"),
+                    F.col("__n").alias("__qn"),
+                )
+            ),
+            "__qid",
+        )
+        .withColumn(
+            "cosine",
+            qcosine(
+                qdot(F.col("__qv"), F.col("__v")),
+                F.col("__qn"),
+                F.col("__n"),
+            ),
+        )
+    )
+    wk = Window.partitionBy("__qid").orderBy(
+        F.col("cosine").desc(), F.col("__cid")
+    )
+    return (
+        rer.withColumn("rank", F.row_number().over(wk))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("__qid").alias(query_id),
+            F.col("__cid").alias(corpus_id),
+            "cosine",
+            "rank",
+        )
+    )

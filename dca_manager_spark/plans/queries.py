@@ -101,74 +101,70 @@ def query(name: str, oracle: str | None):
 # The full catalog is still verified every round by scripts/driver_sim.py
 # regardless of window membership.
 _DRIVER_WINDOW = [
-    # Round-8 rotation: (1) the ten queries ADDED this round (seven
-    # TPC-H completions + PII scrub + fuzzy matching + shard assignment)
-    # have no driver row yet and go first; (2) everything whose CODE or
-    # ORACLE changed this round — the four MinHash queries (permutation
-    # family replaced on both engines) and the three ManifestTable
-    # queries that exercise the write path (pin-before-validation +
-    # dtype-conflict hardening); (3) stalest-first fill: the 15 queries
-    # whose last driver row is r5, then r6-scored entries alphabetically
-    # until the window holds 50. Everything rotated out is r6/r7-green
-    # and unchanged; the full catalog is still verified each round by
-    # scripts/driver_sim.py regardless of window membership. The round-8
-    # CONTINUATION session then prepended its 8 brand-new queries and
-    # trimmed the r6-scored tail back to exactly 50.
-    # -- added in the round-8 continuation session (retrieval stats,
-    # sessionization, MAD outliers, HLL sketches, SCD2, mapInArrow twin):
-    # no driver row yet, scored first --
-    "text_tfidf_topk",
-    "text_bm25_rank",
-    "text_pmi_collocations",
-    "events_sessionize_gaps",
-    "events_outliers_mad",
-    "agg_hll_sketch",
-    "scd2_dimension_merge",
-    "embedding_quantize_arrow",
-    "graph_pagerank",
-    "embedding_decontaminate",
-    "events_value_histogram",
-    "events_sequence_detect",
-    "text_quality_logit",
-    "similarity_hybrid_rrf",
+    # Round-9 rotation, same policy as prior rounds: (1) queries ADDED
+    # this round (no driver row yet) go first; (2) queries whose CODE or
+    # ORACLE changed this round — events_rolling_anomaly (decimal/HUGEINT
+    # sum-of-squares), stat_regression_by_group (overflow-bound doc),
+    # similarity_pq_adc (hash-ranked training sample + farthest-point
+    # reseed), dedup_ngram_jaccard (posting-cap refactor around the same
+    # default path), and the three ManifestTable queries over the write
+    # path (nullability-insensitive conflict check); (3) the two entries
+    # last scored r5; (4) r6-scored fill, alphabetical, to 50. The full
+    # catalog is still verified every round by scripts/driver_sim.py.
+    # -- (1) added in round 9 --
+    "training_bpe_tokenize",
+    "training_pack_bpe",
+    "similarity_ivf_pq_rerank",
+    "dedup_duplicate_spans",
+    "dedup_span_scrub",
+    "multimodal_image_dims",
+    "multimodal_audio_meta",
+    "agg_quantile_sketch",
+    # -- (2) changed in round 9 --
     "events_rolling_anomaly",
-    "applyinarrow_flag_stats",
-    "embedding_incremental_admit",
     "stat_regression_by_group",
-    "q2_min_cost_supplier",
-    "q9_product_profit",
-    "q11_important_stock",
-    "q12_shipclass_priority",
-    "q16_supplier_part_counts",
-    "q20_excess_shippers",
-    "q21_waiting_suppliers",
-    "text_pii_redaction",
-    "fuzzy_match_part_names",
-    "training_shard_assignment",
     "similarity_pq_adc",
-    "cogroup_order_fulfillment",
-    # -- changed in round 8 --
-    "dedup_minhash_lsh",
-    "dedup_incremental_batch",
-    "dedup_incremental_indexed",
-    "dedup_cluster_canonical",
+    "dedup_ngram_jaccard",
     "manifest_incremental_pull",
     "manifest_mor_resolve",
     "manifest_cdc_aggregate",
-    # -- last scored r5 --
-    "join_shuffle_hash_hint",
-    "map_functions",
-    "multimodal_frame_plan",
-    "null_handling_family",
-    "profile_orders",
-    "regexp_extract_parts",
-    "scalar_interval_arith",
-    "scalar_math_funcs",
-    "scalar_subquery_above_avg",
-    "sql_correlated_exists",
-    "stat_corr_manual",
-    "stratified_hash_sample",
-    "train_val_test_split",
+    # -- (3) last scored r5 --
+    "union_missing_columns",
+    "window_range_frame",
+    # -- (4) r6-scored fill (alphabetical) --
+    "agg_approx_distinct",
+    "agg_approx_percentile",
+    "agg_cube_status_priority",
+    "agg_distinct_per_segment",
+    "agg_grouping_sets",
+    "agg_rollup_region_nation",
+    "asof_join_purchase_view",
+    "corpus_prep_pipeline",
+    "cross_join_region_types",
+    "dedup_embedding_cosine",
+    "dedup_embedding_cosine_exact",
+    "distinct_projection",
+    "explode_word_counts",
+    "filter_predicate_family",
+    "from_json_typed",
+    "join_full_outer",
+    "join_left_anti",
+    "join_left_semi",
+    "join_sort_merge_hint",
+    "q14_promo_revenue_ratio",
+    "q18_large_volume_customers",
+    "q19_disjunctive_revenue",
+    "q1_pricing_summary",
+    "q4_late_order_priority",
+    "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "range_join_purchase_clicks",
+    "scalar_case_banding",
+    "scalar_date_funcs",
+    "scalar_json_extract",
+    "scalar_string_funcs",
+    "session_window_batch",
 ]
 
 
@@ -1842,6 +1838,131 @@ def dedup_exact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_duplicate_spans",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, i AS pos, array_to_string(w[i+1:i+8], ' ') AS gram
+      FROM toks, LATERAL (SELECT unnest(range(0, len(w) - 7)) AS i)
+    ),
+    m AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pos AS pa, b.pos AS pb,
+             a.pos - b.pos AS diag
+      FROM grams a JOIN grams b ON a.gram = b.gram AND a.doc_id < b.doc_id
+    ),
+    isl AS (
+      SELECT *, pa - ROW_NUMBER() OVER (PARTITION BY doc_a, doc_b, diag
+                                        ORDER BY pa) AS g
+      FROM m
+    )
+    SELECT doc_a, doc_b,
+           CAST(MIN(pa) AS BIGINT) AS a_start,
+           CAST(MIN(pb) AS BIGINT) AS b_start,
+           CAST(COUNT(*) + 7 AS BIGINT) AS span_tokens
+    FROM isl GROUP BY doc_a, doc_b, diag, g
+    ORDER BY doc_a, doc_b, a_start, b_start
+    """,
+)
+def dedup_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level duplicate-span detection (operators/dedup.py
+    duplicate_spans — the Lee et al. 2022 "Deduplicating Training Data"
+    case): maximal verbatim passages of >= 8 tokens shared between two
+    documents, which whole-doc MinHash/SimHash/exact dedup cannot
+    localize. Sliding k-token windows -> equi join on window content
+    (only docs sharing a window ever meet — never all-pairs) ->
+    gaps-and-islands collapse of same-diagonal consecutive matches into
+    maximal spans. Oracle-EXACT (positions, lengths, pairs) — both
+    engines enumerate identical windows and islands."""
+    from dca_manager_spark.operators.dedup import duplicate_spans
+
+    docs = t(spark, sf_dir, "documents")
+    return duplicate_spans(docs, "doc_id", "text", k=8).orderBy(
+        "doc_a", "doc_b", "a_start", "b_start"
+    )
+
+
+@query(
+    "dedup_span_scrub",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, i AS pos, array_to_string(w[i+1:i+8], ' ') AS gram
+      FROM toks, LATERAL (SELECT unnest(range(0, len(w) - 7)) AS i)
+    ),
+    m AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pos AS pa, b.pos AS pb,
+             a.pos - b.pos AS diag
+      FROM grams a JOIN grams b ON a.gram = b.gram AND a.doc_id < b.doc_id
+    ),
+    isl AS (
+      SELECT *, pa - ROW_NUMBER() OVER (PARTITION BY doc_a, doc_b, diag
+                                        ORDER BY pa) AS g
+      FROM m
+    ),
+    spans AS (
+      SELECT doc_b AS id, MIN(pb) AS s, MIN(pb) + COUNT(*) + 7 AS e
+      FROM isl GROUP BY doc_a, doc_b, diag, g
+    ),
+    marked AS (
+      SELECT id, s, e,
+             CASE WHEN s > COALESCE(MAX(e) OVER (
+                    PARTITION BY id ORDER BY s, e
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+                  THEN 1 ELSE 0 END AS new
+      FROM spans
+    ),
+    grp AS (
+      SELECT id, s, e,
+             SUM(new) OVER (PARTITION BY id ORDER BY s, e) AS grp
+      FROM marked
+    ),
+    ivm AS (SELECT id, MIN(s) AS s, MAX(e) AS e FROM grp GROUP BY id, grp),
+    tokpos AS (
+      SELECT doc_id, unnest(w) AS tok,
+             unnest(range(0, len(w))) AS pos
+      FROM toks
+    ),
+    kept AS (
+      SELECT t.doc_id, t.pos, t.tok
+      FROM tokpos t
+      WHERE NOT EXISTS (
+        SELECT 1 FROM ivm
+        WHERE ivm.id = t.doc_id AND t.pos >= ivm.s AND t.pos < ivm.e
+      )
+    )
+    SELECT tk.doc_id,
+           COALESCE(string_agg(k.tok, ' ' ORDER BY k.pos), '') AS text,
+           CAST(len(ANY_VALUE(tk.w)) AS BIGINT) AS n_tokens_before,
+           CAST(COUNT(k.tok) AS BIGINT) AS n_tokens_after
+    FROM toks tk LEFT JOIN kept k ON k.doc_id = tk.doc_id
+    GROUP BY tk.doc_id
+    ORDER BY tk.doc_id
+    """,
+)
+def dedup_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REMEDIATION half of dedup_duplicate_spans (operators/dedup.
+    scrub_duplicate_spans): every maximal duplicated passage is deleted
+    from the HIGHER-id doc of its pair (lower id keeps the canonical
+    copy, the dedup_keep_canonical policy); overlapping spans from
+    different partners union into merged intervals before removal;
+    surviving tokens reassemble in order. Oracle-EXACT down to the
+    scrubbed text strings — both engines enumerate identical windows,
+    islands, merged intervals, and reassembled token sequences."""
+    from dca_manager_spark.operators.dedup import scrub_duplicate_spans
+
+    docs = t(spark, sf_dir, "documents")
+    return scrub_duplicate_spans(docs, "doc_id", "text", k=8).orderBy(
+        "doc_id"
+    )
+
+
+@query(
     "dedup_ngram_jaccard",
     """
     WITH d AS (
@@ -2429,6 +2550,60 @@ def similarity_ivf_learned(spark, sf_dir: str) -> DataFrame:
     approx = ivf_ann_topk(
         q_df, c_df, query_id="query_id", corpus_id="neighbor_id",
         k=10, n_probe=4, seeds=seeds,
+    ).select("query_id", "neighbor_id", F.lit(1).alias("_hit"))
+    exact = cosine_topk(
+        q_df, c_df, "query_id", "neighbor_id", k=10
+    ).select("query_id", "neighbor_id")
+    return exact.join(approx, ["query_id", "neighbor_id"], "left").agg(
+        F.countDistinct("query_id").alias("n_queries"),
+        (
+            (F.sum(F.coalesce(F.col("_hit"), F.lit(0))) / F.count(F.lit(1)))
+            >= 0.3
+        ).alias("recall_ok"),
+    )
+
+
+@query(
+    "similarity_ivf_pq_rerank",
+    """
+    SELECT COUNT(DISTINCT vec_id) AS n_queries, TRUE AS recall_ok
+    FROM embeddings WHERE vec_id < 50
+    """,
+)
+def similarity_ivf_pq_rerank(spark, sf_dir: str) -> DataFrame:
+    """The COMPOSED production ANN serving plan (ivf_pq_rerank_topk):
+    learned IVF cells route each query to 4 of 16 cells; probed members
+    are scored through PQ codes only (ADC: the candidate stream carries
+    16 ints per corpus row, not 64 floats); each query's ADC-top-64
+    shortlist joins back for exact vectors and an exact cosine re-rank
+    to top-10. This is the 100 TB serving shape the standalone
+    similarity_ivf_learned / similarity_pq_adc entries factor into.
+
+    Oracle: in-bounds pattern (model-dependent cells/codebooks) — every
+    query answered + recall@10 vs exact brute force over a 0.3 floor
+    (measured 0.52-0.54 at sf0.001/0.01/0.1 on unstructured synthetic
+    vectors — PQ's worst case; the exact re-rank lifts it over pure
+    ADC@10's 0.36-0.47). Plan shape (no cartesian, broadcast-only small
+    sides) is asserted in tests/test_plans.py."""
+    from dca_manager_spark.operators.similarity import (
+        cosine_topk,
+        ivf_pq_rerank_topk,
+        train_ivf_seeds,
+        train_pq_codebooks,
+    )
+
+    emb = t(spark, sf_dir, "embeddings")
+    q_df = emb.filter(F.col("vec_id") < 50).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    c_df = emb.select(F.col("vec_id").alias("neighbor_id"), "embedding")
+    books = train_pq_codebooks(
+        c_df, m=16, k=16, max_iter=10, sample_id_col="neighbor_id"
+    )
+    seeds = train_ivf_seeds(c_df, n_cells=16, seed=13)
+    approx = ivf_pq_rerank_topk(
+        q_df, c_df, "query_id", "neighbor_id", books,
+        k=10, n_probe=4, shortlist=64, seeds=seeds,
     ).select("query_id", "neighbor_id", F.lit(1).alias("_hit"))
     exact = cosine_topk(
         q_df, c_df, "query_id", "neighbor_id", k=10
@@ -3557,6 +3732,117 @@ def training_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bpe_oracle_sql() -> str:
+    from dca_manager_spark.operators.bpe import PRETOKEN_PATTERN
+
+    return f"""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(len(regexp_extract_all(lower(text),
+                '{PRETOKEN_PATTERN}'))) AS BIGINT) AS total_pretokens,
+           CAST(SUM(length(array_to_string(regexp_extract_all(lower(text),
+                '{PRETOKEN_PATTERN}'), ''))) AS BIGINT) AS total_wordchars,
+           TRUE AS reconstruct_ok,
+           TRUE AS strictly_compressed,
+           CAST(16 AS BIGINT) AS merges_learned
+    FROM documents
+    """
+
+
+@query("training_bpe_tokenize", _bpe_oracle_sql())
+def training_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained BPE (operators/bpe.py): 16 merges learned from the
+    documents table by DISTRIBUTED iterative pair-count aggregation —
+    one corpus-sized word-count job, then bounded lineage-pinned rounds
+    of JVM-side adjacent-pair counting + a 1-row argmax collect + a
+    JVM fold merge apply (no Python in the round loop) — followed by
+    Arrow-vectorized tokenization with the broadcast rank table.
+
+    Oracle split: total_pretokens / total_wordchars are REAL cross-
+    engine checks (the shared ASCII pretokenizer regex evaluated by
+    Java, RE2 and Python must agree token-for-token); the learned-merge
+    content itself is not SQL-expressible, so its exactness is pinned by
+    tests/test_bpe.py (distributed == bounded-local == pure-Python
+    replay, bit-for-bit) and surfaces here as invariants: reconstruct_ok
+    (every word's tokens concatenate back to the word — BPE partitions,
+    never rewrites), strictly_compressed (16 applied merges shrink the
+    token stream strictly below character count), merges_learned.
+
+    Scale: word-count is the only corpus-sized job; every round after
+    runs on the distinct-word frame (Heaps' law: ~1e6-1e8 rows at 100
+    TB) with per-round cost bounded by one explode+agg on that frame."""
+    from dca_manager_spark.operators.bpe import (
+        bpe_tokenize,
+        pretokenize_col,
+        train_bpe_merges,
+    )
+
+    docs = t(spark, sf_dir, "documents")
+    merges = train_bpe_merges(docs, n_merges=16, min_count=2)
+    enc = bpe_tokenize(docs.select("doc_id", "text"), merges)
+    wordchars = F.aggregate(
+        pretokenize_col(F.col("text")),
+        F.lit(0),
+        lambda acc, x: acc + F.length(x),
+    )
+    return enc.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("bpe.n_pretokens").cast("bigint").alias("total_pretokens"),
+        F.sum(wordchars).cast("bigint").alias("total_wordchars"),
+        F.every(F.col("bpe.reconstruct")).alias("reconstruct_ok"),
+        (F.sum("bpe.n_tokens") < F.sum(wordchars)).alias(
+            "strictly_compressed"
+        ),
+        F.lit(len(merges)).cast("bigint").alias("merges_learned"),
+    )
+
+
+@query(
+    "training_pack_bpe",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           TRUE AS tokens_conserved_ok,
+           TRUE AS bins_contiguous_ok
+    FROM documents
+    """,
+)
+def training_pack_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing on REAL learned-BPE token counts (the
+    composition the token-budget operators exist for): train 32 merges
+    (bounded-local path — identical merges to the distributed rounds,
+    pinned by test), tokenize, then pack_sequences into 1024-token bins
+    via the hierarchical two-pass prefix sum.
+
+    The packing arithmetic itself is oracle-exact on SQL-computable
+    counts in training_pack_sequences; here the counts are model-derived
+    so the oracle pins composition invariants that would break if the
+    two-pass offsets or the tokenizer integration were wrong:
+    tokens_conserved_ok (the final cumulative position equals the total
+    token count — a true permutation prefix-sum), bins_contiguous_ok
+    (bin ids form 0..max with none skipped)."""
+    from dca_manager_spark.operators.bpe import bpe_tokenize, train_bpe_merges
+    from dca_manager_spark.operators.training import pack_sequences
+
+    docs = t(spark, sf_dir, "documents")
+    merges = train_bpe_merges(
+        docs, n_merges=32, min_count=2, method="local"
+    )
+    enc = bpe_tokenize(docs, merges).select(
+        "doc_id", F.col("bpe.n_tokens").alias("n_tokens")
+    )
+    packed = pack_sequences(enc, "doc_id", "n_tokens", budget=1024)
+    return packed.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (
+            F.max(F.col("bin_tokens_before") + F.col("n_tokens"))
+            == F.sum("n_tokens")
+        ).alias("tokens_conserved_ok"),
+        (
+            (F.max("bin_id") + 1 == F.countDistinct("bin_id"))
+            & (F.min("bin_id") == 0)
+        ).alias("bins_contiguous_ok"),
+    )
+
+
 @query(
     "training_mixture_sample",
     """
@@ -3942,6 +4228,118 @@ def multimodal_frame_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     media = _fake_media(spark, sf_dir)
     return frame_sample_plan(media, every_ms=500).orderBy("media_id", "frame_ts_ms")
+
+
+@query(
+    "multimodal_image_dims",
+    """
+    SELECT doc_id AS media_id,
+           CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'gif'
+                ELSE 'jpeg' END AS format,
+           CAST(n_chars % 999 + 1 AS INT) AS width,
+           CAST(doc_id % 499 + 1 AS INT) AS height
+    FROM documents
+    ORDER BY media_id
+    """,
+)
+def multimodal_image_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image metadata without codec libraries: per doc, a
+    well-formed PNG / GIF89a / JPEG(JFIF) header blob is constructed
+    with pure JVM expressions (unhex/lpad/hex byte assembly — dims
+    big-endian u32 for PNG, little-endian u16 for GIF, and for JPEG a
+    full APP0 segment BEFORE the SOF0 so the reader must walk the
+    segment chain), then parsed BACK by operators/multimodal.
+    parse_image_header (stdlib byte slicing in one Arrow projection).
+
+    The oracle computes the planted dims arithmetically — a mismatch
+    means the parser got an offset, endianness, or the JPEG walk wrong,
+    so the round trip is a bit-exact check of the real header logic.
+    Truncated-or-corrupt recognized headers raise loudly (pinned in
+    tests/test_multimodal.py); map-only plan, no shuffle."""
+    from dca_manager_spark.operators.multimodal import (
+        gif_blob_col,
+        image_dims,
+        jpeg_blob_col,
+        png_blob_col,
+    )
+
+    docs = t(spark, sf_dir, "documents")
+    w = (F.col("n_chars") % 999 + 1).cast("int")
+    h = (F.col("doc_id") % 499 + 1).cast("int")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.when(F.col("doc_id") % 3 == 0, png_blob_col(w, h))
+        .when(F.col("doc_id") % 3 == 1, gif_blob_col(w, h))
+        .otherwise(jpeg_blob_col(w, h))
+        .alias("content"),
+    )
+    return (
+        image_dims(media, "content")
+        .select(
+            "media_id",
+            F.col("img.format").alias("format"),
+            F.col("img.width").alias("width"),
+            F.col("img.height").alias("height"),
+        )
+        .orderBy("media_id")
+    )
+
+
+@query(
+    "multimodal_audio_meta",
+    """
+    SELECT doc_id AS media_id,
+           'wav' AS format,
+           CAST(doc_id % 2 + 1 AS INT) AS channels,
+           CAST(CASE doc_id % 3 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+                ELSE 44100 END AS INT) AS sample_rate,
+           CAST(16 AS INT) AS bits,
+           CAST((n_chars * 10 * (doc_id % 2 + 1) * 2 * 1000)
+                // (CASE doc_id % 3 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+                    ELSE 44100 END * (doc_id % 2 + 1) * 2) AS BIGINT)
+             AS duration_ms
+    FROM documents
+    ORDER BY media_id
+    """,
+)
+def multimodal_audio_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio sibling of multimodal_image_dims: a well-formed RIFF/WAVE
+    header (with a JUNK chunk before fmt, so the reader must WALK the
+    chunk chain) is built per doc with pure JVM expressions
+    (little-endian field assembly) and parsed back by
+    operators/multimodal.parse_wav_header — filling the sample_rate /
+    duration_ms legs of MEDIA_META_SCHEMA with REAL header-derived
+    values, no codec library anywhere. The oracle recomputes the
+    planted channels/rate/bits and the duration integer arithmetic
+    (data_size * 1000 // byte_rate); a mismatch means a field offset,
+    endianness, or the chunk walk is wrong."""
+    from dca_manager_spark.operators.multimodal import audio_meta, wav_blob_col
+
+    docs = t(spark, sf_dir, "documents")
+    channels = (F.col("doc_id") % 2 + 1).cast("int")
+    rate = (
+        F.when(F.col("doc_id") % 3 == 0, 8000)
+        .when(F.col("doc_id") % 3 == 1, 16000)
+        .otherwise(44100)
+        .cast("int")
+    )
+    frames = (F.col("n_chars") * 10).cast("bigint")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        wav_blob_col(channels, rate, F.lit(16), frames).alias("content"),
+    )
+    return (
+        audio_meta(media, "content")
+        .select(
+            "media_id",
+            F.col("audio.format").alias("format"),
+            F.col("audio.channels").alias("channels"),
+            F.col("audio.sample_rate").alias("sample_rate"),
+            F.col("audio.bits").alias("bits"),
+            F.col("audio.duration_ms").alias("duration_ms"),
+        )
+        .orderBy("media_id")
+    )
 
 
 @query(
@@ -5556,10 +5954,10 @@ def similarity_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), "embedding"
     )
     c_df = emb.select(F.col("vec_id").alias("neighbor_id"), "embedding")
-    # ordered input => deterministic bounded sample => deterministic
-    # codebooks (numpy training; see train_pq_codebooks)
+    # hash-ranked sample (smallest-md5 top-k): layout-independent,
+    # corpus-representative, deterministic regardless of partitioning
     books = train_pq_codebooks(
-        c_df.orderBy("neighbor_id"), m=16, k=16, max_iter=10
+        c_df, m=16, k=16, max_iter=10, sample_id_col="neighbor_id"
     )
     approx = pq_ann_topk(
         q_df, c_df, "query_id", "neighbor_id", books, k=10
@@ -5909,6 +6307,74 @@ def agg_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.abs(F.col("__est") - F.col("exact_distinct"))
                 <= 0.05 * F.col("exact_distinct")
             ).alias("within_5pct"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
+    "agg_quantile_sketch",
+    """
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           TRUE AS p50_within_2pct,
+           TRUE AS p95_within_2pct
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def agg_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable QUANTILE sketches — the percentile twin of
+    agg_hll_sketch (operators/sketches.py, DDSketch, Masson et al. VLDB
+    2019): per-(priority, status) log-bin sketches built in one pass,
+    MERGED upward to per-priority by bin-wise count sums (lossless —
+    merge == direct build, pinned by test), then p50/p95 estimated from
+    the merged maps with a JVM aggregate fold. approx_percentile cannot
+    do this roll-up: its partial state is not a storable column; the
+    sketch map is — daily sketches union into rolling windows without
+    re-reading history. Estimates are engine-specific midpoints, so the
+    hashed output is the exact group count plus in-bounds booleans
+    (gamma=1.02 guarantees ~1% relative error; 2% holds with margin vs
+    the exact interpolated percentile on any layout)."""
+    from dca_manager_spark.operators.sketches import (
+        ddsketch_build,
+        ddsketch_merge,
+        ddsketch_quantile,
+    )
+
+    o = t(spark, sf_dir, "orders")
+    fine = ddsketch_build(
+        o, "o_totalprice", ["o_orderpriority", "o_orderstatus"], gamma=1.02
+    )
+    rolled = ddsketch_merge(fine, ["o_orderpriority"])
+    est = rolled.select(
+        "o_orderpriority",
+        ddsketch_quantile(
+            F.col("sketch"), F.col("zero_count"), F.col("n"), 0.5, 1.02
+        ).alias("__p50"),
+        ddsketch_quantile(
+            F.col("sketch"), F.col("zero_count"), F.col("n"), 0.95, 1.02
+        ).alias("__p95"),
+    )
+    exact = o.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.expr("percentile(o_totalprice, 0.5)").alias("__e50"),
+        F.expr("percentile(o_totalprice, 0.95)").alias("__e95"),
+    )
+    return (
+        exact.join(est, "o_orderpriority")
+        .select(
+            "o_orderpriority",
+            "n_rows",
+            (
+                F.abs(F.col("__p50") - F.col("__e50"))
+                <= 0.02 * F.col("__e50")
+            ).alias("p50_within_2pct"),
+            (
+                F.abs(F.col("__p95") - F.col("__e95"))
+                <= 0.02 * F.col("__e95")
+            ).alias("p95_within_2pct"),
         )
         .orderBy("o_orderpriority")
     )
@@ -6448,7 +6914,7 @@ def similarity_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     r AS (
       SELECT event_type, cv,
              CAST(SUM(cv) OVER w AS BIGINT) AS s1,
-             CAST(SUM(cv * cv) OVER w AS BIGINT) AS s2,
+             SUM(CAST(cv AS HUGEINT) * CAST(cv AS HUGEINT)) OVER w AS s2,
              CAST(COUNT(*) OVER w AS BIGINT) AS n
       FROM c
       WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
@@ -6482,7 +6948,15 @@ def events_rolling_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     op sequence with no multiply-add patterns (the one subtraction takes
     a cast and a division result, neither contractible), and the 3-sigma
     comparison is a single multiply against an absolute difference. One
-    shuffle on the type key; window state is 100 rows per task."""
+    shuffle on the type key; window state is 100 rows per task.
+
+    Overflow policy: the sum-of-squares accumulator is exact wide
+    arithmetic on BOTH engines — decimal(38,0) in Spark, HUGEINT in
+    DuckDB — cast to double exactly once at the sigma computation.
+    A BIGINT accumulator would wrap (non-ANSI) or crash (ANSI) at
+    |cv| ~ 3e8 over a 100-row window (9e16 per term x 100 ~ int64 max);
+    the decimal path is exact up to |cv| ~ 3.1e17 per row (9.6e34 per
+    term x 100 < 1e38), far beyond any cent-denominated feed."""
     ev = t(spark, sf_dir, "events")
     w = (
         Window.partitionBy("event_type")
@@ -6490,11 +6964,17 @@ def events_rolling_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         .rowsBetween(-99, 0)
     )
     cv = F.floor(F.col("value") * 100)
+    # Exact wide accumulator: decimal(19,0)^2 -> decimal(38,0) (Spark
+    # caps 19+19+1 at 38; scale 0 so no precision loss), summed at
+    # decimal(38,0). Exact for |cv| up to ~3.1e17 over the 100-row
+    # window; the DuckDB oracle's HUGEINT path is exact in the same
+    # regime, so the single double cast below is bit-identical.
+    cvd = cv.cast("decimal(19,0)")
     base = ev.select(
         "event_type",
         cv.alias("cv"),
         F.sum(cv).over(w).alias("s1"),
-        F.sum(cv * cv).over(w).alias("s2"),
+        F.sum(cvd * cvd).over(w).alias("s2"),
         F.count(F.lit(1)).over(w).alias("n"),
     )
     mu = F.col("s1").cast("double") / F.col("n")
@@ -6687,7 +7167,20 @@ def stat_regression_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     FMA contraction anywhere (a naive float n*Sxy - Sx*Sy is exactly the
     contractible shape that bit BM25). One broadcast 1-row min, one
     partial+final grouped aggregate — the canonical two-pass regression
-    at any scale."""
+    at any scale.
+
+    Exactness bound (documented, not silent): Spark caps decimal
+    products at precision 38, so the cross terms (n*sxy, sx*sy, n*sxx,
+    sx*sx, ...) are exact only while each stays under 1e38 — e.g. with
+    seconds-scale x spanning ~30 years (x ~ 1e9) and cent-scale y
+    (~1e6), sxy ~ 1e15 * n, so n*sxy crosses 1e38 around n ~ 1e12 rows
+    PER GROUP. Past that, Spark yields NULL (non-ANSI) or raises (ANSI)
+    while DuckDB's HUGEINT continues — parity is bounded, loudly, not
+    wrong. Mitigation at that scale: re-center x per group (subtract the
+    per-group integer MIN before the moments) — slope and r2 are
+    translation-invariant, and sx/sxx shrink by the square of the span
+    reduction; recover the original-origin intercept as
+    mean_y - slope * mean_x_orig."""
     ev = t(spark, sf_dir, "events")
     mn = ev.agg(
         F.min(F.unix_micros(F.col("ts").cast("timestamp"))).alias("__mn")

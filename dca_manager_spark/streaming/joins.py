@@ -26,16 +26,23 @@ def stream_stream_join(
     left_ts], equi-matched on ``on`` — e.g. 'purchases joined to the
     clicks of the preceding hour' with bounded state on both sides.
 
-    ``how="left_outer"`` emits an unmatched left row (nulls on the right)
-    only once the watermark proves no match can still arrive — i.e. when
-    the left row's state is evicted. Until then the row is neither
-    emitted nor dropped; a consumer must not treat the absence of a row
-    in early micro-batches as a non-match. The same time-range predicate
-    is what makes the outer join legal at all: Spark rejects outer
-    stream-stream joins whose state it cannot bound.
+    The full join matrix is supported: ``inner``, ``left_outer``,
+    ``right_outer``, ``full_outer``. Every outer variant emits an
+    unmatched row (nulls on the other side) only once the watermark
+    proves no match can still arrive — i.e. when that row's state is
+    evicted. Until then the row is neither emitted nor dropped; a
+    consumer must not treat the absence of a row in early micro-batches
+    as a non-match. The same time-range predicate is what makes the
+    outer joins legal at all: Spark rejects outer stream-stream joins
+    whose state it cannot bound — here BOTH sides are bounded (the range
+    relates the two event times, so each side's buffered rows age out
+    once the opposite watermark passes lookback + delay).
     """
-    if how not in ("inner", "left_outer"):
-        raise ValueError(f"how must be 'inner' or 'left_outer', got {how!r}")
+    if how not in ("inner", "left_outer", "right_outer", "full_outer"):
+        raise ValueError(
+            "how must be one of 'inner', 'left_outer', 'right_outer', "
+            f"'full_outer', got {how!r}"
+        )
     l = left.withWatermark(left_ts, watermark)
     r = right.withWatermark(right_ts, watermark)
     cond = F.lit(True)

@@ -201,6 +201,25 @@ SESSION_STATE_SCHEMA = (
 )
 
 
+def _wall_to_epoch_ms(wall, tz) -> int:
+    """Map a tz-NAIVE wall time in session zone ``tz`` to epoch millis,
+    DST-safely. A wall time that is ambiguous (fall-back) or nonexistent
+    (spring-forward) in a non-UTC zone maps to two candidate instants;
+    Spark's internal watermark tracks the TRUE instant of the event, so
+    resolving with the default fold could set an event-time timeout
+    at/behind the watermark (Spark raises) or fire an hour early. Take
+    the LATER of both fold resolutions: identical for every unambiguous
+    wall time (all but ~2 hours/year), and never behind the true instant
+    inside a fold (worst case: the timeout fires one hour late)."""
+    return int(
+        max(
+            wall.replace(tzinfo=tz, fold=0).timestamp(),
+            wall.replace(tzinfo=tz, fold=1).timestamp(),
+        )
+        * 1000
+    )
+
+
 def sessionize_stream(
     events: DataFrame,
     gap_seconds: float = 1800.0,
@@ -290,7 +309,7 @@ def sessionize_stream(
                 ss, lt, n = min(ss, ts), max(lt, ts), n + 1
         state.update((ss, lt, n))
         # event-time eviction: fire once the watermark passes last+gap
-        epoch_ms = int(lt.replace(tzinfo=session_tz).timestamp() * 1000)
+        epoch_ms = _wall_to_epoch_ms(lt, session_tz)
         state.setTimeoutTimestamp(epoch_ms + int(gap * 1000))
         if out:
             yield pd.concat([close(s, e, c, "gap") for (s, e, c) in out])

@@ -1,0 +1,157 @@
+"""Corpus-trained BPE: the distributed pair-count rounds, the bounded-
+local path, and the pure-Python replay must produce bit-identical
+merges; apply must partition words exactly; composition with
+pack_sequences must respect budgets."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import pytest
+from pyspark.sql import functions as F
+
+from dca_manager_spark.operators.bpe import (
+    _merge_loop,
+    _merge_word,
+    bpe_encode_word,
+    bpe_tokenize,
+    pretokenize,
+    train_bpe_merges,
+)
+from tests.conftest import SF_SMOKE
+
+
+def replay(texts: list[str], n_merges: int, min_count: int = 2):
+    wc = Counter(w for t in texts for w in pretokenize(t))
+    return _merge_loop(
+        ((list(w), c) for w, c in wc.items()), n_merges, min_count
+    )
+
+
+def test_merge_word_left_to_right_nonoverlapping():
+    assert _merge_word(["a", "a", "a"], "a", "a") == ["aa", "a"]
+    assert _merge_word(["a", "a", "a", "a"], "a", "a") == ["aa", "aa"]
+    assert _merge_word(["x", "a", "b", "b"], "a", "b") == ["x", "ab", "b"]
+    assert _merge_word(["a", "b"], "b", "a") == ["a", "b"]
+    # a merged token never re-merges within the same round
+    assert _merge_word(["a", "b", "a", "b"], "a", "b") == ["ab", "ab"]
+
+
+def test_overlapping_pairs_counted_per_occurrence():
+    # 'aaa' contributes (a,a) twice per occurrence, weighted by freq
+    merges = _merge_loop([(["a", "a", "a"], 3)], 1, min_count=2)
+    assert merges == [("a", "a")]
+
+
+def test_min_count_stops_training():
+    # every pair unique -> count 1 < min_count=2 -> no merges
+    assert _merge_loop([(list("abcd"), 1)], 10, min_count=2) == []
+    # and n_merges=0 is a no-op
+    assert _merge_loop([(["a", "b"], 9)], 0, min_count=1) == []
+
+
+def test_hand_example_merge_order():
+    # freq-weighted argmax with lexicographic tie-break
+    texts = ["low low low", "lower", "west west"]
+    m = replay(texts, 3, min_count=2)
+    # 'lo' and 'ow' both appear 4x ('low' x3 + 'lower'); 'es'/'st'/'we' 2x.
+    # ties at 4: ('l','o') < ('o','w') lexicographically.
+    assert m[0] == ("l", "o")
+    assert m[1] == ("lo", "w")
+
+
+def test_distributed_equals_local_equals_replay(spark):
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    texts = [r["text"] for r in docs.select("text").collect()]
+    expected = replay(texts, 24, min_count=2)
+    assert len(expected) == 24
+    dist = train_bpe_merges(docs, n_merges=24, min_count=2)
+    local = train_bpe_merges(docs, n_merges=24, min_count=2, method="local")
+    assert dist == expected
+    assert local == expected
+
+
+def test_training_is_layout_independent(spark):
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    a = train_bpe_merges(docs, n_merges=12, min_count=2)
+    b = train_bpe_merges(docs.repartition(7), n_merges=12, min_count=2)
+    c = train_bpe_merges(
+        docs.repartition(3), n_merges=12, min_count=2, method="local"
+    )
+    assert a == b == c
+
+
+def test_tokenize_matches_python_replay(spark):
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").limit(50)
+    merges = train_bpe_merges(docs, n_merges=16, min_count=2, method="local")
+    ranks = {m: i for i, m in enumerate(merges)}
+    got = {
+        r["doc_id"]: (list(r["bpe"]["tokens"]), r["bpe"]["reconstruct"])
+        for r in bpe_tokenize(docs, merges).select("doc_id", "bpe").collect()
+    }
+    for r in docs.select("doc_id", "text").collect():
+        expect = [
+            tok
+            for w in pretokenize(r["text"])
+            for tok in bpe_encode_word(w, ranks)
+        ]
+        toks, ok = got[r["doc_id"]]
+        assert toks == expect, f"doc {r['doc_id']}"
+        assert ok is True
+
+
+def test_apply_merge_col_matches_merge_word(spark):
+    from dca_manager_spark.operators.bpe import _apply_merge_col
+
+    cases = [
+        ["a", "a", "a"],
+        ["a", "a", "a", "a"],
+        ["a", "b", "a", "b"],
+        ["x", "a", "b", "b"],
+        ["b", "a"],
+        ["a"],
+        ["q", "a", "b", "a", "b", "z"],
+    ]
+    df = spark.createDataFrame([(c,) for c in cases], "syms array<string>")
+    out = [
+        list(r["m"])
+        for r in df.select(
+            _apply_merge_col(F.col("syms"), "a", "b").alias("m")
+        ).collect()
+    ]
+    assert out == [_merge_word(c, "a", "b") for c in cases]
+
+
+def test_null_and_empty_text(spark):
+    df = spark.createDataFrame(
+        [(1, "low low"), (2, ""), (3, None)], "doc_id int, text string"
+    )
+    merges = [("l", "o"), ("lo", "w")]
+    rows = {
+        r["doc_id"]: r["bpe"]
+        for r in bpe_tokenize(df, merges).collect()
+    }
+    assert list(rows[1]["tokens"]) == ["low", "low"]
+    assert rows[2]["n_tokens"] == 0 and rows[2]["reconstruct"] is True
+    assert rows[3]["tokens"] is None and rows[3]["n_tokens"] is None
+
+
+def test_pack_on_bpe_counts_respects_budget(spark):
+    from dca_manager_spark.operators.training import pack_sequences
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+    merges = train_bpe_merges(docs, n_merges=16, min_count=2, method="local")
+    enc = bpe_tokenize(docs, merges).select(
+        "doc_id", F.col("bpe.n_tokens").alias("n_tokens")
+    )
+    packed = pack_sequences(enc, "doc_id", "n_tokens", budget=1024)
+    rows = packed.select("bin_id", "n_tokens", "bin_tokens_before").collect()
+    total = sum(r["n_tokens"] for r in rows)
+    # conservation: final cumulative position == total token count
+    assert max(r["bin_tokens_before"] + r["n_tokens"] for r in rows) == total
+    # a doc STARTS in its bin: before is inside [bin*B, (bin+1)*B)
+    for r in rows:
+        assert r["bin_id"] * 1024 <= r["bin_tokens_before"] < (r["bin_id"] + 1) * 1024
+    # bins contiguous
+    bins = sorted({r["bin_id"] for r in rows})
+    assert bins == list(range(len(bins)))

@@ -526,3 +526,171 @@ def test_corpus_index_family_mismatch_is_loud(spark, tmp_path):
     _json.dump(doc, open(p, "w"))
     with pytest.raises(ValueError, match="family"):
         CorpusIndex.append(spark, path, batch, "doc_id", "text")
+
+
+def test_duplicate_spans_planted(spark):
+    """Hand-planted cross-doc passages: exact maximal spans, positions,
+    and lengths. Doc 1 and 2 share a 10-token passage at different
+    offsets; doc 3 shares nothing long enough; doc 4 duplicates doc 1
+    entirely."""
+    from dca_manager_spark.operators.dedup import duplicate_spans
+
+    passage = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    d1 = "x1 x2 x3 " + passage + " y1 y2"          # passage at tokens 3..12
+    d2 = "z1 " + passage + " w1 w2 w3"             # passage at tokens 1..10
+    d3 = "alpha beta gamma delta q r s t u v"      # only 4 shared tokens
+    d4 = d1                                        # full duplicate of d1
+    df = spark.createDataFrame(
+        [(1, d1), (2, d2), (3, d3), (4, d4)], "doc_id int, text string"
+    )
+    got = sorted(
+        tuple(r)
+        for r in duplicate_spans(df, "doc_id", "text", k=8).collect()
+    )
+    # d1/d2: one maximal 10-token span; d1/d4 and d2/d4: mirrors; d3: none
+    assert got == [
+        (1, 2, 3, 1, 10),
+        (1, 4, 0, 0, 15),
+        (2, 4, 1, 3, 10),
+    ]
+
+
+def test_duplicate_spans_min_tokens_and_within_doc_repeat(spark):
+    from dca_manager_spark.operators.dedup import duplicate_spans
+
+    p = "a b c d e f g h"
+    # the 8-token passage occurs TWICE in doc 1 -> two distinct diagonals
+    df = spark.createDataFrame(
+        [(1, p + " q1 q2 " + p), (2, "zz " + p + " zz2")],
+        "doc_id int, text string",
+    )
+    got = sorted(
+        tuple(r)
+        for r in duplicate_spans(df, "doc_id", "text", k=8).collect()
+    )
+    assert got == [(1, 2, 0, 1, 8), (1, 2, 10, 1, 8)]
+    # min_tokens above the span length filters them out
+    assert (
+        duplicate_spans(df, "doc_id", "text", k=8, min_tokens=9).count() == 0
+    )
+
+
+def test_duplicate_spans_gram_cap_bounds_fanout(spark):
+    """A window shared by EVERY doc (boilerplate) would quadratically
+    blow up the candidate join; max_gram_docs drops it while spans made
+    of rarer windows survive."""
+    from dca_manager_spark.operators.dedup import duplicate_spans
+
+    boiler = "b1 b2 b3 b4 b5 b6 b7 b8"
+    rare = "r1 r2 r3 r4 r5 r6 r7 r8"
+    rows = [(i, boiler + f" u{i} v{i}") for i in range(50)]
+    rows += [(100, "x " + rare), (101, "y y2 " + rare)]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    capped = duplicate_spans(
+        df, "doc_id", "text", k=8, max_gram_docs=10
+    ).collect()
+    assert sorted(tuple(r) for r in capped) == [(100, 101, 1, 2, 8)]
+    # uncapped: the boilerplate span appears for every one of 50*49/2 pairs
+    full = duplicate_spans(df, "doc_id", "text", k=8)
+    assert full.count() == 50 * 49 // 2 + 1
+
+
+def test_ngram_jaccard_doc_freq_cap_exact_counts(spark):
+    """ADVICE r8 #6: the posting-list cap bounds the candidate join
+    without corrupting counts — surviving pairs report EXACT n_inter /
+    jaccard over full shingle sets (including capped shingles)."""
+    from dca_manager_spark.operators.dedup import ngram_jaccard_pairs
+
+    rows = [
+        (1, "abcdefgh"),
+        (2, "abcdefgx"),   # shares 5 char-3-shingles with doc 1
+        (3, "zzzzyyyy"),
+    ] + [(10 + i, f"abc{i:02d}q") for i in range(20)]  # 'abc' is hot
+    df = spark.createDataFrame(rows, "id int, text string")
+    base = {
+        (r.id_a, r.id_b): (r.n_inter, r.n_a, r.n_b, r.jaccard)
+        for r in ngram_jaccard_pairs(df, "id", "text", k=3, threshold=0.4).collect()
+    }
+    capped = {
+        (r.id_a, r.id_b): (r.n_inter, r.n_a, r.n_b, r.jaccard)
+        for r in ngram_jaccard_pairs(
+            df, "id", "text", k=3, threshold=0.4, max_doc_freq=5
+        ).collect()
+    }
+    assert (1, 2) in capped
+    # exact same counts as the uncapped run for every surviving pair
+    for pair, vals in capped.items():
+        assert base[pair] == vals
+    with pytest.raises(ValueError, match="max_doc_freq"):
+        ngram_jaccard_pairs(df, "id", "text", max_doc_freq=0)
+
+
+def test_ngram_jaccard_cap_quadratic_stress(spark):
+    """One shingle in 50% of docs: capped candidate generation completes
+    with bounded fan-out and recall on the planted near-pair is kept."""
+    import time
+
+    from dca_manager_spark.operators.dedup import ngram_jaccard_pairs
+
+    # word mode: every boilerplate doc shares EXACTLY the one hot
+    # shingle (boiler, plate, text); the unique-token tail keeps their
+    # pairwise jaccard at 1/7 << threshold.
+    rows = [(i, f"boiler plate text u{i} v{i} w{i}") for i in range(400)]
+    rows += [
+        (9001, "hello world match one two"),
+        (9002, "hello world match one tvo"),  # 2 of 4 shingles shared
+    ]
+    df = spark.createDataFrame(rows, "id int, text string")
+    t0 = time.time()
+    got = ngram_jaccard_pairs(
+        df, "id", "text", k=3, threshold=0.3, mode="word", max_doc_freq=20
+    ).collect()
+    elapsed = time.time() - t0
+    pairs = {(r.id_a, r.id_b) for r in got}
+    assert (9001, 9002) in pairs
+    # no pair should exist among the 400 boilerplate docs at this threshold
+    assert all(not (a < 9000 and b < 9000) for a, b in pairs)
+    assert elapsed < 60
+
+
+def test_scrub_duplicate_spans_removes_higher_id_copy(spark):
+    """The planted passage survives in the lower-id doc and is deleted
+    from the higher-id doc; overlapping spans union before removal;
+    clean docs pass through with before == after."""
+    from dca_manager_spark.operators.dedup import scrub_duplicate_spans
+
+    passage = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    d1 = "x1 x2 x3 " + passage + " y1 y2"
+    d2 = "z1 " + passage + " w1 w2 w3"
+    d3 = "clean doc with nothing shared here at all ok"
+    df = spark.createDataFrame(
+        [(1, d1), (2, d2), (3, d3)], "doc_id int, text string"
+    )
+    got = {r["doc_id"]: r for r in scrub_duplicate_spans(df, "doc_id", "text", k=8).collect()}
+    # doc 1 (lower id) keeps everything
+    assert got[1]["text"] == d1
+    assert got[1]["n_tokens_before"] == got[1]["n_tokens_after"] == 15
+    # doc 2 loses exactly the 10-token passage
+    assert got[2]["text"] == "z1 w1 w2 w3"
+    assert (got[2]["n_tokens_before"], got[2]["n_tokens_after"]) == (14, 4)
+    # untouched doc
+    assert got[3]["text"] == d3
+
+
+def test_scrub_duplicate_spans_merges_overlapping_intervals(spark):
+    """Two partners contribute OVERLAPPING spans into the same victim:
+    the union is removed once, not double-counted."""
+    from dca_manager_spark.operators.dedup import scrub_duplicate_spans
+
+    p = "a1 a2 a3 a4 a5 a6 a7 a8 a9 a10 a11 a12"  # 12 tokens
+    d1 = " ".join(p.split()[:10])       # tokens 0..9 of p
+    d2 = " ".join(p.split()[2:12])      # tokens 2..11 of p
+    d3 = "pre " + p + " post"           # victim: holds all 12 at offset 1
+    df = spark.createDataFrame(
+        [(1, d1), (2, d2), (3, d3)], "doc_id int, text string"
+    )
+    got = {r["doc_id"]: r for r in scrub_duplicate_spans(df, "doc_id", "text", k=8).collect()}
+    assert got[3]["text"] == "pre post"
+    assert (got[3]["n_tokens_before"], got[3]["n_tokens_after"]) == (14, 2)
+    # sources keep their text (they are the lower ids)
+    assert got[1]["text"] == d1

@@ -1122,3 +1122,57 @@ def test_type_conflict_is_loud_on_mor_writes(spark, tmp_path):
     with pytest.raises(ValueError, match="schema conflict"):
         t.write(bad, "upsert")
     assert [r.price for r in t.read().collect()] == [1.0]
+
+
+def test_nullability_only_difference_is_not_a_conflict(spark, tmp_path):
+    """ADVICE r8: nested nullability-only differences (array containsNull,
+    struct-field nullable flips from a slightly different upstream plan)
+    are NOT physical conflicts — the parquet bytes are identical — so the
+    batch must union-evolve and write, not be rejected. The committed
+    schema widens the flag to nullable so later null-bearing batches read
+    fine."""
+    from pyspark.sql.types import (
+        ArrayType, FloatType, StringType, StructField, StructType,
+        TimestampType,
+    )
+
+    t = ManifestTable(
+        spark,
+        str(tmp_path / "nultbl"),
+        keys=("transaction_id", "close_time"),
+        precombine="transaction_id",
+        partition_by=(),
+    )
+    non_null_arr = StructType([
+        StructField("transaction_id", StringType(), False),
+        StructField("close_time", TimestampType(), False),
+        StructField("vec", ArrayType(FloatType(), containsNull=False), True),
+    ])
+    nullable_arr = StructType([
+        StructField("transaction_id", StringType(), False),
+        StructField("close_time", TimestampType(), False),
+        StructField("vec", ArrayType(FloatType(), containsNull=True), True),
+    ])
+    t.write(
+        spark.createDataFrame([("T1", TS1, [1.0, 2.0])], non_null_arr), "insert"
+    )
+    # containsNull flip only: must NOT raise
+    t.write(
+        spark.createDataFrame([("T2", TS1, [3.0, None])], nullable_arr), "insert"
+    )
+    got = t.read()
+    assert got.count() == 2
+    # committed schema widened to containsNull=True: null-element rows read
+    vec_field = [f for f in got.schema.fields if f.name == "vec"][0]
+    assert vec_field.dataType.containsNull is True
+    # a genuine physical conflict still fails loudly
+    bad = spark.createDataFrame(
+        [("T3", TS1, ["x"])],
+        StructType([
+            StructField("transaction_id", StringType(), False),
+            StructField("close_time", TimestampType(), False),
+            StructField("vec", ArrayType(StringType(), True), True),
+        ]),
+    )
+    with pytest.raises(ValueError, match="schema conflict"):
+        t.write(bad, "insert")

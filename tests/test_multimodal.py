@@ -50,3 +50,117 @@ def test_frame_sample_plan(media):
     frames = frame_sample_plan(media, every_ms=1000).collect()
     assert {r.media_id for r in frames} == {4}
     assert sorted(r.frame_ts_ms for r in frames) == [0, 1000, 2000, 3000]
+
+
+def test_parse_image_header_formats_and_truncation():
+    """Real header layouts round-trip exactly; recognized-but-truncated
+    payloads fail LOUDLY; unknown payloads yield nulls."""
+    import pytest
+
+    from dca_manager_spark.operators.multimodal import parse_image_header
+
+    png = (b"\x89PNG\r\n\x1a\n" + b"\x00\x00\x00\x0dIHDR"
+           + (640).to_bytes(4, "big") + (480).to_bytes(4, "big")
+           + b"\x08\x06\x00\x00\x00")
+    assert parse_image_header(png) == ("png", 640, 480)
+
+    gif = (b"GIF89a" + (320).to_bytes(2, "little")
+           + (200).to_bytes(2, "little") + b"\xf7\x00\x00")
+    assert parse_image_header(gif) == ("gif", 320, 200)
+
+    app0 = b"\xff\xe0\x00\x10JFIF\x00\x01\x01\x00\x00H\x00H\x00\x00"
+    sof0 = (b"\xff\xc0\x00\x11\x08" + (1080).to_bytes(2, "big")
+            + (1920).to_bytes(2, "big") + b"\x03\x01\x11\x00\x02\x11\x01\x03\x11\x01")
+    assert parse_image_header(b"\xff\xd8" + app0 + sof0) == ("jpeg", 1920, 1080)
+
+    assert parse_image_header(None) == (None, None, None)
+    assert parse_image_header(b"not an image") == (None, None, None)
+
+    with pytest.raises(ValueError, match="truncated PNG"):
+        parse_image_header(png[:20])
+    with pytest.raises(ValueError, match="truncated GIF"):
+        parse_image_header(gif[:8])
+    with pytest.raises(ValueError, match="no SOF"):
+        parse_image_header(b"\xff\xd8" + app0)  # headers end before SOF
+    with pytest.raises(ValueError, match="corrupt PNG"):
+        parse_image_header(png[:12] + b"XXXX" + png[16:])
+
+
+def test_jvm_blobs_parse_back_exactly(spark):
+    """The JVM-expression blob builders and the Python parser agree on
+    every byte: build blobs for assorted dims (incl. >255 to exercise
+    both endiannesses and multi-byte values), parse, compare."""
+    from pyspark.sql import functions as F
+
+    from dca_manager_spark.operators.multimodal import (
+        gif_blob_col,
+        image_dims,
+        jpeg_blob_col,
+        png_blob_col,
+    )
+
+    rows = [(i, w, h) for i, (w, h) in enumerate(
+        [(1, 1), (255, 256), (257, 499), (999, 65535), (640, 480)]
+    )]
+    df = spark.createDataFrame(rows, "i int, w int, h int")
+    media = df.select(
+        "i", "w", "h",
+        F.when(F.col("i") % 3 == 0, png_blob_col(F.col("w"), F.col("h")))
+        .when(F.col("i") % 3 == 1, gif_blob_col(F.col("w"), F.col("h")))
+        .otherwise(jpeg_blob_col(F.col("w"), F.col("h")))
+        .alias("content"),
+    )
+    got = image_dims(media, "content").select("i", "w", "h", "img.*").collect()
+    fmts = {0: "png", 1: "gif", 2: "jpeg"}
+    for r in got:
+        assert r["format"] == fmts[r["i"] % 3]
+        assert (r["width"], r["height"]) == (r["w"], r["h"]), r
+
+
+def test_parse_wav_header_walk_and_truncation():
+    import pytest
+
+    from dca_manager_spark.operators.multimodal import parse_wav_header
+
+    def le(x, n):
+        return int(x).to_bytes(n, "little")
+
+    ch, sr, bits, frames = 2, 44100, 16, 44100 * 3  # 3 seconds stereo
+    block = ch * bits // 8
+    data_size = frames * block
+    fmt = b"fmt " + le(16, 4) + le(1, 2) + le(ch, 2) + le(sr, 4) \
+        + le(sr * block, 4) + le(block, 2) + le(bits, 2)
+    junk = b"JUNK" + le(4, 4) + b"\x00" * 4
+    wav = (b"RIFF" + le(36 + data_size, 4) + b"WAVE"
+           + junk + fmt + b"data" + le(data_size, 4))
+    assert parse_wav_header(wav) == ("wav", 2, 44100, 16, 3000)
+
+    assert parse_wav_header(b"not riff") == (None,) * 5
+    assert parse_wav_header(None) == (None,) * 5
+    with pytest.raises(ValueError, match="no fmt chunk"):
+        parse_wav_header(b"RIFF" + le(4, 4) + b"WAVE")
+    with pytest.raises(ValueError, match="truncated WAV fmt"):
+        parse_wav_header(b"RIFF" + le(100, 4) + b"WAVE" + b"fmt " + le(16, 4) + b"\x01\x00")
+    with pytest.raises(ValueError, match="no data chunk"):
+        parse_wav_header(b"RIFF" + le(36, 4) + b"WAVE" + fmt)
+
+
+def test_wav_blob_round_trip(spark):
+    from pyspark.sql import functions as F
+
+    from dca_manager_spark.operators.multimodal import audio_meta, wav_blob_col
+
+    rows = [(1, 1, 8000, 8000), (2, 2, 44100, 132300), (3, 1, 16000, 1)]
+    df = spark.createDataFrame(rows, "i int, ch int, sr int, frames long")
+    media = df.select(
+        "i", "ch", "sr", "frames",
+        wav_blob_col(F.col("ch"), F.col("sr"), F.lit(16), F.col("frames")).alias("content"),
+    )
+    got = audio_meta(media, "content").select("i", "ch", "sr", "frames", "audio.*").collect()
+    for r in got:
+        assert r["format"] == "wav"
+        assert r["channels"] == r["ch"]
+        assert r["sample_rate"] == r["sr"]
+        assert r["bits"] == 16
+        block = r["ch"] * 2
+        assert r["duration_ms"] == r["frames"] * block * 1000 // (r["sr"] * block)

@@ -430,3 +430,91 @@ def test_applyinarrow_flag_stats_matches_groupby(spark):
     got = {r.l_returnflag: (r.n_lines, r.sum_qty, r.max_price)
            for r in arrow_flag_stats(li).collect()}
     assert got == {"A": (2, 3.51, 30.0), "R": (1, 4.0, 20.0)}
+
+
+def test_ddsketch_merge_equals_direct_build(spark):
+    """Lossless mergeability: per-(g,sub) sketches merged to per-g are
+    BIT-IDENTICAL (maps, zero counts, totals) to building per-g
+    directly — the property that makes daily->rolling rollups exact."""
+    from dca_manager_spark.operators.sketches import (
+        ddsketch_build,
+        ddsketch_merge,
+        ddsketch_quantile,
+    )
+    import pyspark.sql.functions as F
+
+    rows = [("a", "x", float(v)) for v in range(1, 300)]
+    rows += [("a", "y", float(v) * 7.5) for v in range(1, 200)]
+    rows += [("b", "x", 0.0)] * 25 + [("b", "x", 42.0)] * 75
+    df = spark.createDataFrame(rows, "g string, sub string, v double")
+    fine = ddsketch_build(df, "v", ["g", "sub"], gamma=1.02)
+    merged = {
+        r["g"]: (sorted(r["sketch"].items()), r["zero_count"], r["n"])
+        for r in ddsketch_merge(fine, ["g"]).collect()
+    }
+    direct = {
+        r["g"]: (sorted(r["sketch"].items()), r["zero_count"], r["n"])
+        for r in ddsketch_build(df, "v", ["g"], gamma=1.02).collect()
+    }
+    assert merged == direct
+    # quantile sanity on the merged sketch: b's p20 falls in the zeros,
+    # p90 lands within the 1%-relative bucket of 42
+    est = (
+        ddsketch_merge(fine, ["g"])
+        .select(
+            "g",
+            ddsketch_quantile(
+                F.col("sketch"), F.col("zero_count"), F.col("n"), 0.2, 1.02
+            ).alias("p20"),
+            ddsketch_quantile(
+                F.col("sketch"), F.col("zero_count"), F.col("n"), 0.9, 1.02
+            ).alias("p90"),
+        )
+        .collect()
+    )
+    by_g = {r["g"]: r for r in est}
+    assert by_g["b"]["p20"] == 0.0
+    assert abs(by_g["b"]["p90"] - 42.0) <= 0.01 * 42.0
+
+
+def test_ddsketch_rejects_negative_and_bad_params(spark):
+    import pytest
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    from dca_manager_spark.operators.sketches import (
+        ddsketch_build,
+        ddsketch_quantile,
+    )
+    import pyspark.sql.functions as F
+
+    df = spark.createDataFrame([("a", -1.0)], "g string, v double")
+    with pytest.raises(Exception, match="negative value"):
+        ddsketch_build(df, "v", ["g"]).collect()
+    with pytest.raises(ValueError, match="gamma"):
+        ddsketch_build(df, "v", ["g"], gamma=1.0)
+    with pytest.raises(ValueError, match="q must be"):
+        ddsketch_quantile(F.lit(None), F.lit(0), F.lit(1), 1.5)
+
+
+def test_ddsketch_relative_error_bound(spark):
+    """The DDSketch guarantee: every quantile estimate within
+    (gamma-1)/(gamma+1) relative error of the true order statistic,
+    checked across a 4-decade value range."""
+    from dca_manager_spark.operators.sketches import (
+        ddsketch_build,
+        ddsketch_quantile,
+    )
+    import pyspark.sql.functions as F
+
+    vals = sorted((1.07 ** i) % 9973 + 0.001 for i in range(3000))
+    df = spark.createDataFrame([("g", v) for v in vals], "g string, v double")
+    sk = ddsketch_build(df, "v", ["g"], gamma=1.02)
+    gamma_bound = (1.02 - 1) / (1.02 + 1) + 1e-6
+    for q in (0.01, 0.25, 0.5, 0.75, 0.99):
+        est = sk.select(
+            ddsketch_quantile(
+                F.col("sketch"), F.col("zero_count"), F.col("n"), q, 1.02
+            ).alias("e")
+        ).first()["e"]
+        true = vals[min(len(vals) - 1, max(0, -(-int(q * len(vals))) - 1))]
+        assert abs(est - true) / true <= gamma_bound, (q, est, true)

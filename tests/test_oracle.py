@@ -118,3 +118,49 @@ def test_comparator_detects_mismatches():
     # order-insensitivity: permuted rows canonicalize identically
     _, r5 = _canon(cols, [rows[1], rows[0]])
     assert r5 == r1
+
+
+def test_rolling_anomaly_survives_large_magnitudes(spark, tmp_path):
+    """ADVICE r8: the trailing-window sum of squares must stay exact at
+    cent magnitudes ~3e8 (values ~3e6), where a BIGINT accumulator wraps
+    (100 * (3e8)^2 > int64 max) — and wraps IDENTICALLY nowhere: Spark
+    would wrap silently while DuckDB's HUGEINT keeps going, breaking
+    parity. The decimal(38,0)/HUGEINT pair must agree exactly."""
+    import datetime
+
+    import pandas as pd
+
+    n = 200
+    base = datetime.datetime(2024, 1, 1)
+    pdf = pd.DataFrame(
+        {
+            "event_id": range(n),
+            "ts": [base + datetime.timedelta(seconds=i) for i in range(n)],
+            "user_id": [1] * n,
+            "event_type": ["feed"] * n,
+            # ~3.5e6 currency units -> cv ~3.5e8; one 40-sigma spike
+            "value": [3.5e6 + (i % 7) * 1000.0 for i in range(n - 1)]
+            + [9.9e6],
+            "props": ["{}"] * n,
+        }
+    )
+    path = tmp_path / "events.parquet"
+    pdf.to_parquet(path)
+
+    qd = QUERIES["events_rolling_anomaly"]
+    sdf = qd.fn(spark, str(tmp_path))
+    spark_rows = [tuple(row) for row in sdf.collect()]
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM '{path}'")
+    rel = con.sql(qd.oracle)
+    duck_rows = rel.fetchall()
+    duck_cols = list(rel.columns)
+    con.close()
+
+    s_cols, s_rows = _canon(list(sdf.columns), spark_rows)
+    d_cols, d_rows = _canon(duck_cols, duck_rows)
+    assert s_cols == d_cols
+    assert s_rows == d_rows
+    # and the spike actually flags: the gate is not vacuous at this scale
+    assert s_rows[0][s_cols.index("n_anomalies")] >= 1

@@ -234,6 +234,13 @@ def test_catalog_wide_no_accidental_cartesian(spark):
         "similarity_pq_adc",           # ADC scan (broadcast queries x
                                        # corpus codes) + the same exact
                                        # baseline for its recall floor
+        "similarity_ivf_pq_rerank",    # composed IVF->PQ->rerank: the
+                                       # only BNLJ is corpus x broadcast
+                                       # seeds (n_cells rows, linear in
+                                       # corpus) + the exact baseline its
+                                       # recall floor is measured against;
+                                       # ADC candidates and the re-rank
+                                       # fetch are broadcast EQUI joins
         "text_tfidf_topk",             # 1-row broadcast corpus-size N
                                        # under the idf — same shape as
                                        # q11/q22's scalar subquery

@@ -466,3 +466,77 @@ def test_decontaminate_embeddings_drops_copies_keeps_rest(spark):
     rows = {r.cid: r.payload for r in out.collect()}
     assert set(rows) == {0, 1, 3}
     assert rows[0] == "doc0"  # rows pass through unchanged
+
+
+def test_ivf_pq_rerank_degrades_to_exact(spark, sf_dir):
+    """With full probing (n_probe = n_cells) and an unbounded shortlist,
+    the composed IVF->PQ->rerank pipeline must return EXACTLY the
+    brute-force cosine_topk result — same ids, same ranks, same scores
+    (the exact re-rank scores with the identical quantized cosine).
+    Pins that routing and shortlisting only ever PRUNE, never alter
+    scoring."""
+    from dca_manager_spark.operators.similarity import (
+        cosine_topk,
+        ivf_pq_rerank_topk,
+        train_pq_codebooks,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    n = emb.count()
+    c = emb.select(F.col("vec_id").alias("nid"), "embedding")
+    q = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+    books = train_pq_codebooks(c, m=16, k=16, max_iter=3)
+    exact = sorted(
+        (r.qid, r.nid, r.cosine, r.rank)
+        for r in cosine_topk(q, c, "qid", "nid", k=5).collect()
+    )
+    composed = sorted(
+        (r.qid, r.nid, r.cosine, r.rank)
+        for r in ivf_pq_rerank_topk(
+            q, c, "qid", "nid", books,
+            k=5, n_cells=8, n_probe=8, shortlist=n,
+        ).collect()
+    )
+    assert composed == exact
+
+
+def test_ivf_pq_rerank_recall_floor(spark, sf_dir):
+    """Production parameters (4/16 probes, shortlist 64): recall@10 vs
+    exact clears the documented 0.3 floor (measured 0.52-0.54 across
+    SFs), and every query returns exactly k rows with contiguous
+    ranks."""
+    from dca_manager_spark.operators.similarity import (
+        cosine_topk,
+        ivf_pq_rerank_topk,
+        train_ivf_seeds,
+        train_pq_codebooks,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    c = emb.select(F.col("vec_id").alias("nid"), "embedding")
+    q = emb.filter(F.col("vec_id") < 30).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+    books = train_pq_codebooks(c, m=16, k=16, max_iter=5, sample_id_col="nid")
+    seeds = train_ivf_seeds(c, n_cells=16, seed=13)
+    got = ivf_pq_rerank_topk(
+        q, c, "qid", "nid", books, k=10, n_probe=4, shortlist=64, seeds=seeds
+    ).collect()
+    exact = {
+        (r.qid, r.nid)
+        for r in cosine_topk(q, c, "qid", "nid", k=10).collect()
+    }
+    hits = sum((r.qid, r.nid) in exact for r in got)
+    assert hits / len(exact) >= 0.3
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r.qid, []).append(r.rank)
+    for qid, ranks in by_q.items():
+        assert sorted(ranks) == list(range(1, 11)), qid
+    # determinism: a second run returns the identical result set
+    again = ivf_pq_rerank_topk(
+        q, c, "qid", "nid", books, k=10, n_probe=4, shortlist=64, seeds=seeds
+    ).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, again))

@@ -954,3 +954,134 @@ def test_sessionize_stream_late_event_does_not_regress_span(spark, tmp_path):
         for r in closed
     }
     assert (1000, 3350, 4) in sessions
+
+
+def test_wall_to_epoch_ms_dst_folds():
+    """ADVICE r8: in a non-UTC session zone, DST-ambiguous (fall-back) and
+    nonexistent (spring-forward) wall times must resolve to the LATER
+    candidate instant, so the event-time timeout is never set at/behind
+    the watermark's true instant. Unambiguous times are unaffected."""
+    import datetime
+    from zoneinfo import ZoneInfo
+
+    from dca_manager_spark.streaming.stateful import _wall_to_epoch_ms
+
+    ny = ZoneInfo("America/New_York")
+    utc = ZoneInfo("UTC")
+
+    # unambiguous: identical to the plain localization
+    plain = datetime.datetime(2025, 6, 1, 12, 0, 0)
+    assert _wall_to_epoch_ms(plain, ny) == int(
+        plain.replace(tzinfo=ny).timestamp() * 1000
+    )
+    assert _wall_to_epoch_ms(plain, utc) == int(
+        plain.replace(tzinfo=utc).timestamp() * 1000
+    )
+
+    # ambiguous (2025-11-02 01:30 happens twice in New York): both fold
+    # resolutions are valid instants one hour apart; we must pick the later
+    amb = datetime.datetime(2025, 11, 2, 1, 30, 0)
+    e0 = amb.replace(tzinfo=ny, fold=0).timestamp()
+    e1 = amb.replace(tzinfo=ny, fold=1).timestamp()
+    assert abs(e1 - e0) == 3600.0
+    assert _wall_to_epoch_ms(amb, ny) == int(max(e0, e1) * 1000)
+
+    # nonexistent (2025-03-09 02:30 is skipped): resolves >= both folds
+    gap = datetime.datetime(2025, 3, 9, 2, 30, 0)
+    assert _wall_to_epoch_ms(gap, ny) >= int(
+        gap.replace(tzinfo=ny, fold=0).timestamp() * 1000
+    )
+
+
+def test_stream_stream_right_outer_emits_on_eviction(spark, tmp_path):
+    """Right-outer mirror of the left_outer eviction test: an unmatched
+    RIGHT row (a click with no purchase in the following hour) emits
+    null-padded exactly once, after the watermark evicts its state."""
+    from dca_manager_spark.streaming.joins import stream_stream_join
+
+    base = datetime.datetime(2024, 1, 1, 10, 0, 0)
+    clicks_dir, purch_dir = tmp_path / "clicks", tmp_path / "purch"
+    clicks_dir.mkdir(), purch_dir.mkdir()
+    (clicks_dir / "c.json").write_text(
+        "\n".join([
+            json.dumps({"user_id": 1, "cts": base.isoformat()}),   # matched
+            json.dumps({"user_id": 3, "cts": base.isoformat()}),   # never matched
+            json.dumps({"user_id": 9, "cts": (base + datetime.timedelta(hours=20)).isoformat()}),
+        ])
+    )
+    (purch_dir / "p.json").write_text(
+        "\n".join([
+            json.dumps({"user_id": 1, "pts": (base + datetime.timedelta(minutes=45)).isoformat()}),
+            json.dumps({"user_id": 8, "pts": (base + datetime.timedelta(hours=20)).isoformat()}),
+        ])
+    )
+
+    def build():
+        clicks = spark.readStream.schema("user_id long, cts timestamp").json(str(clicks_dir))
+        purch = spark.readStream.schema("user_id long, pts timestamp").json(str(purch_dir))
+        return stream_stream_join(
+            purch, clicks, on=["user_id"], left_ts="pts", right_ts="cts",
+            lookback="1 hour", how="right_outer",
+        ).select(clicks.user_id.alias("uid"), "pts", "cts")
+
+    out: list = []
+    drain(build(), str(tmp_path / "ckpt"), lambda df, _: out.extend(df.collect()))
+    drain(build(), str(tmp_path / "ckpt"), lambda df, _: out.extend(df.collect()))
+    matched = {r.uid for r in out if r.pts is not None}
+    assert 1 in matched
+    nulls = [(r.uid, r.pts) for r in out if r.pts is None]
+    assert nulls.count((3, None)) == 1
+    # the matched click must never ALSO emit as a non-match
+    assert (1, None) not in nulls
+
+
+def test_stream_stream_full_outer_emits_both_sides(spark, tmp_path):
+    """Full-outer: unmatched LEFT and unmatched RIGHT rows each emit
+    null-padded exactly once after eviction; the matched pair emits
+    exactly once with both sides present."""
+    from dca_manager_spark.streaming.joins import stream_stream_join
+
+    base = datetime.datetime(2024, 1, 1, 10, 0, 0)
+    clicks_dir, purch_dir = tmp_path / "clicks", tmp_path / "purch"
+    clicks_dir.mkdir(), purch_dir.mkdir()
+    (clicks_dir / "c.json").write_text(
+        "\n".join([
+            json.dumps({"user_id": 1, "cts": base.isoformat()}),   # matched
+            json.dumps({"user_id": 3, "cts": base.isoformat()}),   # right-only
+            json.dumps({"user_id": 9, "cts": (base + datetime.timedelta(hours=20)).isoformat()}),
+        ])
+    )
+    (purch_dir / "p.json").write_text(
+        "\n".join([
+            json.dumps({"user_id": 1, "pts": (base + datetime.timedelta(minutes=45)).isoformat()}),
+            json.dumps({"user_id": 2, "pts": (base + datetime.timedelta(minutes=45)).isoformat()}),  # left-only
+            json.dumps({"user_id": 8, "pts": (base + datetime.timedelta(hours=20)).isoformat()}),
+        ])
+    )
+
+    def build():
+        clicks = spark.readStream.schema("user_id long, cts timestamp").json(str(clicks_dir))
+        purch = spark.readStream.schema("user_id long, pts timestamp").json(str(purch_dir))
+        return stream_stream_join(
+            purch, clicks, on=["user_id"], left_ts="pts", right_ts="cts",
+            lookback="1 hour", how="full_outer",
+        ).select(
+            F.coalesce(purch.user_id, clicks.user_id).alias("uid"),
+            "pts", "cts",
+        )
+
+    out: list = []
+    drain(build(), str(tmp_path / "ckpt"), lambda df, _: out.extend(df.collect()))
+    drain(build(), str(tmp_path / "ckpt"), lambda df, _: out.extend(df.collect()))
+    both = [(r.uid) for r in out if r.pts is not None and r.cts is not None]
+    assert both == [1]
+    left_only = [(r.uid, r.cts) for r in out if r.cts is None and r.pts is not None]
+    right_only = [(r.uid, r.pts) for r in out if r.pts is None and r.cts is not None]
+    assert left_only.count((2, None)) == 1
+    assert right_only.count((3, None)) == 1
+    with pytest.raises(ValueError, match="how must be"):
+        stream_stream_join(
+            spark.readStream.schema("user_id long, pts timestamp").json(str(purch_dir)),
+            spark.readStream.schema("user_id long, cts timestamp").json(str(clicks_dir)),
+            on=["user_id"], left_ts="pts", right_ts="cts", how="left_semi_bad",
+        )
