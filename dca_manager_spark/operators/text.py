@@ -366,3 +366,93 @@ def redact_pii(
         for name, expr in count_exprs:
             df = df.withColumn(name, expr)
     return df.withColumn(text_col, cur)
+
+
+def repetition_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Gopher-style repetition quality metrics (Rae et al. 2021 App. A
+    public recipe — the filters LLM corpora are scrubbed with), exact
+    and engine-reproducible:
+
+    - ``mcw_fraction``   — occurrences of the most common word / total
+      words (tie -> lexicographically smallest word);
+    - ``top2_fraction``  — chars of the most frequent word 2-gram times
+      its count, over total word chars (whitespace excluded);
+    - ``dup5_fraction``  — chars in ALL occurrences of word 5-grams that
+      appear 2+ times, over total word chars (every occurrence counts;
+      overlaps are not collapsed — the cheap well-defined variant, and
+      the oracle computes the identical definition).
+
+    One tokenization, three grouped counts keyed by (doc, gram) with a
+    per-doc argmax (min of struct(-count, gram) — total order, layout-
+    independent), re-joined on the doc id. Shuffles: three counts + the
+    joins, all on the doc-id family of keys. Short docs (< n words)
+    yield zero fractions, never nulls."""
+    toks = tokens(F.lower(F.col(text_col)))
+    base = df.select(
+        F.col(id_col).alias("__id"),
+        toks.alias("__w"),
+        F.size(toks).cast("long").alias("n_words"),
+        F.aggregate(
+            toks, F.lit(0).cast("long"), lambda a, x: a + F.length(x)
+        ).alias("n_wchars"),
+    )
+
+    def grams(n: int):
+        arr = F.when(
+            F.size("__w") >= n,
+            F.transform(
+                F.sequence(F.lit(0), F.size("__w") - n),
+                lambda i: F.concat_ws(" ", F.slice(F.col("__w"), i + 1, n)),
+            ),
+        ).otherwise(F.expr("cast(array() as array<string>)"))
+        return base.select("__id", F.explode(arr).alias("__g")).groupBy(
+            "__id", "__g"
+        ).agg(F.count(F.lit(1)).alias("__c"))
+
+    def argmax(cnts: DataFrame, out_cnt: str, out_len: str) -> DataFrame:
+        # min(struct(-count, gram)): highest count, ties to the smallest
+        # gram — a total order, identical in every engine.
+        return cnts.groupBy("__id").agg(
+            F.min(F.struct((-F.col("__c")).alias("nc"), F.col("__g").alias("g"))).alias("__m")
+        ).select(
+            "__id",
+            (-F.col("__m.nc")).alias(out_cnt),
+            # chars of the gram without its separator spaces
+            (F.length("__m.g") - (F.size(F.split(F.col("__m.g"), " ")) - 1)).alias(out_len),
+        )
+
+    w1 = argmax(grams(1), "__c1", "__l1").drop("__l1")
+    w2 = argmax(grams(2), "__c2", "__l2")
+    d5 = (
+        grams(5)
+        .filter(F.col("__c") >= 2)
+        .groupBy("__id")
+        .agg(
+            F.sum(
+                F.col("__c")
+                * (F.length("__g") - (F.size(F.split(F.col("__g"), " ")) - 1))
+            ).alias("__dup5")
+        )
+    )
+    out = (
+        base.select("__id", "n_words", "n_wchars")
+        .join(w1, "__id", "left")
+        .join(w2, "__id", "left")
+        .join(d5, "__id", "left")
+    )
+    nz = lambda c: F.greatest(c, F.lit(1)).cast("double")
+    return out.select(
+        F.col("__id").alias(id_col),
+        "n_words",
+        "n_wchars",
+        (F.coalesce(F.col("__c1"), F.lit(0)).cast("double") / nz(F.col("n_words"))).alias("mcw_fraction"),
+        (
+            (F.coalesce(F.col("__c2"), F.lit(0)) * F.coalesce(F.col("__l2"), F.lit(0))).cast("double")
+            / nz(F.col("n_wchars"))
+        ).alias("top2_fraction"),
+        (F.coalesce(F.col("__dup5"), F.lit(0)).cast("double") / nz(F.col("n_wchars"))).alias("dup5_fraction"),
+    )

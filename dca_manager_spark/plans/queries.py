@@ -120,6 +120,7 @@ _DRIVER_WINDOW = [
     "multimodal_image_dims",
     "multimodal_audio_meta",
     "agg_quantile_sketch",
+    "text_gopher_repetition",
     # -- (2) changed in round 9 --
     "events_rolling_anomaly",
     "stat_regression_by_group",
@@ -164,7 +165,6 @@ _DRIVER_WINDOW = [
     "scalar_date_funcs",
     "scalar_json_extract",
     "scalar_string_funcs",
-    "session_window_batch",
 ]
 
 
@@ -6724,6 +6724,120 @@ def events_sequence_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("__hit").alias("n_conversions"))
         .filter(F.col("n_conversions") > 0)
         .orderBy("user_id")
+    )
+
+
+@query(
+    "text_gopher_repetition",
+    r"""
+    WITH d AS (
+      SELECT doc_id, lang,
+             string_split_regex(trim(lower(text)), '\s+') AS w
+      FROM documents
+    ),
+    b AS (
+      SELECT doc_id, lang, len(w) AS n_words,
+             CAST(list_sum(list_transform(w, x ->
+                  CAST(length(x) AS BIGINT))) AS BIGINT) AS n_wchars
+      FROM d
+    ),
+    c1 AS (
+      SELECT doc_id, g, COUNT(*) AS c
+      FROM (SELECT doc_id, unnest(w) AS g FROM d) GROUP BY doc_id, g
+    ),
+    m1 AS (
+      SELECT doc_id, c AS c1 FROM (
+        SELECT doc_id, c,
+               ROW_NUMBER() OVER (PARTITION BY doc_id
+                                  ORDER BY c DESC, g) AS rn
+        FROM c1
+      ) WHERE rn = 1
+    ),
+    c2 AS (
+      SELECT doc_id, g, COUNT(*) AS c FROM (
+        SELECT doc_id, array_to_string(w[i:i+1], ' ') AS g
+        FROM d, LATERAL (SELECT unnest(range(1, len(w))) AS i)
+      ) GROUP BY doc_id, g
+    ),
+    m2 AS (
+      SELECT doc_id, c AS c2, length(g) - 1 AS l2 FROM (
+        SELECT doc_id, g, c,
+               ROW_NUMBER() OVER (PARTITION BY doc_id
+                                  ORDER BY c DESC, g) AS rn
+        FROM c2
+      ) WHERE rn = 1
+    ),
+    c5 AS (
+      SELECT doc_id, g, COUNT(*) AS c FROM (
+        SELECT doc_id, array_to_string(w[i:i+4], ' ') AS g
+        FROM d, LATERAL (SELECT unnest(range(1, len(w) - 3)) AS i)
+      ) GROUP BY doc_id, g
+    ),
+    d5 AS (
+      SELECT doc_id, SUM(c * (length(g) - 4)) AS dup5
+      FROM c5 WHERE c >= 2 GROUP BY doc_id
+    ),
+    per_doc AS (
+      SELECT b.lang,
+             CAST(COALESCE(m1.c1, 0) AS DOUBLE)
+               / GREATEST(b.n_words, 1) AS mcw,
+             CAST(COALESCE(m2.c2, 0) * COALESCE(m2.l2, 0) AS DOUBLE)
+               / GREATEST(b.n_wchars, 1) AS top2,
+             CAST(COALESCE(d5.dup5, 0) AS DOUBLE)
+               / GREATEST(b.n_wchars, 1) AS dup5
+      FROM b
+      LEFT JOIN m1 ON m1.doc_id = b.doc_id
+      LEFT JOIN m2 ON m2.doc_id = b.doc_id
+      LEFT JOIN d5 ON d5.doc_id = b.doc_id
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN mcw > 0.2 OR top2 > 0.2 OR dup5 > 0.3
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+           CAST(SUM(CAST(FLOOR(mcw * 1000.0) AS BIGINT)) AS BIGINT)
+             AS sum_mcw_pm,
+           CAST(SUM(CAST(FLOOR(top2 * 1000.0) AS BIGINT)) AS BIGINT)
+             AS sum_top2_pm,
+           CAST(SUM(CAST(FLOOR(dup5 * 1000.0) AS BIGINT)) AS BIGINT)
+             AS sum_dup5_pm
+    FROM per_doc
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def text_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality gates (operators/text.
+    repetition_stats — Rae et al. 2021's public filter recipe): most-
+    common-word fraction, top-2-gram character fraction, duplicated-5-
+    gram character fraction, aggregated per language with flag counts
+    (mcw > 0.2 | top2 > 0.2 | dup5 > 0.3 — the boilerplate/repetition
+    profile LLM corpora are scrubbed on). Oracle-EXACT end-to-end: the
+    per-doc fractions are single divisions of exact integer counts
+    (bit-identical doubles in both engines), quantized to per-mille
+    integers BEFORE summing so the group aggregates stay order-
+    independent exact integers."""
+    from dca_manager_spark.operators.text import repetition_stats
+
+    docs = t(spark, sf_dir, "documents")
+    stats = repetition_stats(docs, "doc_id", "text").join(
+        docs.select("doc_id", "lang"), "doc_id"
+    )
+    pm = lambda c: F.floor(c * F.lit(1000.0)).cast("bigint")
+    flagged = (
+        (F.col("mcw_fraction") > 0.2)
+        | (F.col("top2_fraction") > 0.2)
+        | (F.col("dup5_fraction") > 0.3)
+    ).cast("int")
+    return (
+        stats.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(flagged).cast("bigint").alias("n_flagged"),
+            F.sum(pm(F.col("mcw_fraction"))).cast("bigint").alias("sum_mcw_pm"),
+            F.sum(pm(F.col("top2_fraction"))).cast("bigint").alias("sum_top2_pm"),
+            F.sum(pm(F.col("dup5_fraction"))).cast("bigint").alias("sum_dup5_pm"),
+        )
+        .orderBy("lang")
     )
 
 

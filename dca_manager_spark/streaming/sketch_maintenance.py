@@ -1,0 +1,86 @@
+"""Streaming quantile-sketch maintenance: per-micro-batch DDSketches
+merged into a persisted sketch store — the streaming payoff of LOSSLESS
+mergeability (operators/sketches.py). The store answers "p99 of value
+per group, over everything ever ingested" at any moment WITHOUT
+re-reading history: state is O(groups x log-bins), not O(rows).
+
+Exactly-once story (mirrors streaming/ingest.stream_upsert):
+- foreachBatch is AT-LEAST-ONCE (a crash between sink write and
+  checkpoint commit replays the batch);
+- the store keys rows by (group, batch_id) and the sink is a keyed
+  UPSERT, so a replayed batch REWRITES its own rows with identical
+  content instead of double-merging — idempotent;
+- merge happens at READ time (ddsketch_merge over the per-batch rows),
+  the merge-on-read shape: replays can never corrupt totals because
+  nothing is ever merged destructively at write time.
+
+The read-time merge cost is O(groups x batches) rows; compaction =
+rewriting the store with one pre-merged row per group under a single
+batch_id (sketch merging is associative, so compaction commutes with
+later appends) — same lifecycle as the MOR table type.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from dca_manager_spark.operators.sketches import (
+    ddsketch_build,
+    ddsketch_merge,
+    ddsketch_quantile,
+)
+
+
+def stream_sketch_maintenance(
+    stream_df: DataFrame,
+    table: Any,
+    checkpoint_dir: str,
+    value_col: str,
+    group_cols: list[str],
+    gamma: float = 1.02,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Maintain per-group DDSketches over a stream. ``table`` is a
+    keyed store with keys (group_cols..., batch_id) accepting upsert
+    (ManifestTable/MergeTable); each micro-batch writes one row per
+    group seen in the batch: (groups..., batch_id, sketch map,
+    zero_count, n)."""
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        sk = ddsketch_build(batch_df, value_col, group_cols, gamma=gamma)
+        if not sk.take(1):
+            return
+        table.write(
+            sk.withColumn("batch_id", F.lit(int(batch_id)).cast("long")),
+            "upsert",
+        )
+
+    return (
+        stream_df.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True if available_now else None)
+        .start()
+    )
+
+
+def read_sketch_quantiles(
+    table: Any,
+    group_cols: list[str],
+    qs: list[float],
+    gamma: float = 1.02,
+) -> DataFrame:
+    """Current quantiles from the sketch store: merge the per-batch
+    rows upward (lossless) and walk each requested quantile. Also
+    returns ``n`` (exact total rows ingested per group)."""
+    merged = ddsketch_merge(table.read(), group_cols)
+    cols = [
+        ddsketch_quantile(
+            F.col("sketch"), F.col("zero_count"), F.col("n"), q, gamma
+        ).alias(f"p{int(round(q * 100)):02d}")
+        for q in qs
+    ]
+    return merged.select(*group_cols, F.col("n"), *cols)

@@ -155,3 +155,31 @@ def test_pack_on_bpe_counts_respects_budget(spark):
     # bins contiguous
     bins = sorted({r["bin_id"] for r in rows})
     assert bins == list(range(len(bins)))
+
+
+def test_bpe_model_save_load_round_trip(spark, tmp_path):
+    from dca_manager_spark.operators.bpe import (
+        BPE_FAMILY,
+        load_bpe_model,
+        save_bpe_model,
+    )
+
+    docs = spark.createDataFrame(
+        [("low lower lowest low",)] * 4, "text string"
+    )
+    merges = train_bpe_merges(docs, n_merges=6, min_count=2, method="local")
+    path = str(tmp_path / "bpe_model")
+    save_bpe_model(spark, merges, path)
+    assert load_bpe_model(spark, path) == merges
+    # tokenization under the loaded model is identical
+    a = bpe_tokenize(docs, merges).select("bpe.n_tokens").collect()
+    b = bpe_tokenize(docs, load_bpe_model(spark, path)).select("bpe.n_tokens").collect()
+    assert a == b
+    # family mismatch fails loudly
+    bad = spark.createDataFrame(
+        [(0, "a", "b", "other-family-v9")],
+        "rank int, a string, b string, family string",
+    )
+    bad.write.mode("overwrite").parquet(str(tmp_path / "bad_model"))
+    with pytest.raises(ValueError, match="family"):
+        load_bpe_model(spark, str(tmp_path / "bad_model"))

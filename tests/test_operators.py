@@ -518,3 +518,31 @@ def test_ddsketch_relative_error_bound(spark):
         ).first()["e"]
         true = vals[min(len(vals) - 1, max(0, -(-int(q * len(vals))) - 1))]
         assert abs(est - true) / true <= gamma_bound, (q, est, true)
+
+
+def test_ddsketch_quantile_edges(spark):
+    """q=0 hits the smallest populated rank, q=1 the largest; an
+    all-zeros group answers 0.0 for every q; empty n yields null."""
+    from dca_manager_spark.operators.sketches import (
+        ddsketch_build,
+        ddsketch_quantile,
+    )
+    import pyspark.sql.functions as F
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 100.0), ("z", 0.0), ("z", 0.0)],
+        "g string, v double",
+    )
+    sk = ddsketch_build(df, "v", ["g"], gamma=1.02)
+    got = {
+        r["g"]: (r["q0"], r["q1"])
+        for r in sk.select(
+            "g",
+            ddsketch_quantile(F.col("sketch"), F.col("zero_count"), F.col("n"), 0.0, 1.02).alias("q0"),
+            ddsketch_quantile(F.col("sketch"), F.col("zero_count"), F.col("n"), 1.0, 1.02).alias("q1"),
+        ).collect()
+    }
+    bound = (1.02 - 1) / (1.02 + 1) + 1e-9
+    assert abs(got["a"][0] - 1.0) / 1.0 <= bound
+    assert abs(got["a"][1] - 100.0) / 100.0 <= bound
+    assert got["z"] == (0.0, 0.0)

@@ -1085,3 +1085,77 @@ def test_stream_stream_full_outer_emits_both_sides(spark, tmp_path):
             spark.readStream.schema("user_id long, cts timestamp").json(str(clicks_dir)),
             on=["user_id"], left_ts="pts", right_ts="cts", how="left_semi_bad",
         )
+
+
+def test_stream_sketch_maintenance_matches_batch_and_is_idempotent(spark, tmp_path):
+    """Per-batch DDSketches upserted under (group, batch_id) answer the
+    same quantiles as a single batch-built sketch over ALL data
+    (lossless merge across micro-batches and runs), and re-writing a
+    batch's rows (foreachBatch replay) changes nothing — the keyed
+    upsert makes maintenance idempotent."""
+    from dca_manager_spark.io.manifest import ManifestTable
+    from dca_manager_spark.operators.sketches import (
+        ddsketch_build,
+        ddsketch_quantile,
+    )
+    from dca_manager_spark.streaming.sketch_maintenance import (
+        read_sketch_quantiles,
+        stream_sketch_maintenance,
+    )
+
+    src = tmp_path / "vals"
+    src.mkdir()
+    rows1 = [("a", float(v)) for v in range(1, 200)] + [("b", 50.0)] * 40
+    rows2 = [("a", float(v) * 3.5) for v in range(1, 150)] + [("b", 0.0)] * 10
+
+    def write(name, rows):
+        (src / name).write_text(
+            "\n".join(json.dumps({"g": g, "v": v}) for g, v in rows)
+        )
+
+    table = ManifestTable(
+        spark,
+        str(tmp_path / "sketches"),
+        keys=("g", "batch_id"),
+        precombine="batch_id",
+        partition_by=(),
+    )
+
+    def run():
+        stream = spark.readStream.schema("g string, v double").json(str(src))
+        q = stream_sketch_maintenance(
+            stream, table, str(tmp_path / "ckpt"), "v", ["g"]
+        )
+        q.awaitTermination(120)
+        assert not q.isActive
+
+    write("f1.json", rows1)
+    run()
+    write("f2.json", rows2)
+    run()
+
+    got = {
+        r["g"]: (r["n"], r["p50"], r["p99"])
+        for r in read_sketch_quantiles(table, ["g"], [0.5, 0.99]).collect()
+    }
+    # ground truth: one sketch over all rows at once
+    all_df = spark.createDataFrame(rows1 + rows2, "g string, v double")
+    direct = ddsketch_build(all_df, "v", ["g"])
+    expect = {
+        r["g"]: (r["n"], r["p50"], r["p99"])
+        for r in direct.select(
+            "g",
+            F.col("n"),
+            ddsketch_quantile(F.col("sketch"), F.col("zero_count"), F.col("n"), 0.5).alias("p50"),
+            ddsketch_quantile(F.col("sketch"), F.col("zero_count"), F.col("n"), 0.99).alias("p99"),
+        ).collect()
+    }
+    assert got == expect
+    # replay idempotence: re-upsert batch 0's sketch rows verbatim
+    batch0 = table.read().filter(F.col("batch_id") == 0)
+    table.write(batch0, "upsert")
+    again = {
+        r["g"]: (r["n"], r["p50"], r["p99"])
+        for r in read_sketch_quantiles(table, ["g"], [0.5, 0.99]).collect()
+    }
+    assert again == expect

@@ -277,3 +277,68 @@ def test_redact_pii_overlap_attributed_to_one_category(spark):
     assert "<SSN>" not in out[1].text and "<EMAIL>" in out[1].text
     assert out[2].pii_email == 1 and out[2].pii_ip == 0
     assert "<IP>" not in out[2].text
+
+
+def test_repetition_stats_known_values(spark):
+    """Hand-computable docs: heavy word repetition, a dominating 2-gram,
+    and duplicated 5-grams produce the exact Gopher fractions."""
+    from dca_manager_spark.operators.text import repetition_stats
+
+    rows = [
+        # 10 words, 'spam' x5 -> mcw = 0.5
+        (1, "spam spam spam spam spam a b c d e"),
+        # 'click here' repeated 3x of 3 bigram-window slots... text:
+        # "click here click here click here" -> 6 words, bigram
+        # 'click here' occurs 3 times (positions 0,2,4), 'here click' 2.
+        # top2 = 3 * len('clickhere')=9 -> 27 / wchars=27 = 1.0
+        (2, "click here click here click here"),
+        # duplicated 5-gram: 'a b c d e' twice within 12 words
+        (3, "a b c d e x y a b c d e"),
+        # clean short doc
+        (4, "one two three"),
+        # single word (no 2-grams, no 5-grams)
+        (5, "word"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {r["doc_id"]: r for r in repetition_stats(df).collect()}
+
+    assert got[1]["mcw_fraction"] == 0.5
+    assert got[2]["top2_fraction"] == 1.0
+    # doc 3: 5-gram 'a b c d e' occurs 2x, chars 5 per occurrence,
+    # total word chars 12 -> dup5 = 2*5/12
+    assert abs(got[3]["dup5_fraction"] - 10.0 / 12.0) < 1e-12
+    assert got[4]["dup5_fraction"] == 0.0 and got[4]["top2_fraction"] > 0
+    assert got[5]["n_words"] == 1
+    assert got[5]["top2_fraction"] == 0.0 and got[5]["dup5_fraction"] == 0.0
+    # mcw of an all-distinct doc = 1/n
+    assert abs(got[4]["mcw_fraction"] - 1.0 / 3.0) < 1e-12
+
+
+def test_repetition_stats_tie_break_layout_independent(spark):
+    """Two words with equal max count: the smallest word wins the argmax
+    on ANY layout, so fractions are identical across repartitions."""
+    from dca_manager_spark.operators.text import repetition_stats
+
+    df = spark.createDataFrame(
+        [(i, "zz aa zz aa middle") for i in range(20)],
+        "doc_id int, text string",
+    )
+    a = sorted(tuple(r) for r in repetition_stats(df).collect())
+    b = sorted(tuple(r) for r in repetition_stats(df.repartition(7)).collect())
+    assert a == b
+    assert all(abs(r[3] - 0.4) < 1e-12 for r in a)  # mcw = 2/5
+
+
+def test_repetition_stats_empty_and_whitespace_docs(spark):
+    from dca_manager_spark.operators.text import repetition_stats
+
+    df = spark.createDataFrame(
+        [(1, ""), (2, "   "), (3, "ok")], "doc_id int, text string"
+    )
+    got = {r["doc_id"]: r for r in repetition_stats(df).collect()}
+    for i in (1, 2):
+        assert got[i]["n_words"] == 0
+        assert got[i]["mcw_fraction"] == 0.0
+        assert got[i]["top2_fraction"] == 0.0
+        assert got[i]["dup5_fraction"] == 0.0
+    assert got[3]["mcw_fraction"] == 1.0
