@@ -117,12 +117,19 @@ def _perf_variants():
             corpus_index=idx_cache[sf_dir],
         ).select("doc_id", "lang")
 
+    def spans(spark, sf_dir):
+        from dca_manager_spark.operators.dedup import duplicate_spans
+
+        docs = load_table(spark, sf_dir, "documents")
+        return duplicate_spans(docs, "doc_id", "text", k=8, hash_grams=True)
+
     return {
         "dedup_minhash_lsh_xxh64": minhash,
         "dedup_simhash_xxh64": simhash,
         "dedup_cluster_canonical_xxh64": cluster,
         "dedup_incremental_batch_xxh64": incremental,
         "dedup_incremental_steady_xxh64": incremental_steady,
+        "dedup_duplicate_spans_xxh64": spans,
     }
 
 
@@ -231,6 +238,7 @@ def main() -> None:
         "dedup_simhash": "dedup_simhash_xxh64",
         "dedup_cluster_canonical": "dedup_cluster_canonical_xxh64",
         "dedup_incremental_batch": "dedup_incremental_batch_xxh64",
+        "dedup_duplicate_spans": "dedup_duplicate_spans_xxh64",
     }
     catalog_names = [n for n in timings if not n.endswith("_xxh64")]
     total_md5_parity = round(sum(timings[n] for n in catalog_names), 3)

@@ -1096,6 +1096,7 @@ def duplicate_spans(
     k: int = 8,
     min_tokens: int | None = None,
     max_gram_docs: int | None = None,
+    hash_grams: bool = False,
 ) -> DataFrame:
     """Substring-level duplicate-SPAN detection (the Lee et al. 2022
     "Deduplicating Training Data" case): find maximal passages of >=
@@ -1114,9 +1115,13 @@ def duplicate_spans(
     Output: (doc_a, doc_b, a_start, b_start, span_tokens) with doc_a <
     doc_b, positions 0-based in tokens, span_tokens = windows + k - 1.
 
-    Scale: shuffle is on the gram (swap in xxhash64(gram) to shrink the
-    exchange at identical semantics — kept raw here for cross-engine
-    oracle exactness); ``max_gram_docs`` applies the standard
+    Scale: shuffle is on the gram. ``hash_grams=True`` is the
+    production path — the join key becomes xxhash64(gram), shrinking
+    every exchange row from ~k tokens of text to 8 bytes; a false span
+    then needs a 64-bit collision between two k-token windows
+    (P ~ n_windows^2 / 2^64 — negligible at any corpus size that fits
+    hardware). Kept raw by default for cross-engine oracle exactness.
+    ``max_gram_docs`` applies the standard
     posting-list cap — grams appearing in more than that many docs
     (boilerplate, stop-phrases) are dropped BEFORE the self-join, which
     bounds the join fan-out quadratic at the cost of missing spans made
@@ -1140,6 +1145,8 @@ def duplicate_spans(
         F.col(id_col).alias("__id"),
         F.posexplode(grams_arr).alias("__pos", "__g"),
     )
+    if hash_grams:
+        grams = grams.withColumn("__g", F.xxhash64("__g"))
     if max_gram_docs is not None:
         hot = (
             grams.groupBy("__g")

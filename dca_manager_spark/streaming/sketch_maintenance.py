@@ -84,3 +84,56 @@ def read_sketch_quantiles(
         for q in qs
     ]
     return merged.select(*group_cols, F.col("n"), *cols)
+
+
+def compact_sketch_store(
+    table: Any,
+    group_cols: list[str],
+) -> None:
+    """Compact the per-batch sketch rows to ONE merged row per group —
+    the read-time merge then touches O(groups) rows instead of
+    O(groups x batches) — without ever making a read wrong mid-way:
+
+    1. one UPSERT commit writes, per group, the fully-merged sketch
+       under that group's smallest batch_id AND an EMPTY sketch (empty
+       map, zero counts) under every other existing (group, batch_id)
+       key — every old row is replaced atomically in a single commit,
+       and empty sketches are merge-identities, so a reader between the
+       phases computes exactly the same quantiles;
+    2. one DELETE commit removes the emptied keys.
+
+    A crash after phase 1 leaves a correct (just unswept) store, and
+    phase 2 can re-run any time — crash-convergent, like the corpus
+    ingest loops. Compaction commutes with later appends (sketch merge
+    is associative), so maintenance never needs to pause."""
+    current = table.read().select(
+        *group_cols, "batch_id", "sketch", "zero_count", "n"
+    )
+    merged = ddsketch_merge(current, group_cols)
+    keep_key = current.groupBy(*group_cols).agg(
+        F.min("batch_id").alias("batch_id")
+    )
+    merged_rows = merged.join(keep_key, group_cols).select(
+        *group_cols, "batch_id", "sketch", "zero_count", "n"
+    )
+    emptied = (
+        current.join(keep_key.withColumnRenamed("batch_id", "__keep"), group_cols)
+        .filter(F.col("batch_id") != F.col("__keep"))
+        .select(
+            *group_cols,
+            "batch_id",
+            F.map_from_entries(
+                F.expr("cast(array() as array<struct<__bin:int,__cnt:bigint>>)")
+            ).alias("sketch"),
+            F.lit(0).cast("bigint").alias("zero_count"),
+            F.lit(0).cast("bigint").alias("n"),
+        )
+    )
+    phase1 = merged_rows.unionByName(emptied)
+    if not phase1.take(1):
+        return
+    table.write(phase1, "upsert")
+    if emptied.take(1):
+        table.write(
+            emptied.select(*group_cols, "batch_id"), "delete"
+        )

@@ -694,3 +694,24 @@ def test_scrub_duplicate_spans_merges_overlapping_intervals(spark):
     assert (got[3]["n_tokens_before"], got[3]["n_tokens_after"]) == (14, 2)
     # sources keep their text (they are the lower ids)
     assert got[1]["text"] == d1
+
+
+def test_duplicate_spans_hashed_matches_raw(spark, sf_dir):
+    """The production hash-key path (xxhash64 gram join) returns the
+    identical span set as the raw-gram join on real testdata — the
+    shrunken exchange changes bytes shuffled, never results (absent a
+    64-bit collision)."""
+    from dca_manager_spark.operators.dedup import duplicate_spans
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    raw = sorted(
+        tuple(r) for r in duplicate_spans(docs, "doc_id", "text", k=8).collect()
+    )
+    hashed = sorted(
+        tuple(r)
+        for r in duplicate_spans(
+            docs, "doc_id", "text", k=8, hash_grams=True
+        ).collect()
+    )
+    assert raw == hashed
+    assert raw  # non-vacuous: planted passages exist at every SF

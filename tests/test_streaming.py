@@ -1159,3 +1159,59 @@ def test_stream_sketch_maintenance_matches_batch_and_is_idempotent(spark, tmp_pa
         for r in read_sketch_quantiles(table, ["g"], [0.5, 0.99]).collect()
     }
     assert again == expect
+
+
+def test_compact_sketch_store_preserves_quantiles(spark, tmp_path):
+    """Compaction collapses the per-batch rows to one merged row per
+    group in two crash-convergent commits; quantiles are identical
+    before, between (phase-1-only state is simulated by re-reading
+    after the upsert), and after — and later appends keep merging."""
+    from dca_manager_spark.io.manifest import ManifestTable
+    from dca_manager_spark.operators.sketches import ddsketch_build
+    from dca_manager_spark.streaming.sketch_maintenance import (
+        compact_sketch_store,
+        read_sketch_quantiles,
+    )
+
+    table = ManifestTable(
+        spark,
+        str(tmp_path / "skstore"),
+        keys=("g", "batch_id"),
+        precombine="batch_id",
+        partition_by=(),
+    )
+    batches = [
+        [("a", float(v)) for v in range(1, 100)],
+        [("a", float(v) * 2.5) for v in range(1, 80)] + [("b", 7.0)] * 30,
+        [("b", 70.0)] * 15,
+    ]
+    for i, rows in enumerate(batches):
+        df = spark.createDataFrame(rows, "g string, v double")
+        table.write(
+            ddsketch_build(df, "v", ["g"]).withColumn(
+                "batch_id", F.lit(i).cast("long")
+            ),
+            "upsert",
+        )
+    before = sorted(
+        tuple(r) for r in read_sketch_quantiles(table, ["g"], [0.5, 0.99]).collect()
+    )
+    n_rows_before = table.read().count()
+    assert n_rows_before == 4  # a in batches {0,1}; b in batches {1,2}
+
+    compact_sketch_store(table, ["g"])
+    after = sorted(
+        tuple(r) for r in read_sketch_quantiles(table, ["g"], [0.5, 0.99]).collect()
+    )
+    assert after == before
+    # swept: exactly one row per group remains
+    remaining = table.read().groupBy("g").count().collect()
+    assert {r["g"]: r["count"] for r in remaining} == {"a": 1, "b": 1}
+    # compaction commutes with later appends
+    df = spark.createDataFrame([("a", 1000.0)] * 50, "g string, v double")
+    table.write(
+        ddsketch_build(df, "v", ["g"]).withColumn("batch_id", F.lit(9).cast("long")),
+        "upsert",
+    )
+    grown = {r["g"]: r["n"] for r in read_sketch_quantiles(table, ["g"], [0.5]).collect()}
+    assert grown["a"] == 99 + 79 + 50
