@@ -902,15 +902,22 @@ class ManifestTable:
         kept = []
         for f in prev.fields:
             bf = batch_by_name.get(f.name)
-            if bf is not None and bf.dataType != f.dataType:
-                # Same physical type, different nested nullability: widen
-                # to the fully-nullable normalization so the committed
-                # metadata never claims non-null where a batch file may
-                # legitimately hold nulls.
+            if bf is not None and (
+                bf.dataType != f.dataType or bf.nullable != f.nullable
+            ):
+                # Same physical type, different nullability — NESTED
+                # (containsNull/field flags inside the dataType) or
+                # TOP-LEVEL (StructField.nullable itself): widen so the
+                # committed metadata never claims non-null where a batch
+                # file may legitimately hold nulls. A committed
+                # nullable=False over null-bearing files would let
+                # Catalyst constant-fold isNull() to false at read time.
                 kept.append(
                     StructField(
                         f.name,
-                        _nullable_normalized(f.dataType),
+                        _nullable_normalized(f.dataType)
+                        if bf.dataType != f.dataType
+                        else f.dataType,
                         f.nullable or bf.nullable,
                     )
                 )

@@ -1122,18 +1122,24 @@ def duplicate_spans(
     (P ~ n_windows^2 / 2^64 — negligible at any corpus size that fits
     hardware). Kept raw by default for cross-engine oracle exactness.
     ``max_gram_docs`` applies the standard
-    posting-list cap — grams appearing in more than that many docs
-    (boilerplate, stop-phrases) are dropped BEFORE the self-join, which
-    bounds the join fan-out quadratic at the cost of missing spans made
-    entirely of ultra-common windows. A span's interior windows are
-    per-pair unique, so the islands logic is cap-agnostic.
+    posting-list cap in TWO PHASES: windows appearing in more than that
+    many docs (boilerplate, stop-phrases) are dropped from candidate-
+    PAIR discovery only, and matched positions are then recomputed over
+    the full window sets restricted to the discovered pairs — so spans
+    whose INTERIOR crosses a corpus-hot window stay whole and
+    position-exact; only pairs whose every shared window is hot are
+    missed. Fan-out stays bounded: the recount fans a doc's windows
+    across its candidate partners (per-pair work), never across a hot
+    window's full posting list.
 
     ``min_tokens``: report only spans of at least this many tokens
     (default ``k`` = every match)."""
+    from dca_manager_spark.operators.text import tokens
+
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
     min_tokens = k if min_tokens is None else min_tokens
-    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    toks = tokens(F.col(text_col))  # shared empty-safe tokenizer
     grams_arr = F.when(
         F.size(toks) >= k,
         F.transform(
@@ -1147,14 +1153,6 @@ def duplicate_spans(
     )
     if hash_grams:
         grams = grams.withColumn("__g", F.xxhash64("__g"))
-    if max_gram_docs is not None:
-        hot = (
-            grams.groupBy("__g")
-            .agg(F.countDistinct("__id").alias("__df"))
-            .filter(F.col("__df") > max_gram_docs)
-            .select("__g")
-        )
-        grams = grams.join(F.broadcast(hot), "__g", "left_anti")
     a = grams.select(
         F.col("__id").alias("__ida"),
         F.col("__pos").alias("__pa"),
@@ -1165,7 +1163,47 @@ def duplicate_spans(
         F.col("__pos").alias("__pb"),
         "__g",
     )
-    m = a.join(b, "__g").filter(F.col("__ida") < F.col("__idb"))
+    if max_gram_docs is None:
+        m = a.join(b, "__g").filter(F.col("__ida") < F.col("__idb"))
+    else:
+        # Two-phase, so the cap bounds CANDIDATE DISCOVERY without
+        # corrupting span geometry: (1) hot windows leave the pair-
+        # finding join only; (2) matched positions are recomputed over
+        # the FULL window sets restricted to the discovered pairs —
+        # fanning a-side windows across each doc's candidate partners,
+        # then an equi join on (partner id, window), so a hot window can
+        # never re-explode quadratically. Interior-hot windows therefore
+        # keep spans whole; only pairs whose EVERY shared window is hot
+        # are missed.
+        hot = (
+            grams.groupBy("__g")
+            .agg(F.countDistinct("__id").alias("__df"))
+            .filter(F.col("__df") > max_gram_docs)
+            .select("__g")
+        )
+        lean = grams.join(F.broadcast(hot), "__g", "left_anti")
+        la = lean.select(F.col("__id").alias("__ida"), "__g")
+        lb = lean.select(F.col("__id").alias("__idb"), "__g")
+        cand = (
+            la.join(lb, "__g")
+            .filter(F.col("__ida") < F.col("__idb"))
+            .select("__ida", "__idb")
+            .distinct()
+        )
+        eb = grams.select(
+            F.col("__id").alias("__idb2"),
+            F.col("__pos").alias("__pb"),
+            F.col("__g").alias("__gb"),
+        )
+        m = (
+            a.join(cand, "__ida")
+            .join(
+                eb,
+                (F.col("__idb") == F.col("__idb2"))
+                & (F.col("__g") == F.col("__gb")),
+            )
+            .select("__ida", "__idb", "__pa", "__pb")
+        )
     diag = (F.col("__pa") - F.col("__pb")).alias("__diag")
     w = Window.partitionBy("__ida", "__idb", "__diag").orderBy("__pa")
     isl = m.select("__ida", "__idb", "__pa", "__pb", diag).withColumn(
@@ -1236,9 +1274,12 @@ def scrub_duplicate_spans(
             F.collect_list(F.struct("__s", "__e")).alias("__ivs")
         )
     )
-    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    from dca_manager_spark.operators.text import tokens
+
+    toks = tokens(F.col(text_col))  # shared empty-safe tokenizer
     base = df.select(
         F.col(id_col).alias("__id"),
+        F.col(text_col).alias("__orig"),
         toks.alias("__toks"),
     ).join(merged, "__id", "left")
     keep = F.filter(
@@ -1246,17 +1287,24 @@ def scrub_duplicate_spans(
             F.col("__toks"),
             lambda tok, i: F.struct(tok.alias("t"), i.alias("p")),
         ),
-        lambda s: ~F.coalesce(
-            F.exists(
-                F.col("__ivs"),
-                lambda iv: (s["p"] >= iv["__s"]) & (s["p"] < iv["__e"]),
-            ),
-            F.lit(False),
+        lambda s: ~F.exists(
+            F.col("__ivs"),
+            lambda iv: (s["p"] >= iv["__s"]) & (s["p"] < iv["__e"]),
         ),
     )
+    # Docs with no spans pass through with their ORIGINAL text — the
+    # single-space reassembly happens only where tokens were removed
+    # (a remediation pass must not silently rewrite every document's
+    # whitespace).
     return base.select(
         F.col("__id").alias(id_col),
-        F.array_join(F.transform(keep, lambda s: s["t"]), " ").alias(text_col),
+        F.when(F.col("__ivs").isNotNull(),
+               F.array_join(F.transform(keep, lambda s: s["t"]), " "))
+        .otherwise(F.col("__orig"))
+        .alias(text_col),
         F.size("__toks").cast("bigint").alias("n_tokens_before"),
-        F.size(keep).cast("bigint").alias("n_tokens_after"),
+        F.when(F.col("__ivs").isNotNull(), F.size(keep))
+        .otherwise(F.size("__toks"))
+        .cast("bigint")
+        .alias("n_tokens_after"),
     )

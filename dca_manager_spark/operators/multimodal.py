@@ -218,11 +218,23 @@ def parse_image_header(content: bytes | None):
     if b[:2] == b"\xff\xd8":
         sof = {0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
                0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF}
+        # markers with NO length field (standalone): TEM, RST0-7, SOI
+        standalone = {0x01, *range(0xD0, 0xD8), 0xD8}
         i = 2
-        while i + 4 <= len(b):
+        while i + 2 <= len(b):
             if b[i] != 0xFF:
                 raise ValueError(f"corrupt JPEG: no marker at offset {i}")
+            # spec-legal FF fill/padding bytes may precede any marker
+            while i + 1 < len(b) and b[i + 1] == 0xFF:
+                i += 1
+            if i + 2 > len(b):
+                break
             marker = b[i + 1]
+            if marker in standalone:
+                i += 2
+                continue
+            if i + 4 > len(b):
+                break
             seg_len = int.from_bytes(b[i + 2 : i + 4], "big")
             if marker in sof:
                 if i + 9 > len(b):

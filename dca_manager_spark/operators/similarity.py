@@ -1210,6 +1210,10 @@ def ivf_pq_rerank_topk(
         lambda acc, x: acc + x,
     )
     denom = F.sqrt(F.col("__qn2") * F.col("__cn2"))
+    # No distinct: each corpus row lives in exactly ONE cell
+    # (cell_ranks keep=1 on the corpus side), so a (query, corpus) pair
+    # can meet through at most one probed cell — deduplicating here
+    # would shuffle the largest intermediate of the job for nothing.
     cand = (
         c_enc.join(F.broadcast(q_model), "__cell")
         .filter(F.col("__qid") != F.col("__cid"))
@@ -1220,7 +1224,6 @@ def ivf_pq_rerank_topk(
                 "__adc"
             ),
         )
-        .distinct()  # multi-probe can surface a pair via several cells
     )
     ws = Window.partitionBy("__qid").orderBy(
         F.col("__adc").desc(), F.col("__cid")

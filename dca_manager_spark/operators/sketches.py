@@ -59,7 +59,11 @@ def ddsketch_build(
     if not 1.0 < gamma:
         raise ValueError(f"gamma must be > 1, got {gamma}")
     v = F.col(value_col).cast("double")
-    guarded = df.select(
+    # NULLs are DROPPED, matching every standard aggregate
+    # (percentile/approx_percentile ignore nulls) — without the filter a
+    # null would fall through both the negative guard and the > 0 bin
+    # test into the zero bucket, silently pulling quantiles toward 0.
+    guarded = df.filter(v.isNotNull()).select(
         *group_cols,
         F.when(v < 0, F.raise_error(
             F.concat(
@@ -104,15 +108,10 @@ def ddsketch_merge(
     to per-a equals building per-a directly (pinned by test)."""
     exploded = df.select(
         *group_cols,
-        F.col("zero_count"),
-        F.col("n"),
         F.explode_outer(F.col(sketch_col)).alias("__bin", "__cnt"),
     )
     per_bin = exploded.groupBy(*group_cols, "__bin").agg(
-        F.sum("__cnt").alias("__cnt"),
-        # zero_count/n ride along per source row; aggregating them here
-        # would double-count across bins, so recompute from distinct
-        # source rows is avoided by summing them once per group below
+        F.sum("__cnt").alias("__cnt")
     )
     totals = df.groupBy(*group_cols).agg(
         F.sum("zero_count").alias("zero_count"), F.sum("n").alias("n")

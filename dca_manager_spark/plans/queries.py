@@ -1841,7 +1841,8 @@ def dedup_exact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_duplicate_spans",
     r"""
     WITH toks AS (
-      SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+      SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'),
+                          x -> x <> '') AS w
       FROM documents
     ),
     grams AS (
@@ -1888,7 +1889,8 @@ def dedup_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_span_scrub",
     r"""
     WITH toks AS (
-      SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+      SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'),
+                          x -> x <> '') AS w
       FROM documents
     ),
     grams AS (
@@ -6732,13 +6734,14 @@ def events_sequence_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     r"""
     WITH d AS (
       SELECT doc_id, lang,
-             string_split_regex(trim(lower(text)), '\s+') AS w
+             list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                         x -> x <> '') AS w
       FROM documents
     ),
     b AS (
       SELECT doc_id, lang, len(w) AS n_words,
-             CAST(list_sum(list_transform(w, x ->
-                  CAST(length(x) AS BIGINT))) AS BIGINT) AS n_wchars
+             CAST(COALESCE(list_sum(list_transform(w, x ->
+                  CAST(length(x) AS BIGINT))), 0) AS BIGINT) AS n_wchars
       FROM d
     ),
     c1 AS (

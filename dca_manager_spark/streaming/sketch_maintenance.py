@@ -51,20 +51,26 @@ def stream_sketch_maintenance(
     zero_count, n)."""
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
-        sk = ddsketch_build(batch_df, value_col, group_cols, gamma=gamma)
-        if not sk.take(1):
+        # Probe the RAW batch for emptiness (cheap), not the built
+        # sketch — probing the aggregate would run the groupBy twice
+        # (once for the probe, once for the write).
+        if batch_df.isEmpty():
             return
+        sk = ddsketch_build(batch_df, value_col, group_cols, gamma=gamma)
         table.write(
             sk.withColumn("batch_id", F.lit(int(batch_id)).cast("long")),
             "upsert",
         )
 
-    return (
-        stream_df.writeStream.foreachBatch(sink)
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True if available_now else None)
-        .start()
+    writer = stream_df.writeStream.foreachBatch(sink).option(
+        "checkpointLocation", checkpoint_dir
     )
+    # trigger() with all-None params raises in PySpark — only attach a
+    # trigger when one is actually requested (continuous maintenance
+    # uses the default micro-batch trigger).
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
 
 
 def read_sketch_quantiles(

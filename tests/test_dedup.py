@@ -715,3 +715,64 @@ def test_duplicate_spans_hashed_matches_raw(spark, sf_dir):
     )
     assert raw == hashed
     assert raw  # non-vacuous: planted passages exist at every SF
+
+
+def test_duplicate_spans_cap_keeps_interior_hot_spans_whole(spark):
+    """Review finding (r9): a long span whose MIDDLE window is corpus-hot
+    must stay one whole span under max_gram_docs — the cap bounds pair
+    DISCOVERY, then positions are recomputed over full window sets."""
+    from dca_manager_spark.operators.dedup import duplicate_spans
+
+    # 24-token passage whose middle 8 tokens also appear in 40 other docs
+    hot = "h1 h2 h3 h4 h5 h6 h7 h8"
+    passage = "p1 p2 p3 p4 p5 p6 p7 p8 " + hot + " q1 q2 q3 q4 q5 q6 q7 q8"
+    rows = [(1, "x " + passage), (2, passage + " tail")]
+    rows += [(100 + i, hot + f" u{i} v{i} w{i}") for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = [
+        tuple(r)
+        for r in duplicate_spans(
+            df, "doc_id", "text", k=8, max_gram_docs=10
+        ).collect()
+        if r["doc_a"] == 1 and r["doc_b"] == 2
+    ]
+    # ONE maximal 24-token span, not two 8-token fragments
+    assert got == [(1, 2, 1, 0, 24)]
+
+
+def test_scrub_preserves_untouched_docs_verbatim(spark):
+    """Review finding (r9): docs without spans keep their ORIGINAL text,
+    whitespace and all; empty docs count zero tokens."""
+    from dca_manager_spark.operators.dedup import scrub_duplicate_spans
+
+    weird = "a\tb\nc   d"
+    df = spark.createDataFrame(
+        [(1, weird), (2, ""), (3, "   ")], "doc_id int, text string"
+    )
+    got = {r["doc_id"]: r for r in scrub_duplicate_spans(df).collect()}
+    assert got[1]["text"] == weird
+    assert got[1]["n_tokens_before"] == got[1]["n_tokens_after"] == 4
+    assert got[2]["n_tokens_before"] == 0
+    assert got[3]["n_tokens_before"] == 0
+
+
+def test_ddsketch_ignores_nulls(spark):
+    """Review finding (r9): nulls are dropped like every standard
+    aggregate — they must not inflate the zero bucket."""
+    from pyspark.sql import functions as F
+
+    from dca_manager_spark.operators.sketches import (
+        ddsketch_build,
+        ddsketch_quantile,
+    )
+
+    df = spark.createDataFrame(
+        [("a", None), ("a", 10.0), ("a", None)], "g string, v double"
+    )
+    sk = ddsketch_build(df, "v", ["g"])
+    row = sk.select(
+        "n", "zero_count",
+        ddsketch_quantile(F.col("sketch"), F.col("zero_count"), F.col("n"), 0.5).alias("p50"),
+    ).first()
+    assert row["n"] == 1 and row["zero_count"] == 0
+    assert abs(row["p50"] - 10.0) <= 0.01 * 10.0

@@ -1176,3 +1176,39 @@ def test_nullability_only_difference_is_not_a_conflict(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="schema conflict"):
         t.write(bad, "insert")
+
+
+def test_top_level_nullable_flip_widens_committed_schema(spark, tmp_path):
+    """Review finding (r9): a batch whose column flips ONLY the
+    top-level StructField.nullable (same dataType) must union-evolve
+    AND widen the committed schema to nullable — a committed
+    nullable=False over null-bearing files would let Catalyst fold
+    isNull() to false at read time."""
+    from pyspark.sql.types import (
+        DoubleType, StringType, StructField, StructType, TimestampType,
+    )
+
+    t = ManifestTable(
+        spark,
+        str(tmp_path / "nulltop"),
+        keys=("transaction_id", "close_time"),
+        precombine="transaction_id",
+        partition_by=(),
+    )
+    strict = StructType([
+        StructField("transaction_id", StringType(), False),
+        StructField("close_time", TimestampType(), False),
+        StructField("price", DoubleType(), False),
+    ])
+    loose = StructType([
+        StructField("transaction_id", StringType(), False),
+        StructField("close_time", TimestampType(), False),
+        StructField("price", DoubleType(), True),
+    ])
+    t.write(spark.createDataFrame([("T1", TS1, 1.0)], strict), "insert")
+    t.write(spark.createDataFrame([("T2", TS1, None)], loose), "insert")
+    got = t.read()
+    price_field = [f for f in got.schema.fields if f.name == "price"][0]
+    assert price_field.nullable is True
+    # the null row is visible through the committed schema
+    assert got.filter(F.col("price").isNull()).count() == 1

@@ -164,3 +164,18 @@ def test_wav_blob_round_trip(spark):
         assert r["bits"] == 16
         block = r["ch"] * 2
         assert r["duration_ms"] == r["frames"] * block * 1000 // (r["sr"] * block)
+
+
+def test_jpeg_walk_handles_fill_bytes_and_standalone_markers():
+    """Review finding (r9): spec-legal FF padding between segments and
+    length-less standalone markers (TEM, RSTn) must not derail the SOF
+    walk."""
+    from dca_manager_spark.operators.multimodal import parse_image_header
+
+    app0 = b"\xff\xe0\x00\x10JFIF\x00\x01\x01\x00\x00H\x00H\x00\x00"
+    sof0 = (b"\xff\xc0\x00\x11\x08" + (480).to_bytes(2, "big")
+            + (640).to_bytes(2, "big") + b"\x03\x01\x11\x00\x02\x11\x01\x03\x11\x01")
+    # FF fill bytes before APP0 and before SOF0, plus a TEM standalone
+    blob = (b"\xff\xd8" + b"\xff\xff" + app0 + b"\xff\x01"
+            + b"\xff\xff\xff" + sof0)
+    assert parse_image_header(blob) == ("jpeg", 640, 480)

@@ -1215,3 +1215,30 @@ def test_compact_sketch_store_preserves_quantiles(spark, tmp_path):
     )
     grown = {r["g"]: r["n"] for r in read_sketch_quantiles(table, ["g"], [0.5]).collect()}
     assert grown["a"] == 99 + 79 + 50
+
+
+def test_stream_sketch_maintenance_continuous_trigger_starts(spark, tmp_path):
+    """Review finding (r9): available_now=False must start a continuous
+    micro-batch query instead of crashing on an all-None trigger()."""
+    from dca_manager_spark.io.manifest import ManifestTable
+    from dca_manager_spark.streaming.sketch_maintenance import (
+        stream_sketch_maintenance,
+    )
+
+    src = tmp_path / "vals"
+    src.mkdir()
+    (src / "f.json").write_text(json.dumps({"g": "a", "v": 1.0}))
+    table = ManifestTable(
+        spark, str(tmp_path / "skc"),
+        keys=("g", "batch_id"), precombine="batch_id", partition_by=(),
+    )
+    stream = spark.readStream.schema("g string, v double").json(str(src))
+    q = stream_sketch_maintenance(
+        stream, table, str(tmp_path / "ck"), "v", ["g"], available_now=False
+    )
+    try:
+        assert q.isActive
+        q.processAllAvailable()
+        assert table.read().count() == 1
+    finally:
+        q.stop()
