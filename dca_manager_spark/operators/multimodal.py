@@ -154,19 +154,35 @@ def png_blob_col(width, height):
     )
 
 
+def _range_checked(c, n_bytes: int, what: str):
+    """Guard a fixed-width integer field: a value outside [0, 2^(8n)-1]
+    RAISES instead of silently truncating modulo 2^(8n) — a 70000-px
+    width must never become a quietly-wrong 4464-px header."""
+    c = c.cast("bigint")
+    hi = (1 << (8 * n_bytes)) - 1
+    return F.when((c >= 0) & (c <= F.lit(hi)), c).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(f"{what} out of u{8 * n_bytes} range [0,{hi}]: "),
+                c.cast("string"),
+            )
+        )
+    )
+
+
 def gif_blob_col(width, height):
     """JVM-expression GIF89a header: ASCII magic + LITTLE-endian 16-bit
-    logical screen dims (public GIF spec)."""
-    le16 = lambda c: F.unhex(
+    logical screen dims (public GIF spec). Dims outside u16 raise."""
+    le16 = lambda raw, what: F.unhex(
         F.concat(
-            F.lpad(F.hex(c.cast("bigint") % 256), 2, "0"),
-            F.lpad(F.hex((c.cast("bigint") / 256).cast("bigint")), 2, "0"),
+            F.lpad(F.hex(_range_checked(raw, 2, what) % 256), 2, "0"),
+            F.lpad(F.hex((_range_checked(raw, 2, what) / 256).cast("bigint")), 2, "0"),
         )
     )
     return F.concat(
         F.unhex(F.lit("474946383961")),  # 'GIF89a'
-        le16(width),
-        le16(height),
+        le16(width, "GIF width"),
+        le16(height, "GIF height"),
         F.unhex(F.lit("F70000")),
     )
 
@@ -230,6 +246,11 @@ def parse_image_header(content: bytes | None):
             if i + 2 > len(b):
                 break
             marker = b[i + 1]
+            if marker == 0xD9:
+                # EOI terminates the image — it carries no length field,
+                # so falling through to the length read would consume two
+                # garbage bytes and skip arbitrarily far before erroring.
+                raise ValueError("JPEG ended (EOI) before any SOF marker")
             if marker in standalone:
                 i += 2
                 continue
@@ -278,11 +299,14 @@ AUDIO_META_SCHEMA = (
 )
 
 
-def _le_bytes_col(c, n_bytes: int):
-    """Little-endian byte string of an int column (JVM expressions)."""
+def _le_bytes_col(c, n_bytes: int, what: str = "RIFF field"):
+    """Little-endian byte string of an int column (JVM expressions).
+    Values outside the u(8*n_bytes) domain raise via _range_checked —
+    never a silent modulo wrap."""
+    c = _range_checked(c, n_bytes, what)
     parts = [
         F.lpad(
-            F.hex((c.cast("bigint") / (256 ** i)).cast("bigint") % 256), 2, "0"
+            F.hex((c / (256 ** i)).cast("bigint") % 256), 2, "0"
         )
         for i in range(n_bytes)
     ]

@@ -1875,7 +1875,10 @@ def dedup_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     localize. Sliding k-token windows -> equi join on window content
     (only docs sharing a window ever meet — never all-pairs) ->
     gaps-and-islands collapse of same-diagonal consecutive matches into
-    maximal spans. Oracle-EXACT (positions, lengths, pairs) — both
+    maximal spans. The bare call runs the PRODUCTION plan (xxhash64'd
+    8-byte join keys + two-phase posting cap at 256 docs/gram); results
+    stay oracle-EXACT (positions, lengths, pairs) because hashing is
+    result-transparent and no gram in this corpus nears the cap — both
     engines enumerate identical windows and islands."""
     from dca_manager_spark.operators.dedup import duplicate_spans
 
@@ -1889,7 +1892,8 @@ def dedup_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_span_scrub",
     r"""
     WITH toks AS (
-      SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'),
+      SELECT doc_id, text AS orig,
+             list_filter(string_split_regex(trim(text), '\s+'),
                           x -> x <> '') AS w
       FROM documents
     ),
@@ -1939,11 +1943,19 @@ def dedup_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
       )
     )
     SELECT tk.doc_id,
-           COALESCE(string_agg(k.tok, ' ' ORDER BY k.pos), '') AS text,
+           -- Docs with no spans pass through with their ORIGINAL text,
+           -- exactly like the operator — the single-space reassembly
+           -- applies only where tokens were removed, so a double space
+           -- or tab in an untouched doc survives in both engines.
+           CASE WHEN s.id IS NOT NULL
+                THEN COALESCE(string_agg(k.tok, ' ' ORDER BY k.pos), '')
+                ELSE ANY_VALUE(tk.orig) END AS text,
            CAST(len(ANY_VALUE(tk.w)) AS BIGINT) AS n_tokens_before,
            CAST(COUNT(k.tok) AS BIGINT) AS n_tokens_after
-    FROM toks tk LEFT JOIN kept k ON k.doc_id = tk.doc_id
-    GROUP BY tk.doc_id
+    FROM toks tk
+    LEFT JOIN (SELECT DISTINCT id FROM ivm) s ON s.id = tk.doc_id
+    LEFT JOIN kept k ON k.doc_id = tk.doc_id
+    GROUP BY tk.doc_id, s.id
     ORDER BY tk.doc_id
     """,
 )
@@ -1953,9 +1965,12 @@ def dedup_span_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     from the HIGHER-id doc of its pair (lower id keeps the canonical
     copy, the dedup_keep_canonical policy); overlapping spans from
     different partners union into merged intervals before removal;
-    surviving tokens reassemble in order. Oracle-EXACT down to the
-    scrubbed text strings — both engines enumerate identical windows,
-    islands, merged intervals, and reassembled token sequences."""
+    surviving tokens reassemble in order. Runs the production plan
+    (hashed grams + posting cap — see dedup_duplicate_spans); untouched
+    docs pass through with ORIGINAL whitespace in both engines.
+    Oracle-EXACT down to the scrubbed text strings — both engines
+    enumerate identical windows, islands, merged intervals, and
+    reassembled token sequences."""
     from dca_manager_spark.operators.dedup import scrub_duplicate_spans
 
     docs = t(spark, sf_dir, "documents")

@@ -73,6 +73,16 @@ def stream_sketch_maintenance(
     return writer.start()
 
 
+def quantile_label(q: float) -> str:
+    """Collision-free column label for a quantile: the FULL value of q
+    determines the name (``0.5 -> p50``, ``0.99 -> p99``,
+    ``0.999 -> p99_9``, ``1.0 -> p100``) — the old ``round(q*100)``
+    scheme silently mapped q=0.999 and q=1.0 both to ``p100``."""
+    pct = f"{q * 100:.6f}".rstrip("0").rstrip(".")
+    ip, _, frac = pct.partition(".")
+    return "p" + ip.zfill(2) + (f"_{frac}" if frac else "")
+
+
 def read_sketch_quantiles(
     table: Any,
     group_cols: list[str],
@@ -81,13 +91,18 @@ def read_sketch_quantiles(
 ) -> DataFrame:
     """Current quantiles from the sketch store: merge the per-batch
     rows upward (lossless) and walk each requested quantile. Also
-    returns ``n`` (exact total rows ingested per group)."""
+    returns ``n`` (exact total rows ingested per group). Column labels
+    come from :func:`quantile_label`; a duplicate q raises instead of
+    silently emitting duplicate column names."""
+    labels = [quantile_label(q) for q in qs]
+    if len(set(labels)) != len(labels):
+        raise ValueError(f"duplicate quantiles requested: {qs} -> {labels}")
     merged = ddsketch_merge(table.read(), group_cols)
     cols = [
         ddsketch_quantile(
             F.col("sketch"), F.col("zero_count"), F.col("n"), q, gamma
-        ).alias(f"p{int(round(q * 100)):02d}")
-        for q in qs
+        ).alias(label)
+        for q, label in zip(qs, labels)
     ]
     return merged.select(*group_cols, F.col("n"), *cols)
 

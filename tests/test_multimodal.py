@@ -179,3 +179,42 @@ def test_jpeg_walk_handles_fill_bytes_and_standalone_markers():
     blob = (b"\xff\xd8" + b"\xff\xff" + app0 + b"\xff\x01"
             + b"\xff\xff\xff" + sof0)
     assert parse_image_header(blob) == ("jpeg", 640, 480)
+
+
+def test_jpeg_eoi_before_sof_raises_loudly():
+    """ADVICE (r9): EOI (FFD9) carries no length field; the walk must
+    terminate on it instead of reading two garbage "length" bytes and
+    skipping arbitrarily far."""
+    import pytest
+
+    from dca_manager_spark.operators.multimodal import parse_image_header
+
+    app0 = b"\xff\xe0\x00\x10JFIF\x00\x01\x01\x00\x00H\x00H\x00\x00"
+    with pytest.raises(ValueError, match="EOI"):
+        parse_image_header(b"\xff\xd8" + app0 + b"\xff\xd9" + b"\x00" * 32)
+    # EOI immediately after SOI — still a loud terminator, not a
+    # garbage-length read.
+    with pytest.raises(ValueError, match="EOI"):
+        parse_image_header(b"\xff\xd8\xff\xd9")
+
+
+def test_blob_builders_raise_on_u16_overflow(spark):
+    """ADVICE (r9): fixed-width header fields must RAISE on out-of-range
+    values, never truncate modulo 2^16 — a 70000-px width silently
+    becoming 4464 px is corrupt metadata at corpus scale."""
+    import pytest
+    from pyspark.sql import functions as F
+    from pyspark.sql.utils import AnalysisException
+
+    from dca_manager_spark.operators.multimodal import gif_blob_col, wav_blob_col
+
+    df = spark.createDataFrame([(70000, 10)], "w int, h int")
+    with pytest.raises(Exception, match="GIF width out of u16 range"):
+        df.select(gif_blob_col(F.col("w"), F.col("h")).alias("b")).collect()
+    with pytest.raises(Exception, match="out of u16 range"):
+        df.select(
+            wav_blob_col(F.lit(70000), F.lit(8000), F.lit(16), F.lit(100)).alias("b")
+        ).collect()
+    # In-range values still build fine after the guard.
+    ok = df.select(gif_blob_col(F.lit(65535), F.lit(1)).alias("b")).collect()
+    assert ok[0]["b"][:6] == b"GIF89a"

@@ -164,3 +164,55 @@ def test_rolling_anomaly_survives_large_magnitudes(spark, tmp_path):
     assert s_rows == d_rows
     # and the spike actually flags: the gate is not vacuous at this scale
     assert s_rows[0][s_cols.index("n_anomalies")] >= 1
+
+
+def test_span_scrub_oracle_preserves_untouched_whitespace(spark, tmp_path):
+    """ADVICE (r9): a doc with a double space / tab and NO duplicated
+    spans must pass through VERBATIM in both engines — the old oracle
+    single-space-rejoined every doc, so parity held only on whitespace-
+    normalized corpora. Both the operator and the oracle now CASE on
+    span presence."""
+    import pandas as pd
+
+    span = " ".join(f"tok{i}" for i in range(10))  # 10-token shared span
+    docs = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2, 3],
+            "text": [
+                f"alpha beta {span} gamma",          # lower id: keeps span
+                f"delta epsilon {span} zeta eta",    # higher id: scrubbed
+                "plain  doc with\todd   whitespace and no spans at all ok",
+                "another untouched document here entirely distinct words",
+            ],
+            "lang": ["en"] * 4,
+            "source": ["t"] * 4,
+            "n_chars": [0] * 4,
+        }
+    )
+    path = tmp_path / "documents.parquet"
+    docs.to_parquet(path)
+
+    qd = QUERIES["dedup_span_scrub"]
+    sdf = qd.fn(spark, str(tmp_path))
+    spark_rows = [tuple(row) for row in sdf.collect()]
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{path}'")
+    rel = con.sql(qd.oracle)
+    duck_rows = rel.fetchall()
+    duck_cols = list(rel.columns)
+    con.close()
+
+    s_cols, s_rows = _canon(list(sdf.columns), spark_rows)
+    d_cols, d_rows = _canon(duck_cols, duck_rows)
+    assert s_cols == d_cols
+    assert s_rows == d_rows
+
+    by_id = {r[s_cols.index("doc_id")]: r for r in s_rows}
+    ti = s_cols.index("text")
+    # untouched doc keeps its odd whitespace byte-for-byte
+    assert by_id[2][ti] == "plain  doc with\todd   whitespace and no spans at all ok"
+    # the higher-id doc of the pair lost the span
+    assert "tok0" not in by_id[1][ti] and by_id[1][ti].startswith("delta epsilon")
+    # the lower-id doc keeps the canonical copy
+    assert span in by_id[0][ti]

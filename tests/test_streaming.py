@@ -1242,3 +1242,47 @@ def test_stream_sketch_maintenance_continuous_trigger_starts(spark, tmp_path):
         assert table.read().count() == 1
     finally:
         q.stop()
+
+
+def test_quantile_labels_are_collision_free(spark, tmp_path):
+    """ADVICE (r9): q=0.999 and q=1.0 must not both label as p100 —
+    labels derive from the FULL q value, and duplicate qs raise."""
+    import pytest
+
+    from dca_manager_spark.io.manifest import ManifestTable
+    from dca_manager_spark.streaming.sketch_maintenance import (
+        quantile_label,
+        read_sketch_quantiles,
+    )
+
+    assert quantile_label(0.5) == "p50"
+    assert quantile_label(0.99) == "p99"
+    assert quantile_label(0.999) == "p99_9"
+    assert quantile_label(1.0) == "p100"
+    assert quantile_label(0.05) == "p05"
+    assert quantile_label(0.25) == "p25"
+
+    table = ManifestTable(
+        spark,
+        str(tmp_path / "store"),
+        keys=("g", "batch_id"),
+        precombine="batch_id",
+        partition_by=(),
+    )
+    from pyspark.sql import functions as F
+    from dca_manager_spark.operators.sketches import ddsketch_build
+
+    vals = spark.createDataFrame(
+        [("a", float(v)) for v in range(1, 101)], "g string, v double"
+    )
+    table.write(
+        ddsketch_build(vals, "v", ["g"]).withColumn("batch_id", F.lit(0).cast("long")),
+        "upsert",
+    )
+    out = read_sketch_quantiles(table, ["g"], [0.999, 1.0])
+    assert sorted(out.columns) == ["g", "n", "p100", "p99_9"]
+    row = out.collect()[0]
+    assert row["p99_9"] <= row["p100"]
+
+    with pytest.raises(ValueError, match="duplicate quantiles"):
+        read_sketch_quantiles(table, ["g"], [0.5, 0.5])
