@@ -1095,8 +1095,8 @@ def duplicate_spans(
     text_col: str = "text",
     k: int = 8,
     min_tokens: int | None = None,
-    max_gram_docs: int | None = None,
-    hash_grams: bool = False,
+    max_gram_docs: int | None = 256,
+    hash_grams: bool = True,
 ) -> DataFrame:
     """Substring-level duplicate-SPAN detection (the Lee et al. 2022
     "Deduplicating Training Data" case): find maximal passages of >=
@@ -1115,13 +1115,15 @@ def duplicate_spans(
     Output: (doc_a, doc_b, a_start, b_start, span_tokens) with doc_a <
     doc_b, positions 0-based in tokens, span_tokens = windows + k - 1.
 
-    Scale: shuffle is on the gram. ``hash_grams=True`` is the
-    production path — the join key becomes xxhash64(gram), shrinking
-    every exchange row from ~k tokens of text to 8 bytes; a false span
-    then needs a 64-bit collision between two k-token windows
-    (P ~ n_windows^2 / 2^64 — negligible at any corpus size that fits
-    hardware). Kept raw by default for cross-engine oracle exactness.
-    ``max_gram_docs`` applies the standard
+    Scale: shuffle is on the gram, and THE DEFAULTS ARE THE PRODUCTION
+    PATH — a bare call at 100 TB must get the scale-safe plan, not the
+    oracle-exactness plan. ``hash_grams=True`` (default) makes the join
+    key xxhash64(gram), shrinking every exchange row from ~k tokens of
+    text to 8 bytes; a false span then needs a 64-bit collision between
+    two k-token windows (P ~ n_windows^2 / 2^64 — negligible at any
+    corpus size that fits hardware). Pass ``hash_grams=False,
+    max_gram_docs=None`` explicitly for bit-exact cross-engine raw-gram
+    replay. ``max_gram_docs`` (default 256) applies the standard
     posting-list cap in TWO PHASES: windows appearing in more than that
     many docs (boilerplate, stop-phrases) are dropped from candidate-
     PAIR discovery only, and matched positions are then recomputed over
@@ -1232,7 +1234,8 @@ def scrub_duplicate_spans(
     id_col: str = "doc_id",
     text_col: str = "text",
     k: int = 8,
-    max_gram_docs: int | None = None,
+    max_gram_docs: int | None = 256,
+    hash_grams: bool = True,
 ) -> DataFrame:
     """The remediation half of :func:`duplicate_spans` (Lee et al. 2022
     remove duplicated passages, not whole documents): every maximal
@@ -1249,9 +1252,13 @@ def scrub_duplicate_spans(
     per doc is tiny, grouped into an array and probed with
     exists(), so no range-join blow-up) -> ordered reassembly via
     sorted collect. Shuffles: the span join on grams, one window and
-    one aggregate on the doc id."""
+    one aggregate on the doc id.
+
+    Defaults are the production path (hashed grams + posting cap),
+    same contract as :func:`duplicate_spans`."""
     spans = duplicate_spans(
-        df, id_col, text_col, k=k, max_gram_docs=max_gram_docs
+        df, id_col, text_col, k=k,
+        max_gram_docs=max_gram_docs, hash_grams=hash_grams,
     )
     iv = spans.select(
         F.col("doc_b").alias("__id"),

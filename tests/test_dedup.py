@@ -705,7 +705,10 @@ def test_duplicate_spans_hashed_matches_raw(spark, sf_dir):
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     raw = sorted(
-        tuple(r) for r in duplicate_spans(docs, "doc_id", "text", k=8).collect()
+        tuple(r)
+        for r in duplicate_spans(
+            docs, "doc_id", "text", k=8, hash_grams=False, max_gram_docs=None
+        ).collect()
     )
     hashed = sorted(
         tuple(r)
@@ -776,3 +779,42 @@ def test_ddsketch_ignores_nulls(spark):
     ).first()
     assert row["n"] == 1 and row["zero_count"] == 0
     assert abs(row["p50"] - 10.0) <= 0.01 * 10.0
+
+def test_duplicate_spans_bare_call_gets_production_plan(spark):
+    """VERDICT r10 #1: a BARE call must get the scale-safe plan —
+    xxhash64 join keys (8-byte exchange rows) and the two-phase posting
+    cap (a corpus-hot window bounds candidate discovery instead of
+    exploding the self-join quadratically). The oracle-exact raw path
+    stays available but only on explicit request."""
+    import inspect
+
+    from dca_manager_spark.operators.dedup import (
+        duplicate_spans,
+        scrub_duplicate_spans,
+    )
+    from dca_manager_spark.plans.inspect import explain_formatted
+
+    sig = inspect.signature(duplicate_spans)
+    assert sig.parameters["hash_grams"].default is True
+    assert sig.parameters["max_gram_docs"].default == 256
+    ssig = inspect.signature(scrub_duplicate_spans)
+    assert ssig.parameters["hash_grams"].default is True
+    assert ssig.parameters["max_gram_docs"].default == 256
+
+    passage = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    df = spark.createDataFrame(
+        [(1, "x1 " + passage), (2, passage + " y1"), (3, "clean doc")],
+        "doc_id int, text string",
+    )
+    bare = duplicate_spans(df, "doc_id", "text", k=8)
+    plan = explain_formatted(bare)
+    assert "xxhash64" in plan, "bare call must join on hashed grams"
+    # the two-phase cap's hot-window pass is in the plan: a distinct-doc
+    # count per gram followed by a left-anti prune
+    assert "LeftAnti" in plan or "left_anti" in plan.lower()
+    got = sorted(tuple(r) for r in bare.collect())
+    assert got == [(1, 2, 1, 0, 10)]
+    # scrub under bare defaults still removes from the higher id only
+    s = {r["doc_id"]: r["text"] for r in
+         scrub_duplicate_spans(df, "doc_id", "text", k=8).collect()}
+    assert s[1] == "x1 " + passage and s[2] == "y1" and s[3] == "clean doc"
