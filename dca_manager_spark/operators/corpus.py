@@ -33,24 +33,17 @@ from dca_manager_spark.operators.text import (
 )
 
 
-def prepare_corpus(
+def _gated_dedup(
     docs: DataFrame,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    lang: str = "en",
-    min_quality: float = 0.3,
-    min_tokens: int = 5,
-    train: float = 0.8,
-    val: float = 0.1,
+    id_col: str,
+    text_col: str,
+    lang: str,
+    min_quality: float,
+    min_tokens: int,
 ) -> DataFrame:
-    """Clean, gate, dedup, and split a document corpus in one plan.
-
-    Returns (id, pred_lang, n_tokens, quality, split) for every SURVIVING
-    document: cleaned text in the requested language, above the quality
-    and length gates, first-id winner of its exact-content group.
-    Deterministic end to end — rerunning on any partitioning yields the
-    same rows with the same split assignment.
-    """
+    """clean -> language-ID -> quality/token gates -> exact dedup; the
+    shared front half of prepare_corpus / prepare_corpus_spans. Returns
+    (id, __clean, pred_lang, quality, n_tokens) for surviving docs."""
     # Materialize the cleaned text, then its two tokenizations, each ONCE
     # per row behind Generate barriers: a plain projection would be
     # collapsed by Catalyst into every downstream reference, re-running
@@ -106,11 +99,85 @@ def prepare_corpus(
     # Exact dedup on the CLEANED content (post-cleaning collisions are the
     # ones that matter for training): deterministic first-id survivor.
     w = Window.partitionBy(F.md5(F.col("__clean"))).orderBy(F.col(id_col))
-    deduped = (
+    return (
         kept.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
-        .drop("__rn", "__clean")
+        .drop("__rn")
     )
+
+
+def prepare_corpus(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang: str = "en",
+    min_quality: float = 0.3,
+    min_tokens: int = 5,
+    train: float = 0.8,
+    val: float = 0.1,
+) -> DataFrame:
+    """Clean, gate, dedup, and split a document corpus in one plan.
+
+    Returns (id, pred_lang, n_tokens, quality, split) for every SURVIVING
+    document: cleaned text in the requested language, above the quality
+    and length gates, first-id winner of its exact-content group.
+    Deterministic end to end — rerunning on any partitioning yields the
+    same rows with the same split assignment.
+    """
+    deduped = _gated_dedup(
+        docs, id_col, text_col, lang, min_quality, min_tokens
+    ).drop("__clean")
     return train_val_test_split(deduped, id_col, train=train, val=val).select(
         id_col, "pred_lang", "n_tokens", "quality", "split"
+    )
+
+
+def prepare_corpus_spans(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang: str = "en",
+    min_quality: float = 0.3,
+    min_tokens: int = 5,
+    k: int = 8,
+    train: float = 0.8,
+    val: float = 0.1,
+    max_gram_docs: int | None = 256,
+    hash_grams: bool = True,
+) -> DataFrame:
+    """prepare_corpus with SPAN-level remediation between dedup and
+    split: whole-doc exact dedup removes identical documents, then
+    scrub_duplicate_spans (Lee et al. 2022) deletes every remaining
+    >= ``k``-token passage shared verbatim across two survivors (the
+    higher id loses it) — one composed plan: clean -> lang-ID -> gates
+    -> doc dedup -> span scrub -> split.
+
+    Returns (id, pred_lang, quality, n_tokens_before, n_tokens_after,
+    split); before/after are token counts of the CLEANED text around the
+    scrub. Defaults run the production span plan (hashed grams + posting
+    cap — see duplicate_spans).
+
+    Scale: span detection runs AFTER the gates and doc dedup, so the
+    gram shuffle carries only the kept corpus; the stats join back to
+    the survivor features is keyed on the doc id (same key as the split
+    hash)."""
+    from dca_manager_spark.operators.dedup import scrub_duplicate_spans
+
+    deduped = _gated_dedup(
+        docs, id_col, text_col, lang, min_quality, min_tokens
+    ).localCheckpoint(eager=False)
+    scrubbed = scrub_duplicate_spans(
+        deduped.select(id_col, "__clean"),
+        id_col,
+        "__clean",
+        k=k,
+        max_gram_docs=max_gram_docs,
+        hash_grams=hash_grams,
+    )
+    stats = deduped.select(id_col, "pred_lang", "quality").join(
+        scrubbed.select(id_col, "n_tokens_before", "n_tokens_after"), id_col
+    )
+    return train_val_test_split(stats, id_col, train=train, val=val).select(
+        id_col, "pred_lang", "quality", "n_tokens_before", "n_tokens_after",
+        "split",
     )

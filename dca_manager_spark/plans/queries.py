@@ -3467,6 +3467,117 @@ def corpus_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "corpus_prep_spans",
+    rf"""
+    WITH c AS (
+      SELECT doc_id, {_CLEAN_SQL} AS clean FROM documents
+    ),
+    f AS (
+      SELECT doc_id, clean,
+             {_sw_count('clean', "['the','a','and','of','to','in','is']")} AS s_en,
+             {_sw_count('clean', "['der','die','das','und','ist','nicht']")} AS s_de,
+             {_sw_count('clean', "['le','la','les','et','est','une']")} AS s_fr,
+             {_sw_count('clean', "['el','los','las','y','es','una']")} AS s_es,
+             {_sw_count('clean', "['的','是','了','在','和']")} AS s_zh,
+             len({_TOKENS.format(c='clean')}) AS n_tokens,
+             0.4 * (CAST({_sw_count('clean', _EN_WORDS)} AS DOUBLE)
+                    / CAST(greatest(len({_TOKENS.format(c='clean')}), 1) AS DOUBLE))
+             + 0.4 * least(CAST(length(clean) AS DOUBLE) / 500.0, 1.0)
+             + 0.2 * (1.0 - CAST(length(regexp_replace(clean, '{_PUNCT_RE}', '', 'g')) AS DOUBLE)
+                            / CAST(greatest(length(clean), 1) AS DOUBLE)) AS quality
+      FROM c
+    ),
+    l AS (
+      SELECT *,
+             CASE WHEN greatest(s_en, s_de, s_fr, s_es, s_zh) = 0 THEN 'und'
+                  WHEN s_en = greatest(s_en, s_de, s_fr, s_es, s_zh) THEN 'en'
+                  WHEN s_de = greatest(s_en, s_de, s_fr, s_es, s_zh) THEN 'de'
+                  WHEN s_fr = greatest(s_en, s_de, s_fr, s_es, s_zh) THEN 'fr'
+                  WHEN s_es = greatest(s_en, s_de, s_fr, s_es, s_zh) THEN 'es'
+                  ELSE 'zh' END AS pred_lang
+      FROM f
+    ),
+    surv AS (
+      SELECT doc_id, clean, pred_lang, n_tokens, quality
+      FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY md5(clean)
+                                     ORDER BY doc_id) AS rn
+        FROM l
+        WHERE pred_lang = 'en' AND quality >= 0.3 AND n_tokens >= 5
+      ) WHERE rn = 1
+    ),
+    toks AS (
+      SELECT doc_id, {_TOKENS.format(c='clean')} AS w FROM surv
+    ),
+    grams AS (
+      SELECT doc_id, i AS pos, array_to_string(w[i+1:i+8], ' ') AS gram
+      FROM toks, LATERAL (SELECT unnest(range(0, len(w) - 7)) AS i)
+    ),
+    m AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pos AS pa, b.pos AS pb,
+             a.pos - b.pos AS diag
+      FROM grams a JOIN grams b ON a.gram = b.gram AND a.doc_id < b.doc_id
+    ),
+    isl AS (
+      SELECT *, pa - ROW_NUMBER() OVER (PARTITION BY doc_a, doc_b, diag
+                                        ORDER BY pa) AS g
+      FROM m
+    ),
+    spans AS (
+      SELECT doc_b AS id, MIN(pb) AS s, MIN(pb) + COUNT(*) + 7 AS e
+      FROM isl GROUP BY doc_a, doc_b, diag, g
+    ),
+    marked AS (
+      SELECT id, s, e,
+             CASE WHEN s > COALESCE(MAX(e) OVER (
+                    PARTITION BY id ORDER BY s, e
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+                  THEN 1 ELSE 0 END AS new
+      FROM spans
+    ),
+    grp AS (
+      SELECT id, s, e,
+             SUM(new) OVER (PARTITION BY id ORDER BY s, e) AS grp
+      FROM marked
+    ),
+    ivm AS (SELECT id, MIN(s) AS s, MAX(e) AS e FROM grp GROUP BY id, grp),
+    rem AS (SELECT id, SUM(e - s) AS removed FROM ivm GROUP BY id)
+    SELECT sv.doc_id, sv.pred_lang, sv.quality,
+           CAST(sv.n_tokens AS BIGINT) AS n_tokens_before,
+           CAST(sv.n_tokens - COALESCE(r.removed, 0) AS BIGINT) AS n_tokens_after,
+           CASE WHEN CAST(concat('0x', substring(md5(concat('split',
+                     CAST(sv.doc_id AS VARCHAR))), 1, 8)) AS BIGINT) % 10000 < 8000
+                  THEN 'train'
+                WHEN CAST(concat('0x', substring(md5(concat('split',
+                     CAST(sv.doc_id AS VARCHAR))), 1, 8)) AS BIGINT) % 10000 < 9000
+                  THEN 'val'
+                ELSE 'test' END AS split
+    FROM surv sv LEFT JOIN rem r ON r.id = sv.doc_id
+    ORDER BY sv.doc_id
+    """,
+)
+def corpus_prep_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """corpus_prep_pipeline with SPAN-level remediation (VERDICT r10 #3):
+    clean -> language-ID -> gates -> whole-doc exact dedup -> duplicate-
+    SPAN scrub across the survivors (Lee et al. 2022; higher id loses
+    each shared >=8-token passage) -> hash split, ONE composed plan
+    (operators/corpus.prepare_corpus_spans). Output carries the scrub's
+    token accounting (n_tokens_before/after on the cleaned text). Runs
+    the production span plan (hashed grams + posting cap); oracle-EXACT
+    because hashing is result-transparent and no gram here nears the
+    cap."""
+    from dca_manager_spark.operators.corpus import prepare_corpus_spans
+
+    return prepare_corpus_spans(
+        t(spark, sf_dir, "documents"),
+        lang="en",
+        min_quality=0.3,
+        min_tokens=5,
+        k=8,
+    ).orderBy("doc_id")
+
+
+@query(
     "stratified_hash_sample",
     f"""
     SELECT doc_id, lang

@@ -342,3 +342,44 @@ def test_repetition_stats_empty_and_whitespace_docs(spark):
         assert got[i]["top2_fraction"] == 0.0
         assert got[i]["dup5_fraction"] == 0.0
     assert got[3]["mcw_fraction"] == 1.0
+
+
+def test_prepare_corpus_spans_composes_scrub(spark):
+    """VERDICT r10 #3: the span-composed prep pipeline equals its stages
+    run independently — whole-doc dedup removes the exact copy, the span
+    scrub then deletes the shared passage from the HIGHER-id survivor,
+    and untouched survivors keep before == after."""
+    from dca_manager_spark.operators.corpus import (
+        prepare_corpus,
+        prepare_corpus_spans,
+    )
+
+    passage = (
+        "the quick brown fox jumps over the lazy dog and runs far away"
+    )  # 13 English tokens, passes lang/quality gates
+    filler_a = "this is a good and long enough document about the data"
+    # distinct filler for doc 2 — sharing filler_a would itself be a
+    # >=8-token duplicated span and widen the expected scrub
+    filler_b = "and the other one is about a different group of words here"
+    rows = [
+        (1, filler_a + " " + passage),           # keeps the canonical span
+        (2, passage + " " + filler_b),           # higher id: span scrubbed
+        (3, filler_a + " " + passage),           # exact dup of 1: doc-dedup kills it
+        (4, "the data is a good document and it is long enough to pass"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in prepare_corpus_spans(docs, k=8).collect()}
+    assert set(out) == {1, 2, 4}, "doc-dedup must remove the exact copy first"
+    # doc 1 (lower id of the span pair) is untouched
+    assert out[1]["n_tokens_before"] == out[1]["n_tokens_after"]
+    # doc 2 lost exactly the 13-token passage
+    assert out[2]["n_tokens_before"] - out[2]["n_tokens_after"] == 13
+    # doc 4 shares no 8-token window with anything
+    assert out[4]["n_tokens_before"] == out[4]["n_tokens_after"]
+    # split + features agree with the span-free pipeline on shared columns
+    base = {r["doc_id"]: r for r in prepare_corpus(docs).collect()}
+    for i in (1, 2, 4):
+        assert out[i]["split"] == base[i]["split"]
+        assert out[i]["pred_lang"] == base[i]["pred_lang"]
+        assert out[i]["quality"] == base[i]["quality"]
+        assert out[i]["n_tokens_before"] == base[i]["n_tokens"]
