@@ -2589,19 +2589,23 @@ def similarity_ivf_learned(spark, sf_dir: str) -> DataFrame:
 )
 def similarity_ivf_pq_rerank(spark, sf_dir: str) -> DataFrame:
     """The COMPOSED production ANN serving plan (ivf_pq_rerank_topk):
-    learned IVF cells route each query to 4 of 16 cells; probed members
-    are scored through PQ codes only (ADC: the candidate stream carries
-    16 ints per corpus row, not 64 floats); each query's ADC-top-64
-    shortlist joins back for exact vectors and an exact cosine re-rank
-    to top-10. This is the 100 TB serving shape the standalone
-    similarity_ivf_learned / similarity_pq_adc entries factor into.
+    learned IVF cells route each query to 8 of 16 cells; probed members
+    are scored through RESIDUAL PQ codes only (the FAISS IVF-PQ recipe:
+    codebooks trained on vector-minus-centroid residuals, ADC = exact
+    q.c from the routing pass + residual LUT sum — the candidate stream
+    carries 16 ints per corpus row, not 64 floats); each query's
+    ADC-top-64 shortlist joins back for exact vectors and an exact
+    cosine re-rank to top-10. This is the 100 TB serving shape the
+    standalone similarity_ivf_learned / similarity_pq_adc entries
+    factor into.
 
     Oracle: in-bounds pattern (model-dependent cells/codebooks) — every
-    query answered + recall@10 vs exact brute force over a 0.3 floor
-    (measured 0.52-0.54 at sf0.001/0.01/0.1 on unstructured synthetic
-    vectors — PQ's worst case; the exact re-rank lifts it over pure
-    ADC@10's 0.36-0.47). Plan shape (no cartesian, broadcast-only small
-    sides) is asserted in tests/test_plans.py."""
+    query answered + recall@10 vs exact brute force over a 0.6 floor
+    (measured 0.70-0.76 at sf0.001/0.01/0.1; the ADC shortlist at 64 is
+    lossless on this data, so probes set the ceiling — residual coding
+    buys shortlist fidelity on clustered corpora, pinned in
+    tests/test_similarity.py). Plan shape (no cartesian, broadcast-only
+    small sides) is asserted in tests/test_plans.py."""
     from dca_manager_spark.operators.similarity import (
         cosine_topk,
         ivf_pq_rerank_topk,
@@ -2614,13 +2618,14 @@ def similarity_ivf_pq_rerank(spark, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), "embedding"
     )
     c_df = emb.select(F.col("vec_id").alias("neighbor_id"), "embedding")
-    books = train_pq_codebooks(
-        c_df, m=16, k=16, max_iter=10, sample_id_col="neighbor_id"
-    )
     seeds = train_ivf_seeds(c_df, n_cells=16, seed=13)
+    books = train_pq_codebooks(
+        c_df, m=16, k=16, max_iter=10, sample_id_col="neighbor_id",
+        residual_seeds=seeds,
+    )
     approx = ivf_pq_rerank_topk(
         q_df, c_df, "query_id", "neighbor_id", books,
-        k=10, n_probe=4, shortlist=64, seeds=seeds,
+        k=10, n_probe=8, shortlist=64, seeds=seeds,
     ).select("query_id", "neighbor_id", F.lit(1).alias("_hit"))
     exact = cosine_topk(
         q_df, c_df, "query_id", "neighbor_id", k=10
@@ -2629,7 +2634,7 @@ def similarity_ivf_pq_rerank(spark, sf_dir: str) -> DataFrame:
         F.countDistinct("query_id").alias("n_queries"),
         (
             (F.sum(F.coalesce(F.col("_hit"), F.lit(0))) / F.count(F.lit(1)))
-            >= 0.3
+            >= 0.6
         ).alias("recall_ok"),
     )
 

@@ -503,10 +503,13 @@ def test_ivf_pq_rerank_degrades_to_exact(spark, sf_dir):
 
 
 def test_ivf_pq_rerank_recall_floor(spark, sf_dir):
-    """Production parameters (4/16 probes, shortlist 64): recall@10 vs
-    exact clears the documented 0.3 floor (measured 0.52-0.54 across
-    SFs), and every query returns exactly k rows with contiguous
-    ranks."""
+    """Production parameters (residual-trained codebooks, 8/16 probes,
+    shortlist 64): recall@10 vs exact clears 0.7 (measured 0.70-0.76
+    across SFs; VERDICT r10 #4), and every query returns exactly k rows
+    with contiguous ranks. Factorization measured on this data: the ADC
+    shortlist is lossless at 64 (recall == routing ceiling), so probes
+    are the recall dial; residual coding buys shortlist fidelity on
+    clustered corpora (see test_residual_pq_beats_raw_on_clustered)."""
     from dca_manager_spark.operators.similarity import (
         cosine_topk,
         ivf_pq_rerank_topk,
@@ -519,17 +522,19 @@ def test_ivf_pq_rerank_recall_floor(spark, sf_dir):
     q = emb.filter(F.col("vec_id") < 30).select(
         F.col("vec_id").alias("qid"), "embedding"
     )
-    books = train_pq_codebooks(c, m=16, k=16, max_iter=5, sample_id_col="nid")
     seeds = train_ivf_seeds(c, n_cells=16, seed=13)
+    books = train_pq_codebooks(
+        c, m=16, k=16, max_iter=10, sample_id_col="nid", residual_seeds=seeds
+    )
     got = ivf_pq_rerank_topk(
-        q, c, "qid", "nid", books, k=10, n_probe=4, shortlist=64, seeds=seeds
+        q, c, "qid", "nid", books, k=10, n_probe=8, shortlist=64, seeds=seeds
     ).collect()
     exact = {
         (r.qid, r.nid)
         for r in cosine_topk(q, c, "qid", "nid", k=10).collect()
     }
     hits = sum((r.qid, r.nid) in exact for r in got)
-    assert hits / len(exact) >= 0.3
+    assert hits / len(exact) >= 0.7, hits / len(exact)
     by_q = {}
     for r in got:
         by_q.setdefault(r.qid, []).append(r.rank)
@@ -537,6 +542,59 @@ def test_ivf_pq_rerank_recall_floor(spark, sf_dir):
         assert sorted(ranks) == list(range(1, 11)), qid
     # determinism: a second run returns the identical result set
     again = ivf_pq_rerank_topk(
-        q, c, "qid", "nid", books, k=10, n_probe=4, shortlist=64, seeds=seeds
+        q, c, "qid", "nid", books, k=10, n_probe=8, shortlist=64, seeds=seeds
     ).collect()
     assert sorted(map(tuple, got)) == sorted(map(tuple, again))
+
+
+def test_residual_pq_beats_raw_on_clustered(spark):
+    """The residual mechanism itself (FAISS IVF-PQ recipe): on a
+    CLUSTERED corpus the coarse quantizer explains the cluster-level
+    structure, so residual codebooks spend their m x k budget on the
+    within-cell detail ADC actually ranks by. With a tight shortlist the
+    residual path's shortlist fidelity must beat raw-vector codes'.
+    (On unstructured vectors both paths tie — the serving recall dial
+    there is n_probe; measured in test_ivf_pq_rerank_recall_floor.)"""
+    import numpy as np
+
+    from dca_manager_spark.operators.similarity import (
+        cosine_topk,
+        ivf_pq_rerank_topk,
+        train_ivf_seeds,
+        train_pq_codebooks,
+    )
+
+    rng = np.random.default_rng(5)
+    centers = rng.normal(size=(8, 32)) * 4.0
+    rows = []
+    for i in range(400):
+        v = centers[i % 8] + rng.normal(size=32) * 0.35
+        rows.append((i, [float(x) for x in v]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    c = emb.select(F.col("vec_id").alias("nid"), "embedding")
+    q = emb.filter(F.col("vec_id") < 24).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+    seeds = train_ivf_seeds(c, n_cells=8, seed=13)
+    exact = {
+        (r.qid, r.nid)
+        for r in cosine_topk(q, c, "qid", "nid", k=10).collect()
+    }
+
+    def recall(books, residual):
+        got = ivf_pq_rerank_topk(
+            q, c, "qid", "nid", books, k=10, n_probe=1, shortlist=12,
+            seeds=seeds, residual=residual,
+        ).collect()
+        return sum((r.qid, r.nid) in exact for r in got) / len(exact)
+
+    raw_books = train_pq_codebooks(
+        c, m=8, k=16, max_iter=10, sample_id_col="nid"
+    )
+    res_books = train_pq_codebooks(
+        c, m=8, k=16, max_iter=10, sample_id_col="nid", residual_seeds=seeds
+    )
+    r_raw = recall(raw_books, residual=False)
+    r_res = recall(res_books, residual=True)
+    assert r_res > r_raw, (r_res, r_raw)
+    assert r_res >= 0.6, r_res
