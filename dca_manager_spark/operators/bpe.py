@@ -132,6 +132,56 @@ def _merge_loop(
     return merges
 
 
+def _merge_loop_indexed(
+    word_freqs: Iterable[tuple[list[str], int]], n_merges: int, min_count: int
+) -> list[tuple[str, str]]:
+    """Indexed twin of :func:`_merge_loop` — bit-identical merges (same
+    argmax, same (count desc, pair asc) tie-break), but each round
+    updates pair counts INCREMENTALLY over only the words that contain
+    the merged pair (the Sennrich reference implementation's index)
+    instead of recounting the whole table. This is what makes
+    realistic merge counts (1k-10k) practical on the local path:
+    per-round cost is O(distinct pairs) for the argmax + O(affected
+    words) for the update, not O(total symbols).
+
+    The pair->word-ids index is maintained lazily: a stale entry (word
+    no longer contains the pair) nets zero in the update (subtract the
+    word's current pairs, re-add the identical pairs) — correctness
+    never depends on eager invalidation."""
+    words = [(list(s), f) for s, f in word_freqs if len(s) > 1]
+    counts: dict[tuple[str, str], int] = {}
+    occs: dict[tuple[str, str], set[int]] = {}
+    for wi, (syms, f) in enumerate(words):
+        for i in range(len(syms) - 1):
+            p = (syms[i], syms[i + 1])
+            counts[p] = counts.get(p, 0) + f
+            occs.setdefault(p, set()).add(wi)
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        top = _best_pair(counts)
+        if top is None or top[1] < min_count:
+            break
+        (a, b), _cnt = top
+        merges.append((a, b))
+        for wi in sorted(occs.pop((a, b), ())):
+            syms, f = words[wi]
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                c = counts[p] - f
+                if c > 0:
+                    counts[p] = c
+                else:
+                    counts.pop(p, None)
+            new = _merge_word(syms, a, b)
+            words[wi] = (new, f)
+            if len(new) > 1:
+                for i in range(len(new) - 1):
+                    p = (new[i], new[i + 1])
+                    counts[p] = counts.get(p, 0) + f
+                    occs.setdefault(p, set()).add(wi)
+    return merges
+
+
 def _apply_merge_col(syms_col: Column, a: str, b: str) -> Column:
     """JVM-side left-to-right merge of adjacent (a, b) -> a+b: a fold
     (``F.aggregate``) carrying one pending symbol — when pending == a
@@ -181,13 +231,28 @@ def train_bpe_merges(
     text_col: str = "text",
     n_merges: int = 64,
     min_count: int = 2,
-    method: str = "distributed",
+    method: str = "auto",
     max_words: int = 262_144,
+    target_vocab: int | None = None,
 ) -> list[tuple[str, str]]:
     """Learn ``n_merges`` BPE merges from a corpus. Returns the ordered
     merge list (rank = position). Stops early when the best remaining
     pair's weighted count drops below ``min_count`` (default 2: a merge
     seen once is memorization, not compression).
+
+    ``target_vocab``: the tokenizer-native stopping criterion — learn
+    ``target_vocab - n_base_symbols`` merges (vocab = base characters +
+    one token per merge, the Sennrich accounting), overriding
+    ``n_merges``. Raises if the base alphabet alone already exceeds the
+    target.
+
+    auto (default): the hybrid path. One distributed
+    ``word_frequencies`` pass (the only corpus-sized job) and one cheap
+    count; if the distinct-word frame fits ``max_words`` the merge loop
+    runs LOCALLY on the collected frame — same merges, and a 1,024-merge
+    budget costs seconds instead of 1,024 Spark jobs — otherwise it
+    falls back to the distributed round loop with a LOUD warning (the
+    fallback is correct, just one job per merge; budget accordingly).
 
     distributed: per round, one adjacent-pair explode + weighted count
     over the distinct-word frame (JVM transform/explode — no Python), a
@@ -198,13 +263,48 @@ def train_bpe_merges(
 
     local: bounded top-``max_words`` collect of the word-frequency frame
     (deterministic hash-free order: freq desc, word asc — truncation
-    drops only the rarest words), then the identical loop in Python.
+    drops only the rarest words), then the identical loop in Python
+    (indexed incremental pair counts — ``_merge_loop_indexed``,
+    bit-identical to the ``_merge_loop`` replay oracle).
     """
     if n_merges < 0:
         raise ValueError(f"n_merges must be >= 0, got {n_merges}")
-    if method not in ("distributed", "local"):
+    if method not in ("auto", "distributed", "local"):
         raise ValueError(f"unknown method {method!r}")
     wf = word_frequencies(corpus, text_col)
+
+    if target_vocab is not None:
+        n_base = (
+            wf.select(
+                F.explode(
+                    F.filter(F.split("word", ""), lambda c: c != "")
+                ).alias("c")
+            )
+            .agg(F.countDistinct("c").alias("n"))
+            .first()["n"]
+        )
+        if target_vocab < n_base:
+            raise ValueError(
+                f"target_vocab {target_vocab} is below the base alphabet "
+                f"size {n_base} — no merge budget exists"
+            )
+        n_merges = target_vocab - n_base
+
+    if method == "auto":
+        n_words = wf.count()
+        if n_words <= max_words:
+            method = "local"
+        else:
+            import warnings
+
+            warnings.warn(
+                f"BPE auto path: {n_words} distinct words exceed "
+                f"max_words={max_words}; falling back to the DISTRIBUTED "
+                f"round loop — one Spark job per merge ({n_merges} "
+                "budgeted). Raise max_words if the driver has memory.",
+                stacklevel=2,
+            )
+            method = "distributed"
 
     if method == "local":
         rows = (
@@ -212,7 +312,7 @@ def train_bpe_merges(
             .limit(max_words)
             .collect()
         )
-        return _merge_loop(
+        return _merge_loop_indexed(
             ((list(r["word"]), r["freq"]) for r in rows), n_merges, min_count
         )
 

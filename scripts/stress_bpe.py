@@ -1,0 +1,102 @@
+"""BPE stress probe: realistic merge budgets (VERDICT r10 #5).
+
+Two demonstrations:
+
+1. sf0.1 documents with a 1,024-merge budget — the auto path collects
+   the distinct-word frame (tiny there) and must return BIT-IDENTICAL
+   merges to the naive pure-Python replay oracle, early-stopping when
+   the pair supply is exhausted.
+2. A synthetic ~100k-distinct-word hex corpus — the scale the
+   one-job-per-merge distributed loop could never afford at this budget
+   (1,024 Spark jobs). The auto->local indexed loop must complete 1,024
+   merges in bounded wall-clock, with its first 64 merges equal to the
+   naive replay's 64-merge run on the same word table (greedy BPE merge
+   sequences are prefix-stable for a fixed corpus).
+
+Usage: python scripts/stress_bpe.py [n_merges=1024] [time_budget_s=300]
+Exits nonzero on any mismatch or budget blow.
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from dca_manager_spark.io.readers import load_table  # noqa: E402
+from dca_manager_spark.operators.bpe import (  # noqa: E402
+    _merge_loop,
+    pretokenize,
+    train_bpe_merges,
+    word_frequencies,
+)
+from dca_manager_spark.session import get_bench_session  # noqa: E402
+
+
+def main() -> int:
+    n_merges = int(sys.argv[1]) if len(sys.argv) > 1 else 1024
+    budget = float(sys.argv[2]) if len(sys.argv) > 2 else 300.0
+    spark = get_bench_session("bpe-stress")
+    spark.sparkContext.setLogLevel("ERROR")
+    ok = True
+
+    # --- 1. sf0.1 documents: budget >> pair supply, replay-exact ---
+    docs = load_table(spark, "/root/testdata/sf0.1", "documents")
+    texts = [r["text"] for r in docs.select("text").collect()]
+    freqs: dict[str, int] = {}
+    for t in texts:
+        for w in pretokenize(t):
+            freqs[w] = freqs.get(w, 0) + 1
+    expect = _merge_loop(
+        ((list(w), f) for w, f in freqs.items()), n_merges, 2
+    )
+    t0 = time.perf_counter()
+    got = train_bpe_merges(docs, n_merges=n_merges, min_count=2)
+    t_sf = time.perf_counter() - t0
+    print(f"sf0.1: {len(got)} merges (budget {n_merges}) in {t_sf:.1f}s")
+    if got != expect:
+        print(f"FAIL: sf0.1 merges diverge from replay at "
+              f"{next(i for i, (a, b) in enumerate(zip(got, expect)) if a != b)}")
+        ok = False
+
+    # --- 2. synthetic ~100k-word corpus: full budget, bounded time ---
+    synth = spark.range(100_000).select(
+        F.concat_ws(
+            " ",
+            F.substring(F.md5(F.col("id").cast("string")), 1, 12),
+            F.substring(F.md5((F.col("id") * 7 + 1).cast("string")), 1, 10),
+            # a zipf-ish head: every 3rd row repeats a common word
+            F.when(F.col("id") % 3 == 0,
+                   F.substring(F.md5((F.col("id") % 50).cast("string")), 1, 8)),
+        ).alias("text")
+    )
+    wf = word_frequencies(synth).localCheckpoint()
+    n_words = wf.count()
+    t0 = time.perf_counter()
+    big = train_bpe_merges(synth, n_merges=n_merges, min_count=2)
+    t_big = time.perf_counter() - t0
+    print(f"synthetic: {n_words} distinct words, {len(big)} merges "
+          f"in {t_big:.1f}s")
+    if len(big) < n_merges:
+        print(f"NOTE: early stop at {len(big)} (pair supply/min_count)")
+    # prefix stability vs the naive replay at a replay-affordable depth
+    rows = wf.collect()
+    naive64 = _merge_loop(
+        ((list(r["word"]), r["freq"]) for r in rows), 64, 2
+    )
+    if big[:64] != naive64:
+        print("FAIL: first 64 synthetic merges diverge from naive replay")
+        ok = False
+    if t_big > budget:
+        print(f"FAIL: {t_big:.1f}s exceeds budget {budget:.0f}s")
+        ok = False
+    print("PASS" if ok else "FAIL")
+    spark.stop()
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

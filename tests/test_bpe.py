@@ -65,20 +65,69 @@ def test_distributed_equals_local_equals_replay(spark):
     texts = [r["text"] for r in docs.select("text").collect()]
     expected = replay(texts, 24, min_count=2)
     assert len(expected) == 24
-    dist = train_bpe_merges(docs, n_merges=24, min_count=2)
+    dist = train_bpe_merges(docs, n_merges=24, min_count=2, method="distributed")
     local = train_bpe_merges(docs, n_merges=24, min_count=2, method="local")
+    auto = train_bpe_merges(docs, n_merges=24, min_count=2)  # auto -> local here
     assert dist == expected
     assert local == expected
+    assert auto == expected
 
 
 def test_training_is_layout_independent(spark):
     docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
-    a = train_bpe_merges(docs, n_merges=12, min_count=2)
-    b = train_bpe_merges(docs.repartition(7), n_merges=12, min_count=2)
+    a = train_bpe_merges(docs, n_merges=12, min_count=2, method="distributed")
+    b = train_bpe_merges(
+        docs.repartition(7), n_merges=12, min_count=2, method="distributed"
+    )
     c = train_bpe_merges(
         docs.repartition(3), n_merges=12, min_count=2, method="local"
     )
     assert a == b == c
+
+
+def test_indexed_merge_loop_bit_identical_to_replay():
+    """The incremental-index loop must replay the naive recount loop
+    EXACTLY — same merges, same order, same early stop — including
+    overlapping pairs, duplicate pairs inside one word, and min_count
+    cut-offs. Randomized words over a small alphabet maximize merge-
+    induced pair churn (the case index staleness would corrupt)."""
+    import random
+
+    from dca_manager_spark.operators.bpe import _merge_loop_indexed
+
+    rng = random.Random(11)
+    words = [
+        (
+            [rng.choice("abcd") for _ in range(rng.randint(2, 12))],
+            rng.randint(1, 9),
+        )
+        for _ in range(300)
+    ]
+    for n, mc in ((1, 1), (25, 1), (200, 2), (1000, 3)):
+        naive = _merge_loop([(list(s), f) for s, f in words], n, mc)
+        indexed = _merge_loop_indexed([(list(s), f) for s, f in words], n, mc)
+        assert indexed == naive, (n, mc)
+
+
+def test_auto_falls_back_loudly_and_target_vocab(spark):
+    """auto with a tiny max_words warns and still trains (distributed
+    fallback, same merges); target_vocab converts to a merge budget of
+    target - base_alphabet and raises below the alphabet size."""
+    import pytest
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").limit(60)
+    base = train_bpe_merges(docs, n_merges=6, min_count=2, method="local")
+    with pytest.warns(UserWarning, match="falling back to the DISTRIBUTED"):
+        fb = train_bpe_merges(docs, n_merges=6, min_count=2, max_words=2)
+    assert fb == base
+
+    # base alphabet of the testdata docs: ground truth from the corpus
+    texts = [r["text"] for r in docs.select("text").collect()]
+    alphabet = {c for t in texts for w in pretokenize(t) for c in w}
+    got = train_bpe_merges(docs, target_vocab=len(alphabet) + 4, min_count=2)
+    assert got == base[:4]
+    with pytest.raises(ValueError, match="base alphabet"):
+        train_bpe_merges(docs, target_vocab=max(len(alphabet) - 1, 0))
 
 
 def test_tokenize_matches_python_replay(spark):
