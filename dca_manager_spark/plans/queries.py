@@ -7392,21 +7392,30 @@ def embedding_incremental_admit(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(FLOOR(value * 100) AS BIGINT) AS y
       FROM events CROSS JOIN mn m
     ),
+    c AS (
+      SELECT event_type,
+             CAST(x - MIN(x) OVER (PARTITION BY event_type) AS HUGEINT) AS gx,
+             CAST(y AS HUGEINT) AS y,
+             MIN(x) OVER (PARTITION BY event_type) AS mx
+      FROM pts
+    ),
     s AS (
       SELECT event_type,
+             CAST(MIN(mx) AS HUGEINT) AS mx,
              COUNT(*) AS n,
-             SUM(x) AS sx, SUM(y) AS sy,
-             SUM(x * y) AS sxy, SUM(x * x) AS sxx, SUM(y * y) AS syy
-      FROM pts GROUP BY event_type
+             SUM(gx) AS sgx, SUM(y) AS sy,
+             SUM(gx * y) AS sgxy, SUM(gx * gx) AS sgxx, SUM(y * y) AS syy
+      FROM c GROUP BY event_type
     )
     SELECT event_type, CAST(n AS BIGINT) AS n,
-           CAST(n * sxy - sx * sy AS DOUBLE)
-             / CAST(n * sxx - sx * sx AS DOUBLE) AS slope,
-           CAST(sy * sxx - sx * sxy AS DOUBLE)
-             / CAST(n * sxx - sx * sx AS DOUBLE) AS intercept,
-           (CAST(n * sxy - sx * sy AS DOUBLE)
-              / CAST(n * sxx - sx * sx AS DOUBLE))
-             * (CAST(n * sxy - sx * sy AS DOUBLE)
+           CAST(n * sgxy - sgx * sy AS DOUBLE)
+             / CAST(n * sgxx - sgx * sgx AS DOUBLE) AS slope,
+           CAST((sy * sgxx - sgx * sgxy) - mx * (n * sgxy - sgx * sy)
+                AS DOUBLE)
+             / CAST(n * sgxx - sgx * sgx AS DOUBLE) AS intercept,
+           (CAST(n * sgxy - sgx * sy AS DOUBLE)
+              / CAST(n * sgxx - sgx * sgx AS DOUBLE))
+             * (CAST(n * sgxy - sgx * sy AS DOUBLE)
                   / CAST(n * syy - sy * sy AS DOUBLE)) AS r2
     FROM s
     ORDER BY event_type
@@ -7425,18 +7434,23 @@ def stat_regression_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     partial+final grouped aggregate — the canonical two-pass regression
     at any scale.
 
-    Exactness bound (documented, not silent): Spark caps decimal
-    products at precision 38, so the cross terms (n*sxy, sx*sy, n*sxx,
-    sx*sx, ...) are exact only while each stays under 1e38 — e.g. with
-    seconds-scale x spanning ~30 years (x ~ 1e9) and cent-scale y
-    (~1e6), sxy ~ 1e15 * n, so n*sxy crosses 1e38 around n ~ 1e12 rows
-    PER GROUP. Past that, Spark yields NULL (non-ANSI) or raises (ANSI)
-    while DuckDB's HUGEINT continues — parity is bounded, loudly, not
-    wrong. Mitigation at that scale: re-center x per group (subtract the
-    per-group integer MIN before the moments) — slope and r2 are
-    translation-invariant, and sx/sxx shrink by the square of the span
-    reduction; recover the original-origin intercept as
-    mean_y - slope * mean_x_orig."""
+    Exactness (VERDICT r10 #7 — the precision-38 bound removed by
+    PER-GROUP RECENTERING): every moment accumulates over
+    ``gx = x - min(x within group)`` instead of raw x. The slope/r2
+    integers are EXACTLY translation-invariant (n*Sxy - Sx*Sy and
+    n*Sxx - Sx^2 are algebraically identical under x -> x - m, as
+    integers, so the final doubles are bit-identical to the raw form),
+    and the original-origin intercept numerator recovers exactly as
+    ``(sy*sgxx - sgx*sgxy) - m*(n*sgxy - sgx*sy)`` (substitute
+    x = gx + m and expand). Cross terms now scale with the per-group
+    TIME SPAN, not the absolute epoch offset: a 100-second-span group
+    90 years from the origin that overflowed the raw form (sy*sxx ~
+    1e41) stays ~1e27 recentered. The residual bound (m * num < 1e38)
+    only binds when a single group both spans decades AND holds
+    ~1e12 rows; the stress test pins old-overflow magnitudes exact.
+    Per-row products are decimal — never a silently-wrapping long
+    multiply. One extra window over the same grouping key (the
+    exchange is reused by the aggregate: still one shuffle)."""
     ev = t(spark, sf_dir, "events")
     mn = ev.agg(
         F.min(F.unix_micros(F.col("ts").cast("timestamp"))).alias("__mn")
@@ -7444,23 +7458,34 @@ def stat_regression_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     x = F.expr("(unix_micros(cast(ts as timestamp)) - __mn) div 1000000")
     y = F.floor(F.col("value") * 100)
     dec = "decimal(38,0)"
-    pts = ev.crossJoin(F.broadcast(mn)).select(
-        "event_type", x.alias("x"), y.alias("y")
+    wg = Window.partitionBy("event_type")
+    pts = (
+        ev.crossJoin(F.broadcast(mn))
+        .select("event_type", x.alias("x"), y.alias("y"))
+        .withColumn("mx", F.min("x").over(wg))
+        .select(
+            "event_type",
+            "mx",
+            (F.col("x") - F.col("mx")).alias("gx"),
+            "y",
+        )
     )
+    gx_d, y_d = F.col("gx").cast(dec), F.col("y").cast(dec)
     s = pts.groupBy("event_type").agg(
+        F.min("mx").cast(dec).alias("mx"),
         F.count(F.lit(1)).alias("n"),
-        F.sum("x").alias("sx"),
+        F.sum("gx").alias("sgx"),
         F.sum("y").alias("sy"),
-        F.sum((F.col("x") * F.col("y")).cast(dec)).alias("sxy"),
-        F.sum((F.col("x") * F.col("x")).cast(dec)).alias("sxx"),
-        F.sum((F.col("y") * F.col("y")).cast(dec)).alias("syy"),
+        F.sum(gx_d * y_d).alias("sgxy"),
+        F.sum(gx_d * gx_d).alias("sgxx"),
+        F.sum(y_d * y_d).alias("syy"),
     )
     n_d = F.col("n").cast(dec)
-    sx_d, sy_d = F.col("sx").cast(dec), F.col("sy").cast(dec)
-    num = n_d * F.col("sxy") - sx_d * sy_d
-    den = n_d * F.col("sxx") - sx_d * sx_d
+    sgx_d, sy_d = F.col("sgx").cast(dec), F.col("sy").cast(dec)
+    num = n_d * F.col("sgxy") - sgx_d * sy_d
+    den = n_d * F.col("sgxx") - sgx_d * sgx_d
     den_y = n_d * F.col("syy") - sy_d * sy_d
-    i_num = sy_d * F.col("sxx") - sx_d * F.col("sxy")
+    i_num = (sy_d * F.col("sgxx") - sgx_d * F.col("sgxy")) - F.col("mx") * num
     slope = num.cast("double") / den.cast("double")
     return s.select(
         "event_type",

@@ -216,3 +216,61 @@ def test_span_scrub_oracle_preserves_untouched_whitespace(spark, tmp_path):
     assert "tok0" not in by_id[1][ti] and by_id[1][ti].startswith("delta epsilon")
     # the lower-id doc keeps the canonical copy
     assert span in by_id[0][ti]
+
+
+def test_regression_recenter_survives_old_overflow_magnitudes(spark, tmp_path):
+    """VERDICT r10 #7: per-group recentering removes the precision-38
+    bound. A group 95 years of seconds away from the global origin with
+    ~1e15-cent values made the RAW form's intercept numerator
+    sy*sxx ~ 1e41 — past Spark's decimal(38) (silent NULL) and DuckDB's
+    HUGEINT (~1.7e38, hard error). Recentered, the same data stays
+    ~1e29 and both engines agree bit-for-bit; slope/r2 are exactly
+    translation-invariant so parity at normal magnitudes is untouched
+    (the regular catalog run covers that)."""
+    import datetime
+
+    import pandas as pd
+
+    base = datetime.datetime(2024, 1, 1)
+    far = base + datetime.timedelta(seconds=3_000_000_000)  # ~95 years
+    rows = []
+    for i in range(2000):
+        rows.append(("near", base + datetime.timedelta(seconds=i),
+                     1.0e13 + i * 7.0e9))
+        rows.append(("far", far + datetime.timedelta(seconds=i * 2),
+                     2.0e13 - i * 3.0e9))
+    pdf = pd.DataFrame(
+        {
+            "event_id": range(len(rows)),
+            "ts": [r[1] for r in rows],
+            "user_id": [1] * len(rows),
+            "event_type": [r[0] for r in rows],
+            "value": [r[2] for r in rows],
+            "props": ["{}"] * len(rows),
+        }
+    )
+    path = tmp_path / "events.parquet"
+    pdf.to_parquet(path)
+
+    qd = QUERIES["stat_regression_by_group"]
+    sdf = qd.fn(spark, str(tmp_path))
+    spark_rows = [tuple(row) for row in sdf.collect()]
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM '{path}'")
+    rel = con.sql(qd.oracle)
+    duck_rows = rel.fetchall()
+    duck_cols = list(rel.columns)
+    con.close()
+
+    s_cols, s_rows = _canon(list(sdf.columns), spark_rows)
+    d_cols, d_rows = _canon(duck_cols, duck_rows)
+    assert s_cols == d_cols
+    assert s_rows == d_rows
+    # non-vacuous: every stat is present (no silent decimal NULLs) and
+    # the planted trends are recovered
+    by_type = {r[s_cols.index("event_type")]: r for r in s_rows}
+    si, ii = s_cols.index("slope"), s_cols.index("intercept")
+    assert by_type["near"][si] is not None and by_type["near"][ii] is not None
+    assert abs(by_type["near"][si] - 7.0e11) / 7.0e11 < 1e-6   # cents/s
+    assert abs(by_type["far"][si] - (-1.5e11)) / 1.5e11 < 1e-6
