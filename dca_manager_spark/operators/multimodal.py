@@ -408,3 +408,165 @@ def audio_meta_udf():
 def audio_meta(df: DataFrame, content_col: str = "content", out_col: str = "audio") -> DataFrame:
     """Attach real WAV-header metadata to a binary column — map-only."""
     return df.withColumn(out_col, audio_meta_udf()(F.col(content_col)))
+
+
+# ---------------------------------------------------------------------------
+# Video container metadata: MP4 / ISO-BMFF box walk (public spec, no codec)
+# ---------------------------------------------------------------------------
+
+VIDEO_META_SCHEMA = "format string, width int, height int, duration_ms bigint"
+
+
+def _be_bytes_col(c, n_bytes: int, what: str):
+    """Big-endian byte string of an int column, range-guarded like
+    _le_bytes_col (ISO-BMFF fields are big-endian)."""
+    c = _range_checked(c, n_bytes, what)
+    return F.unhex(F.lpad(F.hex(c), 2 * n_bytes, "0"))
+
+
+def mp4_blob_col(width, height, duration_ms):
+    """JVM-expression minimal MP4: ftyp + moov(mvhd + trak(tkhd)) with
+    version-0 boxes, timescale 1000 (so mvhd duration units ARE
+    milliseconds), and 16.16 fixed-point track dims — the exact public
+    ISO-BMFF layout a correct reader must box-walk (tkhd is nested two
+    levels down; nothing is at a fixed whole-file offset). Payload-free:
+    header boxes only, same contract as the image/audio builders.
+    Width/height guard to u16 (the 16.16 integer part); duration to
+    u32 ms (~49 days)."""
+    dur = _be_bytes_col(duration_ms, 4, "MP4 duration_ms")
+    # Unity transform matrix: 9 big-endian u32s (36 bytes), ISO layout.
+    matrix = ("00010000" + "00000000" * 3
+              + "00010000" + "00000000" * 3 + "40000000")
+    ftyp = F.unhex(F.lit("00000014" + "66747970" + "69736F6D"
+                         + "00000000" + "69736F6D"))
+    # mvhd v0: 8 header + 4 ver/flags + 4 ctime + 4 mtime + 4 timescale
+    # + 4 duration + 4 rate + 2 volume + 2+8 reserved + 36 matrix
+    # + 24 pre_defined + 4 next_track_id = 108 (0x6C)
+    mvhd = F.concat(
+        F.unhex(F.lit("0000006C" + "6D766864" + "00000000"  # v0+flags
+                      + "00000000" + "00000000"             # ctime mtime
+                      + "000003E8")),                       # timescale 1000
+        dur,                                                # duration (ms)
+        F.unhex(F.lit("00010000" + "0100" + "0000"          # rate volume res
+                      + "00000000" * 2                      # reserved
+                      + matrix
+                      + "00000000" * 6                      # pre_defined
+                      + "00000002")),                       # next_track_id
+    )
+    # tkhd v0: 8 header + 4 ver/flags + 4 ctime + 4 mtime + 4 track_id
+    # + 4 reserved + 4 duration + 8 reserved + 2 layer + 2 alt_group
+    # + 2 volume + 2 reserved + 36 matrix + 4 width + 4 height = 92 (0x5C)
+    tkhd = F.concat(
+        F.unhex(F.lit("0000005C" + "746B6864" + "00000007"  # v0+flags
+                      + "00000000" + "00000000"             # ctime mtime
+                      + "00000001" + "00000000")),          # track_id res
+        dur,
+        F.unhex(F.lit("00000000" * 2                        # reserved
+                      + "0000" * 4                          # layer alt vol res
+                      + matrix)),
+        _be_bytes_col(width, 2, "MP4 width"), F.unhex(F.lit("0000")),   # 16.16
+        _be_bytes_col(height, 2, "MP4 height"), F.unhex(F.lit("0000")),
+    )
+    trak = F.concat(F.unhex(F.lit("00000064" + "7472616B")), tkhd)
+    moov = F.concat(F.unhex(F.lit("000000D8" + "6D6F6F76")), mvhd, trak)
+    return F.concat(ftyp, moov)
+
+
+def parse_mp4_header(content: bytes | None):
+    """Pure-Python ISO-BMFF box walk (stdlib only): returns (format,
+    width, height, duration_ms) or all-None for a non-MP4 payload.
+    Recognized-but-truncated/corrupt structures raise (the shared
+    loudness contract). Walks top-level boxes to ``moov``, then its
+    children: ``mvhd`` (v0/v1) yields duration_ms via
+    duration * 1000 // timescale; the first ``trak``'s ``tkhd`` (v0/v1)
+    yields the 16.16 fixed-point track dims. Handles 64-bit largesize
+    (size==1) and to-end-of-file (size==0) boxes."""
+    if content is None:
+        return (None, None, None, None)
+    b = bytes(content)
+    if len(b) < 8 or b[4:8] != b"ftyp":
+        return (None, None, None, None)
+
+    def boxes(lo: int, hi: int):
+        i = lo
+        while i + 8 <= hi:
+            size = int.from_bytes(b[i : i + 4], "big")
+            btype = b[i + 4 : i + 8]
+            payload = i + 8
+            if size == 1:
+                if i + 16 > hi:
+                    raise ValueError("truncated MP4: largesize cut off")
+                size = int.from_bytes(b[i + 8 : i + 16], "big")
+                payload = i + 16
+            elif size == 0:
+                size = hi - i
+            if size < payload - i or i + size > hi:
+                raise ValueError(
+                    f"truncated MP4: box {btype!r} declares {size} bytes "
+                    f"past the payload end"
+                )
+            yield btype, payload, i + size
+            i += size
+
+    dur_ms = None
+    dims = None
+    for btype, p, end in boxes(0, len(b)):
+        if btype != b"moov":
+            continue
+        for ctype, cp, cend in boxes(p, end):
+            if ctype == b"mvhd":
+                ver = b[cp]
+                if ver == 0:
+                    need, toff, doff, dlen = 24, cp + 12, cp + 16, 4
+                else:
+                    need, toff, doff, dlen = 32, cp + 20, cp + 24, 8
+                if cp + need > cend:
+                    raise ValueError("truncated MP4 mvhd box")
+                timescale = int.from_bytes(b[toff : toff + 4], "big")
+                if timescale == 0:
+                    raise ValueError("corrupt MP4: zero mvhd timescale")
+                duration = int.from_bytes(b[doff : doff + dlen], "big")
+                dur_ms = duration * 1000 // timescale
+            elif ctype == b"trak" and dims is None:
+                for ttype, tp, tend in boxes(cp, cend):
+                    if ttype != b"tkhd":
+                        continue
+                    ver = b[tp]
+                    woff = tp + (76 if ver == 0 else 88)
+                    if woff + 8 > tend:
+                        raise ValueError("truncated MP4 tkhd box")
+                    dims = (
+                        int.from_bytes(b[woff : woff + 4], "big") >> 16,
+                        int.from_bytes(b[woff + 4 : woff + 8], "big") >> 16,
+                    )
+                    break
+    if dur_ms is None:
+        raise ValueError("MP4 has no moov/mvhd box before EOF")
+    if dims is None:
+        raise ValueError("MP4 has no trak/tkhd box before EOF")
+    return ("mp4", dims[0], dims[1], dur_ms)
+
+
+def video_meta_udf():
+    """Arrow-batched MP4 box-walk parser: binary -> VIDEO_META_SCHEMA."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(VIDEO_META_SCHEMA)
+    def meta(col):
+        cols = {k: [] for k in ("format", "width", "height", "duration_ms")}
+        for content in col:
+            f, w, h, d = parse_mp4_header(content)
+            cols["format"].append(f)
+            cols["width"].append(w)
+            cols["height"].append(h)
+            cols["duration_ms"].append(d)
+        return pd.DataFrame(cols)
+
+    return meta
+
+
+def video_meta(df: DataFrame, content_col: str = "content", out_col: str = "video") -> DataFrame:
+    """Attach real MP4 container metadata to a binary column — map-only
+    (one Arrow projection, no shuffle); fills the video legs of
+    MEDIA_META_SCHEMA (width/height/duration_ms) without any codec."""
+    return df.withColumn(out_col, video_meta_udf()(F.col(content_col)))

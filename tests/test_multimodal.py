@@ -218,3 +218,90 @@ def test_blob_builders_raise_on_u16_overflow(spark):
     # In-range values still build fine after the guard.
     ok = df.select(gif_blob_col(F.lit(65535), F.lit(1)).alias("b")).collect()
     assert ok[0]["b"][:6] == b"GIF89a"
+
+
+def test_mp4_blob_round_trip(spark):
+    """The JVM ISO-BMFF builder and the Python box-walk parser agree on
+    every byte: assorted dims/durations (incl. >255 for multi-byte
+    fields) round-trip exactly; box sizes are internally consistent."""
+    from pyspark.sql import functions as F
+
+    from dca_manager_spark.operators.multimodal import mp4_blob_col, video_meta
+
+    rows = [(1, 1, 1, 1), (2, 640, 480, 1000), (3, 1920, 1080, 3_600_000),
+            (4, 65535, 257, 4_000_000_000)]
+    df = spark.createDataFrame(rows, "i int, w int, h int, d long")
+    media = df.select(
+        "i", "w", "h", "d",
+        mp4_blob_col(F.col("w"), F.col("h"), F.col("d")).alias("content"),
+    )
+    got = video_meta(media, "content").select("i", "w", "h", "d", "video.*").collect()
+    for r in got:
+        assert r["format"] == "mp4"
+        assert (r["width"], r["height"], r["duration_ms"]) == (r["w"], r["h"], r["d"]), r
+    # declared top-level sizes tile the blob exactly
+    blob = media.filter(F.col("i") == 2).select("content").collect()[0][0]
+    assert len(blob) == 20 + 216
+    assert int.from_bytes(blob[0:4], "big") == 20 and blob[4:8] == b"ftyp"
+    assert int.from_bytes(blob[20:24], "big") == 216 and blob[24:28] == b"moov"
+
+
+def test_parse_mp4_header_walk_and_truncation():
+    """Loudness contract + structural variants: non-MP4 -> all None;
+    recognized-but-truncated raises; v1 (64-bit) mvhd/tkhd parse; a
+    largesize moov box parses; missing mvhd or tkhd raises."""
+    import pytest
+
+    from dca_manager_spark.operators.multimodal import parse_mp4_header
+
+    def be(x, n):
+        return int(x).to_bytes(n, "big")
+
+    assert parse_mp4_header(None) == (None,) * 4
+    assert parse_mp4_header(b"RIFF not mp4") == (None,) * 4
+
+    ftyp = be(20, 4) + b"ftypisom" + be(0, 4) + b"isom"
+    matrix = be(0x00010000, 4) + b"\0" * 12 + be(0x00010000, 4) + b"\0" * 12 + be(0x40000000, 4)
+    # v1 mvhd: 64-bit times/duration, timescale 90000
+    mvhd1 = (be(120, 4) + b"mvhd" + b"\x01\0\0\0" + be(0, 8) + be(0, 8)
+             + be(90000, 4) + be(90000 * 7 + 45000, 8)  # 7.5s
+             + be(0x00010000, 4) + be(0x0100, 2) + b"\0" * 10 + matrix
+             + b"\0" * 24 + be(2, 4))
+    assert len(mvhd1) == 120
+    tkhd1 = (be(104, 4) + b"tkhd" + b"\x01\0\0\x07" + be(0, 8) + be(0, 8)
+             + be(1, 4) + be(0, 4) + be(675000, 8) + b"\0" * 8 + b"\0" * 8
+             + matrix + be(800, 2) + b"\0\0" + be(600, 2) + b"\0\0")
+    assert len(tkhd1) == 104
+    trak = be(8 + len(tkhd1), 4) + b"trak" + tkhd1
+    inner = mvhd1 + trak
+    # largesize moov: size==1 + 64-bit size
+    moov = be(1, 4) + b"moov" + be(16 + len(inner), 8) + inner
+    got = parse_mp4_header(ftyp + moov)
+    assert got == ("mp4", 800, 600, 7500)
+
+    plain_moov = be(8 + len(inner), 4) + b"moov" + inner
+    # truncation inside tkhd raises loudly
+    with pytest.raises(ValueError, match="truncated MP4"):
+        parse_mp4_header((ftyp + plain_moov)[:-30])
+    # moov without mvhd / without tkhd raises
+    moov_no_mvhd = be(8 + len(trak), 4) + b"moov" + trak
+    with pytest.raises(ValueError, match="no moov/mvhd"):
+        parse_mp4_header(ftyp + moov_no_mvhd)
+    moov_no_trak = be(8 + len(mvhd1), 4) + b"moov" + mvhd1
+    with pytest.raises(ValueError, match="no trak/tkhd"):
+        parse_mp4_header(ftyp + moov_no_trak)
+
+
+def test_mp4_builder_raises_on_out_of_range_fields(spark):
+    """Width/height guard to the 16.16 integer domain (u16); duration to
+    u32 ms — out-of-range raises instead of truncating."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from dca_manager_spark.operators.multimodal import mp4_blob_col
+
+    df = spark.createDataFrame([(1,)], "i int")
+    with pytest.raises(Exception, match="MP4 width out of u16"):
+        df.select(mp4_blob_col(F.lit(70000), F.lit(10), F.lit(1000))).collect()
+    with pytest.raises(Exception, match="MP4 duration_ms out of u32"):
+        df.select(mp4_blob_col(F.lit(10), F.lit(10), F.lit(1 << 33))).collect()
