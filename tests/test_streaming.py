@@ -1286,3 +1286,170 @@ def test_quantile_labels_are_collision_free(spark, tmp_path):
 
     with pytest.raises(ValueError, match="duplicate quantiles"):
         read_sketch_quantiles(table, ["g"], [0.5, 0.5])
+
+
+def test_windowed_sketch_quantiles_in_bounds_oracle(spark, tmp_path):
+    """VERDICT r10 #10: time-bounded quantile reads. The store is
+    maintained with event-time buckets; a bounded read (bucket range or
+    trailing batches) must equal a sketch built DIRECTLY over exactly
+    the in-bounds rows — sketch merge is lossless, so equality is exact,
+    not approximate."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from dca_manager_spark.io.manifest import ManifestTable
+    from dca_manager_spark.operators.sketches import (
+        ddsketch_build,
+        ddsketch_quantile,
+    )
+    from dca_manager_spark.streaming.sketch_maintenance import (
+        read_sketch_quantiles,
+        stream_sketch_maintenance,
+    )
+
+    src = tmp_path / "vals"
+    src.mkdir()
+    # two files -> two batches; event times span 3 hour-buckets
+    rows1 = [("a", f"2024-01-01T0{h}:{m:02d}:00", float(h * 100 + m))
+             for h in (0, 1) for m in range(0, 50, 5)]
+    rows2 = [("a", f"2024-01-01T02:{m:02d}:00", float(900 + m))
+             for m in range(0, 50, 5)]
+    rows2 += [("b", "2024-01-01T01:30:00", 7.0)]
+
+    def write(name, rows):
+        (src / name).write_text(
+            "\n".join(json.dumps({"g": g, "ts": ts, "v": v}) for g, ts, v in rows)
+        )
+
+    table = ManifestTable(
+        spark,
+        str(tmp_path / "store"),
+        keys=("g", "bucket_ts", "batch_id"),
+        precombine="batch_id",
+        partition_by=(),
+    )
+
+    def run():
+        stream = spark.readStream.schema("g string, ts timestamp, v double").json(str(src))
+        q = stream_sketch_maintenance(
+            stream, table, str(tmp_path / "ckpt"), "v", ["g"],
+            ts_col="ts", bucket_duration="1 hour",
+        )
+        q.awaitTermination(120)
+        assert not q.isActive
+
+    write("f1.json", rows1)
+    run()
+    write("f2.json", rows2)
+    run()
+
+    all_rows = rows1 + rows2
+    both = spark.createDataFrame(
+        [(g, v) for g, ts, v in all_rows], "g string, v double"
+    )
+
+    def direct(rows):
+        df = spark.createDataFrame(
+            [(g, v) for g, ts, v in rows], "g string, v double"
+        )
+        return {
+            r["g"]: (r["n"], r["p50"], r["p99"])
+            for r in ddsketch_build(df, "v", ["g"]).select(
+                "g",
+                ddsketch_quantile(F.col("sketch"), F.col("zero_count"), F.col("n"), 0.5).alias("p50"),
+                ddsketch_quantile(F.col("sketch"), F.col("zero_count"), F.col("n"), 0.99).alias("p99"),
+                "n",
+            ).collect()
+        }
+
+    def bounded(**kw):
+        return {
+            r["g"]: (r["n"], r["p50"], r["p99"])
+            for r in read_sketch_quantiles(table, ["g"], [0.5, 0.99], **kw).collect()
+        }
+
+    import datetime
+
+    h1 = datetime.datetime(2024, 1, 1, 1)
+    h2 = datetime.datetime(2024, 1, 1, 2)
+    # bucket range [01:00, 02:00] == rows with hour in {1, 2}
+    in_bounds = [r for r in all_rows if r[1][11:13] in ("01", "02")]
+    assert bounded(min_bucket_ts=h1, max_bucket_ts=h2) == direct(in_bounds)
+    # unbounded == everything
+    assert bounded() == direct(all_rows)
+    # trailing 1 batch == batch 2's rows only
+    assert bounded(last_batches=1) == direct(rows2)
+    # bounds compose: last batch AND bucket <= 02:00 start
+    assert bounded(last_batches=1, max_bucket_ts=h2) == direct(rows2)
+
+
+def test_sketch_ttl_composes_with_compaction(spark, tmp_path):
+    """TTL sweep + compaction interaction: compacting per (group,
+    bucket) preserves bucket keys, so a later TTL sweep removes exactly
+    the expired buckets and bounded reads stay correct through any
+    interleaving; a replayed sweep deletes nothing new."""
+    import datetime
+    import json
+
+    from dca_manager_spark.io.manifest import ManifestTable
+    from dca_manager_spark.streaming.sketch_maintenance import (
+        compact_sketch_store,
+        read_sketch_quantiles,
+        stream_sketch_maintenance,
+        sweep_sketch_ttl,
+    )
+
+    src = tmp_path / "vals"
+    src.mkdir()
+    mk = lambda h, vs: [("a", f"2024-01-01T{h:02d}:10:00", float(v)) for v in vs]
+    rows1 = mk(0, range(10)) + mk(1, range(100, 120))
+    rows2 = mk(1, range(200, 230)) + mk(2, range(300, 310))
+
+    def write(name, rows):
+        (src / name).write_text(
+            "\n".join(json.dumps({"g": g, "ts": ts, "v": v}) for g, ts, v in rows)
+        )
+
+    table = ManifestTable(
+        spark,
+        str(tmp_path / "store"),
+        keys=("g", "bucket_ts", "batch_id"),
+        precombine="batch_id",
+        partition_by=(),
+    )
+
+    def run():
+        stream = spark.readStream.schema("g string, ts timestamp, v double").json(str(src))
+        q = stream_sketch_maintenance(
+            stream, table, str(tmp_path / "ckpt"), "v", ["g"],
+            ts_col="ts", bucket_duration="1 hour",
+        )
+        q.awaitTermination(120)
+
+    write("f1.json", rows1)
+    run()
+    write("f2.json", rows2)
+    run()
+
+    h1 = datetime.datetime(2024, 1, 1, 1)
+    snap = lambda **kw: sorted(
+        tuple(r) for r in read_sketch_quantiles(table, ["g"], [0.5], **kw).collect()
+    )
+    before_h1_up = snap(min_bucket_ts=h1)
+
+    # compact per (group, bucket): bucket keys survive
+    compact_sketch_store(table, ["g", "bucket_ts"])
+    assert snap(min_bucket_ts=h1) == before_h1_up
+    # hour-1 bucket collapsed to ONE row across its two batches
+    h1_rows = table.read().filter(F.col("bucket_ts") == h1).collect()
+    assert len(h1_rows) == 1
+
+    # TTL: expire buckets before 01:00
+    n = sweep_sketch_ttl(table, h1)
+    assert n == 1  # the single compacted hour-0 row
+    assert sweep_sketch_ttl(table, h1) == 0  # idempotent replay
+    assert snap() == before_h1_up  # full read now == the surviving range
+    # compaction after the sweep is a no-op that changes nothing
+    compact_sketch_store(table, ["g", "bucket_ts"])
+    assert snap() == before_h1_up
