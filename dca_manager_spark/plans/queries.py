@@ -101,70 +101,71 @@ def query(name: str, oracle: str | None):
 # The full catalog is still verified every round by scripts/driver_sim.py
 # regardless of window membership.
 _DRIVER_WINDOW = [
-    # Round-9 rotation, same policy as prior rounds: (1) queries ADDED
+    # Round-11 rotation, same policy as prior rounds: (1) queries ADDED
     # this round (no driver row yet) go first; (2) queries whose CODE or
-    # ORACLE changed this round — events_rolling_anomaly (decimal/HUGEINT
-    # sum-of-squares), stat_regression_by_group (overflow-bound doc),
-    # similarity_pq_adc (hash-ranked training sample + farthest-point
-    # reseed), dedup_ngram_jaccard (posting-cap refactor around the same
-    # default path), and the three ManifestTable queries over the write
-    # path (nullability-insensitive conflict check); (3) the two entries
-    # last scored r5; (4) r6-scored fill, alphabetical, to 50. The full
-    # catalog is still verified every round by scripts/driver_sim.py.
-    # -- (1) added in round 9 --
-    "training_bpe_tokenize",
-    "training_pack_bpe",
-    "similarity_ivf_pq_rerank",
+    # ORACLE changed this round — the span pair (production hashed/capped
+    # defaults + scrub-oracle whitespace CASE), similarity_ivf_pq_rerank
+    # (residual PQ + n_probe=8), events_rolling_anomaly (guarded BIGINT
+    # fast path), stat_regression_by_group (per-group recenter, both
+    # engines), the two BPE entries (auto/local-indexed training path),
+    # and corpus_prep_pipeline (refactored onto the shared _gated_dedup);
+    # (3) all 15 entries whose driver verdicts date to r6; (4) r7-scored
+    # fill, alphabetical, to 50. The full catalog is still verified every
+    # round by scripts/driver_sim.py.
+    # -- (1) added in round 11 --
+    "corpus_prep_spans",
+    "multimodal_video_meta",
+    # -- (2) changed in round 11 --
     "dedup_duplicate_spans",
     "dedup_span_scrub",
-    "multimodal_image_dims",
-    "multimodal_audio_meta",
-    "agg_quantile_sketch",
-    "text_gopher_repetition",
-    # -- (2) changed in round 9 --
+    "similarity_ivf_pq_rerank",
     "events_rolling_anomaly",
     "stat_regression_by_group",
-    "similarity_pq_adc",
-    "dedup_ngram_jaccard",
-    "manifest_incremental_pull",
-    "manifest_mor_resolve",
-    "manifest_cdc_aggregate",
-    # -- (3) last scored r5 --
-    "union_missing_columns",
-    "window_range_frame",
-    # -- (4) r6-scored fill (alphabetical) --
-    "agg_approx_distinct",
-    "agg_approx_percentile",
-    "agg_cube_status_priority",
-    "agg_distinct_per_segment",
-    "agg_grouping_sets",
-    "agg_rollup_region_nation",
-    "asof_join_purchase_view",
+    "training_bpe_tokenize",
+    "training_pack_bpe",
     "corpus_prep_pipeline",
-    "cross_join_region_types",
-    "dedup_embedding_cosine",
-    "dedup_embedding_cosine_exact",
-    "distinct_projection",
-    "explode_word_counts",
-    "filter_predicate_family",
-    "from_json_typed",
-    "join_full_outer",
-    "join_left_anti",
-    "join_left_semi",
-    "join_sort_merge_hint",
-    "q14_promo_revenue_ratio",
-    "q18_large_volume_customers",
-    "q19_disjunctive_revenue",
-    "q1_pricing_summary",
-    "q4_late_order_priority",
-    "q6_forecast_revenue",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "range_join_purchase_clicks",
-    "scalar_case_banding",
-    "scalar_date_funcs",
-    "scalar_json_extract",
-    "scalar_string_funcs",
+    # -- (3) last scored r6 --
+    "session_window_batch",
+    "set_except_all",
+    "set_except_parts",
+    "set_intersect_all",
+    "set_intersect_nations",
+    "set_union_entities",
+    "sliding_window_events",
+    "text_lang_id",
+    "theta_join_regions",
+    "topk_global_lineitems",
+    "tumbling_window_events",
+    "variant_semi_structured",
+    "window_lag_lead",
+    "window_rank_orders",
+    "window_running_invested",
+    # -- (4) r7-scored fill (alphabetical) --
+    "agg_collect_sorted",
+    "agg_median_price",
+    "applyinpandas_zscore",
+    "array_functions",
+    "dedup_exact_documents",
+    "dedup_simhash",
+    "embedding_quantize_int8",
+    "events_cohort_retention",
+    "events_funnel",
+    "events_resample_ffill",
+    "join_broadcast_dim",
+    "join_salted_skew",
+    "multimodal_features",
+    "pivot_status_by_priority",
+    "precombine_dedup_lineitem",
+    "q10_returned_items",
+    "q13_customer_order_distribution",
+    "q15_top_supplier",
+    "q17_small_quantity_revenue",
+    "q22_idle_customer_balance",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "sampling_exact_k",
+    "similarity_cosine_topk",
+    "similarity_ivf_ann",
 ]
 
 
