@@ -117,11 +117,18 @@ def _perf_variants():
             corpus_index=idx_cache[sf_dir],
         ).select("doc_id", "lang")
 
-    def spans(spark, sf_dir):
+    # Since round 11 the CATALOG span entry runs the production plan
+    # (hashed grams + posting cap) by default, so the twin's role
+    # inverts: it now times the explicit ORACLE-REPLAY mode (raw text
+    # join keys, no cap) — the configuration the cross-engine oracle
+    # replays bit-for-bit.
+    def spans_raw(spark, sf_dir):
         from dca_manager_spark.operators.dedup import duplicate_spans
 
         docs = load_table(spark, sf_dir, "documents")
-        return duplicate_spans(docs, "doc_id", "text", k=8, hash_grams=True)
+        return duplicate_spans(
+            docs, "doc_id", "text", k=8, hash_grams=False, max_gram_docs=None
+        )
 
     return {
         "dedup_minhash_lsh_xxh64": minhash,
@@ -129,7 +136,7 @@ def _perf_variants():
         "dedup_cluster_canonical_xxh64": cluster,
         "dedup_incremental_batch_xxh64": incremental,
         "dedup_incremental_steady_xxh64": incremental_steady,
-        "dedup_duplicate_spans_xxh64": spans,
+        "dedup_duplicate_spans_raw": spans_raw,
     }
 
 

@@ -1155,6 +1155,14 @@ def duplicate_spans(
     )
     if hash_grams:
         grams = grams.withColumn("__g", F.xxhash64("__g"))
+    if max_gram_docs is not None:
+        # The cap needs the gram frame twice (df probe + match join);
+        # pin it so window generation (slice/concat per position — the
+        # expensive projection) runs ONCE. Gram rows are compact —
+        # (id, pos, 8-byte hash) under the default hash_grams — so the
+        # cache is proportional to corpus tokens, spill-safe, and far
+        # smaller than re-exploding the text would cost.
+        grams = grams.localCheckpoint(eager=True)
     a = grams.select(
         F.col("__id").alias("__ida"),
         F.col("__pos").alias("__pa"),
@@ -1177,12 +1185,24 @@ def duplicate_spans(
         # never re-explode quadratically. Interior-hot windows therefore
         # keep spans whole; only pairs whose EVERY shared window is hot
         # are missed.
+        #
+        # ADAPTIVE: the hot set is materialized once (tiny — grams past
+        # the cap), and when it's EMPTY the cap is semantically a no-op,
+        # so the plan falls back to the single equi join and skips the
+        # anti-join, the candidate-pair distinct, and both recount joins
+        # — the common clean-corpus case pays only the df probe
+        # (measured ~25% of the two-phase plan's overhead at sf0.1).
         hot = (
             grams.groupBy("__g")
             .agg(F.countDistinct("__id").alias("__df"))
             .filter(F.col("__df") > max_gram_docs)
             .select("__g")
+            .localCheckpoint(eager=True)
         )
+        if hot.isEmpty():
+            m = a.join(b, "__g").filter(F.col("__ida") < F.col("__idb"))
+            max_gram_docs = None  # signal: simple path taken
+    if max_gram_docs is not None:
         lean = grams.join(F.broadcast(hot), "__g", "left_anti")
         la = lean.select(F.col("__id").alias("__ida"), "__g")
         lb = lean.select(F.col("__id").alias("__idb"), "__g")

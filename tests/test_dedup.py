@@ -806,14 +806,43 @@ def test_duplicate_spans_bare_call_gets_production_plan(spark):
         [(1, "x1 " + passage), (2, passage + " y1"), (3, "clean doc")],
         "doc_id int, text string",
     )
+    # hash_grams default puts xxhash64 in the gram projection (visible
+    # on the uncapped variant; the capped path pins the gram frame, so
+    # its downstream plan starts at the cached scan)
+    unc_plan = explain_formatted(
+        duplicate_spans(df, "doc_id", "text", k=8, max_gram_docs=None)
+    )
+    assert "xxhash64" in unc_plan, "default must join on hashed grams"
+
     bare = duplicate_spans(df, "doc_id", "text", k=8)
     plan = explain_formatted(bare)
-    assert "xxhash64" in plan, "bare call must join on hashed grams"
-    # the two-phase cap's hot-window pass is in the plan: a distinct-doc
-    # count per gram followed by a left-anti prune
-    assert "LeftAnti" in plan or "left_anti" in plan.lower()
+    # the capped path reads the pinned gram cache, and the join key is
+    # the 8-byte hash (bigint __g), not gram text
+    assert "ExistingRDD" in plan
+    import re as _re
+
+    assert _re.search(r"__g#\d+L", plan), "join key must be the 64-bit hash"
+    # ADAPTIVE cap: this corpus has no gram past 256 docs, so after the
+    # df probe the plan must be the SIMPLE single equi join — no
+    # anti-join, no candidate distinct, no recount joins (the clean-
+    # corpus fast path).
+    assert "LeftAnti" not in plan and "left_anti" not in plan.lower()
     got = sorted(tuple(r) for r in bare.collect())
     assert got == [(1, 2, 1, 0, 10)]
+    # ...and with a genuinely hot window the SAME bare-call entry point
+    # takes the two-phase plan (cap forced low to make 12 docs "hot").
+    hot_rows = [(i, "h1 h2 h3 h4 h5 h6 h7 h8 " + f"u{i} v{i}")
+                for i in range(100, 112)]
+    hot_df = spark.createDataFrame(
+        [(1, "x1 " + passage), (2, passage + " y1")] + hot_rows,
+        "doc_id int, text string",
+    )
+    capped = duplicate_spans(hot_df, "doc_id", "text", k=8, max_gram_docs=10)
+    cplan = explain_formatted(capped)
+    assert "LeftAnti" in cplan or "left_anti" in cplan.lower()
+    cgot = sorted(tuple(r) for r in capped.collect())
+    assert (1, 2, 1, 0, 10) in cgot
+    assert all(not (100 <= a and 100 <= b) for a, b, *_ in cgot), cgot
     # scrub under bare defaults still removes from the higher id only
     s = {r["doc_id"]: r["text"] for r in
          scrub_duplicate_spans(df, "doc_id", "text", k=8).collect()}
