@@ -240,14 +240,19 @@ def main() -> None:
     # Split totals: the catalog as-shipped (md5 oracle-parity sketches) vs
     # the production configuration (same plans, xxhash64 default) — summing
     # both modes into one number hid the hash-path cost (r4/r5 verdicts).
+    # (Since r11 the catalog span entry runs the production hashed plan
+    # itself, so it needs no twin here; its `_raw` twin times the
+    # oracle-replay mode and stays out of both totals' catalog set.)
     md5_to_prod = {
         "dedup_minhash_lsh": "dedup_minhash_lsh_xxh64",
         "dedup_simhash": "dedup_simhash_xxh64",
         "dedup_cluster_canonical": "dedup_cluster_canonical_xxh64",
         "dedup_incremental_batch": "dedup_incremental_batch_xxh64",
-        "dedup_duplicate_spans": "dedup_duplicate_spans_xxh64",
     }
-    catalog_names = [n for n in timings if not n.endswith("_xxh64")]
+    catalog_names = [
+        n for n in timings
+        if not n.endswith("_xxh64") and not n.endswith("_raw")
+    ]
     total_md5_parity = round(sum(timings[n] for n in catalog_names), 3)
     total_production = round(
         sum(timings[md5_to_prod.get(n, n)] for n in catalog_names), 3
