@@ -271,7 +271,12 @@ def train_bpe_merges(
         raise ValueError(f"n_merges must be >= 0, got {n_merges}")
     if method not in ("auto", "distributed", "local"):
         raise ValueError(f"unknown method {method!r}")
-    wf = word_frequencies(corpus, text_col)
+    # Pin the distinct-word frame so the corpus-sized explode+count runs
+    # exactly once — auto's count, target_vocab's alphabet scan, and the
+    # chosen path's loop all reuse it (it is distinct-word-sized: small
+    # by Heaps' law, and this function is a model FIT that runs jobs
+    # anyway, not a lazy plan constructor).
+    wf = word_frequencies(corpus, text_col).localCheckpoint(eager=True)
 
     if target_vocab is not None:
         n_base = (

@@ -1135,7 +1135,14 @@ def duplicate_spans(
     window's full posting list.
 
     ``min_tokens``: report only spans of at least this many tokens
-    (default ``k`` = every match)."""
+    (default ``k`` = every match).
+
+    NOTE: with a posting cap active (the default), CALLING this
+    function runs the gram document-frequency probe as a Spark job —
+    one aggregate over the (cached) gram frame — so the returned plan
+    is already specialized to the corpus (simple join when no gram is
+    hot, two-phase otherwise). Pass ``max_gram_docs=None`` for a pure,
+    action-free plan (the oracle-replay mode)."""
     from dca_manager_spark.operators.text import tokens
 
     if k < 1:
@@ -1156,13 +1163,19 @@ def duplicate_spans(
     if hash_grams:
         grams = grams.withColumn("__g", F.xxhash64("__g"))
     if max_gram_docs is not None:
-        # The cap needs the gram frame twice (df probe + match join);
-        # pin it so window generation (slice/concat per position — the
-        # expensive projection) runs ONCE. Gram rows are compact —
-        # (id, pos, 8-byte hash) under the default hash_grams — so the
-        # cache is proportional to corpus tokens, spill-safe, and far
-        # smaller than re-exploding the text would cost.
-        grams = grams.localCheckpoint(eager=True)
+        # The cap needs the gram frame more than once (df probe + both
+        # match-join sides); CACHE it so window generation (slice/concat
+        # per position — the expensive projection) runs ONCE. persist()
+        # rather than localCheckpoint: it is lazy (the df probe's own
+        # job materializes it — no extra pass) and KEEPS LINEAGE, so an
+        # executor loss mid-job recomputes the lost partitions instead
+        # of failing the run — the property a 100 TB pass needs. Gram
+        # rows are compact — (id, pos, 8-byte hash) under the default
+        # hash_grams — so the cache is proportional to corpus tokens
+        # and spills to disk past memory.
+        from pyspark import StorageLevel
+
+        grams = grams.persist(StorageLevel.MEMORY_AND_DISK)
     a = grams.select(
         F.col("__id").alias("__ida"),
         F.col("__pos").alias("__pa"),

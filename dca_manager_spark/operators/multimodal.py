@@ -157,14 +157,21 @@ def png_blob_col(width, height):
 def _range_checked(c, n_bytes: int, what: str):
     """Guard a fixed-width integer field: a value outside [0, 2^(8n)-1]
     RAISES instead of silently truncating modulo 2^(8n) — a 70000-px
-    width must never become a quietly-wrong 4464-px header."""
+    width must never become a quietly-wrong 4464-px header. NULL passes
+    through as NULL (the whole blob goes NULL, the pre-guard behavior,
+    and the parsers return all-None for it) — a nullable dim is a
+    missing value, not a corrupt one."""
     c = c.cast("bigint")
     hi = (1 << (8 * n_bytes)) - 1
-    return F.when((c >= 0) & (c <= F.lit(hi)), c).otherwise(
-        F.raise_error(
-            F.concat(
-                F.lit(f"{what} out of u{8 * n_bytes} range [0,{hi}]: "),
-                c.cast("string"),
+    return (
+        F.when(c.isNull(), c)
+        .when((c >= 0) & (c <= F.lit(hi)), c)
+        .otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(f"{what} out of u{8 * n_bytes} range [0,{hi}]: "),
+                    c.cast("string"),
+                )
             )
         )
     )
@@ -173,12 +180,15 @@ def _range_checked(c, n_bytes: int, what: str):
 def gif_blob_col(width, height):
     """JVM-expression GIF89a header: ASCII magic + LITTLE-endian 16-bit
     logical screen dims (public GIF spec). Dims outside u16 raise."""
-    le16 = lambda raw, what: F.unhex(
-        F.concat(
-            F.lpad(F.hex(_range_checked(raw, 2, what) % 256), 2, "0"),
-            F.lpad(F.hex((_range_checked(raw, 2, what) / 256).cast("bigint")), 2, "0"),
+
+    def le16(raw, what):
+        c = _range_checked(raw, 2, what)  # guard built once per field
+        return F.unhex(
+            F.concat(
+                F.lpad(F.hex(c % 256), 2, "0"),
+                F.lpad(F.hex((c / 256).cast("bigint")), 2, "0"),
+            )
         )
-    )
     return F.concat(
         F.unhex(F.lit("474946383961")),  # 'GIF89a'
         le16(width, "GIF width"),

@@ -710,6 +710,17 @@ def lsh_ann_topk(
 # Product quantization (PQ) + asymmetric distance computation (ADC)
 # ---------------------------------------------------------------------------
 
+class PQCodebooks(list):
+    """train_pq_codebooks' return type: a plain nested list (fully
+    list-compatible — every existing consumer keeps working) carrying
+    one bit of model provenance: ``residual_trained``. The serving path
+    uses it to catch the silent-quality trap of residual ADC over
+    raw-trained codebooks (and vice versa); codebooks deserialized from
+    elsewhere (plain lists) carry no tag and skip the check."""
+
+    residual_trained: bool | None = None
+
+
 def _seed_matrix(seeds: DataFrame):
     """Collect an IVF (cell, centroid) frame into (cell_ids, ndarray) —
     a bounded driver-side model fetch, sorted by cell id."""
@@ -728,15 +739,24 @@ def _seed_matrix(seeds: DataFrame):
 
 def _nearest_seed_matrix(seeds: DataFrame, X):
     """Per-row nearest (max-cosine, lowest-cell tie-break) centroid of X
-    — the same assignment rule as the ivf cell routing."""
+    — BIT-IDENTICAL to the ivf cell routing's rule: the similarity is
+    the same quantized cosine ``cell_ranks`` computes (per-element
+    floor(x*y*SCALE) integer sums, then dot/(sqrt(na)*sqrt(nb)) in
+    float64), not a plain float cosine — so a near-tie vector
+    residualizes against exactly the centroid encode-time routing will
+    assign it to. The integer sums stay exact in float64: each floored
+    term is <= |x*y|*1e12 and dims*1e12 is far below 2^53. argmax takes
+    the first maximum = lowest cell id, matching the routing's
+    (sim desc, cell asc) tie-break."""
     import numpy as np
 
     _, C = _seed_matrix(seeds)
-    cn = np.sqrt((C * C).sum(axis=1))
-    xn = np.sqrt((X * X).sum(axis=1))
-    denom = np.outer(xn, cn)
-    sims = np.divide(X @ C.T, denom, out=np.zeros((len(X), len(C))),
-                     where=denom > 0)
+    s = float(SCALE)
+    qd = np.floor(X[:, None, :] * C[None, :, :] * s).sum(axis=2)
+    xn = np.floor(X * X * s).sum(axis=1)
+    cn = np.floor(C * C * s).sum(axis=1)
+    denom = np.sqrt(xn)[:, None] * np.sqrt(cn)[None, :]
+    sims = np.divide(qd, denom, out=np.zeros_like(qd), where=denom > 0)
     return C[sims.argmax(axis=1)]
 
 
@@ -806,7 +826,8 @@ def train_pq_codebooks(
         )
     if residual_seeds is not None:
         X = X - _nearest_seed_matrix(residual_seeds, X)
-    books = []
+    books = PQCodebooks()
+    books.residual_trained = residual_seeds is not None
     for j in range(m):
         S = X[:, j * sub : (j + 1) * sub]
         rng = np.random.default_rng(seed + j)
@@ -1211,6 +1232,25 @@ def ivf_pq_rerank_topk(
     import numpy as np
     import pandas as pd
     from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    # Catch the silent-quality trap: residual ADC over raw-trained
+    # codebooks (or raw ADC over residual-trained ones) produces
+    # near-random codes and quietly collapses shortlist recall. Only
+    # checkable when the codebooks carry provenance (PQCodebooks);
+    # plain lists from external serialization skip the check.
+    trained_residual = getattr(codebooks, "residual_trained", None)
+    if trained_residual is not None and trained_residual != residual:
+        import warnings
+
+        warnings.warn(
+            f"ivf_pq_rerank_topk(residual={residual}) with codebooks "
+            f"trained residual_trained={trained_residual} — codes will "
+            "quantize a distribution they were not fit on and shortlist "
+            "recall will silently degrade. Train with "
+            "train_pq_codebooks(residual_seeds=seeds) for residual "
+            "serving, or pass residual=False.",
+            stacklevel=2,
+        )
 
     if seeds is None:
         seeds = (

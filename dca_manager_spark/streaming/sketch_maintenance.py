@@ -123,10 +123,13 @@ def read_sketch_quantiles(
     store): ``min_bucket_ts``/``max_bucket_ts`` keep only buckets in
     [min, max] — inclusive, in bucket-START timestamps; requires the
     store to have been maintained with ``ts_col`` — and
-    ``last_batches=N`` keeps only the N most recent batch_ids (one tiny
-    max-aggregate on the store, then a filter). Bounds compose. Sketch
-    merge is lossless, so a bounded read equals a sketch built directly
-    over exactly the rows in bounds."""
+    ``last_batches=N`` keeps only the N most recent DISTINCT batch ids
+    actually present (ids are sparse — empty micro-batches write
+    nothing). Bounds compose. Sketch merge is lossless, so a bounded
+    read equals a sketch built directly over exactly the rows in
+    bounds. Compaction folds each group's history under its smallest
+    batch id, so trailing-batch reads window the UNCOMPACTED tail —
+    bound by bucket_ts to window compacted history."""
     labels = [quantile_label(q) for q in qs]
     if len(set(labels)) != len(labels):
         raise ValueError(f"duplicate quantiles requested: {qs} -> {labels}")
@@ -145,9 +148,19 @@ def read_sketch_quantiles(
     if last_batches is not None:
         if last_batches < 1:
             raise ValueError(f"last_batches must be >= 1, got {last_batches}")
-        mx = rows.agg(F.max("batch_id").alias("m")).first()["m"]
-        if mx is not None:
-            rows = rows.filter(F.col("batch_id") > mx - last_batches)
+        # N most recent DISTINCT batch ids actually present — ids are
+        # sparse (empty micro-batches write nothing), so a numeric
+        # max-N range would silently under-fill the window.
+        recent = [
+            r["batch_id"]
+            for r in rows.select("batch_id")
+            .distinct()
+            .orderBy(F.col("batch_id").desc())
+            .limit(last_batches)
+            .collect()
+        ]
+        if recent:
+            rows = rows.filter(F.col("batch_id").isin(recent))
     merged = ddsketch_merge(rows, group_cols)
     cols = [
         ddsketch_quantile(
@@ -179,6 +192,9 @@ def sweep_sketch_ttl(
     expired = current.filter(F.col(bucket_col) < F.lit(cutoff_ts)).select(
         *table.keys
     )
+    # Pin the (tiny — key columns only) expired frame so the count and
+    # the delete commit share ONE scan of the store instead of two.
+    expired = expired.localCheckpoint(eager=True)
     n = expired.count()
     if n:
         table.write(expired, "delete")

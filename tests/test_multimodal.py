@@ -305,3 +305,37 @@ def test_mp4_builder_raises_on_out_of_range_fields(spark):
         df.select(mp4_blob_col(F.lit(70000), F.lit(10), F.lit(1000))).collect()
     with pytest.raises(Exception, match="MP4 duration_ms out of u32"):
         df.select(mp4_blob_col(F.lit(10), F.lit(10), F.lit(1 << 33))).collect()
+
+
+def test_null_fields_build_null_blobs_not_crashes(spark):
+    """Review finding (r11): a NULL width/height/duration is a MISSING
+    value, not a corrupt one — the builders must produce a NULL blob
+    (parsers return all-None), never a message-less raise."""
+    from pyspark.sql import functions as F
+
+    from dca_manager_spark.operators.multimodal import (
+        gif_blob_col,
+        image_dims,
+        mp4_blob_col,
+        wav_blob_col,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 320, 200), (2, None, 200)], "i int, w int, h int"
+    )
+    got = {r["i"]: r["b"] for r in df.select(
+        "i", gif_blob_col(F.col("w"), F.col("h")).alias("b")).collect()}
+    assert got[1][:6] == b"GIF89a" and got[2] is None
+    parsed = image_dims(
+        df.select("i", gif_blob_col(F.col("w"), F.col("h")).alias("content")),
+        "content",
+    ).select("i", "img.*").collect()
+    by_i = {r["i"]: r for r in parsed}
+    assert by_i[1]["width"] == 320 and by_i[2]["format"] is None
+    # WAV and MP4 builders share the guard
+    wav = df.select(wav_blob_col(F.col("w"), F.lit(8000), F.lit(16),
+                                 F.lit(100)).alias("b")).collect()
+    assert wav[0]["b"] is not None and wav[1]["b"] is None
+    mp4 = df.select(mp4_blob_col(F.col("w"), F.col("h"),
+                                 F.lit(1000)).alias("b")).collect()
+    assert mp4[0]["b"] is not None and mp4[1]["b"] is None

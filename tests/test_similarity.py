@@ -598,3 +598,44 @@ def test_residual_pq_beats_raw_on_clustered(spark):
     r_res = recall(res_books, residual=True)
     assert r_res > r_raw, (r_res, r_raw)
     assert r_res >= 0.6, r_res
+
+
+def test_residual_raw_codebook_mismatch_warns(spark):
+    """Review finding (r11): residual ADC over raw-trained codebooks (or
+    vice versa) is a silent-quality trap — the provenance-tagged
+    codebooks must trigger a warning; matched pairings stay quiet."""
+    import warnings
+
+    from dca_manager_spark.operators.similarity import (
+        ivf_pq_rerank_topk,
+        train_ivf_seeds,
+        train_pq_codebooks,
+    )
+
+    rows = [(i, [float((i * 13 + j * 5) % 17) / 17 for j in range(16)])
+            for i in range(80)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    c = emb.select(F.col("vec_id").alias("nid"), "embedding")
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+    seeds = train_ivf_seeds(c, n_cells=4, seed=13)
+    raw_books = train_pq_codebooks(c, m=4, k=8, max_iter=3, sample_id_col="nid")
+    res_books = train_pq_codebooks(
+        c, m=4, k=8, max_iter=3, sample_id_col="nid", residual_seeds=seeds
+    )
+    with pytest.warns(UserWarning, match="residual"):
+        ivf_pq_rerank_topk(q, c, "qid", "nid", raw_books,
+                           k=3, n_probe=2, shortlist=8, seeds=seeds)
+    with pytest.warns(UserWarning, match="residual"):
+        ivf_pq_rerank_topk(q, c, "qid", "nid", res_books, residual=False,
+                           k=3, n_probe=2, shortlist=8, seeds=seeds)
+    with warnings.catch_warnings():
+        # only OUR mismatch warning is an error (pyspark emits an
+        # unrelated pandas-UDF deprecation warning on these calls)
+        warnings.filterwarnings("error", message=".*residual.*")
+        ivf_pq_rerank_topk(q, c, "qid", "nid", res_books,
+                           k=3, n_probe=2, shortlist=8, seeds=seeds)
+        # untagged plain lists skip the check entirely
+        ivf_pq_rerank_topk(q, c, "qid", "nid", [list(b) for b in raw_books],
+                           k=3, n_probe=2, shortlist=8, seeds=seeds)

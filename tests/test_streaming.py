@@ -1453,3 +1453,39 @@ def test_sketch_ttl_composes_with_compaction(spark, tmp_path):
     # compaction after the sweep is a no-op that changes nothing
     compact_sketch_store(table, ["g", "bucket_ts"])
     assert snap() == before_h1_up
+
+
+def test_last_batches_counts_distinct_sparse_ids(spark, tmp_path):
+    """Review finding (r11): batch ids are sparse (empty micro-batches
+    write nothing), so last_batches=N must take the N most recent
+    DISTINCT ids present, not a numeric max-N range."""
+    from pyspark.sql import functions as F
+
+    from dca_manager_spark.io.manifest import ManifestTable
+    from dca_manager_spark.operators.sketches import ddsketch_build
+    from dca_manager_spark.streaming.sketch_maintenance import (
+        read_sketch_quantiles,
+    )
+
+    table = ManifestTable(
+        spark,
+        str(tmp_path / "store"),
+        keys=("g", "batch_id"),
+        precombine="batch_id",
+        partition_by=(),
+    )
+    for bid, vals in ((0, range(1, 51)), (5, range(100, 151))):
+        df = spark.createDataFrame(
+            [("a", float(v)) for v in vals], "g string, v double"
+        )
+        table.write(
+            ddsketch_build(df, "v", ["g"]).withColumn(
+                "batch_id", F.lit(bid).cast("long")
+            ),
+            "upsert",
+        )
+    # the old max-N range (batch_id > 5-2=3) would return only batch 5
+    got = read_sketch_quantiles(table, ["g"], [0.5], last_batches=2).collect()
+    assert got[0]["n"] == 101  # both batches' rows
+    only5 = read_sketch_quantiles(table, ["g"], [0.5], last_batches=1).collect()
+    assert only5[0]["n"] == 51
