@@ -115,6 +115,8 @@ _DRIVER_WINDOW = [
     # -- (1) added in round 11 --
     "corpus_prep_spans",
     "multimodal_video_meta",
+    "drift_token_distribution",
+    "drift_top_divergent_tokens",
     # -- (2) changed in round 11 --
     "dedup_duplicate_spans",
     "dedup_span_scrub",
@@ -164,8 +166,6 @@ _DRIVER_WINDOW = [
     "q3_shipping_priority",
     "q5_local_supplier_volume",
     "sampling_exact_k",
-    "similarity_cosine_topk",
-    "similarity_ivf_ann",
 ]
 
 
@@ -3581,6 +3581,113 @@ def corpus_prep_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         min_tokens=5,
         k=8,
     ).orderBy("doc_id")
+
+
+_DRIFT_ALIGN_SQL = r"""
+    tok AS (
+      SELECT lang,
+             unnest(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                                x -> x != '')) AS tok
+      FROM documents WHERE lang IN ('en', 'de')
+    ),
+    c AS (SELECT lang, tok, COUNT(*) AS cnt FROM tok GROUP BY lang, tok),
+    tot AS (
+      SELECT SUM(CASE WHEN lang = 'en' THEN cnt END) AS na,
+             SUM(CASE WHEN lang = 'de' THEN cnt END) AS nb
+      FROM c
+    ),
+    al AS (
+      SELECT COALESCE(a.tok, b.tok) AS tok,
+             COALESCE(a.cnt, 0) AS ca, COALESCE(b.cnt, 0) AS cb
+      FROM (SELECT tok, cnt FROM c WHERE lang = 'en') a
+      FULL OUTER JOIN (SELECT tok, cnt FROM c WHERE lang = 'de') b
+        ON a.tok = b.tok
+    )
+"""
+
+
+@query(
+    "drift_token_distribution",
+    f"""
+    WITH {_DRIFT_ALIGN_SQL},
+    terms AS (
+      SELECT ca, cb,
+             CAST(ca AS DOUBLE) / CAST(t.na AS DOUBLE)
+               - CAST(cb AS DOUBLE) / CAST(t.nb AS DOUBLE) AS d,
+             CAST(ca AS DOUBLE) / CAST(t.na AS DOUBLE)
+               + CAST(cb AS DOUBLE) / CAST(t.nb AS DOUBLE) AS s,
+             t.na, t.nb
+      FROM al CROSS JOIN tot t
+    )
+    SELECT CAST(SUM(CAST(FLOOR(abs(d) * 1e12) AS HUGEINT)) AS DOUBLE)
+             / 1e12 / 2 AS tvd,
+           CAST(SUM(CAST(FLOOR(d * d / s * 1e12) AS HUGEINT)) AS DOUBLE)
+             / 1e12 AS chisq,
+           CAST(MIN(na) AS BIGINT) AS n_tokens_a,
+           CAST(MIN(nb) AS BIGINT) AS n_tokens_b,
+           CAST(COUNT(*) AS BIGINT) AS vocab_union,
+           CAST(SUM(CASE WHEN ca > 0 AND cb > 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS vocab_shared
+    FROM terms
+    """,
+)
+def drift_token_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus drift between two slices (operators/drift.
+    distribution_drift): total-variation distance + symmetric
+    chi-square between the en and de unigram distributions, plus exact
+    token totals and vocabulary-overlap accounting — the
+    data-quality-monitoring number a continuously-ingested corpus
+    watches across snapshots/sources. One corpus-sized explode+count,
+    then a full-outer token align on the distinct-token frame.
+    Oracle-EXACT: each per-token double term is a fixed sequence of
+    correctly-rounded IEEE ops quantized with floor(term * 1e12) BEFORE
+    the sum (order-independent integer sums; no FMA-contractible
+    multiply-into-add anywhere)."""
+    from dca_manager_spark.operators.drift import distribution_drift
+
+    docs = t(spark, sf_dir, "documents")
+    return distribution_drift(docs, "lang", "en", "de")
+
+
+@query(
+    "drift_top_divergent_tokens",
+    f"""
+    WITH {_DRIFT_ALIGN_SQL},
+    scored AS (
+      SELECT al.tok AS token,
+             CAST(ca AS BIGINT) AS count_a,
+             CAST(cb AS BIGINT) AS count_b,
+             abs(CAST(ca AS HUGEINT) * t.nb - CAST(cb AS HUGEINT) * t.na)
+               AS divnum,
+             CASE WHEN CAST(ca AS HUGEINT) * t.nb
+                       - CAST(cb AS HUGEINT) * t.na < 0
+                  THEN 'up' ELSE 'down' END AS direction
+      FROM al CROSS JOIN tot t
+    )
+    SELECT CAST(rank AS INT) AS rank, token, count_a, count_b,
+           CAST(divnum AS BIGINT) AS divergence_num, direction
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (ORDER BY divnum DESC, token ASC) AS rank
+      FROM scored
+    )
+    WHERE rank <= 20
+    ORDER BY rank
+    """,
+)
+def drift_top_divergent_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The tokens DRIVING the en-vs-de drift (operators/drift.
+    top_divergent_tokens): top-20 by the exact integer cross-multiplied
+    divergence |c_a*n_b - c_b*n_a| (the numerator of |p_a - p_b| — same
+    ranking, zero floats anywhere), ties to the token; 'up' = relatively
+    more frequent in slice b. Ranking runs on the distinct-token frame
+    with a TakeOrdered top-k. Oracle-EXACT: pure integer arithmetic end
+    to end (decimal(38,0) in Spark, HUGEINT in DuckDB)."""
+    from dca_manager_spark.operators.drift import top_divergent_tokens
+
+    docs = t(spark, sf_dir, "documents")
+    return top_divergent_tokens(docs, "lang", "en", "de", k=20).orderBy(
+        "rank"
+    )
 
 
 @query(
