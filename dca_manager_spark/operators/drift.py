@@ -88,32 +88,12 @@ def _aligned(counts: DataFrame, slice_a, slice_b) -> DataFrame:
     )
 
 
-def distribution_drift(
-    df: DataFrame,
-    slice_col: str,
-    slice_a,
-    slice_b,
-    text_col: str = "text",
-    lowercase: bool = True,
-) -> DataFrame:
-    """One-row drift summary between two slices' unigram distributions:
-
-    - ``tvd``: total-variation distance, 0.5 * sum |p_a - p_b| over the
-      union vocabulary — 0 for identical distributions, 1 for disjoint;
-      the standard "how much probability mass moved" number.
-    - ``chisq``: symmetric chi-square, sum (p_a - p_b)^2 / (p_a + p_b) —
-      heavier weight on tokens that flipped between rare and common.
-    - ``n_tokens_a/b``: slice token totals (exact).
-    - ``vocab_union/vocab_shared``: vocabulary overlap accounting.
-
-    Both statistics follow the exactness policy in the module docstring:
-    per-token double terms quantized to integers before the sum, so the
-    output is bit-identical across engines and layouts."""
-    al = _aligned(
-        token_counts_by_slice(df, slice_col, text_col, lowercase),
-        slice_a,
-        slice_b,
-    )
+def drift_from_counts(counts: DataFrame, slice_a, slice_b) -> DataFrame:
+    """:func:`distribution_drift` starting from a prebuilt
+    (__slice, __tok, __cnt) frame — the entry point shared with the
+    streaming drift store (streaming/drift_maintenance.py), where the
+    counts come from a keyed table instead of a fresh corpus scan."""
+    al = _aligned(counts, slice_a, slice_b)
     pa = F.col("__ca").cast("double") / F.col("__na").cast("double")
     pb = F.col("__cb").cast("double") / F.col("__nb").cast("double")
     diff = pa - pb
@@ -135,33 +115,14 @@ def distribution_drift(
     )
 
 
-def top_divergent_tokens(
-    df: DataFrame,
-    slice_col: str,
-    slice_a,
-    slice_b,
-    text_col: str = "text",
-    k: int = 20,
-    lowercase: bool = True,
+def top_divergent_from_counts(
+    counts: DataFrame, slice_a, slice_b, k: int = 20
 ) -> DataFrame:
-    """The ``k`` tokens driving the drift, ranked by the EXACT integer
-    |c_a * n_b - c_b * n_a| (the cross-multiplied numerator of
-    |p_a - p_b| — same order, zero floats), ties to the token. Output:
-    (token, count_a, count_b, divergence_num, direction) where
-    direction is 'up' when the token is relatively more frequent in
-    slice_b (drift toward), 'down' otherwise. ``divergence_num`` is
-    emitted as BIGINT (exact while c * n < 2^63 — a ~3e9-token slice;
-    the internal ranking is decimal(38,0) and never overflows first).
-
-    Scale: the ranking runs on the aligned distinct-token frame; top-k
-    is one TakeOrderedAndProject — no global sort materialized."""
+    """:func:`top_divergent_tokens` from a prebuilt (__slice, __tok,
+    __cnt) frame — shared with the streaming drift store."""
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
-    al = _aligned(
-        token_counts_by_slice(df, slice_col, text_col, lowercase),
-        slice_a,
-        slice_b,
-    )
+    al = _aligned(counts, slice_a, slice_b)
     ca, cb = F.col("__ca").cast("decimal(38,0)"), F.col("__cb").cast("decimal(38,0)")
     na, nb = F.col("__na").cast("decimal(38,0)"), F.col("__nb").cast("decimal(38,0)")
     cross = ca * nb - cb * na
@@ -186,4 +147,60 @@ def top_divergent_tokens(
             F.col("__div").cast("bigint").alias("divergence_num"),
             "direction",
         )
+    )
+
+
+def distribution_drift(
+    df: DataFrame,
+    slice_col: str,
+    slice_a,
+    slice_b,
+    text_col: str = "text",
+    lowercase: bool = True,
+) -> DataFrame:
+    """One-row drift summary between two slices' unigram distributions:
+
+    - ``tvd``: total-variation distance, 0.5 * sum |p_a - p_b| over the
+      union vocabulary — 0 for identical distributions, 1 for disjoint;
+      the standard "how much probability mass moved" number.
+    - ``chisq``: symmetric chi-square, sum (p_a - p_b)^2 / (p_a + p_b) —
+      heavier weight on tokens that flipped between rare and common.
+    - ``n_tokens_a/b``: slice token totals (exact).
+    - ``vocab_union/vocab_shared``: vocabulary overlap accounting.
+
+    Both statistics follow the exactness policy in the module docstring:
+    per-token double terms quantized to integers before the sum, so the
+    output is bit-identical across engines and layouts."""
+    return drift_from_counts(
+        token_counts_by_slice(df, slice_col, text_col, lowercase),
+        slice_a,
+        slice_b,
+    )
+
+
+def top_divergent_tokens(
+    df: DataFrame,
+    slice_col: str,
+    slice_a,
+    slice_b,
+    text_col: str = "text",
+    k: int = 20,
+    lowercase: bool = True,
+) -> DataFrame:
+    """The ``k`` tokens driving the drift, ranked by the EXACT integer
+    |c_a * n_b - c_b * n_a| (the cross-multiplied numerator of
+    |p_a - p_b| — same order, zero floats), ties to the token. Output:
+    (token, count_a, count_b, divergence_num, direction) where
+    direction is 'up' when the token is relatively more frequent in
+    slice_b (drift toward), 'down' otherwise. ``divergence_num`` is
+    emitted as BIGINT (exact while c * n < 2^63 — a ~3e9-token slice;
+    the internal ranking is decimal(38,0) and never overflows first).
+
+    Scale: the ranking runs on the aligned distinct-token frame; top-k
+    is one TakeOrderedAndProject — no global sort materialized."""
+    return top_divergent_from_counts(
+        token_counts_by_slice(df, slice_col, text_col, lowercase),
+        slice_a,
+        slice_b,
+        k=k,
     )

@@ -1,0 +1,122 @@
+"""Streaming corpus-drift maintenance: per-micro-batch token counts
+upserted into a keyed, event-time-bucketed store, so "did this week's
+ingest drift against last week's?" is answered from O(buckets x vocab)
+state without re-reading any document — the drift sibling of
+streaming/sketch_maintenance (and the streaming payoff of counts being
+trivially mergeable: they ADD).
+
+Exactly-once story (same shape as the sketch store):
+- foreachBatch is AT-LEAST-ONCE; the store keys rows by
+  (bucket_ts, token, batch_id) and the sink is a keyed UPSERT, so a
+  replayed batch REWRITES its own rows with identical counts instead of
+  double-adding — idempotent;
+- aggregation ACROSS batches happens at read time (SUM over the batch
+  rows of a bucket — counts are associative), merge-on-read: replays
+  can never corrupt totals.
+
+Reading composes with operators/drift: the per-bucket summed counts ARE
+a (__slice, __tok, __cnt) frame, so read_bucket_drift /
+read_bucket_top_divergent reuse drift_from_counts /
+top_divergent_from_counts verbatim — identical statistics (same
+quantized-term exactness) whether the counts came from a batch scan or
+a month of micro-batches.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from dca_manager_spark.operators.drift import (
+    drift_from_counts,
+    top_divergent_from_counts,
+)
+from dca_manager_spark.operators.text import tokens
+
+
+def stream_token_counts(
+    stream_df: DataFrame,
+    table: Any,
+    checkpoint_dir: str,
+    text_col: str,
+    ts_col: str,
+    bucket_duration: str = "1 hour",
+    lowercase: bool = True,
+    available_now: bool = True,
+) -> StreamingQuery:
+    """Maintain per-(event-time bucket, token) counts over a document
+    stream. ``table`` is a keyed store with keys (bucket_ts, token,
+    batch_id) accepting upsert (ManifestTable/MergeTable); each
+    micro-batch writes one row per (bucket, token) seen in the batch.
+    State is O(buckets x vocabulary) — Heaps' law keeps the vocabulary
+    far below the corpus; expired buckets sweep with the same DELETE
+    pattern as sweep_sketch_ttl."""
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        src = F.lower(F.col(text_col)) if lowercase else F.col(text_col)
+        counts = (
+            batch_df.select(
+                F.window(F.col(ts_col), bucket_duration)["start"].alias(
+                    "bucket_ts"
+                ),
+                F.explode(tokens(src)).alias("token"),
+            )
+            .groupBy("bucket_ts", "token")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        table.write(
+            counts.withColumn("batch_id", F.lit(int(batch_id)).cast("long")),
+            "upsert",
+        )
+
+    writer = stream_df.writeStream.foreachBatch(sink).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def _bucket_counts(table: Any, buckets: list) -> DataFrame:
+    """Merge-on-read: SUM each requested bucket's per-batch count rows
+    into the (__slice, __tok, __cnt) frame operators/drift consumes.
+    The slice label is the bucket timestamp CAST TO STRING ("yyyy-MM-dd
+    HH:mm:ss", which str(datetime) also produces) — drift's pivot step
+    uses slice values as column names, and a string label is stable
+    where a raw timestamp's rendering is engine-formatting-dependent."""
+    return (
+        table.read()
+        .filter(F.col("bucket_ts").isin(buckets))
+        .groupBy(
+            F.col("bucket_ts").cast("string").alias("__slice"),
+            F.col("token").alias("__tok"),
+        )
+        .agg(F.sum("cnt").alias("__cnt"))
+    )
+
+
+def read_bucket_drift(table: Any, bucket_a, bucket_b) -> DataFrame:
+    """Distribution drift between two stored buckets — identical
+    statistics (tvd/chisq/totals/overlap, same quantized exactness) to
+    operators/drift.distribution_drift over the same documents."""
+    return drift_from_counts(
+        _bucket_counts(table, [bucket_a, bucket_b]), str(bucket_a), str(bucket_b)
+    )
+
+
+def read_bucket_top_divergent(
+    table: Any, bucket_a, bucket_b, k: int = 20
+) -> DataFrame:
+    """Top divergent tokens between two stored buckets (exact integer
+    ranking — see operators/drift.top_divergent_tokens)."""
+    return top_divergent_from_counts(
+        _bucket_counts(table, [bucket_a, bucket_b]),
+        str(bucket_a),
+        str(bucket_b),
+        k=k,
+    )

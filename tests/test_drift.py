@@ -117,3 +117,105 @@ def test_token_counts_lowercase_toggle(spark):
         for r in token_counts_by_slice(df, "slice", lowercase=False).collect()
     }
     assert raw == {("Foo", 1), ("foo", 1), ("BAR", 1)}
+
+
+def test_streaming_drift_store_matches_batch_and_is_idempotent(spark, tmp_path):
+    """The streaming drift store's bucket-vs-bucket statistics must
+    EQUAL the batch distribution_drift over the same documents (counts
+    add losslessly across micro-batches), and a replay from a fresh
+    checkpoint changes nothing (keyed upsert idempotence)."""
+    import datetime
+    import json
+
+    from dca_manager_spark.io.manifest import ManifestTable
+    from dca_manager_spark.streaming.drift_maintenance import (
+        read_bucket_drift,
+        read_bucket_top_divergent,
+        stream_token_counts,
+    )
+
+    src = tmp_path / "docs"
+    src.mkdir()
+    rows1 = [
+        ("2024-03-01T00:05:00", "alpha beta beta gamma"),
+        ("2024-03-01T00:40:00", "alpha alpha delta"),
+        ("2024-03-01T01:10:00", "beta beta beta zeta"),
+    ]
+    rows2 = [
+        ("2024-03-01T00:55:00", "gamma gamma"),
+        ("2024-03-01T01:30:00", "zeta eta eta eta"),
+    ]
+
+    def write(name, rows):
+        (src / name).write_text(
+            "\n".join(json.dumps({"ts": ts, "text": tx}) for ts, tx in rows)
+        )
+
+    table = ManifestTable(
+        spark,
+        str(tmp_path / "store"),
+        keys=("bucket_ts", "token", "batch_id"),
+        precombine="batch_id",
+        partition_by=(),
+    )
+
+    def run(ckpt):
+        stream = spark.readStream.schema("ts timestamp, text string").json(str(src))
+        q = stream_token_counts(
+            stream, table, str(tmp_path / ckpt), "text", "ts",
+            bucket_duration="1 hour",
+        )
+        q.awaitTermination(120)
+        assert not q.isActive
+
+    write("f1.json", rows1)
+    run("ckpt")
+    write("f2.json", rows2)
+    run("ckpt")
+
+    h0 = datetime.datetime(2024, 3, 1, 0)
+    h1 = datetime.datetime(2024, 3, 1, 1)
+
+    # batch twin: same docs labeled by their hour bucket
+    all_rows = rows1 + rows2
+    batch = spark.createDataFrame(
+        [(ts[:13].replace("T", " ") + ":00:00", tx) for ts, tx in all_rows],
+        "slice string, text string",
+    )
+    want = distribution_drift(batch, "slice", str(h0), str(h1)).collect()[0]
+    got = read_bucket_drift(table, h0, h1).collect()[0]
+    assert tuple(got) == tuple(want)
+
+    want_top = [
+        tuple(r)
+        for r in top_divergent_tokens(batch, "slice", str(h0), str(h1), k=5).collect()
+    ]
+    got_top = [
+        tuple(r) for r in read_bucket_top_divergent(table, h0, h1, k=5).collect()
+    ]
+    assert got_top == want_top
+
+    # at-least-once replay: a crash between the sink write and the
+    # checkpoint commit re-executes the SAME batch (same id, same
+    # rows) — the keyed upsert rewrites identical rows and statistics
+    # do not move. (A fresh checkpoint is a RE-INGEST, not a replay —
+    # batch boundaries differ and counts would legitimately double.)
+    batch2 = spark.createDataFrame(
+        [(datetime.datetime.fromisoformat(ts), tx) for ts, tx in rows2],
+        "ts timestamp, text string",
+    )
+    replay_counts = (
+        batch2.select(
+            F.window(F.col("ts"), "1 hour")["start"].alias("bucket_ts"),
+            F.explode(
+                F.filter(F.split(F.trim(F.lower(F.col("text"))), r"\s+"),
+                         lambda x: x != "")
+            ).alias("token"),
+        )
+        .groupBy("bucket_ts", "token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("batch_id", F.lit(1).cast("long"))
+    )
+    table.write(replay_counts, "upsert")
+    again = read_bucket_drift(table, h0, h1).collect()[0]
+    assert tuple(again) == tuple(want)
