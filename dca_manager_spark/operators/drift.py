@@ -135,10 +135,14 @@ def top_divergent_from_counts(
             "direction"
         ),
     )
-    w = Window.orderBy(F.col("__div").desc(), F.col("token").asc())
+    # Top-k FIRST via orderBy().limit() — TakeOrderedAndProject (per-task
+    # k-heaps, no global sort, no single-partition window over the full
+    # vocabulary); the rank window then runs over <= k rows.
+    order = [F.col("__div").desc(), F.col("token").asc()]
+    topk = scored.orderBy(*order).limit(k)
+    w = Window.orderBy(*order)
     return (
-        scored.withColumn("rank", F.row_number().over(w).cast("int"))
-        .filter(F.col("rank") <= k)
+        topk.withColumn("rank", F.row_number().over(w).cast("int"))
         .select(
             "rank",
             "token",

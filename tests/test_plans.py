@@ -253,6 +253,10 @@ def test_catalog_wide_no_accidental_cartesian(spark):
                                        # baseline (1 broadcast query vector
                                        # x bounded corpus) + 1-row BM25
                                        # broadcast constants
+        "drift_token_distribution",    # 1-row broadcast slice totals
+                                       # (same shape as stat_regression's
+                                       # global-min broadcast)
+        "drift_top_divergent_tokens",  # same 1-row totals broadcast
     }
     flagged = {}
     for name in QUERIES:
@@ -283,6 +287,9 @@ def test_catalog_wide_no_unpartitioned_windows(spark):
         # rank_a window runs over the LIMIT-100 BM25 frame — bounded by
         # construction (the fused lists are fixed-size by definition)
         "similarity_hybrid_rrf",
+        # rank window runs AFTER orderBy().limit(k) (TakeOrdered top-k),
+        # so its input is <= k rows, never the vocabulary
+        "drift_top_divergent_tokens",
     }
     flagged = {}
     for name in QUERIES:
