@@ -120,3 +120,48 @@ def read_bucket_top_divergent(
         str(bucket_b),
         k=k,
     )
+
+
+def compact_count_store(
+    table: Any,
+    group_cols: list[str] | None = None,
+) -> None:
+    """Compact the per-batch count rows to ONE summed row per group
+    (default grouping: (bucket_ts, token) — the drift-store key minus
+    batch_id), the count twin of sketch_maintenance.compact_sketch_store
+    and the same two crash-convergent commits:
+
+    1. one UPSERT writes, per group, the fully-summed count under that
+       group's smallest batch_id AND a ZERO count under every other
+       existing (group, batch_id) key — zero is SUM's merge identity,
+       so a reader between the phases computes identical drift;
+    2. one DELETE sweeps the zeroed keys.
+
+    A crash after phase 1 leaves a correct (unswept) store; phase 2
+    re-runs any time. Compaction preserves bucket keys, so it commutes
+    with sweep_sketch_ttl(bucket_col="bucket_ts") and with later
+    appends (count addition is associative)."""
+    if group_cols is None:
+        group_cols = [k for k in table.keys if k != "batch_id"]
+    current = table.read().select(*group_cols, "batch_id", "cnt")
+    summed = current.groupBy(*group_cols).agg(
+        F.sum("cnt").alias("cnt"), F.min("batch_id").alias("batch_id")
+    )
+    zeroed = (
+        current.join(
+            summed.select(
+                *group_cols, F.col("batch_id").alias("__keep")
+            ),
+            group_cols,
+        )
+        .filter(F.col("batch_id") != F.col("__keep"))
+        .select(
+            *group_cols, "batch_id", F.lit(0).cast("long").alias("cnt")
+        )
+    )
+    phase1 = summed.select(*group_cols, "batch_id", "cnt").unionByName(zeroed)
+    if not phase1.take(1):
+        return
+    table.write(phase1, "upsert")
+    if zeroed.take(1):
+        table.write(zeroed.select(*group_cols, "batch_id"), "delete")

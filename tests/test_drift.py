@@ -219,3 +219,78 @@ def test_streaming_drift_store_matches_batch_and_is_idempotent(spark, tmp_path):
     table.write(replay_counts, "upsert")
     again = read_bucket_drift(table, h0, h1).collect()[0]
     assert tuple(again) == tuple(want)
+
+
+def test_count_store_compaction_and_ttl_compose(spark, tmp_path):
+    """Count-store compaction collapses each (bucket, token)'s batch
+    rows to one summed row without moving any drift statistic, and the
+    generic TTL sweep (sweep_sketch_ttl on bucket_ts) then expires old
+    buckets exactly — compact/sweep/re-compact in any order keeps
+    bounded reads correct."""
+    import datetime
+    import json
+
+    from dca_manager_spark.io.manifest import ManifestTable
+    from dca_manager_spark.streaming.drift_maintenance import (
+        compact_count_store,
+        read_bucket_drift,
+        stream_token_counts,
+    )
+    from dca_manager_spark.streaming.sketch_maintenance import sweep_sketch_ttl
+
+    src = tmp_path / "docs"
+    src.mkdir()
+    rows1 = [("2024-03-01T00:10:00", "aa bb bb"), ("2024-03-01T01:10:00", "cc dd")]
+    rows2 = [("2024-03-01T00:20:00", "aa aa ee"), ("2024-03-01T01:40:00", "cc cc ff")]
+
+    def write(name, rows):
+        (src / name).write_text(
+            "\n".join(json.dumps({"ts": ts, "text": tx}) for ts, tx in rows)
+        )
+
+    table = ManifestTable(
+        spark,
+        str(tmp_path / "store"),
+        keys=("bucket_ts", "token", "batch_id"),
+        precombine="batch_id",
+        partition_by=(),
+    )
+
+    def run():
+        stream = spark.readStream.schema("ts timestamp, text string").json(str(src))
+        q = stream_token_counts(
+            stream, table, str(tmp_path / "ckpt"), "text", "ts",
+            bucket_duration="1 hour",
+        )
+        q.awaitTermination(120)
+
+    write("f1.json", rows1)
+    run()
+    write("f2.json", rows2)
+    run()
+
+    h0 = datetime.datetime(2024, 3, 1, 0)
+    h1 = datetime.datetime(2024, 3, 1, 1)
+    before = tuple(read_bucket_drift(table, h0, h1).collect()[0])
+
+    compact_count_store(table)
+    assert tuple(read_bucket_drift(table, h0, h1).collect()[0]) == before
+    # each (bucket, token) now holds exactly one row
+    from pyspark.sql import functions as F2
+    per_key = (
+        table.read().groupBy("bucket_ts", "token")
+        .count().agg(F2.max("count")).first()[0]
+    )
+    assert per_key == 1
+    # 'aa' rows from two batches summed: aa@h0 == 3
+    aa = table.read().filter(
+        (F2.col("token") == "aa") & (F2.col("bucket_ts") == h0)
+    ).collect()
+    assert len(aa) == 1 and aa[0]["cnt"] == 3
+
+    # generic TTL sweep expires bucket h0; h1-only reads intact
+    n = sweep_sketch_ttl(table, h1)
+    assert n > 0 and sweep_sketch_ttl(table, h1) == 0
+    assert table.read().filter(F2.col("bucket_ts") < h1).count() == 0
+    compact_count_store(table)  # still a safe no-op afterwards
+    assert table.read().filter(F2.col("token") == "cc").collect()[0]["cnt"] == 3
