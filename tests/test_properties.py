@@ -487,3 +487,56 @@ def test_cron_next_fire_properties(minute, hour, dow, start):
         probe += datetime.timedelta(minutes=1)
     assert probe == t1
     assert s.fires_between(start, t1) == [t1]
+
+
+drift_corpora = st.lists(
+    st.tuples(
+        st.sampled_from(["s1", "s2"]),
+        st.lists(
+            st.sampled_from(["aa", "bb", "cc", "dd", "ee"]),
+            min_size=1,
+            max_size=8,
+        ),
+    ),
+    min_size=2,
+    max_size=12,
+).filter(lambda rows: {s for s, _ in rows} == {"s1", "s2"})
+
+
+@given(rows=drift_corpora)
+@settings(**H_SETTINGS)
+def test_drift_matches_python_replay(spark, rows):
+    """distribution_drift equals an exact Python replay of the quantized
+    statistics on arbitrary two-slice corpora, and invariants hold:
+    tvd in [0, 1], chisq in [0, 2], swapping slices leaves both
+    symmetric statistics unchanged."""
+    import math
+
+    from dca_manager_spark.operators.drift import TERM_SCALE, distribution_drift
+
+    df = spark.createDataFrame(
+        [(s, " ".join(toks)) for s, toks in rows], "slice string, text string"
+    )
+    counts = {"s1": {}, "s2": {}}
+    for s, toks in rows:
+        for t in toks:
+            counts[s][t] = counts[s].get(t, 0) + 1
+    na, nb = sum(counts["s1"].values()), sum(counts["s2"].values())
+    tvd_q = chi_q = 0
+    for tok in set(counts["s1"]) | set(counts["s2"]):
+        pa, pb = counts["s1"].get(tok, 0) / na, counts["s2"].get(tok, 0) / nb
+        d, ssum = pa - pb, pa + pb
+        tvd_q += math.floor(abs(d) * float(TERM_SCALE))
+        chi_q += math.floor(d * d / ssum * float(TERM_SCALE))
+
+    row = distribution_drift(df, "slice", "s1", "s2").collect()[0]
+    assert row["tvd"] == tvd_q / TERM_SCALE / 2
+    assert row["chisq"] == chi_q / TERM_SCALE
+    assert 0.0 <= row["tvd"] <= 1.0 + 1e-12
+    assert 0.0 <= row["chisq"] <= 2.0 + 1e-12
+    swapped = distribution_drift(df, "slice", "s2", "s1").collect()[0]
+    assert swapped["tvd"] == row["tvd"] and swapped["chisq"] == row["chisq"]
+    assert (swapped["n_tokens_a"], swapped["n_tokens_b"]) == (
+        row["n_tokens_b"],
+        row["n_tokens_a"],
+    )
