@@ -60,7 +60,30 @@ def token_counts_by_slice(
 
 def _aligned(counts: DataFrame, slice_a, slice_b) -> DataFrame:
     """Full-outer align the two slices' token counts plus each slice's
-    total: (token, c_a, c_b, n_a, n_b). Totals broadcast (2 rows)."""
+    total: (token, c_a, c_b, n_a, n_b). Totals broadcast (2 rows).
+
+    A slice with NO tokens has no distribution — its pivot total comes
+    back NULL and every downstream per-token term (and the summed
+    tvd/chisq) would silently go NULL (ADVICE r11). The totals are
+    therefore guarded: a missing/zero slice total raises loudly at
+    evaluation time instead of emitting NULL statistics."""
+
+    def _required_total(raw_name: str, label) -> "F.Column":
+        c = F.col(raw_name)
+        return (
+            F.when(
+                c.isNull() | (c == 0),
+                F.raise_error(
+                    F.lit(
+                        f"drift: slice {label!r} has zero tokens — no "
+                        "distribution to compare (empty slice, wrong "
+                        "label, or filtered-out bucket)"
+                    )
+                ).cast("bigint"),
+            )
+            .otherwise(c)
+        )
+
     a = counts.filter(F.col("__slice") == slice_a).select(
         "__tok", F.col("__cnt").alias("__ca")
     )
@@ -73,8 +96,8 @@ def _aligned(counts: DataFrame, slice_a, slice_b) -> DataFrame:
         .pivot("__slice", [slice_a, slice_b])
         .sum("__cnt")
         .select(
-            F.col(str(slice_a)).alias("__na"),
-            F.col(str(slice_b)).alias("__nb"),
+            _required_total(str(slice_a), slice_a).alias("__na"),
+            _required_total(str(slice_b), slice_b).alias("__nb"),
         )
     )
     return (

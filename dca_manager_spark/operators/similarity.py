@@ -1185,7 +1185,7 @@ def ivf_pq_rerank_topk(
     n_probe: int = 4,
     shortlist: int = 64,
     seeds: DataFrame | None = None,
-    residual: bool = True,
+    residual: bool | None = None,
 ) -> DataFrame:
     """The composed PRODUCTION ANN serving plan — IVF routing -> PQ/ADC
     shortlist -> exact re-rank — in one DataFrame pipeline:
@@ -1216,7 +1216,16 @@ def ivf_pq_rerank_topk(
     ivf_ann_topk); pass train_ivf_seeds output in production.
     ``codebooks`` come from train_pq_codebooks.
 
-    ``residual=True`` (default; the standard FAISS IVF-PQ recipe): the
+    ``residual`` defaults to the CODEBOOKS' OWN training provenance:
+    ``PQCodebooks.residual_trained`` when present (train_pq_codebooks
+    output), else ``False`` for untagged plain-list codebooks — an
+    untagged codebook was, before provenance existed, necessarily
+    raw-trained, and defaulting it into residual ADC is exactly the
+    silent recall collapse the provenance warning cannot catch (ADVICE
+    r11). Pass ``residual=`` explicitly to override; a mismatch against
+    tagged provenance still warns.
+
+    ``residual=True`` (the standard FAISS IVF-PQ recipe): the
     PQ stage codes each corpus vector's RESIDUAL against its routed
     cell centroid — ``ADC = q.c + sum_j LUT[j][code_j]`` with the exact
     per-(query, probed-cell) ``q.c`` term computed once in the routing
@@ -1239,7 +1248,9 @@ def ivf_pq_rerank_topk(
     # checkable when the codebooks carry provenance (PQCodebooks);
     # plain lists from external serialization skip the check.
     trained_residual = getattr(codebooks, "residual_trained", None)
-    if trained_residual is not None and trained_residual != residual:
+    if residual is None:
+        residual = bool(trained_residual) if trained_residual is not None else False
+    elif trained_residual is not None and trained_residual != residual:
         import warnings
 
         warnings.warn(

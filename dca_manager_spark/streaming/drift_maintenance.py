@@ -82,18 +82,25 @@ def stream_token_counts(
     return writer.start()
 
 
-def _bucket_counts(table: Any, buckets: list) -> DataFrame:
+def _bucket_counts(table: Any, bucket_a, bucket_b) -> DataFrame:
     """Merge-on-read: SUM each requested bucket's per-batch count rows
     into the (__slice, __tok, __cnt) frame operators/drift consumes.
-    The slice label is the bucket timestamp CAST TO STRING ("yyyy-MM-dd
-    HH:mm:ss", which str(datetime) also produces) — drift's pivot step
-    uses slice values as column names, and a string label is stable
-    where a raw timestamp's rendering is engine-formatting-dependent."""
+    Buckets are matched by comparing ``bucket_ts`` DIRECTLY against the
+    timestamp values and aliased to the fixed labels 'a'/'b' — never by
+    string rendering: str(datetime) and Spark's timestamp-to-string cast
+    disagree on sub-second buckets ('…00.123000' vs '…00.123'), and a
+    label containing '.' would break drift's pivot column references
+    (ADVICE r11 — the old rendering-based match yielded empty slices,
+    which now raise loudly in drift._aligned either way)."""
+    if bucket_a == bucket_b:
+        raise ValueError(f"bucket_a and bucket_b are the same bucket: {bucket_a!r}")
     return (
         table.read()
-        .filter(F.col("bucket_ts").isin(buckets))
+        .filter(F.col("bucket_ts").isin([bucket_a, bucket_b]))
         .groupBy(
-            F.col("bucket_ts").cast("string").alias("__slice"),
+            F.when(F.col("bucket_ts") == F.lit(bucket_a), F.lit("a"))
+            .otherwise(F.lit("b"))
+            .alias("__slice"),
             F.col("token").alias("__tok"),
         )
         .agg(F.sum("cnt").alias("__cnt"))
@@ -105,7 +112,7 @@ def read_bucket_drift(table: Any, bucket_a, bucket_b) -> DataFrame:
     statistics (tvd/chisq/totals/overlap, same quantized exactness) to
     operators/drift.distribution_drift over the same documents."""
     return drift_from_counts(
-        _bucket_counts(table, [bucket_a, bucket_b]), str(bucket_a), str(bucket_b)
+        _bucket_counts(table, bucket_a, bucket_b), "a", "b"
     )
 
 
@@ -115,9 +122,9 @@ def read_bucket_top_divergent(
     """Top divergent tokens between two stored buckets (exact integer
     ranking — see operators/drift.top_divergent_tokens)."""
     return top_divergent_from_counts(
-        _bucket_counts(table, [bucket_a, bucket_b]),
-        str(bucket_a),
-        str(bucket_b),
+        _bucket_counts(table, bucket_a, bucket_b),
+        "a",
+        "b",
         k=k,
     )
 
@@ -125,6 +132,7 @@ def read_bucket_top_divergent(
 def compact_count_store(
     table: Any,
     group_cols: list[str] | None = None,
+    assume_quiesced: bool = False,
 ) -> None:
     """Compact the per-batch count rows to ONE summed row per group
     (default grouping: (bucket_ts, token) — the drift-store key minus
@@ -140,10 +148,31 @@ def compact_count_store(
     A crash after phase 1 leaves a correct (unswept) store; phase 2
     re-runs any time. Compaction preserves bucket keys, so it commutes
     with sweep_sketch_ttl(bucket_col="bucket_ts") and with later
-    appends (count addition is associative)."""
+    appends (count addition is associative).
+
+    REPLAY SAFETY (ADVICE r11): the store's idempotence contract is
+    that a replayed micro-batch rewrites ITS OWN (group, batch_id) rows
+    with identical values — which folding would break if it touched a
+    replayable batch (the replay would either overwrite the folded sum
+    or re-add counts already folded into it). Structured Streaming's
+    foreachBatch only ever replays the LATEST uncommitted batch (batch
+    N+1 does not start until N's checkpoint commit lands), so rows at
+    the store's maximum batch_id are EXCLUDED from compaction — the
+    fold only ever consumes batches whose checkpoint commit is already
+    durable. (The store assumes one writing stream, which the keyed
+    batch_id scheme already requires.) ``assume_quiesced=True`` folds
+    the frontier too — valid ONLY while the writing stream is stopped
+    at a committed checkpoint (e.g. between availableNow runs)."""
     if group_cols is None:
         group_cols = [k for k in table.keys if k != "batch_id"]
-    current = table.read().select(*group_cols, "batch_id", "cnt")
+    all_rows = table.read().select(*group_cols, "batch_id", "cnt")
+    if assume_quiesced:
+        current = all_rows
+    else:
+        frontier = all_rows.agg(F.max("batch_id").alias("m")).first()["m"]
+        if frontier is None:
+            return
+        current = all_rows.filter(F.col("batch_id") < frontier)
     summed = current.groupBy(*group_cols).agg(
         F.sum("cnt").alias("cnt"), F.min("batch_id").alias("batch_id")
     )

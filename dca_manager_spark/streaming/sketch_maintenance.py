@@ -204,6 +204,7 @@ def sweep_sketch_ttl(
 def compact_sketch_store(
     table: Any,
     group_cols: list[str],
+    assume_quiesced: bool = False,
 ) -> None:
     """Compact the per-batch sketch rows to ONE merged row per group —
     the read-time merge then touches O(groups) rows instead of
@@ -220,10 +221,28 @@ def compact_sketch_store(
     A crash after phase 1 leaves a correct (just unswept) store, and
     phase 2 can re-run any time — crash-convergent, like the corpus
     ingest loops. Compaction commutes with later appends (sketch merge
-    is associative), so maintenance never needs to pause."""
-    current = table.read().select(
+    is associative), so maintenance never needs to pause.
+
+    REPLAY SAFETY (ADVICE r11): a replayed micro-batch rewrites its own
+    (group, batch_id) rows — which folding would break if it touched a
+    replayable batch (the replay would overwrite the merged sketch, or
+    re-add a sketch already merged into it). foreachBatch only ever
+    replays the LATEST uncommitted batch, so rows at the store's
+    maximum batch_id are EXCLUDED from compaction — the merge consumes
+    only batches whose checkpoint commit is already durable.
+    ``assume_quiesced=True`` folds the frontier too — valid ONLY while
+    the writing stream is stopped at a committed checkpoint (e.g.
+    between availableNow runs)."""
+    all_rows = table.read().select(
         *group_cols, "batch_id", "sketch", "zero_count", "n"
     )
+    if assume_quiesced:
+        current = all_rows
+    else:
+        frontier = all_rows.agg(F.max("batch_id").alias("m")).first()["m"]
+        if frontier is None:
+            return
+        current = all_rows.filter(F.col("batch_id") < frontier)
     merged = ddsketch_merge(current, group_cols)
     keep_key = current.groupBy(*group_cols).agg(
         F.min("batch_id").alias("batch_id")

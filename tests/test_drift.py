@@ -273,7 +273,9 @@ def test_count_store_compaction_and_ttl_compose(spark, tmp_path):
     h1 = datetime.datetime(2024, 3, 1, 1)
     before = tuple(read_bucket_drift(table, h0, h1).collect()[0])
 
-    compact_count_store(table)
+    # Stream is stopped at a committed availableNow checkpoint, so the
+    # frontier batch may fold too (the default would keep it aside).
+    compact_count_store(table, assume_quiesced=True)
     assert tuple(read_bucket_drift(table, h0, h1).collect()[0]) == before
     # each (bucket, token) now holds exactly one row
     from pyspark.sql import functions as F2
@@ -294,3 +296,170 @@ def test_count_store_compaction_and_ttl_compose(spark, tmp_path):
     assert table.read().filter(F2.col("bucket_ts") < h1).count() == 0
     compact_count_store(table)  # still a safe no-op afterwards
     assert table.read().filter(F2.col("token") == "cc").collect()[0]["cnt"] == 3
+
+
+def test_compaction_excludes_replayable_frontier(spark, tmp_path):
+    """ADVICE r11 (medium): compaction interleaved between a
+    micro-batch's table write and that batch's checkpoint commit must
+    not corrupt totals when the batch replays. Only the LATEST batch
+    can ever replay (batch N+1 starts after N commits), so default
+    compaction excludes the store's max batch_id; the replayed upsert
+    then rewrites its own untouched rows and every read stays exact."""
+    import datetime
+
+    from dca_manager_spark.io.manifest import ManifestTable
+    from dca_manager_spark.streaming.drift_maintenance import (
+        compact_count_store,
+        read_bucket_drift,
+    )
+
+    h0 = datetime.datetime(2024, 3, 1, 0)
+    h1 = datetime.datetime(2024, 3, 1, 1)
+    table = ManifestTable(
+        spark,
+        str(tmp_path / "store"),
+        keys=("bucket_ts", "token", "batch_id"),
+        precombine="batch_id",
+        partition_by=(),
+    )
+
+    def write_batch(batch_id, rows):
+        df = spark.createDataFrame(
+            [(b, t, c, batch_id) for b, t, c in rows],
+            "bucket_ts timestamp, token string, cnt long, batch_id long",
+        )
+        table.write(df, "upsert")
+
+    # batch 0 committed; batch 1 written but its checkpoint commit is
+    # (conceptually) still in flight — it may replay.
+    write_batch(0, [(h0, "aa", 2), (h0, "bb", 1), (h1, "xx", 4)])
+    batch1 = [(h0, "aa", 3), (h1, "cc", 4), (h1, "xx", 1)]
+    write_batch(1, batch1)
+
+    expected = tuple(read_bucket_drift(table, h0, h1).collect()[0])
+
+    # compaction runs in the hazard window...
+    compact_count_store(table)
+    # ...then the crash replays batch 1 verbatim (same id, same rows).
+    write_batch(1, batch1)
+
+    # totals are still exact: aa@h0 == 5 (the old full fold would have
+    # folded aa into batch 0 and the replay would re-add 3 -> 8).
+    got = {
+        (r["bucket_ts"], r["token"]): r["cnt"]
+        for r in table.read()
+        .groupBy("bucket_ts", "token")
+        .agg(F.sum("cnt").alias("cnt"))
+        .collect()
+    }
+    assert got == {
+        (h0, "aa"): 5, (h0, "bb"): 1, (h1, "xx"): 5, (h1, "cc"): 4,
+    }
+    assert tuple(read_bucket_drift(table, h0, h1).collect()[0]) == expected
+    # frontier rows themselves were left alone (still keyed batch_id 1)
+    assert table.read().filter(
+        (F.col("token") == "cc") & (F.col("batch_id") == 1)
+    ).count() == 1
+
+
+def test_sketch_compaction_excludes_replayable_frontier(spark, tmp_path):
+    """Sketch-store twin of the count-store frontier rule: compaction
+    between a batch's write and its checkpoint commit, followed by the
+    batch's replay, keeps merged quantiles and counts exact."""
+    from dca_manager_spark.io.manifest import ManifestTable
+    from dca_manager_spark.operators.sketches import ddsketch_build
+    from dca_manager_spark.streaming.sketch_maintenance import (
+        compact_sketch_store,
+        read_sketch_quantiles,
+    )
+
+    table = ManifestTable(
+        spark,
+        str(tmp_path / "skstore"),
+        keys=("g", "batch_id"),
+        precombine="batch_id",
+        partition_by=(),
+    )
+
+    def write_batch(batch_id, rows):
+        df = spark.createDataFrame(rows, "g string, v double")
+        table.write(
+            ddsketch_build(df, "v", ["g"]).withColumn(
+                "batch_id", F.lit(batch_id).cast("long")
+            ),
+            "upsert",
+        )
+
+    write_batch(0, [("a", float(v)) for v in range(1, 50)])
+    batch1 = [("a", float(v)) for v in range(50, 80)] + [("b", 9.0)] * 5
+    write_batch(1, batch1)
+    expected = sorted(
+        tuple(r)
+        for r in read_sketch_quantiles(table, ["g"], [0.5, 0.99]).collect()
+    )
+
+    compact_sketch_store(table, ["g"])   # hazard window
+    write_batch(1, batch1)               # replay
+
+    after = sorted(
+        tuple(r)
+        for r in read_sketch_quantiles(table, ["g"], [0.5, 0.99]).collect()
+    )
+    assert after == expected
+    ns = {r["g"]: r["n"] for r in read_sketch_quantiles(table, ["g"], [0.5]).collect()}
+    assert ns == {"a": 49 + 30, "b": 5}  # old full fold: a would double batch 1
+
+
+def test_sub_second_bucket_labels(spark, tmp_path):
+    """ADVICE r11: bucket matching must not depend on str(datetime) and
+    Spark's cast-to-string agreeing — sub-second buckets render
+    differently ('…00.123000' vs '…00.123') and a '.' in a pivot label
+    breaks column parsing. Buckets are now compared as timestamps and
+    aliased to fixed labels, so sub-second stores read exactly."""
+    import datetime
+
+    from dca_manager_spark.io.manifest import ManifestTable
+    from dca_manager_spark.operators.drift import drift_from_counts
+    from dca_manager_spark.streaming.drift_maintenance import (
+        read_bucket_drift,
+        read_bucket_top_divergent,
+    )
+
+    b1 = datetime.datetime(2024, 3, 1, 0, 0, 0, 123000)
+    b2 = datetime.datetime(2024, 3, 1, 0, 0, 0, 623000)
+    table = ManifestTable(
+        spark,
+        str(tmp_path / "store"),
+        keys=("bucket_ts", "token", "batch_id"),
+        precombine="batch_id",
+        partition_by=(),
+    )
+    rows = [
+        (b1, "x", 6, 0), (b1, "y", 2, 0),
+        (b2, "x", 2, 0), (b2, "y", 4, 0), (b2, "z", 2, 0),
+    ]
+    table.write(
+        spark.createDataFrame(
+            rows, "bucket_ts timestamp, token string, cnt long, batch_id long"
+        ),
+        "upsert",
+    )
+    counts = spark.createDataFrame(
+        [("a" if b == b1 else "b", t, c) for b, t, c, _ in rows],
+        "__slice string, __tok string, __cnt long",
+    )
+    want = tuple(drift_from_counts(counts, "a", "b").collect()[0])
+    got = tuple(read_bucket_drift(table, b1, b2).collect()[0])
+    assert got == want and got[2] == 8 and got[3] == 8  # n_tokens non-NULL
+    assert len(read_bucket_top_divergent(table, b1, b2, k=3).collect()) == 3
+    with pytest.raises(ValueError, match="same bucket"):
+        read_bucket_drift(table, b1, b1)
+
+
+def test_empty_slice_raises_loudly(spark, sliced):
+    """ADVICE r11: a slice with zero tokens must fail loudly, not emit
+    NULL statistics — the pivot total guard raises at evaluation."""
+    with pytest.raises(Exception, match="zero tokens"):
+        distribution_drift(sliced, "slice", "a", "nope").collect()
+    with pytest.raises(Exception, match="zero tokens"):
+        top_divergent_tokens(sliced, "slice", "nope", "b", k=3).collect()

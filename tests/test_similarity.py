@@ -625,7 +625,7 @@ def test_residual_raw_codebook_mismatch_warns(spark):
         c, m=4, k=8, max_iter=3, sample_id_col="nid", residual_seeds=seeds
     )
     with pytest.warns(UserWarning, match="residual"):
-        ivf_pq_rerank_topk(q, c, "qid", "nid", raw_books,
+        ivf_pq_rerank_topk(q, c, "qid", "nid", raw_books, residual=True,
                            k=3, n_probe=2, shortlist=8, seeds=seeds)
     with pytest.warns(UserWarning, match="residual"):
         ivf_pq_rerank_topk(q, c, "qid", "nid", res_books, residual=False,
@@ -636,6 +636,50 @@ def test_residual_raw_codebook_mismatch_warns(spark):
         warnings.filterwarnings("error", message=".*residual.*")
         ivf_pq_rerank_topk(q, c, "qid", "nid", res_books,
                            k=3, n_probe=2, shortlist=8, seeds=seeds)
-        # untagged plain lists skip the check entirely
+        # ADVICE r11: residual DEFAULTS to the codebooks' provenance —
+        # a bare call with raw-trained tagged codebooks takes the raw
+        # path (no mismatch, no warning)...
+        ivf_pq_rerank_topk(q, c, "qid", "nid", raw_books,
+                           k=3, n_probe=2, shortlist=8, seeds=seeds)
+        # ...and untagged plain lists default to raw (False) — the one
+        # case the warning could never catch — and skip the check.
         ivf_pq_rerank_topk(q, c, "qid", "nid", [list(b) for b in raw_books],
                            k=3, n_probe=2, shortlist=8, seeds=seeds)
+
+
+def test_residual_default_follows_provenance(spark):
+    """ADVICE r11: a bare ivf_pq_rerank_topk call must score untagged
+    plain-list codebooks (all historically raw-trained) through the RAW
+    path, and tagged codebooks through their own training mode — the
+    default and an explicit matching residual= give identical results."""
+    from dca_manager_spark.operators.similarity import (
+        ivf_pq_rerank_topk,
+        train_ivf_seeds,
+        train_pq_codebooks,
+    )
+
+    rows = [(i, [float((i * 7 + j * 3) % 13) / 13 for j in range(16)])
+            for i in range(60)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    c = emb.select(F.col("vec_id").alias("nid"), "embedding")
+    q = emb.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+    seeds = train_ivf_seeds(c, n_cells=4, seed=13)
+    res_books = train_pq_codebooks(
+        c, m=4, k=8, max_iter=3, sample_id_col="nid", residual_seeds=seeds
+    )
+    plain = [list(b) for b in res_books]  # strips the provenance tag
+
+    def run(books, **kw):
+        return sorted(
+            tuple(r) for r in ivf_pq_rerank_topk(
+                q, c, "qid", "nid", books,
+                k=3, n_probe=2, shortlist=8, seeds=seeds, **kw
+            ).collect()
+        )
+
+    # tagged residual books: default == explicit residual=True
+    assert run(res_books) == run(res_books, residual=True)
+    # untagged plain lists: default == explicit residual=False
+    assert run(plain) == run(plain, residual=False)

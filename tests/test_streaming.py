@@ -1204,7 +1204,17 @@ def test_compact_sketch_store_preserves_quantiles(spark, tmp_path):
         tuple(r) for r in read_sketch_quantiles(table, ["g"], [0.5, 0.99]).collect()
     )
     assert after == before
-    # swept: exactly one row per group remains
+    # Default compaction EXCLUDES the frontier (max batch_id = 2 — the
+    # only batch a replay could rewrite): a folds to one row, b keeps
+    # its frontier row next to the folded one.
+    remaining = table.read().groupBy("g").count().collect()
+    assert {r["g"]: r["count"] for r in remaining} == {"a": 1, "b": 2}
+    # With the stream quiesced at a committed checkpoint the caller may
+    # fold everything: exactly one row per group remains.
+    compact_sketch_store(table, ["g"], assume_quiesced=True)
+    assert sorted(
+        tuple(r) for r in read_sketch_quantiles(table, ["g"], [0.5, 0.99]).collect()
+    ) == before
     remaining = table.read().groupBy("g").count().collect()
     assert {r["g"]: r["count"] for r in remaining} == {"a": 1, "b": 1}
     # compaction commutes with later appends
@@ -1438,8 +1448,10 @@ def test_sketch_ttl_composes_with_compaction(spark, tmp_path):
     )
     before_h1_up = snap(min_bucket_ts=h1)
 
-    # compact per (group, bucket): bucket keys survive
-    compact_sketch_store(table, ["g", "bucket_ts"])
+    # compact per (group, bucket): bucket keys survive (the stream is
+    # stopped at a committed availableNow checkpoint, so the frontier
+    # batch may fold too)
+    compact_sketch_store(table, ["g", "bucket_ts"], assume_quiesced=True)
     assert snap(min_bucket_ts=h1) == before_h1_up
     # hour-1 bucket collapsed to ONE row across its two batches
     h1_rows = table.read().filter(F.col("bucket_ts") == h1).collect()
