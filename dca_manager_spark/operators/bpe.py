@@ -182,29 +182,51 @@ def _merge_loop_indexed(
     return merges
 
 
-def _apply_merge_col(syms_col: Column, a: str, b: str) -> Column:
-    """JVM-side left-to-right merge of adjacent (a, b) -> a+b: a fold
-    (``F.aggregate``) carrying one pending symbol — when pending == a
-    and the next symbol == b, emit the merged token and clear pending
-    (so a merged token never re-merges within the round, exactly
-    ``_merge_word``). Whole-stage-codegen; no Python roundtrip in the
-    training loop. Symbols are never empty strings (the char split
-    filters them), but a ``has`` flag keeps the fold correct anyway."""
+def _apply_merges_col(syms_col: Column, batch: list[tuple[str, str]]) -> Column:
+    """JVM-side SINGLE-PASS left-to-right application of a
+    SYMBOL-DISJOINT merge batch: a fold (``F.aggregate``) carrying one
+    pending symbol — when (pending, next) matches any batch pair, emit
+    the merged token and clear pending (so a merged token never
+    re-merges within the pass, exactly ``_merge_word``).
+
+    For pairwise symbol-disjoint merges the single pass EQUALS applying
+    each merge sequentially in any order: no array position can match
+    two different pairs (they would share a symbol), and merging (a, b)
+    only perturbs adjacencies that involve a, b, or the new token a+b —
+    none of which appear in any other batch pair. The match test is a
+    ``when`` chain over the batch (one lambda in the plan, NOT unrolled
+    per element), so expression size is O(batch), bounded by
+    ``merge_batch``. Whole-stage-codegen; no Python in the loop.
+    Symbols are never empty strings (the char split filters them), but
+    a ``has`` flag keeps the fold correct anyway."""
+    if not batch:
+        raise ValueError("empty merge batch")
 
     def _st(out: Column, pend: Column, has: Column) -> Column:
         return F.struct(out.alias("out"), pend.alias("pend"), has.alias("has"))
 
-    merged = F.lit(a + b)
     empty = F.expr("cast(array() as array<string>)")
     init = _st(empty, F.lit(""), F.lit(False))
 
+    def matched(pend: Column, x: Column) -> Column:
+        expr = None
+        for a, b in batch:
+            cond = (pend == F.lit(a)) & (x == F.lit(b))
+            expr = (
+                F.when(cond, F.lit(a + b))
+                if expr is None
+                else expr.when(cond, F.lit(a + b))
+            )
+        return expr.otherwise(F.lit(None).cast("string"))
+
     def step(acc: Column, x: Column) -> Column:
+        m = matched(acc["pend"], x)
         return (
             F.when(~acc["has"], _st(acc["out"], x, F.lit(True)))
             .when(
-                (acc["pend"] == F.lit(a)) & (x == F.lit(b)),
+                m.isNotNull(),
                 _st(
-                    F.concat(acc["out"], F.array(merged)),
+                    F.concat(acc["out"], F.array(m)),
                     F.lit(""),
                     F.lit(False),
                 ),
@@ -226,6 +248,64 @@ def _apply_merge_col(syms_col: Column, a: str, b: str) -> Column:
     return F.aggregate(syms_col, init, step, fin)
 
 
+def _apply_merge_col(syms_col: Column, a: str, b: str) -> Column:
+    """Single-merge form of :func:`_apply_merges_col`."""
+    return _apply_merges_col(syms_col, [(a, b)])
+
+
+def _select_merge_batch(
+    rows, limit: int, min_count: int, truncated: bool
+) -> list[tuple[str, str]]:
+    """Pick the longest PREFIX of the (cnt desc, pair asc)-sorted pair
+    candidates that is provably BIT-IDENTICAL to applying them one
+    sequential argmax at a time (the standard batched-BPE trick, made
+    exact):
+
+    - prefix-only and pairwise SYMBOL-DISJOINT: selection stops at the
+      first candidate sharing a symbol with an earlier selection (or at
+      ``limit``) — so every pair a selected merge could perturb sorts at
+      or after the stop point;
+    - STRICT dominance: selected pairs (beyond the always-safe global
+      argmax) must have cnt STRICTLY above the stop candidate's — a new
+      pair created by merge (a,b) occurs at most once per occurrence of
+      its pre-merge twin (e.g. (x, ab) was (x, a)), and the twin, sharing
+      a symbol, sorts at/after the stop — so no new or perturbed pair
+      can reach, even by tie-break, any count a later selected pair
+      holds. With ``truncated`` (the collected top-K may not be the full
+      candidate set) the last collected row acts as the stop.
+
+    Rows below ``min_count`` end selection (sequential training never
+    reaches them, and anything they could perturb is below every
+    selected count)."""
+    selected: list[tuple[str, str]] = []
+    used: set[str] = set()
+    stop_cnt = None
+    broke = False
+    for r in rows:
+        a, b, c = r["a"], r["b"], r["cnt"]
+        if c < min_count:
+            broke = True
+            break
+        if len(selected) >= limit or a in used or b in used:
+            stop_cnt = c
+            broke = True
+            break
+        selected.append((a, b))
+        used.add(a)
+        used.add(b)
+    if not broke and truncated:
+        stop_cnt = rows[-1]["cnt"]
+    if stop_cnt is not None and selected:
+        keep = selected[:1]  # the global argmax is sequential pick #1
+        for (a, b), r in zip(selected[1:], rows[1:]):
+            if r["cnt"] > stop_cnt:
+                keep.append((a, b))
+            else:
+                break
+        selected = keep
+    return selected
+
+
 def train_bpe_merges(
     corpus: DataFrame,
     text_col: str = "text",
@@ -234,6 +314,7 @@ def train_bpe_merges(
     method: str = "auto",
     max_words: int = 262_144,
     target_vocab: int | None = None,
+    merge_batch: int = 32,
 ) -> list[tuple[str, str]]:
     """Learn ``n_merges`` BPE merges from a corpus. Returns the ordered
     merge list (rank = position). Stops early when the best remaining
@@ -256,10 +337,16 @@ def train_bpe_merges(
 
     distributed: per round, one adjacent-pair explode + weighted count
     over the distinct-word frame (JVM transform/explode — no Python), a
-    1-row TakeOrdered collect for the argmax, and a JVM-side fold merge
-    apply (``_apply_merge_col``) pinned with localCheckpoint (bounded
-    lineage, like graph.pagerank). No Python executes anywhere in the
-    round loop. Words reduced to one symbol leave the frame.
+    bounded TakeOrdered collect of the top candidates, and a JVM-side
+    fold merge apply (``_apply_merges_col``) pinned with localCheckpoint
+    (bounded lineage, like graph.pagerank). Since r12 each round applies
+    a BATCH of up to ``merge_batch`` merges — the longest
+    symbol-disjoint, strictly-count-dominant prefix of the sorted pair
+    candidates, which ``_select_merge_batch`` proves bit-identical to
+    one-merge-at-a-time training — cutting the job count up to
+    ``merge_batch``x (VERDICT r11 #2: a 10k-merge vocabulary paid 10k
+    jobs). No Python executes anywhere in the round loop. Words reduced
+    to one symbol leave the frame.
 
     local: bounded top-``max_words`` collect of the word-frequency frame
     (deterministic hash-free order: freq desc, word asc — truncation
@@ -305,8 +392,10 @@ def train_bpe_merges(
             warnings.warn(
                 f"BPE auto path: {n_words} distinct words exceed "
                 f"max_words={max_words}; falling back to the DISTRIBUTED "
-                f"round loop — one Spark job per merge ({n_merges} "
-                "budgeted). Raise max_words if the driver has memory.",
+                f"round loop — one Spark job per merge BATCH (up to "
+                f"{merge_batch} symbol-disjoint merges/round, {n_merges} "
+                "merges budgeted). Raise max_words if the driver has "
+                "memory.",
                 stacklevel=2,
             )
             method = "distributed"
@@ -345,26 +434,40 @@ def train_bpe_merges(
             " (x, i) -> struct(x as a, syms[i+1] as b))"
         )
     ).alias("p")
+    if merge_batch < 1:
+        raise ValueError(f"merge_batch must be >= 1, got {merge_batch}")
+    # Collect more candidates than the batch cap: the strict-dominance
+    # truncation in _select_merge_batch eats trailing ties, and a wider
+    # window lets more of the prefix survive. Rows are (str, str, long).
+    top_k = max(merge_batch * 4, merge_batch + 1)
     merges: list[tuple[str, str]] = []
-    for _ in range(n_merges):
-        top = (
+    while len(merges) < n_merges:
+        rows = (
             syms.select("freq", pair_expr)
             .groupBy("p.a", "p.b")
             .agg(F.sum("freq").alias("cnt"))
             .orderBy(F.col("cnt").desc(), F.col("a").asc(), F.col("b").asc())
-            .take(1)
+            .take(top_k)
         )
-        if not top or top[0]["cnt"] < min_count:
+        if not rows or rows[0]["cnt"] < min_count:
             break
-        a, b = top[0]["a"], top[0]["b"]
-        merges.append((a, b))
-        # Apply only where the pair can occur (cheap array_contains
-        # prefilter), JVM-side fold over the symbol array.
+        batch = _select_merge_batch(
+            rows,
+            min(merge_batch, n_merges - len(merges)),
+            min_count,
+            truncated=len(rows) == top_k,
+        )
+        merges.extend(batch)
+        # Apply only where a batch pair can start (cheap arrays_overlap
+        # prefilter on the first elements), JVM-side single-pass fold.
+        firsts = sorted({a for a, _ in batch})
         syms = syms.select(
             "freq",
             F.when(
-                F.array_contains("syms", a),
-                _apply_merge_col(F.col("syms"), a, b),
+                F.arrays_overlap(
+                    "syms", F.array(*[F.lit(a) for a in firsts])
+                ),
+                _apply_merges_col(F.col("syms"), batch),
             )
             .otherwise(F.col("syms"))
             .alias("syms"),

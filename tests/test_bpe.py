@@ -232,3 +232,96 @@ def test_bpe_model_save_load_round_trip(spark, tmp_path):
     bad.write.mode("overwrite").parquet(str(tmp_path / "bad_model"))
     with pytest.raises(ValueError, match="family"):
         load_bpe_model(spark, str(tmp_path / "bad_model"))
+
+
+def test_batched_distributed_bit_identical_across_batch_sizes(spark):
+    """VERDICT r11 #2: the batched distributed loop must learn the EXACT
+    sequential merge list at every batch size — including the adversarial
+    shapes batching can corrupt: chained merges (each round's winner
+    feeds the next: 't'+'h' then 'th'+'e'), ties between a NEW pair
+    created by an applied merge and a not-yet-applied candidate, and
+    min_count cut-offs. merge_batch=1 degenerates to the old
+    one-merge-per-job loop and anchors the comparison."""
+    texts = [
+        # chained: 'the' dominates -> th, the, then 'q u i'...
+        "the the the the the the quick quick brown theory thesis",
+        # tie bait: 'x y z' repeated makes (x,y) and (y,z) equal-count
+        # conflicts; 'a b' disjoint with a count wedged between them
+        "x y z x y z x y z a b a b a b a b",
+        "m n m n m n o p o p",
+    ]
+    docs = spark.createDataFrame([(t,) for t in texts], ["text"])
+    expected = replay(texts, 30, min_count=2)
+    for bs in (1, 2, 4, 32):
+        got = train_bpe_merges(
+            docs, n_merges=30, min_count=2, method="distributed",
+            merge_batch=bs,
+        )
+        assert got == expected, (bs, got, expected)
+
+
+def test_select_merge_batch_rules():
+    """Unit pins for the batch-selection safety rules: prefix-only,
+    symbol-disjointness, strict dominance over the stop candidate,
+    argmax always kept, min_count stop, truncated-collection stop."""
+    from dca_manager_spark.operators.bpe import _select_merge_batch
+
+    def rows(*tups):
+        return [{"a": a, "b": b, "cnt": c} for a, b, c in tups]
+
+    # disjoint prefix, no conflicts, full collection: all selected
+    r = rows(("a", "b", 9), ("c", "d", 7), ("e", "f", 5))
+    assert _select_merge_batch(r, 10, 2, truncated=False) == [
+        ("a", "b"), ("c", "d"), ("e", "f")
+    ]
+    # conflict at #2 ('b' reused): stop there; #1 kept (argmax exempt)
+    r = rows(("a", "b", 9), ("b", "c", 9), ("x", "y", 9))
+    assert _select_merge_batch(r, 10, 2, truncated=False) == [("a", "b")]
+    # conflict later with a LOWER count: strict dominance keeps the
+    # earlier strictly-greater pairs only
+    r = rows(("a", "b", 9), ("c", "d", 7), ("e", "f", 7), ("a", "z", 7))
+    assert _select_merge_batch(r, 10, 2, truncated=False) == [("a", "b")]
+    r = rows(("a", "b", 9), ("c", "d", 8), ("e", "f", 7), ("a", "z", 7))
+    assert _select_merge_batch(r, 10, 2, truncated=False) == [
+        ("a", "b"), ("c", "d")
+    ]
+    # truncated collection: the last row acts as the stop — ties with
+    # it (even already-selected ones) are dropped, argmax survives
+    r = rows(("a", "b", 9), ("c", "d", 8), ("e", "f", 8))
+    assert _select_merge_batch(r, 10, 2, truncated=True) == [("a", "b")]
+    r = rows(("a", "b", 9), ("c", "d", 8), ("e", "f", 7))
+    assert _select_merge_batch(r, 10, 2, truncated=True) == [
+        ("a", "b"), ("c", "d")
+    ]
+    # min_count ends selection without a stop constraint
+    r = rows(("a", "b", 9), ("c", "d", 8), ("e", "f", 1))
+    assert _select_merge_batch(r, 10, 2, truncated=False) == [
+        ("a", "b"), ("c", "d")
+    ]
+    # batch limit acts as a conflict (cap row = stop)
+    r = rows(("a", "b", 9), ("c", "d", 8), ("e", "f", 8))
+    assert _select_merge_batch(r, 2, 2, truncated=False) == [("a", "b")]
+
+
+def test_batched_distributed_randomized_equals_replay(spark):
+    """Randomized small-alphabet corpora (maximum merge-induced pair
+    churn and tie density) — the batched distributed path must equal the
+    pure-Python replay on every draw."""
+    import random
+
+    rng = random.Random(7)
+    for trial in range(3):
+        texts = [
+            " ".join(
+                "".join(rng.choice("ab") for _ in range(rng.randint(1, 4)))
+                for _ in range(rng.randint(3, 10))
+            )
+            for _ in range(20)
+        ]
+        docs = spark.createDataFrame([(t,) for t in texts], ["text"])
+        expected = replay(texts, 20, min_count=2)
+        got = train_bpe_merges(
+            docs, n_merges=20, min_count=2, method="distributed",
+            merge_batch=8,
+        )
+        assert got == expected, (trial, texts)
