@@ -110,3 +110,79 @@ def stratified_hash_sample(
             (F.col(strata_col) == stratum) & (b < int(frac * BUCKETS))
         )
     return df.filter(keep)
+
+
+# ---------------------------------------------------------------------------
+# Per-domain frequency capping (the C4 / Gopher corpus-balance recipe)
+# ---------------------------------------------------------------------------
+
+# Common multi-part public suffixes. A full public-suffix-list lookup is
+# a data file, not an algorithm — this covers the high-traffic ccTLD
+# second-level registries; extend via the `extra_suffixes` argument for
+# a production PSL snapshot.
+MULTI_SUFFIXES = (
+    "co.uk", "org.uk", "ac.uk", "gov.uk", "me.uk", "net.uk",
+    "com.au", "net.au", "org.au", "edu.au", "gov.au",
+    "co.jp", "ne.jp", "or.jp", "ac.jp", "go.jp",
+    "com.br", "net.br", "org.br",
+    "com.cn", "net.cn", "org.cn", "gov.cn",
+    "com.mx", "com.ar", "com.tr", "com.tw", "com.sg", "com.hk",
+    "co.in", "co.kr", "co.za", "co.nz", "co.id", "co.th",
+)
+
+_HOST_RE = r"^(?:[a-z][a-z0-9+.-]*://)?(?:[^/@]*@)?([^/:?#]+)"
+
+
+def url_host(url_col: Column) -> Column:
+    """Host part of a URL string: strips scheme, userinfo, port, path,
+    query, fragment. Pure regexp_extract (RE2 ∩ Java syntax — no
+    lookarounds/backrefs). The URL is lowercased FIRST (scheme and host
+    are case-insensitive; the path is discarded anyway) so an uppercase
+    scheme still matches."""
+    return F.regexp_extract(F.lower(url_col), _HOST_RE, 1)
+
+
+def registrable_domain(
+    url_col: Column,
+    extra_suffixes: tuple[str, ...] = (),
+) -> Column:
+    """Registrable domain (eTLD+1) of a URL — the key the C4/Gopher
+    per-domain caps group on: the last two host labels, or three when
+    the last two form a known multi-part suffix (co.uk and friends —
+    see MULTI_SUFFIXES). Bare hosts (<= 2 labels) and IPv4 literals
+    pass through unchanged. One codegen'd expression, no UDF."""
+    host = url_host(url_col)
+    parts = F.split(host, r"\.")
+    n = F.size(parts)
+    last2 = F.concat_ws(".", F.slice(parts, -2, 2))
+    last3 = F.concat_ws(".", F.slice(parts, -3, 3))
+    suffixes = list(MULTI_SUFFIXES) + list(extra_suffixes)
+    is_ip = host.rlike(r"^[0-9.]+$")
+    return (
+        F.when(is_ip | (n <= 2), host)
+        .when(last2.isin(*suffixes) & (n >= 3), last3)
+        .otherwise(last2)
+    )
+
+
+def cap_per_domain(
+    df: DataFrame,
+    id_col: str,
+    domain_col: str,
+    max_docs: int,
+    salt: str = "domain-cap",
+) -> DataFrame:
+    """Frequency capping: keep at most ``max_docs`` rows per domain —
+    the C4/Gopher defense against one crawler-friendly site dominating
+    the corpus. Survivors are the ``max_docs`` rows with the smallest
+    md5(salt, id) rank per domain — a layout-independent uniform draw
+    WITHIN each domain (C4 keeps first-crawled, which is crawl-order
+    luck; the hash rank is rerun-stable and oracle-exact), delegating to
+    :func:`exact_k_sample`'s stratified top-k.
+
+    Scale: one shuffle on the domain key; a 50%-of-corpus hot domain is
+    bounded by per-task top-k heaps before the final per-domain
+    row_number (pinned by the skew test)."""
+    if max_docs < 1:
+        raise ValueError(f"max_docs must be >= 1, got {max_docs}")
+    return exact_k_sample(df, id_col, max_docs, strata_col=domain_col, salt=salt)

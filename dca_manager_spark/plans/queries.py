@@ -7649,3 +7649,172 @@ def stat_regression_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         (i_num.cast("double") / den.cast("double")).alias("intercept"),
         (slope * (num.cast("double") / den_y.cast("double"))).alias("r2"),
     ).orderBy("event_type")
+
+
+# ===========================================================================
+# Round 12: LM perplexity quality filter, per-domain frequency capping,
+# streaming drift store exposure
+# ===========================================================================
+
+@query(
+    "text_perplexity_filter",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, lang,
+             list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                         x -> x != '') AS tk
+      FROM documents
+    ),
+    stream AS (
+      SELECT doc_id, lang, i.i AS pos, tk[i.i + 1] AS tok,
+             CASE WHEN i.i > 0 THEN tk[i.i] END AS prev
+      FROM toks, LATERAL (SELECT unnest(range(0, len(tk))) AS i) i
+    ),
+    ref AS (SELECT * FROM stream WHERE lang = 'en'),
+    uni AS (SELECT tok, COUNT(*) AS c1 FROM ref GROUP BY tok),
+    big AS (
+      SELECT prev, tok, COUNT(*) AS c2 FROM ref
+      WHERE prev IS NOT NULL GROUP BY prev, tok
+    ),
+    tot AS (SELECT COUNT(*) AS total FROM ref),
+    terms AS (
+      SELECT s.doc_id,
+        CASE
+          WHEN b.c2 IS NOT NULL THEN (1000000 * up.c1) // b.c2
+          WHEN s.pos = 0 THEN
+            CASE WHEN u.c1 IS NOT NULL
+                 THEN (1000000 * t.total) // u.c1
+                 ELSE (1000000 * 5 * t.total) // 2 END
+          WHEN u.c1 IS NOT NULL
+               THEN (1000000 * 5 * t.total) // (2 * u.c1)
+          ELSE (1000000 * 25 * t.total) // 4
+        END AS inv_q
+      FROM stream s
+      LEFT JOIN big b ON b.prev = s.prev AND b.tok = s.tok
+      LEFT JOIN uni u ON u.tok = s.tok
+      LEFT JOIN uni up ON up.tok = s.prev
+      CROSS JOIN tot t
+    ),
+    agg AS (
+      SELECT doc_id, COUNT(*) AS n_tokens, SUM(inv_q) AS sum_inv_q
+      FROM terms GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(a.n_tokens, 0) AS BIGINT) AS n_tokens,
+           CAST(COALESCE(a.sum_inv_q, 0) AS BIGINT) AS sum_inv_q,
+           CAST(CASE WHEN a.n_tokens > 0
+                     THEN a.sum_inv_q // a.n_tokens END AS BIGINT)
+             AS mean_inv_q,
+           (COALESCE(a.n_tokens, 0) > 0
+            AND (a.sum_inv_q // a.n_tokens) <= 32000000) AS lm_keep
+    FROM documents d
+    LEFT JOIN agg a USING (doc_id)
+    ORDER BY d.doc_id
+    """,
+)
+def text_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality gate (Wenzek et al. 2020): a stupid-backoff
+    bigram LM (Brants et al. 2007) trained on the English reference
+    slice scores every document's token transitions; the gate keeps docs
+    whose MEAN INVERSE PROBABILITY — the integer-exact perplexity
+    stand-in (AM-GM upper bound; ln() is not bit-stable across engines,
+    same reasoning as text_effective_vocab) — stays under 32 in token
+    units. Every per-token term is a BIGINT cross-product integer
+    division, so the scores are bit-identical across engines/layouts.
+
+    Plan: one reference explode -> two hash-aggregated model frames
+    (Heaps-bounded), one corpus explode -> two equi joins on the gram +
+    one per-doc aggregate. At 100 TB the model frames broadcast or
+    shuffle-hash-join; nothing is ever all-pairs and no window touches
+    the corpus. See operators/lm.py."""
+    from dca_manager_spark.operators.lm import lm_doc_scores
+
+    docs = t(spark, sf_dir, "documents")
+    ref = docs.filter(F.col("lang") == "en")
+    return (
+        lm_doc_scores(docs, ref, "doc_id", "text")
+        .withColumn(
+            "lm_keep",
+            (F.col("n_tokens") > 0)
+            & (F.col("mean_inv_q") <= F.lit(32_000_000)),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "corpus_domain_cap",
+    r"""
+    WITH u AS (
+      SELECT doc_id,
+             concat('https://www.', source,
+                    CASE WHEN doc_id % 3 = 0 THEN '.co.uk' ELSE '.com' END,
+                    '/d/', CAST(doc_id AS VARCHAR)) AS url
+      FROM documents
+    ),
+    h AS (
+      SELECT doc_id,
+             lower(regexp_extract(url,
+               '^(?:[a-z][a-z0-9+.-]*://)?(?:[^/@]*@)?([^/:?#]+)', 1)) AS host
+      FROM u
+    ),
+    d AS (SELECT doc_id, host, string_split(host, '.') AS p FROM h),
+    dom AS (
+      SELECT doc_id,
+        CASE
+          WHEN len(p) <= 2 THEN host
+          WHEN array_to_string(p[len(p)-1 : len(p)], '.') IN
+               ('co.uk', 'org.uk', 'ac.uk', 'gov.uk', 'me.uk', 'net.uk',
+                'com.au', 'net.au', 'org.au', 'edu.au', 'gov.au',
+                'co.jp', 'ne.jp', 'or.jp', 'ac.jp', 'go.jp',
+                'com.br', 'net.br', 'org.br',
+                'com.cn', 'net.cn', 'org.cn', 'gov.cn',
+                'com.mx', 'com.ar', 'com.tr', 'com.tw', 'com.sg', 'com.hk',
+                'co.in', 'co.kr', 'co.za', 'co.nz', 'co.id', 'co.th')
+            THEN array_to_string(p[len(p)-2 : len(p)], '.')
+          ELSE array_to_string(p[len(p)-1 : len(p)], '.')
+        END AS domain
+      FROM d
+    ),
+    ranked AS (
+      SELECT doc_id, domain,
+             ROW_NUMBER() OVER (
+               PARTITION BY domain
+               ORDER BY md5(concat('domain-cap', CAST(doc_id AS VARCHAR))),
+                        doc_id) AS rn
+      FROM dom
+    )
+    SELECT doc_id, domain FROM ranked WHERE rn <= 3
+    ORDER BY doc_id
+    """,
+)
+def corpus_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain frequency capping (the C4/Gopher corpus-balance
+    recipe): synthesize each document's URL from its source (the
+    testdata has no URL column; every third doc lands on a .co.uk
+    registry to exercise the multi-part-suffix branch), reduce it to
+    the REGISTRABLE DOMAIN (eTLD+1 — scheme/userinfo/port/path
+    stripped, co.uk-style suffixes take three labels), and keep at most
+    3 docs per domain by the deterministic md5 rank. One shuffle on the
+    domain key; the hot-domain bound is pinned by the skew test in
+    tests/test_operators.py. See operators/sampling.py
+    registrable_domain / cap_per_domain."""
+    from dca_manager_spark.operators.sampling import (
+        cap_per_domain,
+        registrable_domain,
+    )
+
+    docs = t(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://www."),
+        F.col("source"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit(".co.uk")).otherwise(
+            F.lit(".com")
+        ),
+        F.lit("/d/"),
+        F.col("doc_id").cast("string"),
+    )
+    with_dom = docs.select(
+        "doc_id", registrable_domain(url).alias("domain")
+    )
+    return cap_per_domain(with_dom, "doc_id", "domain", 3).orderBy("doc_id")
