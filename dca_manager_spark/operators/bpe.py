@@ -315,6 +315,7 @@ def train_bpe_merges(
     max_words: int = 262_144,
     target_vocab: int | None = None,
     merge_batch: int = 32,
+    stats: dict | None = None,
 ) -> list[tuple[str, str]]:
     """Learn ``n_merges`` BPE merges from a corpus. Returns the ordered
     merge list (rank = position). Stops early when the best remaining
@@ -441,6 +442,7 @@ def train_bpe_merges(
     # window lets more of the prefix survive. Rows are (str, str, long).
     top_k = max(merge_batch * 4, merge_batch + 1)
     merges: list[tuple[str, str]] = []
+    rounds = 0
     while len(merges) < n_merges:
         rows = (
             syms.select("freq", pair_expr)
@@ -458,6 +460,7 @@ def train_bpe_merges(
             truncated=len(rows) == top_k,
         )
         merges.extend(batch)
+        rounds += 1
         # Apply only where a batch pair can start (cheap arrays_overlap
         # prefilter on the first elements), JVM-side single-pass fold.
         firsts = sorted({a for a, _ in batch})
@@ -478,6 +481,8 @@ def train_bpe_merges(
         # analysis of the nested plan dominates long before execution
         # does. One checkpoint per round keeps the plan flat.
         syms = syms.localCheckpoint(eager=True)
+    if stats is not None:
+        stats["rounds"] = rounds  # Spark job rounds (merges/rounds = batch width)
     return merges
 
 

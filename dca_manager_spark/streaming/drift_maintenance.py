@@ -37,6 +37,31 @@ from dca_manager_spark.operators.drift import (
 from dca_manager_spark.operators.text import tokens
 
 
+def batch_token_counts(
+    df: DataFrame,
+    text_col: str,
+    ts_col: str,
+    bucket_duration: str = "1 hour",
+    lowercase: bool = True,
+) -> DataFrame:
+    """One batch's (bucket_ts, token, cnt) rows — the exact counting
+    plan the streaming sink writes per micro-batch, exposed so batch
+    backfills (and the catalog query) build the SAME store the stream
+    maintains: explode tokens under their event-time bucket, one
+    map-side-combined count."""
+    src = F.lower(F.col(text_col)) if lowercase else F.col(text_col)
+    return (
+        df.select(
+            F.window(F.col(ts_col), bucket_duration)["start"].alias(
+                "bucket_ts"
+            ),
+            F.explode(tokens(src)).alias("token"),
+        )
+        .groupBy("bucket_ts", "token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
 def stream_token_counts(
     stream_df: DataFrame,
     table: Any,
@@ -58,16 +83,8 @@ def stream_token_counts(
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        src = F.lower(F.col(text_col)) if lowercase else F.col(text_col)
-        counts = (
-            batch_df.select(
-                F.window(F.col(ts_col), bucket_duration)["start"].alias(
-                    "bucket_ts"
-                ),
-                F.explode(tokens(src)).alias("token"),
-            )
-            .groupBy("bucket_ts", "token")
-            .agg(F.count(F.lit(1)).alias("cnt"))
+        counts = batch_token_counts(
+            batch_df, text_col, ts_col, bucket_duration, lowercase
         )
         table.write(
             counts.withColumn("batch_id", F.lit(int(batch_id)).cast("long")),
