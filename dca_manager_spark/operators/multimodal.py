@@ -154,46 +154,55 @@ def png_blob_col(width, height):
     )
 
 
-def _range_checked(c, n_bytes: int, what: str):
-    """Guard a fixed-width integer field: a value outside [0, 2^(8n)-1]
-    RAISES instead of silently truncating modulo 2^(8n) — a 70000-px
-    width must never become a quietly-wrong 4464-px header. NULL passes
-    through as NULL (the whole blob goes NULL, the pre-guard behavior,
-    and the parsers return all-None for it) — a nullable dim is a
-    missing value, not a corrupt one."""
-    c = c.cast("bigint")
-    hi = (1 << (8 * n_bytes)) - 1
-    return (
-        F.when(c.isNull(), c)
-        .when((c >= 0) & (c <= F.lit(hi)), c)
-        .otherwise(
-            F.raise_error(
+def _fused_range_guard(fields, blob):
+    """ONE per-row range check over every dynamic fixed-width field of
+    a blob builder, wrapping the assembled blob: a value outside
+    [0, 2^(8n)-1] RAISES (naming the field and value — never a silent
+    modulo-2^(8n) truncation: a 70000-px width must not become a
+    quietly-wrong 4464-px header), NULLs pass through into the concat
+    (the whole blob goes NULL and the parsers return all-None — a
+    nullable dim is a missing value, not a corrupt one).
+
+    Fused because a per-field guard embedded in the byte-assembly
+    expressions is re-evaluated for every byte extracted from the field
+    (Spark does no CSE inside a projection) — measured ~2x on the
+    audio-header bench entry (VERDICT r11 #5). The combined predicate
+    costs one boolean chain per row; the field-naming diagnostics only
+    evaluate in the raising branch. ``fields``: (column, n_bytes,
+    field_name) triples."""
+    bad = F.lit(False)
+    msgs = []
+    for c, n_bytes, what in fields:
+        cb = c.cast("bigint")
+        hi = (1 << (8 * n_bytes)) - 1
+        out = cb.isNotNull() & ((cb < 0) | (cb > F.lit(hi)))
+        bad = bad | out
+        msgs.append(
+            F.when(
+                out,
                 F.concat(
                     F.lit(f"{what} out of u{8 * n_bytes} range [0,{hi}]: "),
-                    c.cast("string"),
-                )
+                    cb.cast("string"),
+                ),
             )
         )
-    )
+    return F.when(
+        bad, F.raise_error(F.coalesce(*msgs)).cast("binary")
+    ).otherwise(blob)
 
 
 def gif_blob_col(width, height):
     """JVM-expression GIF89a header: ASCII magic + LITTLE-endian 16-bit
-    logical screen dims (public GIF spec). Dims outside u16 raise."""
-
-    def le16(raw, what):
-        c = _range_checked(raw, 2, what)  # guard built once per field
-        return F.unhex(
-            F.concat(
-                F.lpad(F.hex(c % 256), 2, "0"),
-                F.lpad(F.hex((c / 256).cast("bigint")), 2, "0"),
-            )
-        )
-    return F.concat(
+    logical screen dims (public GIF spec). Dims outside u16 raise (one
+    fused per-row guard)."""
+    blob = F.concat(
         F.unhex(F.lit("474946383961")),  # 'GIF89a'
-        le16(width, "GIF width"),
-        le16(height, "GIF height"),
+        _le_bytes_col(width, 2),
+        _le_bytes_col(height, 2),
         F.unhex(F.lit("F70000")),
+    )
+    return _fused_range_guard(
+        [(width, 2, "GIF width"), (height, 2, "GIF height")], blob
     )
 
 
@@ -309,16 +318,15 @@ AUDIO_META_SCHEMA = (
 )
 
 
-def _le_bytes_col(c, n_bytes: int, what: str = "RIFF field"):
-    """Little-endian byte string of an int column (JVM expressions).
-    Values outside the u(8*n_bytes) domain raise via _range_checked —
-    never a silent modulo wrap."""
-    c = _range_checked(c, n_bytes, what)
+def _le_bytes_col(c, n_bytes: int):
+    """Little-endian byte string of an int column (JVM expressions):
+    ONE hex render, byte order reversed by substring — cheaper than
+    per-byte div/mod chains. Range validation lives in the builder's
+    single _fused_range_guard, not here (the per-field guard would be
+    re-evaluated once per extracted byte)."""
+    h = F.lpad(F.hex(c.cast("bigint")), 2 * n_bytes, "0")
     parts = [
-        F.lpad(
-            F.hex((c / (256 ** i)).cast("bigint") % 256), 2, "0"
-        )
-        for i in range(n_bytes)
+        F.substring(h, 2 * n_bytes - 2 * i - 1, 2) for i in range(n_bytes)
     ]
     return F.unhex(F.concat(*parts))
 
@@ -333,7 +341,7 @@ def wav_blob_col(channels, sample_rate, bits, n_frames):
     )
     byte_rate = sample_rate.cast("bigint") * block_align
     data_size = n_frames.cast("bigint") * block_align
-    return F.concat(
+    blob = F.concat(
         F.unhex(F.lit("52494646")),            # 'RIFF'
         _le_bytes_col(F.lit(36) + data_size, 4),
         F.unhex(F.lit("57415645")),            # 'WAVE'
@@ -350,6 +358,18 @@ def wav_blob_col(channels, sample_rate, bits, n_frames):
         _le_bytes_col(bits, 2),
         F.unhex(F.lit("64617461")),            # 'data'
         _le_bytes_col(data_size, 4),
+    )
+    return _fused_range_guard(
+        [
+            (F.lit(36) + data_size, 4, "RIFF size"),
+            (channels, 2, "WAV channels"),
+            (sample_rate, 4, "WAV sample_rate"),
+            (byte_rate, 4, "WAV byte_rate"),
+            (block_align, 2, "WAV block_align"),
+            (bits, 2, "WAV bits"),
+            (data_size, 4, "WAV data size"),
+        ],
+        blob,
     )
 
 
@@ -427,11 +447,11 @@ def audio_meta(df: DataFrame, content_col: str = "content", out_col: str = "audi
 VIDEO_META_SCHEMA = "format string, width int, height int, duration_ms bigint"
 
 
-def _be_bytes_col(c, n_bytes: int, what: str):
-    """Big-endian byte string of an int column, range-guarded like
-    _le_bytes_col (ISO-BMFF fields are big-endian)."""
-    c = _range_checked(c, n_bytes, what)
-    return F.unhex(F.lpad(F.hex(c), 2 * n_bytes, "0"))
+def _be_bytes_col(c, n_bytes: int):
+    """Big-endian byte string of an int column (ISO-BMFF fields are
+    big-endian). Range validation lives in the builder's single
+    _fused_range_guard."""
+    return F.unhex(F.lpad(F.hex(c.cast("bigint")), 2 * n_bytes, "0"))
 
 
 def mp4_blob_col(width, height, duration_ms):
@@ -442,8 +462,8 @@ def mp4_blob_col(width, height, duration_ms):
     levels down; nothing is at a fixed whole-file offset). Payload-free:
     header boxes only, same contract as the image/audio builders.
     Width/height guard to u16 (the 16.16 integer part); duration to
-    u32 ms (~49 days)."""
-    dur = _be_bytes_col(duration_ms, 4, "MP4 duration_ms")
+    u32 ms (~49 days) — one fused per-row guard."""
+    dur = _be_bytes_col(duration_ms, 4)
     # Unity transform matrix: 9 big-endian u32s (36 bytes), ISO layout.
     matrix = ("00010000" + "00000000" * 3
               + "00010000" + "00000000" * 3 + "40000000")
@@ -474,12 +494,19 @@ def mp4_blob_col(width, height, duration_ms):
         F.unhex(F.lit("00000000" * 2                        # reserved
                       + "0000" * 4                          # layer alt vol res
                       + matrix)),
-        _be_bytes_col(width, 2, "MP4 width"), F.unhex(F.lit("0000")),   # 16.16
-        _be_bytes_col(height, 2, "MP4 height"), F.unhex(F.lit("0000")),
+        _be_bytes_col(width, 2), F.unhex(F.lit("0000")),   # 16.16
+        _be_bytes_col(height, 2), F.unhex(F.lit("0000")),
     )
     trak = F.concat(F.unhex(F.lit("00000064" + "7472616B")), tkhd)
     moov = F.concat(F.unhex(F.lit("000000D8" + "6D6F6F76")), mvhd, trak)
-    return F.concat(ftyp, moov)
+    return _fused_range_guard(
+        [
+            (duration_ms, 4, "MP4 duration_ms"),
+            (width, 2, "MP4 width"),
+            (height, 2, "MP4 height"),
+        ],
+        F.concat(ftyp, moov),
+    )
 
 
 def parse_mp4_header(content: bytes | None):
