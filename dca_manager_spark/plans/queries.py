@@ -101,71 +101,71 @@ def query(name: str, oracle: str | None):
 # The full catalog is still verified every round by scripts/driver_sim.py
 # regardless of window membership.
 _DRIVER_WINDOW = [
-    # Round-11 rotation, same policy as prior rounds: (1) queries ADDED
-    # this round (no driver row yet) go first; (2) queries whose CODE or
-    # ORACLE changed this round — the span pair (production hashed/capped
-    # defaults + scrub-oracle whitespace CASE), similarity_ivf_pq_rerank
-    # (residual PQ + n_probe=8), events_rolling_anomaly (guarded BIGINT
-    # fast path), stat_regression_by_group (per-group recenter, both
-    # engines), the two BPE entries (auto/local-indexed training path),
-    # and corpus_prep_pipeline (refactored onto the shared _gated_dedup);
-    # (3) all 15 entries whose driver verdicts date to r6; (4) r7-scored
-    # fill, alphabetical, to 50. The full catalog is still verified every
-    # round by scripts/driver_sim.py.
-    # -- (1) added in round 11 --
-    "corpus_prep_spans",
+    # Round-12 rotation, same policy as prior rounds: (1) queries ADDED
+    # this round (no driver row yet) go first; (2) queries whose CODE
+    # changed this round — dedup_cluster_canonical (large-star/small-star
+    # components), the three multimodal header entries (fused range
+    # guards; audio also sorts before the parse), similarity_ivf_pq_rerank
+    # (residual default now follows codebook provenance), the drift pair
+    # (empty-slice guard in _aligned), the span trio (gram-cache
+    # lifecycle), and the two BPE entries (batched-merge signature);
+    # (3) ALL 20 entries whose driver verdicts date to r7 (VERDICT r11
+    # #6); (4) r8-scored fill, alphabetical, to exactly 50. The full
+    # catalog is still verified every round by scripts/driver_sim.py.
+    # -- (1) added in round 12 --
+    "text_perplexity_filter",
+    "corpus_domain_cap",
+    "streaming_drift_buckets",
+    # -- (2) changed in round 12 --
+    "dedup_cluster_canonical",
+    "multimodal_audio_meta",
     "multimodal_video_meta",
+    "multimodal_image_dims",
+    "similarity_ivf_pq_rerank",
     "drift_token_distribution",
     "drift_top_divergent_tokens",
-    # -- (2) changed in round 11 --
     "dedup_duplicate_spans",
     "dedup_span_scrub",
-    "similarity_ivf_pq_rerank",
-    "events_rolling_anomaly",
-    "stat_regression_by_group",
+    "corpus_prep_spans",
     "training_bpe_tokenize",
     "training_pack_bpe",
-    "corpus_prep_pipeline",
-    # -- (3) last scored r6 --
-    "session_window_batch",
-    "set_except_all",
-    "set_except_parts",
-    "set_intersect_all",
-    "set_intersect_nations",
-    "set_union_entities",
-    "sliding_window_events",
-    "text_lang_id",
-    "theta_join_regions",
-    "topk_global_lineitems",
-    "tumbling_window_events",
-    "variant_semi_structured",
-    "window_lag_lead",
-    "window_rank_orders",
-    "window_running_invested",
-    # -- (4) r7-scored fill (alphabetical) --
-    "agg_collect_sorted",
-    "agg_median_price",
-    "applyinpandas_zscore",
-    "array_functions",
-    "dedup_exact_documents",
-    "dedup_simhash",
-    "embedding_quantize_int8",
-    "events_cohort_retention",
-    "events_funnel",
-    "events_resample_ffill",
-    "join_broadcast_dim",
-    "join_salted_skew",
-    "multimodal_features",
-    "pivot_status_by_priority",
-    "precombine_dedup_lineitem",
-    "q10_returned_items",
-    "q13_customer_order_distribution",
-    "q15_top_supplier",
-    "q17_small_quantity_revenue",
-    "q22_idle_customer_balance",
-    "q3_shipping_priority",
-    "q5_local_supplier_volume",
-    "sampling_exact_k",
+    # -- (3) last scored r7 --
+    "text_features",
+    "similarity_cosine_topk",
+    "similarity_lsh_ann",
+    "similarity_ivf_ann",
+    "similarity_ivf_learned",
+    "window_ntile_quartiles",
+    "window_first_last",
+    "window_percent_cume",
+    "unpivot_balances",
+    "training_pack_sequences",
+    "training_mixture_sample",
+    "training_chunk_documents",
+    "training_chunk_pack_pipeline",
+    "text_cleaning",
+    "text_repetition_ratio",
+    "text_effective_vocab",
+    "vocabulary_oov",
+    "text_decontaminate",
+    "udtf_top_tokens",
+    "text_boilerplate_removal",
+    # -- (4) r8-scored fill (alphabetical) --
+    "agg_hll_sketch",
+    "applyinarrow_flag_stats",
+    "cogroup_order_fulfillment",
+    "dedup_incremental_batch",
+    "dedup_incremental_indexed",
+    "dedup_minhash_lsh",
+    "embedding_decontaminate",
+    "embedding_incremental_admit",
+    "embedding_quantize_arrow",
+    "events_outliers_mad",
+    "events_sequence_detect",
+    "events_sessionize_gaps",
+    "events_value_histogram",
+    "fuzzy_match_part_names",
+    "graph_pagerank",
 ]
 
 

@@ -150,6 +150,69 @@ def main() -> None:
         f"per-commit write ratio {cw / max(mw, 1e-9):.1f}x"
     )
 
+    # -- Section 3 (VERDICT r11 #10): MOR compaction interleaved with ---
+    # keyed upserts and incremental reads. A COW twin receives the SAME
+    # batch sequence; after every interleaving (upserts before, between,
+    # and after compactions) the MOR resolve must equal the COW state
+    # row-for-row, record-level incremental reads spanning a compaction
+    # commit must surface exactly the upserted change rows (compaction
+    # captures no changes), and a final compact must change nothing.
+    clean = (
+        corpus.groupBy("l_orderkey", "l_linenumber")
+        .agg(
+            F.max("l_extendedprice").alias("l_extendedprice"),
+            F.max("l_returnflag").alias("l_returnflag"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    import tempfile as _tf
+
+    with _tf.TemporaryDirectory() as tc, _tf.TemporaryDirectory() as tm:
+        tables = {}
+        for ttype, tmp in (("cow", tc), ("mor", tm)):
+            tables[ttype] = ManifestTable(
+                spark,
+                f"{tmp}/li",
+                keys=("l_orderkey", "l_linenumber"),
+                precombine="l_extendedprice",
+                partition_by=("l_returnflag",),
+                table_type=ttype,
+            )
+            tables[ttype].write(clean, "bulk_insert")
+        rounds, n_compacts = 8, 0
+        t0 = time.perf_counter()
+        for i in range(rounds):
+            batch = (
+                clean.filter(F.col("l_orderkey") % 97 == i)
+                .withColumn(
+                    "l_extendedprice", F.col("l_extendedprice") + i + 1
+                )
+                .localCheckpoint(eager=True)
+            )
+            n_batch = batch.select("l_orderkey", "l_linenumber").distinct().count()
+            since = tables["mor"].commits()[-1]
+            for ttype in ("cow", "mor"):
+                tables[ttype].write(batch, "upsert")
+            if i % 3 == 1:
+                tables["mor"].compact()
+                n_compacts += 1
+            # record-level incremental spanning the (possible) compaction
+            inc = tables["mor"].read_incremental(since, records=True).count()
+            assert inc == n_batch, (i, inc, n_batch)
+        tables["mor"].compact()
+        n_compacts += 1
+        diff = (
+            tables["mor"].read().exceptAll(tables["cow"].read()).count()
+            + tables["cow"].read().exceptAll(tables["mor"].read()).count()
+        )
+        t_sec3 = time.perf_counter() - t0
+        assert diff == 0, f"MOR diverged from COW by {diff} rows"
+        print(
+            f"interleaved MOR: {rounds} upserts + {n_compacts} compactions "
+            f"in {t_sec3:.1f}s — record-incremental exact at every step, "
+            f"final state == COW twin ({tables['mor'].read().count()} rows)"
+        )
+
 
 if __name__ == "__main__":
     main()

@@ -7,7 +7,15 @@ every similarity level), then times the sign-LSH candidate path
 count against the all-pairs count — the number that must stay
 sub-quadratic for the operator to survive 100x.
 
+Section 2 (VERDICT r11 #9 — the 100 TB serving claim): a 1M-vector
+clustered synthetic corpus goes through the COMPOSED production ANN
+plan (ivf_pq_rerank_topk: IVF route -> residual PQ/ADC shortlist ->
+exact re-rank) end-to-end, with recall@10 measured against exact brute
+force for a query panel and a wall-clock budget — the same backing
+stress_spans.py gives span dedup.
+
 Usage: python scripts/stress_similarity.py [replicas=20] [probe_bits=1]
+       [ann_n=1000000] [ann_budget_s=300]
 """
 
 from __future__ import annotations
@@ -77,6 +85,94 @@ def main() -> None:
     ).count()
     print(f"planted same-base pairs: {planted:,}; recovered: {same_base:,} "
           f"({same_base / planted:.1%} recall at cosine~1.0)")
+
+    # ------------------------------------------------------------------
+    # Section 2: 1M-vector IVF-PQ-rerank end-to-end (VERDICT r11 #9)
+    # ------------------------------------------------------------------
+    import numpy as np
+
+    from dca_manager_spark.operators.similarity import (
+        cosine_topk,
+        ivf_pq_rerank_topk,
+        train_pq_codebooks,
+    )
+
+    ann_n = int(sys.argv[3]) if len(sys.argv) > 3 else 1_000_000
+    ann_budget = float(sys.argv[4]) if len(sys.argv) > 4 else 300.0
+    dim, n_cells, n_queries = 32, 64, 16
+    rng = np.random.default_rng(29)
+    centers = rng.normal(size=(n_cells, dim)) * 4.0
+
+    # Vector i = center[i % n_cells] + deterministic hash noise — built
+    # with pure JVM expressions, so the 1M-row corpus never exists on
+    # the driver and generation parallelizes like any scan.
+    center_lit = F.array(*[
+        F.array(*[F.lit(float(x)) for x in c]) for c in centers
+    ])
+    noise = lambda j: (
+        (F.xxhash64(F.col("id"), F.lit(j)) % 1000).cast("double") / 1000.0
+        - 0.5
+    ) * 0.8
+    corpus1m = (
+        spark.range(ann_n)
+        .select(
+            F.col("id").alias("nid"),
+            F.array(*[
+                (
+                    F.element_at(
+                        F.element_at(center_lit, (F.col("id") % n_cells + 1).cast("int")),
+                        j + 1,
+                    )
+                    + noise(j)
+                ).cast("double")
+                for j in range(dim)
+            ]).alias("embedding"),
+        )
+        .localCheckpoint()
+    )
+    n_corpus = corpus1m.count()
+    q1m = corpus1m.filter(F.col("nid") < n_queries).select(
+        F.col("nid").alias("qid"), "embedding"
+    )
+    seeds = spark.createDataFrame(
+        [(i, [float(x) for x in centers[i]]) for i in range(n_cells)],
+        "cell int, centroid array<double>",
+    )
+    t0 = time.perf_counter()
+    books = train_pq_codebooks(
+        corpus1m, "embedding", m=8, k=16, sample_id_col="nid",
+        residual_seeds=seeds,
+    )
+    t_train = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    approx = {
+        (r["qid"], r["nid"])
+        for r in ivf_pq_rerank_topk(
+            q1m, corpus1m, "qid", "nid", books, k=10, n_cells=n_cells,
+            n_probe=8, shortlist=64, seeds=seeds,
+        ).collect()
+    }
+    t_serve = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    exact = {
+        (r["qid"], r["nid"])
+        for r in cosine_topk(q1m, corpus1m, "qid", "nid", k=10).collect()
+    }
+    t_exact = time.perf_counter() - t0
+    recall = len(approx & exact) / len(exact)
+    print(f"ANN 1M: {n_corpus:,} vectors, PQ train {t_train:.1f}s, "
+          f"IVF-PQ-rerank {t_serve:.1f}s for {n_queries} queries "
+          f"(exact brute force: {t_exact:.1f}s), recall@10 = {recall:.3f}")
+    ok = True
+    if recall < 0.6:
+        print(f"FAIL: 1M ANN recall {recall:.3f} below 0.6 floor")
+        ok = False
+    if t_serve + t_train > ann_budget:
+        print(f"FAIL: train+serve {t_train + t_serve:.1f}s exceeds "
+              f"budget {ann_budget:.0f}s")
+        ok = False
+    print("PASS" if ok else "FAIL")
+    raise SystemExit(0 if ok else 1)
 
 
 if __name__ == "__main__":
