@@ -1517,3 +1517,109 @@ def probe_recall_curve(
         hits = sum(pair in exact for pair in got)
         out.append({"n_probe": int(p), "recall": hits / len(exact)})
     return out
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    corpus_id: str,
+    vec_col: str = "embedding",
+    threshold: float = 0.4,
+    n_cells: int = 16,
+    seeds: DataFrame | None = None,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
+    at web-scale through semantic deduplication" — public): cluster the
+    embedding space coarsely, find near-duplicate pairs WITHIN each
+    cluster only, and keep one canonical document per duplicate group —
+    the semantic sibling of MinHash dedup, catching paraphrases and
+    re-encodings whose n-grams share nothing. Returns the surviving
+    corpus rows annotated with ``cluster_size``.
+
+    Plan (the paper's cost model, Spark-shaped):
+
+    1. ROUTE: every vector coarse-quantizes to its nearest of
+       ``n_cells`` broadcast centroids (same deterministic lowest-id
+       default and quantized-cosine tie-break as ivf_ann_topk — or pass
+       train_ivf_seeds output);
+    2. PAIR: a self equi join ON THE CELL ID — candidate pairs exist
+       only within a cell, so pair work is O(sum |cell|^2), never
+       O(n^2); exact quantized cosine >= ``threshold`` verifies.
+       Scale ``n_cells`` with the corpus (the paper uses ~100k clusters
+       for web scale) to keep cells bounded; a skewed embedding space
+       concentrates cost in the hot cell — compose with
+       cosine_pairs_lsh inside giant cells if routing cannot be made
+       finer.
+    3. CLUSTER + KEEP: near-dup pairs feed the O(log n)
+       large-star/small-star connected components and the smallest-id
+       canonical survivor policy (dedup.dedup_keep_canonical), exactly
+       like the MinHash pipeline — one dedup semantics across both
+       modalities.
+
+    Deterministic end-to-end (routing, cosine, and survivor ties all
+    break on ids), so the whole pipeline is oracle-checkable."""
+    from dca_manager_spark.operators.dedup import dedup_keep_canonical
+
+    base = corpus.select(
+        F.col(corpus_id).alias("__id"),
+        F.col(vec_col).alias("__v"),
+        qnorm(F.col(vec_col)).alias("__n"),
+    )
+    if seeds is None:
+        seeds = (
+            corpus.select(F.col(corpus_id), F.col(vec_col))
+            .orderBy(F.col(corpus_id))
+            .limit(n_cells)
+            .withColumn(
+                "__cell",
+                F.row_number().over(Window.orderBy(F.col(corpus_id))) - 1,
+            )
+            .select("__cell", F.col(vec_col).alias("__sv"))
+        )
+    else:
+        cid, cvec = seeds.columns[0], seeds.columns[1]
+        seeds = seeds.select(
+            F.col(cid).alias("__cell"), F.col(cvec).alias("__sv")
+        )
+    seeds = seeds.withColumn("__sn", qnorm(F.col("__sv")))
+    w = Window.partitionBy("__id").orderBy(
+        F.col("__sim").desc(), F.col("__cell")
+    )
+    assigned = (
+        base.crossJoin(F.broadcast(seeds))
+        .withColumn(
+            "__sim",
+            qcosine(
+                qdot(F.col("__v"), F.col("__sv")), F.col("__n"), F.col("__sn")
+            ),
+        )
+        .withColumn("__cr", F.row_number().over(w))
+        .filter(F.col("__cr") == 1)
+        .select("__id", "__cell", "__v", "__n")
+    )
+    a = assigned.select(
+        F.col("__id").alias("id_a"),
+        F.col("__cell").alias("__c"),
+        F.col("__v").alias("__va"),
+        F.col("__n").alias("__na"),
+    )
+    b = assigned.select(
+        F.col("__id").alias("id_b"),
+        F.col("__cell").alias("__c"),
+        F.col("__v").alias("__vb"),
+        F.col("__n").alias("__nb"),
+    )
+    pairs = (
+        a.join(b, "__c")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "cosine",
+            qcosine(
+                qdot(F.col("__va"), F.col("__vb")),
+                F.col("__na"),
+                F.col("__nb"),
+            ),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b")
+    )
+    return dedup_keep_canonical(corpus, pairs, corpus_id)

@@ -116,6 +116,7 @@ _DRIVER_WINDOW = [
     "text_perplexity_filter",
     "corpus_domain_cap",
     "streaming_drift_buckets",
+    "dedup_semantic",
     # -- (2) changed in round 12 --
     "dedup_cluster_canonical",
     "multimodal_audio_meta",
@@ -165,7 +166,6 @@ _DRIVER_WINDOW = [
     "events_sessionize_gaps",
     "events_value_histogram",
     "fuzzy_match_part_names",
-    "graph_pagerank",
 ]
 
 
@@ -7920,3 +7920,85 @@ def streaming_drift_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     compact_count_store(table)  # replay-safe: folds batches 0+1 only
     write_batch(2)              # at-least-once replay of the frontier
     return read_bucket_drift(table, d3, d10)
+
+
+@query(
+    "dedup_semantic",
+    f"""
+    WITH RECURSIVE vecs AS (
+      SELECT vec_id, {_QVEC} AS v,
+             CAST(list_sum(list_transform({_QVEC}, x ->
+                  CAST(FLOOR(x * x * 1000000000000) AS BIGINT))) AS BIGINT) AS nq
+      FROM embeddings
+    ),
+    seeds AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cell, v AS sv, nq AS sn
+      FROM vecs ORDER BY vec_id LIMIT 16
+    ),
+    simm AS (
+      SELECT x.vec_id, s.cell,
+             CAST(CAST(list_sum(list_transform(range(1, len(x.v) + 1), i ->
+                    CAST(FLOOR(x.v[i] * s.sv[i] * 1000000000000) AS BIGINT))) AS BIGINT)
+                  AS DOUBLE)
+               / (sqrt(CAST(x.nq AS DOUBLE)) * sqrt(CAST(s.sn AS DOUBLE))) AS sim
+      FROM vecs x, seeds s
+    ),
+    assigned AS (
+      SELECT vec_id, cell FROM (
+        SELECT vec_id, cell,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY sim DESC, cell) AS cr
+        FROM simm
+      ) WHERE cr = 1
+    ),
+    pairs AS (
+      SELECT a.vec_id AS pa, b.vec_id AS pb
+      FROM assigned a
+      JOIN assigned b ON a.cell = b.cell AND a.vec_id < b.vec_id
+      JOIN vecs x ON x.vec_id = a.vec_id
+      JOIN vecs y ON y.vec_id = b.vec_id
+      WHERE CAST(CAST(list_sum(list_transform(range(1, len(x.v) + 1), i ->
+                CAST(FLOOR(x.v[i] * y.v[i] * 1000000000000) AS BIGINT))) AS BIGINT)
+              AS DOUBLE)
+            / (sqrt(CAST(x.nq AS DOUBLE)) * sqrt(CAST(y.nq AS DOUBLE))) >= 0.4
+    ),
+    edges AS (
+      SELECT pa AS s, pb AS d FROM pairs
+      UNION
+      SELECT pb AS s, pa AS d FROM pairs
+    ),
+    reach(id, comp) AS (
+      SELECT vec_id, vec_id FROM vecs
+      UNION
+      SELECT e.d, reach.comp FROM edges e JOIN reach ON reach.id = e.s
+    ),
+    comp AS (SELECT id, MIN(comp) AS component FROM reach GROUP BY id),
+    csize AS (SELECT component, COUNT(*) AS cluster_size FROM comp GROUP BY component)
+    SELECT c.id AS vec_id, CAST(z.cluster_size AS BIGINT) AS cluster_size
+    FROM comp c
+    JOIN csize z ON z.component = c.component
+    WHERE c.id = c.component
+    ORDER BY vec_id
+    """,
+)
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023) — embedding-space semantic dedup:
+    coarse-quantize every vector to its nearest of 16 deterministic
+    centroids, find cosine>=0.4 near-duplicate pairs WITHIN cells only
+    (the paper's cost model: pair work is O(sum cell^2), never
+    all-pairs), then connected components (O(log n)
+    large-star/small-star) and the smallest-id canonical survivor —
+    the same dedup semantics as the MinHash pipeline, over meanings
+    instead of n-grams. The oracle replicates the full pipeline:
+    quantized-cosine routing (same CTEs as similarity_ivf_ann),
+    within-cell pairwise verify, and transitive closure via a recursive
+    CTE (tractable — clusters are small). See
+    operators/similarity.semantic_dedup."""
+    from dca_manager_spark.operators.similarity import semantic_dedup
+
+    emb = t(spark, sf_dir, "embeddings")
+    return (
+        semantic_dedup(emb, "vec_id", threshold=0.4, n_cells=16)
+        .select("vec_id", F.col("cluster_size").cast("bigint").alias("cluster_size"))
+        .orderBy("vec_id")
+    )

@@ -257,6 +257,15 @@ def test_catalog_wide_no_accidental_cartesian(spark):
                                        # (same shape as stat_regression's
                                        # global-min broadcast)
         "drift_top_divergent_tokens",  # same 1-row totals broadcast
+        "streaming_drift_buckets",     # same 1-row slice-totals broadcast
+                                       # (drift_from_counts over the
+                                       # count store)
+        "text_perplexity_filter",      # 1-row broadcast reference token
+                                       # total (the LM's denominator) —
+                                       # same shape as text_tfidf_topk's N
+        "dedup_semantic",              # corpus x broadcast seeds (16 rows)
+                                       # coarse quantizer — same linear
+                                       # routing shape as similarity_ivf_ann
     }
     flagged = {}
     for name in QUERIES:

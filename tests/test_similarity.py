@@ -737,3 +737,53 @@ def test_probe_recall_curve_monotone_and_floors(spark):
         return ops
 
     assert shape(2) == shape(8)
+
+
+def test_semantic_dedup_planted_duplicates(spark):
+    """SemDeDup: planted near-identical embedding groups collapse to one
+    canonical survivor (smallest id) with the right cluster size;
+    distinct vectors survive as singletons; ids never cross cells'
+    thresholds accidentally (deterministic routing + quantized cosine)."""
+    import numpy as np
+
+    from dca_manager_spark.operators.similarity import semantic_dedup
+
+    rng = np.random.default_rng(23)
+    bases = rng.normal(size=(10, 16)) * 3.0
+    rows = []
+    vid = 0
+    truth = {}  # canonical -> expected cluster size
+    for g, base in enumerate(bases):
+        copies = 3 if g < 4 else 1  # 4 groups of near-dups, 6 singletons
+        canon = vid
+        truth[canon] = copies
+        for c in range(copies):
+            v = base * (1.0 + c * 1e-4)  # cosine ~1.0 replicas
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    # Inject SEPARATED centroids (the group bases): the default
+    # lowest-id seeds here would be three near-identical replicas, and
+    # near-ties in the routing can split a duplicate group across cells
+    # — SemDeDup's documented boundary failure mode, which real
+    # deployments avoid with trained (k-means) centroids.
+    seeds = spark.createDataFrame(
+        [(i, [float(x) for x in bases[i]]) for i in range(4)],
+        "cell int, centroid array<double>",
+    )
+    out = {
+        r["vec_id"]: r["cluster_size"]
+        for r in semantic_dedup(
+            emb, "vec_id", threshold=0.95, n_cells=4, seeds=seeds
+        ).collect()
+    }
+    assert out == truth, (out, truth)
+    # layout independence
+    out2 = {
+        r["vec_id"]: r["cluster_size"]
+        for r in semantic_dedup(
+            emb.repartition(7), "vec_id", threshold=0.95, n_cells=4,
+            seeds=seeds,
+        ).collect()
+    }
+    assert out2 == out
