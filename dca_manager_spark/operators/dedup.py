@@ -1250,16 +1250,22 @@ def duplicate_spans(
         # and spills to disk past memory.
         #
         # LIFECYCLE (ADVICE r11): the CacheManager would otherwise hold
-        # this frame for the session's lifetime. Each capped call
-        # releases the PREVIOUS call's cache (correct even if that
-        # result is still lazily unevaluated — lineage recomputes), so
-        # at most one gram cache is ever live; call
-        # release_span_gram_cache() to free the last one.
+        # this frame for the session's lifetime. A repeated call over
+        # the SAME input reuses the previous call's still-cached frame
+        # (the CacheManager would have shared the entry anyway — an
+        # unpersist+repersist would just throw the warm cache away);
+        # a call over a DIFFERENT input releases the previous cache
+        # first (correct even if that result is still lazily
+        # unevaluated — lineage recomputes). At most one gram cache is
+        # ever live; release_span_gram_cache() frees the last one.
         from pyspark import StorageLevel
 
-        release_span_gram_cache()
-        grams = grams.persist(StorageLevel.MEMORY_AND_DISK)
-        _SPAN_GRAM_CACHES.append(grams)
+        if _SPAN_GRAM_CACHES and _SPAN_GRAM_CACHES[-1].sameSemantics(grams):
+            grams = _SPAN_GRAM_CACHES[-1]
+        else:
+            release_span_gram_cache()
+            grams = grams.persist(StorageLevel.MEMORY_AND_DISK)
+            _SPAN_GRAM_CACHES.append(grams)
     a = grams.select(
         F.col("__id").alias("__ida"),
         F.col("__pos").alias("__pa"),

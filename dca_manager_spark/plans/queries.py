@@ -7933,7 +7933,7 @@ def streaming_drift_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     seeds AS (
       SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cell, v AS sv, nq AS sn
-      FROM vecs ORDER BY vec_id LIMIT 16
+      FROM vecs ORDER BY vec_id LIMIT 32
     ),
     simm AS (
       SELECT x.vec_id, s.cell,
@@ -7983,7 +7983,7 @@ def streaming_drift_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup (Abbas et al. 2023) — embedding-space semantic dedup:
-    coarse-quantize every vector to its nearest of 16 deterministic
+    coarse-quantize every vector to its nearest of 32 deterministic
     centroids, find cosine>=0.4 near-duplicate pairs WITHIN cells only
     (the paper's cost model: pair work is O(sum cell^2), never
     all-pairs), then connected components (O(log n)
@@ -7998,7 +7998,7 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = t(spark, sf_dir, "embeddings")
     return (
-        semantic_dedup(emb, "vec_id", threshold=0.4, n_cells=16)
+        semantic_dedup(emb, "vec_id", threshold=0.4, n_cells=32)
         .select("vec_id", F.col("cluster_size").cast("bigint").alias("cluster_size"))
         .orderBy("vec_id")
     )
