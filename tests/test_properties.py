@@ -540,3 +540,75 @@ def test_drift_matches_python_replay(spark, rows):
         row["n_tokens_b"],
         row["n_tokens_a"],
     )
+
+
+# ---------------------------------------------------------------------------
+# Batched BPE merge selection == sequential training (pure Python — no Spark)
+# ---------------------------------------------------------------------------
+
+bpe_words = st.lists(
+    st.tuples(
+        st.text(alphabet="ab", min_size=1, max_size=8),
+        st.integers(min_value=1, max_value=5),
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+@given(
+    words=bpe_words,
+    batch_limit=st.integers(min_value=1, max_value=8),
+    top_k=st.integers(min_value=2, max_value=12),
+    n_merges=st.integers(min_value=1, max_value=25),
+    min_count=st.integers(min_value=1, max_value=3),
+)
+@settings(max_examples=300, deadline=None)
+def test_batched_selection_equals_sequential_bpe(
+    words, batch_limit, top_k, n_merges, min_count
+):
+    """The batch-selection rule (_select_merge_batch) must reproduce
+    one-merge-at-a-time training EXACTLY for arbitrary word tables,
+    batch caps, and candidate-collection widths — a pure-Python replay
+    of the distributed loop (exact pair counts per round, top-k
+    collection with the truncated flag, sequential application of the
+    selected batch), checked against the naive _merge_loop. A tiny
+    top_k stresses the truncated-collection stop; a 2-symbol alphabet
+    maximizes tie density and merge-induced pair churn — exactly the
+    shapes where an unsound batch rule diverges."""
+    from dca_manager_spark.operators.bpe import (
+        _merge_loop,
+        _merge_word,
+        _select_merge_batch,
+    )
+
+    table = [(list(w), f) for w, f in words if len(w) > 1]
+    expected = _merge_loop(((list(s), f) for s, f in table), n_merges, min_count)
+
+    cur = [(list(s), f) for s, f in table]
+    merges = []
+    while len(merges) < n_merges:
+        counts = {}
+        for syms, f in cur:
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                counts[p] = counts.get(p, 0) + f
+        rows = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:top_k]
+        rows_d = [{"a": a, "b": b, "cnt": c} for (a, b), c in rows]
+        if not rows_d or rows_d[0]["cnt"] < min_count:
+            break
+        batch = _select_merge_batch(
+            rows_d,
+            min(batch_limit, n_merges - len(merges)),
+            min_count,
+            truncated=len(rows_d) == top_k,
+        )
+        merges.extend(batch)
+        for a, b in batch:  # sequential apply (single-pass equivalence
+            cur = [         # is pinned separately in test_bpe)
+                (m, f)
+                for s, f in cur
+                for m in [_merge_word(s, a, b) if a in s else s]
+                if len(m) > 1
+            ]
+    assert merges == expected, (words, batch_limit, top_k)
