@@ -38,9 +38,16 @@ def release_span_gram_cache() -> None:
     """Unpersist the gram frame cached by the most recent capped
     :func:`duplicate_spans` call (and any older ones not yet released).
     Safe at any time: the cache keeps lineage, so a still-unevaluated
-    span result recomputes instead of failing."""
+    span result recomputes instead of failing. Tolerates frames whose
+    SparkSession has since been stopped (review finding r12: the
+    module-level registry outlives sessions — a dead frame has nothing
+    to free, it must not poison the next session's call)."""
     while _SPAN_GRAM_CACHES:
-        _SPAN_GRAM_CACHES.pop().unpersist(blocking=False)
+        df = _SPAN_GRAM_CACHES.pop()
+        try:
+            df.unpersist(blocking=False)
+        except Exception:
+            pass  # frame's SparkSession is gone — nothing left to free
 
 
 # ---------------------------------------------------------------------------
@@ -1260,7 +1267,13 @@ def duplicate_spans(
         # ever live; release_span_gram_cache() frees the last one.
         from pyspark import StorageLevel
 
-        if _SPAN_GRAM_CACHES and _SPAN_GRAM_CACHES[-1].sameSemantics(grams):
+        reuse = False
+        if _SPAN_GRAM_CACHES:
+            try:
+                reuse = _SPAN_GRAM_CACHES[-1].sameSemantics(grams)
+            except Exception:
+                reuse = False  # stale frame from a stopped session
+        if reuse:
             grams = _SPAN_GRAM_CACHES[-1]
         else:
             release_span_gram_cache()

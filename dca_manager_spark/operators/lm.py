@@ -101,7 +101,25 @@ def ngram_lm_counts(
         .groupBy("__prev", "__tok")
         .agg(F.count(F.lit(1)).alias("__c2"))
     )
-    totals = unigrams.agg(F.sum("__c1").cast("bigint").alias("__total"))
+    # A reference with ZERO tokens has no language model — without this
+    # guard the NULL total would propagate NULL per-token terms that
+    # lm_doc_scores' coalesce turns into mean_inv_q = 0 ("perfect
+    # quality") for EVERY document, silently disabling the gate (the
+    # exact wrong-label/empty-slice mode drift._aligned also raises on).
+    raw_total = F.sum("__c1").cast("bigint")
+    totals = unigrams.agg(
+        F.when(
+            raw_total.isNull() | (raw_total == 0),
+            F.raise_error(
+                F.lit(
+                    "lm: reference slice has zero tokens — no language "
+                    "model to score against (empty slice or wrong filter)"
+                )
+            ).cast("bigint"),
+        )
+        .otherwise(raw_total)
+        .alias("__total")
+    )
     return unigrams, bigrams, totals
 
 

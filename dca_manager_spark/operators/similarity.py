@@ -1249,7 +1249,24 @@ def ivf_pq_rerank_topk(
     # plain lists from external serialization skip the check.
     trained_residual = getattr(codebooks, "residual_trained", None)
     if residual is None:
-        residual = bool(trained_residual) if trained_residual is not None else False
+        if trained_residual is None:
+            import warnings
+
+            # The one mode nobody can check: untagged codebooks carry no
+            # provenance, so if they WERE residual-trained (tag lost in
+            # plain-list serialization) this default silently serves raw
+            # ADC against residual centroids. Say so once per call site.
+            warnings.warn(
+                "ivf_pq_rerank_topk: codebooks carry no residual_trained "
+                "provenance — defaulting to residual=False (raw ADC). If "
+                "they were trained with residual_seeds, pass "
+                "residual=True explicitly or keep the PQCodebooks object "
+                "train_pq_codebooks returns.",
+                stacklevel=2,
+            )
+            residual = False
+        else:
+            residual = bool(trained_residual)
     elif trained_residual is not None and trained_residual != residual:
         import warnings
 
@@ -1478,13 +1495,14 @@ def probe_recall_curve(
     SAME serving plan (:func:`ivf_pq_rerank_topk` — identical shape at
     every setting, only the rank cutoff changes) at each ``n_probe``
     and score recall@k against the exact brute-force top-k over the
-    same frames. Returns one dict per setting: {"n_probe", "recall",
-    "n_pairs"} (n_pairs = scored (query, neighbor) rows — the cost
-    axis). Recall is monotone non-decreasing in probes BY CONSTRUCTION
-    when the frames are deterministic: probing p+1 cells scores a
-    SUPERSET of the candidates p cells score, the ADC shortlist of a
-    superset can only improve the true-neighbor survival odds in
-    aggregate, and the test pins the measured curve.
+    same frames. Returns one dict per setting: {"n_probe", "recall"} —
+    the cost axis is n_probe itself (ADC work is linear in the probed
+    cells' member count by construction). Probing p+1 cells scores a
+    SUPERSET of the candidates p cells score, so recall rises with
+    probes on any corpus whose true neighbors spread across cells (the
+    test pins a measured monotone curve on unstructured vectors; on
+    well-separated clusters the curve is flat at the routing ceiling —
+    probe=1 already finds the right cell).
 
     A MODEL-SELECTION helper, not a serving operator: it runs
     len(probes)+1 bounded jobs (queries-sized results each) and

@@ -160,3 +160,16 @@ def test_layout_independent(spark):
         for r in lm_doc_scores(docs.repartition(7), ref.repartition(3)).collect()
     )
     assert a == b
+
+
+def test_empty_reference_raises_loudly(spark):
+    """Review finding (r12): a reference slice with zero tokens has no
+    language model — the gate must fail loudly, not score every doc as
+    perfect (NULL totals coalesced to mean_inv_q=0 kept everything)."""
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    empty_ref = spark.createDataFrame([], "text string")
+    with pytest.raises(Exception, match="zero tokens"):
+        lm_doc_scores(docs, empty_ref).collect()
+    blank_ref = spark.createDataFrame([("",), ("   ",)], ["text"])
+    with pytest.raises(Exception, match="zero tokens"):
+        perplexity_filter(docs, blank_ref).collect()

@@ -641,9 +641,10 @@ def test_residual_raw_codebook_mismatch_warns(spark):
         # path (no mismatch, no warning)...
         ivf_pq_rerank_topk(q, c, "qid", "nid", raw_books,
                            k=3, n_probe=2, shortlist=8, seeds=seeds)
-        # ...and untagged plain lists default to raw (False) — the one
-        # case the warning could never catch — and skip the check.
+        # ...and untagged plain lists with an EXPLICIT residual skip the
+        # mismatch check entirely (no provenance to compare against).
         ivf_pq_rerank_topk(q, c, "qid", "nid", [list(b) for b in raw_books],
+                           residual=False,
                            k=3, n_probe=2, shortlist=8, seeds=seeds)
 
 
@@ -681,8 +682,12 @@ def test_residual_default_follows_provenance(spark):
 
     # tagged residual books: default == explicit residual=True
     assert run(res_books) == run(res_books, residual=True)
-    # untagged plain lists: default == explicit residual=False
-    assert run(plain) == run(plain, residual=False)
+    # untagged plain lists: default == explicit residual=False, and the
+    # unverifiable default WARNS (the tag may have been lost in plain
+    # serialization — review finding r12)
+    with pytest.warns(UserWarning, match="provenance"):
+        bare = run(plain)
+    assert bare == run(plain, residual=False)
 
 
 def test_probe_recall_curve_monotone_and_floors(spark):
