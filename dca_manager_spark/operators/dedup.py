@@ -945,19 +945,24 @@ def simhash_pairs(
 def _large_star(e: DataFrame) -> DataFrame:
     """One large-star round (Kiveris et al. 2014, "Connected Components
     in MapReduce and Beyond", Alg. 2): every node u links each STRICTLY
-    LARGER neighbor v to m = min(N(u) ∪ {u})."""
+    LARGER neighbor v to m = min(N(u) ∪ {u}).
+
+    FORMULATION NOTE: the neighborhood min comes from a WINDOW over the
+    symmetrized frame, not a groupBy + self-join — joining an aggregate
+    of ``sym`` back to ``sym`` makes two plan branches share the
+    checkpointed leaf, and when that leaf originated from a UNION-built
+    pair frame (MinHash ∪ SimHash candidates) Spark 4's relation
+    dedup crashes with 'key not found: __v#N' at the next checkpoint
+    (regression-pinned in test_connected_components_union_pairs). The
+    window costs the same single shuffle on __u."""
     sym = e.unionByName(
         e.select(F.col("__v").alias("__u"), F.col("__u").alias("__v"))
     )
-    mins = (
-        sym.groupBy("__u")
-        .agg(F.min("__v").alias("__mn"))
-        .select("__u", F.least("__mn", "__u").alias("__m"))
-    )
-    # No distinct here: small-star re-aggregates and ends with one — an
-    # extra exchange per round buys nothing.
+    w = Window.partitionBy("__u")
     return (
-        sym.join(mins, "__u")
+        sym.withColumn(
+            "__m", F.least(F.min("__v").over(w), F.col("__u"))
+        )
         .filter(F.col("__v") > F.col("__u"))
         .select(F.col("__v").alias("__u"), F.col("__m").alias("__v"))
         .filter(F.col("__u") != F.col("__v"))
@@ -967,20 +972,23 @@ def _large_star(e: DataFrame) -> DataFrame:
 def _small_star(e: DataFrame) -> DataFrame:
     """One small-star round: orient each edge toward its larger node,
     then every node u links its smaller neighbors AND ITSELF to
-    m = min of the smaller neighborhood."""
+    m = min of the smaller neighborhood.
+
+    Same join-free window formulation as :func:`_large_star`; the
+    {smaller neighbors} ∪ {u} emit is ONE explode over each row's
+    (v, u) pair instead of a union of two branches over the shared
+    window frame (the other shape of the relation-dedup crash)."""
     ori = e.select(
         F.greatest("__u", "__v").alias("__u"),
         F.least("__u", "__v").alias("__v"),
     )
-    mins = ori.groupBy("__u").agg(F.min("__v").alias("__m"))
-    emit_v = (
-        ori.join(mins, "__u")
-        .filter(F.col("__v") != F.col("__m"))
-        .select(F.col("__v").alias("__u"), F.col("__m").alias("__v"))
-    )
-    emit_u = mins.select("__u", F.col("__m").alias("__v"))
+    w = Window.partitionBy("__u")
     return (
-        emit_v.unionByName(emit_u)
+        ori.withColumn("__m", F.min("__v").over(w))
+        .select(
+            F.explode(F.array(F.col("__v"), F.col("__u"))).alias("__u"),
+            F.col("__m").alias("__v"),
+        )
         .filter(F.col("__u") != F.col("__v"))
         .distinct()
     )
@@ -1027,11 +1035,19 @@ def connected_components(
     labels); 20 rounds covers any graph a real corpus can produce
     (2^20-diameter chains)."""
     id_name = ids.columns[0]
+    # EAGER checkpoint: the edge frame is referenced on both sides of
+    # every round's self-joins, so the (possibly expensive — LSH) pair
+    # plan must materialize once. Eager rather than lazy is ALSO a
+    # correctness requirement: a lazy checkpoint of a UNION-built pair
+    # frame (e.g. MinHash ∪ SimHash pairs) hits a Catalyst
+    # attribute-rewrite bug ("key not found: __v#N") when the first
+    # round's checkpoint materializes the twice-referenced union —
+    # regression-pinned in test_connected_components_union_pairs.
     edges = (
         pairs.select(F.col("id_a").alias("__u"), F.col("id_b").alias("__v"))
         .filter(F.col("__u") != F.col("__v"))
         .distinct()
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=True)
     )
     rounds = 0
     for _ in range(max_iter):

@@ -925,3 +925,29 @@ def test_connected_components_unconverged_raises(spark):
     )
     with pytest.raises(RuntimeError, match="did not converge"):
         connected_components(pairs, ids, max_iter=2)
+
+
+def test_connected_components_union_pairs(spark):
+    """Regression (r12): a UNION-built pair frame (e.g. MinHash ∪
+    SimHash candidates) fed to connected_components crashed with a
+    Catalyst attribute-rewrite error ('key not found: __v#N') when the
+    twice-referenced union materialized through a LAZY checkpoint —
+    the edge frame is now eagerly checkpointed."""
+    from dca_manager_spark.operators.dedup import connected_components
+
+    chain = spark.range(99).select(
+        F.col("id").alias("id_a"), (F.col("id") + 1).alias("id_b")
+    )
+    cliq = (
+        spark.range(100, 200)
+        .select(
+            F.col("id").alias("id_a"),
+            (F.col("id") - (F.col("id") % 5)).alias("id_b"),
+        )
+        .filter(F.col("id_a") != F.col("id_b"))
+    )
+    ids = spark.range(200).withColumnRenamed("id", "doc_id")
+    labels = connected_components(chain.unionByName(cliq), ids, max_iter=20)
+    comps = {r["__id"]: r["component"] for r in labels.collect()}
+    assert all(comps[i] == 0 for i in range(100))
+    assert all(comps[i] == i - (i % 5) for i in range(100, 200))
