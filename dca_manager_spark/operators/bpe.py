@@ -189,11 +189,17 @@ def _apply_merges_col(syms_col: Column, batch: list[tuple[str, str]]) -> Column:
     the merged token and clear pending (so a merged token never
     re-merges within the pass, exactly ``_merge_word``).
 
-    For pairwise symbol-disjoint merges the single pass EQUALS applying
-    each merge sequentially in any order: no array position can match
-    two different pairs (they would share a symbol), and merging (a, b)
-    only perturbs adjacencies that involve a, b, or the new token a+b —
-    none of which appear in any other batch pair. The match test is a
+    PRECONDITION (what ``_select_merge_batch`` guarantees): the batch is
+    pairwise symbol-disjoint AND every merged token string is FRESH —
+    not a current frame symbol and not another batch pair's symbol.
+    Under that, the single pass EQUALS applying each merge sequentially
+    in any order: no array position can match two different pairs (they
+    would share a symbol), and merging (a, b) only perturbs adjacencies
+    that involve a, b, or the new token a+b — none of which appear in
+    any other batch pair. (Disjointness alone is NOT enough: a batch
+    like [(a,b), (ab,c)] is symbol-disjoint, but sequential application
+    cascades 'a b c' -> 'abc' while the single pass stops at '[ab, c]' —
+    token freshness excludes such batches.) The match test is a
     ``when`` chain over the batch (one lambda in the plan, NOT unrolled
     per element), so expression size is O(batch), bounded by
     ``merge_batch``. Whole-stage-codegen; no Python in the loop.
@@ -254,56 +260,92 @@ def _apply_merge_col(syms_col: Column, a: str, b: str) -> Column:
 
 
 def _select_merge_batch(
-    rows, limit: int, min_count: int, truncated: bool
+    rows,
+    limit: int,
+    min_count: int,
+    truncated: bool,
+    applied_tokens: frozenset | set = frozenset(),
 ) -> list[tuple[str, str]]:
     """Pick the longest PREFIX of the (cnt desc, pair asc)-sorted pair
-    candidates that is provably BIT-IDENTICAL to applying them one
-    sequential argmax at a time (the standard batched-BPE trick, made
-    exact):
+    candidates that is BIT-IDENTICAL to applying them one sequential
+    argmax at a time (the standard batched-BPE trick, made exact).
 
-    - prefix-only and pairwise SYMBOL-DISJOINT: selection stops at the
-      first candidate sharing a symbol with an earlier selection (or at
-      ``limit``) — so every pair a selected merge could perturb sorts at
-      or after the stop point;
-    - STRICT dominance: selected pairs (beyond the always-safe global
-      argmax) must have cnt STRICTLY above the stop candidate's — a new
-      pair created by merge (a,b) occurs at most once per occurrence of
-      its pre-merge twin (e.g. (x, ab) was (x, a)), and the twin, sharing
-      a symbol, sorts at/after the stop — so no new or perturbed pair
-      can reach, even by tie-break, any count a later selected pair
-      holds. With ``truncated`` (the collected top-K may not be the full
-      candidate set) the last collected row acts as the stop.
+    Soundness argument (the r12 version of this rule was DISPROVEN by
+    ``test_batched_selection_equals_sequential_bpe`` — counterexample
+    ``{bb:1, aaa:1}`` — because it ignored pairs a self-merge creates by
+    run overlap; this version's bound covers them):
 
-    Rows below ``min_count`` end selection (sequential training never
-    reaches them, and anything they could perturb is below every
-    selected count)."""
-    selected: list[tuple[str, str]] = []
+    Selection stops at the first candidate that (a) exceeds ``limit``,
+    (b) shares a symbol with an earlier selection, (c) falls below
+    ``min_count``, or (d) whose merged token string collides with an
+    earlier selection's token or with ``applied_tokens`` (tokens from
+    prior rounds). Let ``S`` = the stop candidate's count (0 if the
+    candidate set was exhausted un-truncated; the last collected row's
+    count also lower-bounds S when ``truncated``). Because selection is
+    a prefix of the sort, every UNSELECTED pair has count <= S.
+
+    Token freshness: initial symbols are single characters and merged
+    tokens have length >= 2, so with (d) every batch token is a string
+    that is NOT a current symbol. Hence every post-batch occurrence of
+    any pair maps INJECTIVELY to a pre-batch adjacency: a post-batch
+    symbol is either a literal pre-batch symbol or a token formed from
+    exactly its two pre-batch symbols (batch merges never cascade —
+    disjoint symbols, fresh tokens), so the adjacency between the last
+    pre-batch symbol of the left and the first pre-batch symbol of the
+    right identifies a distinct pre-batch pair occurrence. For a pair p
+    not in the selection, that pre-batch twin always shares a symbol
+    with a selected merge (or is p itself), so it is unselected and its
+    count is <= S — EXCEPT when the twin IS a selected self-merge
+    (a, a): inside a run of k a's, left-to-right merging creates
+    (aa, aa) and (aa, a) occurrences, at most floor((k-1)/2) of them,
+    and the run contributes k-1 to the self-merge's own count c — so
+    those pairs are bounded by floor(c/2) instead. Ordinary unselected
+    pairs can only lose count (their symbols are existing, tokens are
+    fresh — nothing creates them).
+
+    Therefore after applying the first i-1 kept merges, every pair
+    other than kept merges is bounded by ``max(S, floor(c_j/2) over
+    kept self-merges j < i)``, kept merges keep their exact counts, and
+    requiring ``c_i`` STRICTLY above that bound (the global argmax is
+    sequential pick #1 unconditionally) makes kept merge i the unique
+    (cnt desc, pair asc) argmax at sequential step i."""
+    selected: list[tuple[str, str, int]] = []
     used: set[str] = set()
-    stop_cnt = None
-    broke = False
+    tokens: set[str] = set(applied_tokens)
+    stop_cnt = 0
     for r in rows:
         a, b, c = r["a"], r["b"], r["cnt"]
-        if c < min_count:
-            broke = True
-            break
-        if len(selected) >= limit or a in used or b in used:
+        if c < min_count or len(selected) >= limit or a in used or b in used:
             stop_cnt = c
-            broke = True
             break
-        selected.append((a, b))
+        if (a + b) in tokens:
+            # Token collision breaks the freshness invariant the batch
+            # bound rests on. The global argmax is still ALWAYS the
+            # sequential pick, so when this is the FIRST row keep it as
+            # a 1-merge batch (liveness: an empty batch would spin the
+            # round loop forever); otherwise stop here.
+            if not selected:
+                return [(a, b)]
+            stop_cnt = c
+            break
+        selected.append((a, b, c))
         used.add(a)
         used.add(b)
-    if not broke and truncated:
-        stop_cnt = rows[-1]["cnt"]
-    if stop_cnt is not None and selected:
-        keep = selected[:1]  # the global argmax is sequential pick #1
-        for (a, b), r in zip(selected[1:], rows[1:]):
-            if r["cnt"] > stop_cnt:
-                keep.append((a, b))
-            else:
-                break
-        selected = keep
-    return selected
+        tokens.add(a + b)
+    if truncated:
+        stop_cnt = max(stop_cnt, rows[-1]["cnt"])
+    if not selected:
+        return []
+    a1, b1, c1 = selected[0]
+    keep = [(a1, b1)]  # the global argmax is sequential pick #1
+    hazard = c1 // 2 if a1 == b1 else 0
+    for a, b, c in selected[1:]:
+        if c <= max(stop_cnt, hazard):
+            break
+        keep.append((a, b))
+        if a == b:
+            hazard = max(hazard, c // 2)
+    return keep
 
 
 def train_bpe_merges(
@@ -341,13 +383,14 @@ def train_bpe_merges(
     bounded TakeOrdered collect of the top candidates, and a JVM-side
     fold merge apply (``_apply_merges_col``) pinned with localCheckpoint
     (bounded lineage, like graph.pagerank). Since r12 each round applies
-    a BATCH of up to ``merge_batch`` merges — the longest
-    symbol-disjoint, strictly-count-dominant prefix of the sorted pair
-    candidates, which ``_select_merge_batch`` proves bit-identical to
-    one-merge-at-a-time training — cutting the job count up to
-    ``merge_batch``x (VERDICT r11 #2: a 10k-merge vocabulary paid 10k
-    jobs). No Python executes anywhere in the round loop. Words reduced
-    to one symbol leave the frame.
+    a BATCH of up to ``merge_batch`` merges — the longest symbol-
+    disjoint, fresh-token, dominance-safe prefix of the sorted pair
+    candidates (``_select_merge_batch``; the bound also covers pairs a
+    SELF-merge creates by run overlap, the hole that falsified the r12
+    rule) — bit-identical to one-merge-at-a-time training while cutting
+    the job count up to ``merge_batch``x (VERDICT r11 #2: a 10k-merge
+    vocabulary paid 10k jobs). No Python executes anywhere in the round
+    loop. Words reduced to one symbol leave the frame.
 
     local: bounded top-``max_words`` collect of the word-frequency frame
     (deterministic hash-free order: freq desc, word asc — truncation
@@ -407,6 +450,8 @@ def train_bpe_merges(
             .limit(max_words)
             .collect()
         )
+        if stats is not None:
+            stats["rounds"] = 0  # local path: zero Spark merge rounds
         return _merge_loop_indexed(
             ((list(r["word"]), r["freq"]) for r in rows), n_merges, min_count
         )
@@ -442,6 +487,7 @@ def train_bpe_merges(
     # window lets more of the prefix survive. Rows are (str, str, long).
     top_k = max(merge_batch * 4, merge_batch + 1)
     merges: list[tuple[str, str]] = []
+    applied_tokens: set[str] = set()
     rounds = 0
     while len(merges) < n_merges:
         rows = (
@@ -458,8 +504,10 @@ def train_bpe_merges(
             min(merge_batch, n_merges - len(merges)),
             min_count,
             truncated=len(rows) == top_k,
+            applied_tokens=applied_tokens,
         )
         merges.extend(batch)
+        applied_tokens.update(a + b for a, b in batch)
         rounds += 1
         # Apply only where a batch pair can start (cheap arrays_overlap
         # prefilter on the first elements), JVM-side single-pass fold.

@@ -31,19 +31,38 @@ from pyspark.sql import functions as F
 # previous call's frame (persist keeps lineage, so an early unpersist
 # is always CORRECT — an unevaluated older result just recomputes), and
 # release_span_gram_cache() frees the last one explicitly.
+#
+# STALENESS ASSUMPTION (ADVICE r12): reuse keys on sameSemantics — a
+# semantically identical PLAN is served the previously persisted DATA.
+# If the underlying source (e.g. a parquet path) was REWRITTEN between
+# calls, the plans still match and the cache silently serves the old
+# rows; call release_span_gram_cache() after rewriting an input before
+# re-calling duplicate_spans. This mirrors Spark's own df.cache()
+# semantics — caching pins plan results, not source snapshots.
+# Mutations are guarded by _SPAN_GRAM_LOCK so concurrent sessions or
+# threads cannot corrupt the registry (the worst case without it:
+# a doubly-popped/never-released cache entry).
+import threading
+
 _SPAN_GRAM_CACHES: list[DataFrame] = []
+_SPAN_GRAM_LOCK = threading.Lock()
 
 
 def release_span_gram_cache() -> None:
     """Unpersist the gram frame cached by the most recent capped
     :func:`duplicate_spans` call (and any older ones not yet released).
     Safe at any time: the cache keeps lineage, so a still-unevaluated
-    span result recomputes instead of failing. Tolerates frames whose
-    SparkSession has since been stopped (review finding r12: the
-    module-level registry outlives sessions — a dead frame has nothing
-    to free, it must not poison the next session's call)."""
-    while _SPAN_GRAM_CACHES:
-        df = _SPAN_GRAM_CACHES.pop()
+    span result recomputes instead of failing. Call this after
+    REWRITING an input path duplicate_spans already ran over — cache
+    reuse keys on plan equality and would otherwise serve the old rows
+    (see the registry note above). Tolerates frames whose SparkSession
+    has since been stopped (review finding r12: the module-level
+    registry outlives sessions — a dead frame has nothing to free, it
+    must not poison the next session's call)."""
+    with _SPAN_GRAM_LOCK:
+        frames = list(_SPAN_GRAM_CACHES)
+        _SPAN_GRAM_CACHES.clear()
+    for df in frames:
         try:
             df.unpersist(blocking=False)
         except Exception:
@@ -1014,9 +1033,12 @@ def connected_components(
     effective depth each round and converges in O(log n) rounds on any
     shape (pinned by the chain stress test: a 10k-vertex path converges
     within log2(n)+4 rounds). Each round is one plan — large-star then
-    small-star, each a groupBy-min plus an equi join shuffled on the
-    vertex id — and lineage is truncated per round (localCheckpoint) so
-    the plan never grows with iterations.
+    small-star, each a single min-over-window pass shuffled once on the
+    vertex id (JOIN-FREE by design: the textbook groupBy-min + equi-join
+    form crashes Spark 4's relation dedup on union-built pair frames —
+    see the FORMULATION NOTE on the star helpers) — and lineage is
+    truncated per round
+    (localCheckpoint) so the plan never grows with iterations.
 
     Convergence detection is a STAR-FOREST CERTIFICATE, not an
     edge-diff: the alternation's only fixed points are star forests
@@ -1281,20 +1303,30 @@ def duplicate_spans(
         # first (correct even if that result is still lazily
         # unevaluated — lineage recomputes). At most one gram cache is
         # ever live; release_span_gram_cache() frees the last one.
+        # Reuse keys on PLAN equality (sameSemantics): same input path
+        # rewritten in place would be served stale — see the registry
+        # staleness note; release_span_gram_cache() is the escape hatch.
         from pyspark import StorageLevel
 
-        reuse = False
-        if _SPAN_GRAM_CACHES:
-            try:
-                reuse = _SPAN_GRAM_CACHES[-1].sameSemantics(grams)
-            except Exception:
-                reuse = False  # stale frame from a stopped session
-        if reuse:
-            grams = _SPAN_GRAM_CACHES[-1]
-        else:
-            release_span_gram_cache()
-            grams = grams.persist(StorageLevel.MEMORY_AND_DISK)
-            _SPAN_GRAM_CACHES.append(grams)
+        with _SPAN_GRAM_LOCK:
+            reuse = False
+            if _SPAN_GRAM_CACHES:
+                try:
+                    reuse = _SPAN_GRAM_CACHES[-1].sameSemantics(grams)
+                except Exception:
+                    reuse = False  # stale frame from a stopped session
+            if reuse:
+                grams = _SPAN_GRAM_CACHES[-1]
+            else:
+                stale = list(_SPAN_GRAM_CACHES)
+                _SPAN_GRAM_CACHES.clear()
+                for df in stale:
+                    try:
+                        df.unpersist(blocking=False)
+                    except Exception:
+                        pass  # frame's session is gone — nothing to free
+                grams = grams.persist(StorageLevel.MEMORY_AND_DISK)
+                _SPAN_GRAM_CACHES.append(grams)
     a = grams.select(
         F.col("__id").alias("__ida"),
         F.col("__pos").alias("__pa"),

@@ -4573,7 +4573,11 @@ def multimodal_audio_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sampling pass re-executes its child, so sorting the parsed frame
     # would run the Arrow UDF twice (measured ~0.4s of the entry);
     # projections preserve the sort order, so parsing after the sort
-    # keeps the ORDER BY contract with one UDF pass.
+    # keeps the ORDER BY contract with one UDF pass. Spark does not
+    # CONTRACT that order survives later transformations — the exact
+    # plan shape this rests on (one Sort, UDF above it, only Projects
+    # above the UDF) is pinned by
+    # tests/test_plans.py::test_audio_meta_sort_below_single_udf_pass.
     return audio_meta(media.orderBy("media_id"), "content").select(
         "media_id",
         F.col("audio.format").alias("format"),

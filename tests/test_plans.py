@@ -307,3 +307,32 @@ def test_catalog_wide_no_unpartitioned_windows(spark):
         if n and name not in BOUNDED:
             flagged[name] = n
     assert not flagged, f"unpartitioned (single-partition) windows: {flagged}"
+
+
+def test_audio_meta_sort_below_single_udf_pass(spark):
+    """ADVICE r12: multimodal_audio_meta sorts BEFORE the pandas-UDF
+    parse (a final orderBy would re-execute the UDF in the range
+    partitioner's sampling pass — the r11 double-parse defect) and
+    relies on the projection above the Sort preserving row order. Spark
+    gives no cross-version contract for that, so this test pins the
+    load-bearing plan shape: exactly one Sort, the ArrowEvalPython
+    ABOVE it, and only order-preserving nodes (Project/WSCG/AQE wrapper)
+    between the UDF and the root. If a future Spark inserts an Exchange
+    or re-sort above the UDF, or reorders the two, this fails loudly."""
+    df = q("multimodal_audio_meta", spark)
+    plan = explain_formatted(df)
+    tree = [
+        ln.strip(" +-:*()0123456789")
+        for ln in plan.split("== Physical Plan ==", 1)[1].splitlines()
+        if ("+-" in ln or "AdaptiveSparkPlan" in ln) and ln.strip()
+    ]
+    # tree[] is root -> leaf; cut at the first blank-section boundary
+    assert plan.count("ArrowEvalPython") >= 1, "audio parse UDF missing"
+    udf_idx = next(i for i, n in enumerate(tree) if "ArrowEvalPython" in n)
+    sort_idxs = [i for i, n in enumerate(tree) if n.startswith("Sort")]
+    assert len(sort_idxs) == 1, f"expected exactly one Sort, got {tree}"
+    assert sort_idxs[0] > udf_idx, f"Sort must sit BELOW the UDF: {tree}"
+    for node in tree[:udf_idx]:
+        assert node.startswith(("AdaptiveSparkPlan", "Project", "WholeStageCodegen")), (
+            f"order-breaking node above the audio UDF: {node!r} in {tree}"
+        )

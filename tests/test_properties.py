@@ -15,7 +15,7 @@ import datetime
 
 import pandas as pd
 import pytest
-from hypothesis import HealthCheck, given, settings
+from hypothesis import HealthCheck, example, given, settings
 from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
@@ -563,7 +563,27 @@ bpe_words = st.lists(
     n_merges=st.integers(min_value=1, max_value=25),
     min_count=st.integers(min_value=1, max_value=3),
 )
-@settings(max_examples=300, deadline=None)
+@settings(max_examples=1000, deadline=None)
+@example(  # VERDICT r12: exhausted-untruncated self-merge hole — the
+    # (a,a) merge on 'aaa' creates (aa,a):1 which TIES (b,b):1 and wins
+    # the pair-asc tie-break; the r12 rule batched (b,b) anyway.
+    words=[("bb", 1), ("aaa", 1)],
+    batch_limit=2,
+    top_k=3,
+    n_merges=3,
+    min_count=1,
+)
+@example(  # broke-case self-merge hole (found r13): rows [(a,a):10,
+    # (b,b):4, (a,b):3] — stop at (a,b) gives S=3 and (b,b):4 > 3
+    # satisfied the r12 strict-dominance rule, but merging (a,a) creates
+    # (aa,a):5 which outranks (b,b):4; the self-merge hazard floor(10/2)
+    # must prune the batch to [(a,a)] alone.
+    words=[("aaa", 5), ("bb", 4), ("ab", 3)],
+    batch_limit=4,
+    top_k=12,
+    n_merges=4,
+    min_count=1,
+)
 def test_batched_selection_equals_sequential_bpe(
     words, batch_limit, top_k, n_merges, min_count
 ):
@@ -587,6 +607,7 @@ def test_batched_selection_equals_sequential_bpe(
 
     cur = [(list(s), f) for s, f in table]
     merges = []
+    applied_tokens = set()  # trainer-parity: freshness needs prior tokens
     while len(merges) < n_merges:
         counts = {}
         for syms, f in cur:
@@ -602,8 +623,10 @@ def test_batched_selection_equals_sequential_bpe(
             min(batch_limit, n_merges - len(merges)),
             min_count,
             truncated=len(rows_d) == top_k,
+            applied_tokens=applied_tokens,
         )
         merges.extend(batch)
+        applied_tokens.update(a + b for a, b in batch)
         for a, b in batch:  # sequential apply (single-pass equivalence
             cur = [         # is pinned separately in test_bpe)
                 (m, f)
