@@ -2,7 +2,7 @@
 
 from dca_manager_spark.io.bucketed import bucketed_join, write_bucketed_table
 from dca_manager_spark.io.datasource import register_python_sources
-from dca_manager_spark.io.manifest import ManifestTable
+from dca_manager_spark.io.manifest import ConcurrentCommitError, ManifestTable
 from dca_manager_spark.io.merge import MergeTable, WriteOperation, precombine_dedup
 from dca_manager_spark.io.readers import (
     TABLE_NAMES,
@@ -26,5 +26,5 @@ __all__ = [
     "MergeTable", "WriteOperation", "precombine_dedup",
     "save_as_table", "write_partitioned_json", "write_partitioned_parquet",
     "write_stream_parquet", "write_bucketed_table", "bucketed_join",
-    "ManifestTable", "register_python_sources",
+    "ManifestTable", "ConcurrentCommitError", "register_python_sources",
 ]

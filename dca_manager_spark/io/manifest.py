@@ -57,6 +57,16 @@ from dca_manager_spark.io.merge import WriteOperation, precombine_dedup
 
 _UNSET = object()  # "no prev supplied" sentinel (None = empty table)
 
+
+class ConcurrentCommitError(RuntimeError):
+    """A commit lost the put-if-absent race ``commit_retries + 1`` times
+    in a row. The table is NOT corrupted — the losing attempts published
+    nothing (the manifest link failed atomically) and their data files
+    are unreferenced orphans that ``vacuum()`` reclaims. The caller can
+    simply re-issue the write; persistent contention means two writers
+    are hammering the same table faster than rebase can keep up — shard
+    the key space or serialize upstream."""
+
 _MANIFEST_DIR = "_manifests"
 _DATA_DIR = "data"
 _CHANGES_DIR = "_changes"
@@ -209,6 +219,7 @@ class ManifestTable:
         cluster_method: str = "linear",
         table_type: str = "cow",
         constraints: dict[str, str] | None = None,
+        commit_retries: int = 3,
     ) -> None:
         """``cluster_by``: linear range clustering at write time — every
         commit range-partitions its rows on these columns and sorts within
@@ -263,6 +274,15 @@ class ManifestTable:
         self.cluster_method = cluster_method
         self.table_type = table_type
         self.constraints = dict(constraints or {})
+        # ``commit_retries``: optimistic-concurrency rebase budget. A
+        # writer that loses the manifest put-if-absent race re-reads the
+        # newest manifest and re-applies its (pinned) batch against it —
+        # the serialized result, like Delta's conflict-resolution retry.
+        # 0 = strict single-writer (lose once -> ConcurrentCommitError).
+        self.commit_retries = int(commit_retries)
+        # Cumulative lost-race count on this handle (observability: a
+        # steadily climbing value means real multi-writer contention).
+        self.rebase_count = 0
 
     # -- manifest plumbing --------------------------------------------------
     def _manifest_dir(self) -> Path:
@@ -481,12 +501,26 @@ class ManifestTable:
         self, df: DataFrame, commit_id: int, kind: str
     ) -> list[str]:
         """Record-level change capture for one commit: the changed rows
-        land under ``_changes/<commit-id>/<kind>/`` as plain parquet
-        (written BEFORE the manifest publish — a crash pre-publish leaves
-        only orphans, same invariant as data files). O(batch), not
-        O(touched partitions): this is the cheap half of the commit."""
-        out_dir = Path(self.path) / _CHANGES_DIR / f"{commit_id:012d}" / kind
-        df.write.mode("overwrite").parquet(str(out_dir))
+        land under ``_changes/<commit-id>/<kind>-<uuid>/`` as plain
+        parquet (written BEFORE the manifest publish — a crash
+        pre-publish leaves only orphans, same invariant as data files).
+        O(batch), not O(touched partitions): this is the cheap half of
+        the commit.
+
+        The uuid leaf is load-bearing for multi-writer safety: commit_id
+        is SPECULATIVE until _publish wins, so two racing writers compute
+        the same next id — a fixed path with mode=overwrite would let the
+        LOSER wipe the winner's already-published change files (and their
+        concurrent Spark jobs share one _temporary dir and corrupt each
+        other). Unique dirs make every attempt's files immutable; a lost
+        attempt leaves orphans that vacuum's commit-dir pruning reclaims.
+        Readers never list these dirs — they follow the exact paths the
+        winning manifest recorded."""
+        out_dir = (
+            Path(self.path) / _CHANGES_DIR / f"{commit_id:012d}"
+            / f"{kind}-{uuid.uuid4().hex}"
+        )
+        df.write.parquet(str(out_dir))
         return [
             p.relative_to(Path(self.path)).as_posix()
             for p in sorted(out_dir.rglob("*.parquet"))
@@ -827,15 +861,6 @@ class ManifestTable:
         )
         if self.partition_by:
             self._check_partition_types(df)
-        # Fail dtype conflicts UP FRONT, before any data file is written
-        # (the merge path would otherwise union-cast and die mid-write;
-        # MOR would commit files unreadable under the committed schema).
-        prev = self._latest_manifest()
-        if prev is not None:
-            self._merged_schema_json(prev[1], df)  # raises on conflict
-        # `prev` is threaded into the write paths below so the manifest
-        # is loaded ONCE per write, not re-read per path (single-writer;
-        # concurrent commits still conflict loudly at _publish).
         if self.constraints and op != WriteOperation.DELETE:
             # Pin BEFORE validating: otherwise the validated rows and the
             # written rows are different materializations of a possibly
@@ -843,21 +868,53 @@ class ManifestTable:
             # nothing about what lands on disk.
             df = _pin(df)
             self._check_constraints(df)
-        if self.table_type == "mor":
-            self._mor_write(df, op, prev=prev)
-            return
-        if op in (WriteOperation.INSERT, WriteOperation.BULK_INSERT):
-            self._append(df, prev=prev)
-            return
-        # Pin the batch: the merge path consumes it several times (key
-        # set, partition values, union) — a nondeterministic input would
-        # otherwise be re-evaluated differently per consumer.
-        df = _pin(df)
-        if op == WriteOperation.UPSERT:
-            self._merge(df, keep_batch=True, prev=prev)
-        else:
-            self._merge(precombine_dedup(df, self.keys, self.precombine),
-                        keep_batch=False, prev=prev)
+        if self.table_type not in ("mor",) and op not in (
+            WriteOperation.INSERT, WriteOperation.BULK_INSERT
+        ):
+            # Pin the batch: the merge path consumes it several times (key
+            # set, partition values, union) — a nondeterministic input
+            # would otherwise be re-evaluated differently per consumer.
+            # Pinning BEFORE the rebase loop also makes every retry apply
+            # the SAME rows, not a re-evaluation of the source.
+            df = _pin(df)
+            if op != WriteOperation.UPSERT:
+                df = precombine_dedup(df, self.keys, self.precombine)
+        # Optimistic-concurrency loop: each attempt reads the newest
+        # manifest, applies the batch against it, and publishes with
+        # put-if-absent. Losing the race raises FileExistsError from
+        # _publish; the next attempt REBASES — re-reads the manifest that
+        # beat us and re-applies, which is exactly the serialized result
+        # (loser ordered after winner). Data files from a lost attempt
+        # are unreferenced orphans; vacuum() reclaims them.
+        for attempt in range(self.commit_retries + 1):
+            # Fail dtype conflicts UP FRONT, before any data file is
+            # written (the merge path would otherwise union-cast and die
+            # mid-write; MOR would commit files unreadable under the
+            # committed schema). Re-checked per attempt: the winning
+            # concurrent commit may have evolved the schema under us.
+            prev = self._latest_manifest()
+            if prev is not None:
+                self._merged_schema_json(prev[1], df)  # raises on conflict
+            # `prev` is threaded into the write paths below so the
+            # manifest is loaded ONCE per attempt, not re-read per path.
+            try:
+                if self.table_type == "mor":
+                    self._mor_write(df, op, prev=prev)
+                elif op in (WriteOperation.INSERT, WriteOperation.BULK_INSERT):
+                    self._append(df, prev=prev)
+                elif op == WriteOperation.UPSERT:
+                    self._merge(df, keep_batch=True, prev=prev)
+                else:
+                    self._merge(df, keep_batch=False, prev=prev)
+                return
+            except FileExistsError as exc:
+                conflict = exc
+                self.rebase_count += 1
+        raise ConcurrentCommitError(
+            f"{op.value} on {self.path} lost the commit race "
+            f"{self.commit_retries + 1} time(s) ({conflict}); the table is "
+            "intact — re-issue the write or raise commit_retries"
+        )
 
     def _merged_schema_json(self, prev_doc: dict | None, df: DataFrame) -> str:
         """Committed schema for the next commit: previous fields plus any
@@ -936,10 +993,15 @@ class ManifestTable:
         Upsert/delete batches are precombined (one row per key per
         commit); inserts keep duplicates. Resolution happens at read."""
         if op in (WriteOperation.UPSERT, WriteOperation.DELETE):
+            # Precombine stays LAZY (no checkpoint): unlike the COW
+            # merge, the MOR path consumes the batch in exactly ONE
+            # write job (delta/tombstone files; the change set references
+            # those same files), never reads the table's own files it
+            # could overwrite, and a rebase retry that re-evaluates the
+            # plan writes a fresh, self-consistent file set. Pinning here
+            # would add a full materialization job per micro-batch commit
+            # — the dominant cost of a high-frequency streaming sink.
             df = precombine_dedup(df, self.keys, self.precombine)
-            df = df.localCheckpoint(eager=True)  # pin the precombined rows
-        else:
-            df = _pin(df)
         if prev is _UNSET:
             prev = self._latest_manifest()
         prev_id, prev_doc = (prev[0], prev[1]) if prev else (None, None)
@@ -1076,49 +1138,7 @@ class ManifestTable:
 
         # Affected partitions: the batch's distinct partition values
         # (bounded metadata collect, O(partitions) — same as MergeTable).
-        if self.partition_by:
-            touched = {
-                tuple(_partition_key(row[c]) for c in self.partition_by)
-                for row in batch.select(*self.partition_by).distinct().collect()
-            }
-            def _touched(f: dict) -> bool:
-                # Current-layout files match on their partition tuple;
-                # a file from an OLDER partition spec (missing columns)
-                # matches conservatively and gets rewritten under the
-                # CURRENT layout — partition evolution migrates data on
-                # the first merge that touches it.
-                return any(
-                    all(
-                        c not in f["partition"] or f["partition"][c] == t[i]
-                        for i, c in enumerate(self.partition_by)
-                    )
-                    for t in touched
-                )
-
-            replaced = [f for f in prev_files if _touched(f)]
-            replaced_paths = {f["path"] for f in replaced}
-            # set-membership, not list scans — manifests are O(live files)
-            # and a 100 TB table has ~200k entries
-            kept = [f for f in prev_files if f["path"] not in replaced_paths]
-            # Read ONLY the replaced files — the manifest already names the
-            # touched partitions' file set, so the survivors scan never
-            # lists or opens untouched partitions (a full-read + filter
-            # would touch every live file's footer).
-            from pyspark.sql.types import StructType
-
-            committed = StructType.fromJson(json.loads(prev_doc["schema"]))
-            if replaced:
-                # COMMITTED schema, like read(): bare inference would pick
-                # one footer and silently drop columns that only some of
-                # the replaced files carry.
-                existing = self.spark.read.schema(committed).parquet(
-                    *[str(Path(self.path) / f["path"]) for f in replaced]
-                )
-            else:
-                existing = self.spark.createDataFrame([], committed)
-        else:
-            replaced, kept = prev_files, []
-            existing = self.read()
+        replaced, kept, existing = self._split_by_touch([batch], prev_doc)
 
         pred = F.lit(True)
         for k in self.keys:
@@ -1169,6 +1189,216 @@ class ManifestTable:
         self._publish(
             prev_id, kept + new_files, merged.schema.json(), changes,
             op="upsert" if keep_batch else "delete",
+        )
+
+    def _split_by_touch(
+        self, batches: list[DataFrame], prev_doc: dict
+    ) -> tuple[list[dict], list[dict], DataFrame]:
+        """(replaced, kept, existing) for a write touching the partition
+        values present in ``batches``. Affected partitions are the
+        batches' distinct partition tuples (bounded metadata collect,
+        O(partitions)); ``existing`` reads ONLY the replaced files — the
+        manifest already names the touched partitions' file set, so the
+        survivors scan never lists or opens untouched partitions (a
+        full-read + filter would touch every live file's footer)."""
+        prev_files = prev_doc["files"]
+        if not self.partition_by:
+            return prev_files, [], self.read()
+        touched = set()
+        for b in batches:
+            touched |= {
+                tuple(_partition_key(row[c]) for c in self.partition_by)
+                for row in b.select(*self.partition_by).distinct().collect()
+            }
+
+        def _touched(f: dict) -> bool:
+            # Current-layout files match on their partition tuple; a
+            # file from an OLDER partition spec (missing columns)
+            # matches conservatively and gets rewritten under the
+            # CURRENT layout — partition evolution migrates data on
+            # the first merge that touches it.
+            return any(
+                all(
+                    c not in f["partition"] or f["partition"][c] == t[i]
+                    for i, c in enumerate(self.partition_by)
+                )
+                for t in touched
+            )
+
+        replaced = [f for f in prev_files if _touched(f)]
+        replaced_paths = {f["path"] for f in replaced}
+        # set-membership, not list scans — manifests are O(live files)
+        # and a 100 TB table has ~200k entries
+        kept = [f for f in prev_files if f["path"] not in replaced_paths]
+        from pyspark.sql.types import StructType
+
+        committed = StructType.fromJson(json.loads(prev_doc["schema"]))
+        if replaced:
+            # COMMITTED schema, like read(): bare inference would pick
+            # one footer and silently drop columns that only some of
+            # the replaced files carry.
+            existing = self.spark.read.schema(committed).parquet(
+                *[str(Path(self.path) / f["path"]) for f in replaced]
+            )
+        else:
+            existing = self.spark.createDataFrame([], committed)
+        return replaced, kept, existing
+
+    def write_txn(
+        self,
+        upserts: DataFrame | None = None,
+        deletes: DataFrame | None = None,
+    ) -> None:
+        """Atomic multi-op commit: remove ``deletes``' keys AND apply
+        ``upserts`` in ONE manifest publish — a reader sees the table
+        before or after BOTH, never between. This is what collapses the
+        count/sketch stores' two-phase compaction (zero-out upsert, then
+        sweep delete — crash-convergent but two commits and an
+        intermediate state) into a single commit with no intermediate
+        state at all (streaming/drift_maintenance.compact_count_store).
+
+        Semantics: delete-then-upsert — a key present in BOTH frames
+        nets to its upsert row (the delete of that key is dropped up
+        front, so change capture and MOR tombstones never carry a
+        same-commit delete+upsert conflict). Delete rows need the key
+        columns (+ partition columns on a partitioned COW table, same
+        as the delete op) and, like delete, absent keys are ignored
+        (COW) / phantom tombstones (MOR — harmless to replay). Change
+        capture is record-exact in the one commit: upsert rows,
+        preimages of overwritten versions, and rows actually removed,
+        so CDC/incremental consumers replay the txn atomically too.
+        Runs under the same optimistic rebase loop as write()."""
+        if upserts is None and deletes is None:
+            return
+        if deletes is None:
+            return self.write(upserts, "upsert")
+        if upserts is None:
+            return self.write(deletes, "delete")
+        if self.partition_by:
+            self._check_partition_types(upserts)
+            self._check_partition_types(deletes)
+        ups = _pin(upserts)
+        if self.constraints:
+            self._check_constraints(ups)
+        ups = precombine_dedup(ups, self.keys, self.precombine)
+        pred = F.lit(True)
+        for k in self.keys:
+            pred = pred & F.col(f"d.{k}").eqNullSafe(F.col(f"u.{k}"))
+        dels = (
+            precombine_dedup(_pin(deletes), self.keys, self.precombine)
+            .alias("d")
+            .join(
+                F.broadcast(ups.select(*self.keys).distinct().alias("u")),
+                pred,
+                "left_anti",
+            )
+        )
+        for attempt in range(self.commit_retries + 1):
+            prev = self._latest_manifest()
+            if prev is not None:
+                self._merged_schema_json(prev[1], ups)
+            try:
+                if self.table_type == "mor":
+                    self._mor_txn(ups, dels, prev)
+                else:
+                    self._cow_txn(ups, dels, prev)
+                return
+            except FileExistsError as exc:
+                conflict = exc
+                self.rebase_count += 1
+        raise ConcurrentCommitError(
+            f"txn on {self.path} lost the commit race "
+            f"{self.commit_retries + 1} time(s) ({conflict}); the table is "
+            "intact — re-issue the write or raise commit_retries"
+        )
+
+    def _mor_txn(self, ups: DataFrame, dels: DataFrame, prev) -> None:
+        """One MOR commit holding both delta files (upserts) and
+        tombstone files (deletes). _resolve_mor already resolves by
+        (commit, op) group, and write_txn guarantees the two groups'
+        key sets are disjoint, so resolution is exactly delete + upsert
+        applied at the same commit id."""
+        prev_id, prev_doc = (prev[0], prev[1]) if prev else (None, None)
+        prev_files = prev_doc["files"] if prev_doc else []
+        next_id = self._next_id(prev_id)
+        delta = self._write_commit_files(ups)
+        for e in delta:
+            e["kind"] = "delta"
+            e["op"] = "upsert"
+            e["commit"] = next_id
+        tomb = self._write_commit_files(dels)
+        for e in tomb:
+            e["kind"] = "tombstone"
+            e["op"] = "delete"
+            e["commit"] = next_id
+        self._publish(
+            prev_id,
+            prev_files + delta + tomb,
+            self._merged_schema_json(prev_doc, ups),
+            changes={
+                "upserts": [e["path"] for e in delta],
+                "deletes": [e["path"] for e in tomb],
+            },
+            op="txn",
+        )
+
+    def _cow_txn(self, ups: DataFrame, dels: DataFrame, prev) -> None:
+        """One COW commit: rewrite the touched partitions dropping both
+        frames' keys, then stack the upsert rows — the _merge plan with
+        a two-frame key set. Key matching is partition-scoped only via
+        which files get rewritten, same as _merge."""
+        if prev is None or not prev[1]["files"]:
+            prev_doc = prev[1] if prev else None
+            prev_id = prev[0] if prev else None
+            new_files = self._write_commit_files(ups)
+            if prev_id is None:
+                mdir = self._manifest_dir()  # first commit bootstraps
+                mdir.mkdir(parents=True, exist_ok=True)
+            self._publish(
+                prev_id if prev_id is not None else None,
+                new_files,
+                self._merged_schema_json(prev_doc, ups),
+                changes={
+                    "upserts": [f["path"] for f in new_files],
+                    "deletes": [],
+                },
+                op="txn",
+            )
+            return
+        prev_id, prev_doc = prev
+        replaced, kept, existing = self._split_by_touch([ups, dels], prev_doc)
+        pred = F.lit(True)
+        for k in self.keys:
+            pred = pred & F.col(f"e.{k}").eqNullSafe(F.col(f"b.{k}"))
+        ups_keys = ups.select(*self.keys).distinct()
+        all_keys = (
+            ups_keys.unionByName(dels.select(*self.keys)).distinct()
+        )
+        survivors = existing.alias("e").join(
+            F.broadcast(all_keys.alias("b")), pred, "left_anti"
+        )
+        merged = survivors.unionByName(ups, allowMissingColumns=True)
+        merged = merged.localCheckpoint(eager=True)  # one write, below
+        next_id = self._next_id(prev_id)
+        overwritten = existing.alias("e").join(
+            F.broadcast(ups_keys.alias("b")), pred, "left_semi"
+        )
+        removed = existing.alias("e").join(
+            F.broadcast(dels.select(*self.keys).distinct().alias("b")),
+            pred,
+            "left_semi",
+        )
+        changes = {
+            "upserts": self._write_change_files(ups, next_id, "u"),
+            "preimages": self._write_change_files(overwritten, next_id, "p"),
+            "deletes": self._write_change_files(removed, next_id, "d"),
+        }
+        new_files = (
+            [] if merged.isEmpty() else self._write_commit_files(merged)
+        )
+        self._publish(
+            prev_id, kept + new_files, merged.schema.json(), changes,
+            op="txn",
         )
 
     def restore(self, version: int) -> int:
@@ -1257,7 +1487,32 @@ class ManifestTable:
 
         ``partition_filter`` bounds the rewrite (run per partition on a
         schedule at scale; None = whole table). Returns the number of
-        files replaced."""
+        files replaced.
+
+        Concurrency: compaction is content-neutral, so losing the commit
+        race to a writer just means the selected file set is stale —
+        the rebase loop re-selects against the winner's manifest and
+        rewrites again (standard background-compactor behavior; the
+        writer never waits on the compactor)."""
+        for attempt in range(self.commit_retries + 1):
+            try:
+                return self._compact_once(
+                    partition_filter, target_files_per_partition
+                )
+            except FileExistsError as exc:
+                conflict = exc
+                self.rebase_count += 1
+        raise ConcurrentCommitError(
+            f"compact on {self.path} lost the commit race "
+            f"{self.commit_retries + 1} time(s) ({conflict}); the table "
+            "is intact — re-run compact() or raise commit_retries"
+        )
+
+    def _compact_once(
+        self,
+        partition_filter: dict[str, object] | None,
+        target_files_per_partition: int,
+    ) -> int:
         latest = self._latest_manifest()
         if latest is None:
             return 0

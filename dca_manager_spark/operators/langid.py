@@ -1,0 +1,388 @@
+"""Language ID v2 (r13): hashed char-bigram Naive Bayes, integer-exact.
+
+The r1 ``operators.text.lang_id`` is a 5-language stopword-marker toy
+(kept for parity). This module is the real recipe — a multinomial Naive
+Bayes over HASHED character n-grams (the public fastText/langid.py/CLD
+family design, shrunk to stdlib):
+
+- features: character TRIGRAMS of the normalized text (lowercase, strip
+  everything but [a-z ]), hashed to ``N_BUCKETS`` buckets with an
+  explicit polynomial hash — `((31*c1 + c2)*31 + c3) mod B` — chosen
+  because BOTH Spark (`ascii`) and DuckDB (`unicode`) can compute it
+  exactly, so the oracle re-derives scores from first principles;
+- model: per-language additive-smoothed log-probabilities, quantized to
+  INTEGER micrologs (round(1e6 * ln p)) at train time — scoring is pure
+  integer addition, bit-identical across engines (same discipline as
+  operators/lm's stupid-backoff LM);
+- training: driver-side over a small built-in seed corpus (sentences
+  written for this module across 8 languages) — the model is O(langs x
+  buckets) ints, broadcast into the plan as LITERAL arrays, so scoring
+  is whole-stage-codegen JVM arithmetic: transform -> element_at ->
+  aggregate. No UDF, no shuffle, no model file.
+
+Scale: scoring cost is O(chars) per document entirely inside codegen;
+the model is ~8x256 ints of literals in the plan (constant folding
+territory). Retraining with a real seed corpus (e.g. Tatoeba/UDHR
+slices) changes no code — swap SEED_CORPUS.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import lru_cache
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+N_BUCKETS = 512
+_SCALE = 1_000_000
+
+# Seed corpus: a handful of ordinary sentences per language, written for
+# this module (public-knowledge phrasing, no external dataset needed in
+# this environment). Enough signal for sentence-level ID among these 8;
+# a production model swaps in a real corpus here and nothing else moves.
+SEED_CORPUS: dict[str, list[str]] = {
+    "de": [
+        "Der schnelle braune Fuchs springt über den faulen Hund im Garten.",
+        "Ich möchte heute Abend mit meinen Freunden ins Kino gehen.",
+        "Das Wetter ist schön und die Sonne scheint über der Stadt.",
+        "Wir haben gestern ein neues Buch über die Geschichte Europas gelesen.",
+        "Können Sie mir bitte sagen, wo der Bahnhof ist?",
+        "Die Kinder spielen im Park und lachen über die kleinen Vögel.",
+        "Morgen fahren wir mit dem Zug nach Berlin zu meiner Schwester.",
+        "Es gibt viele gute Restaurants in dieser schönen alten Stadt.",
+            "Warum sagst du nicht einfach, was du wirklich denkst?",
+        "Er hat seine Arbeit verloren und sucht jetzt eine neue Stelle.",
+        "Ohne Zweifel wird sie später am Abend noch einmal anrufen.",
+        "Wie viel kostet diese schöne Jacke im Schaufenster?",
+        "Wir sollten uns beeilen, sonst verpassen wir den letzten Bus.",
+        "Niemand wusste, warum das Licht im Keller noch brannte.",
+    ],
+    "en": [
+        "The quick brown fox jumps over the lazy dog in the garden.",
+        "I would like to go to the cinema with my friends tonight.",
+        "The weather is beautiful and the sun is shining over the city.",
+        "We read a new book about the history of Europe yesterday.",
+        "Could you please tell me where the train station is?",
+        "The children are playing in the park and laughing at the birds.",
+        "Tomorrow we are taking the train to London to visit my sister.",
+        "There are many good restaurants in this beautiful old town.",
+            "Why don't you just say what you really think about it?",
+        "He lost his job and is now looking for a new position.",
+        "Without a doubt she will call again later in the evening.",
+        "How much does this beautiful jacket in the window cost?",
+        "We should hurry, otherwise we will miss the last bus home.",
+        "Nobody knew why the light in the basement was still burning.",
+    ],
+    "es": [
+        "El rápido zorro marrón salta sobre el perro perezoso en el jardín.",
+        "Me gustaría ir al cine con mis amigos esta noche.",
+        "El tiempo es hermoso y el sol brilla sobre la ciudad.",
+        "Ayer leímos un libro nuevo sobre la historia de Europa.",
+        "¿Puede decirme por favor dónde está la estación de tren?",
+        "Los niños juegan en el parque y se ríen de los pájaros.",
+        "Mañana tomamos el tren a Madrid para visitar a mi hermana.",
+        "Hay muchos restaurantes buenos en esta hermosa ciudad vieja.",
+            "¿Por qué no dices simplemente lo que piensas de verdad?",
+        "Perdió su trabajo y ahora busca un nuevo puesto en la ciudad.",
+        "Sin duda ella llamará otra vez más tarde por la noche.",
+        "¿Cuánto cuesta esta chaqueta bonita del escaparate?",
+        "Debemos darnos prisa o perderemos el último autobús a casa.",
+        "Nadie sabía por qué la luz del sótano seguía encendida.",
+    ],
+    "fr": [
+        "Le rapide renard brun saute par-dessus le chien paresseux du jardin.",
+        "Je voudrais aller au cinéma avec mes amis ce soir.",
+        "Le temps est magnifique et le soleil brille sur la ville.",
+        "Nous avons lu hier un nouveau livre sur l'histoire de l'Europe.",
+        "Pouvez-vous me dire où se trouve la gare, s'il vous plaît?",
+        "Les enfants jouent dans le parc et rient des petits oiseaux.",
+        "Demain nous prenons le train pour Paris chez ma sœur.",
+        "Il y a beaucoup de bons restaurants dans cette belle vieille ville.",
+            "Pourquoi ne dis-tu pas simplement ce que tu penses vraiment?",
+        "Il a perdu son travail et cherche maintenant un nouveau poste.",
+        "Sans aucun doute elle rappellera plus tard dans la soirée.",
+        "Combien coûte cette belle veste dans la vitrine du magasin?",
+        "Nous devrions nous dépêcher, sinon nous raterons le dernier bus.",
+        "Personne ne savait pourquoi la lumière de la cave brûlait encore.",
+    ],
+    "it": [
+        "La rapida volpe marrone salta sopra il cane pigro nel giardino.",
+        "Vorrei andare al cinema con i miei amici questa sera.",
+        "Il tempo è bellissimo e il sole splende sulla città.",
+        "Ieri abbiamo letto un nuovo libro sulla storia dell'Europa.",
+        "Può dirmi per favore dove si trova la stazione dei treni?",
+        "I bambini giocano nel parco e ridono degli uccellini.",
+        "Domani prendiamo il treno per Roma da mia sorella.",
+        "Ci sono molti buoni ristoranti in questa bella città vecchia.",
+            "Perché non dici semplicemente quello che pensi davvero?",
+        "Ha perso il lavoro e ora cerca un nuovo posto in città.",
+        "Senza dubbio lei chiamerà di nuovo più tardi stasera.",
+        "Quanto costa questa bella giacca nella vetrina del negozio?",
+        "Dobbiamo sbrigarci, altrimenti perderemo l'ultimo autobus.",
+        "Nessuno sapeva perché la luce in cantina fosse ancora accesa.",
+    ],
+    "nl": [
+        "De snelle bruine vos springt over de luie hond in de tuin.",
+        "Ik wil vanavond graag met mijn vrienden naar de bioscoop gaan.",
+        "Het weer is prachtig en de zon schijnt boven de stad.",
+        "We hebben gisteren een nieuw boek over de geschiedenis gelezen.",
+        "Kunt u mij alstublieft vertellen waar het station is?",
+        "De kinderen spelen in het park en lachen om de kleine vogels.",
+        "Morgen nemen we de trein naar Amsterdam naar mijn zus.",
+        "Er zijn veel goede restaurants in deze mooie oude stad.",
+            "Waarom zeg je niet gewoon wat je er echt van denkt?",
+        "Hij is zijn baan kwijt en zoekt nu een nieuwe functie.",
+        "Zonder twijfel zal ze later op de avond nog een keer bellen.",
+        "Hoeveel kost deze mooie jas in de etalage van de winkel?",
+        "We moeten opschieten, anders missen we de laatste bus naar huis.",
+        "Niemand wist waarom het licht in de kelder nog brandde.",
+    ],
+    "pt": [
+        "A rápida raposa marrom pula sobre o cachorro preguiçoso no jardim.",
+        "Eu gostaria de ir ao cinema com meus amigos esta noite.",
+        "O tempo está lindo e o sol brilha sobre a cidade.",
+        "Ontem lemos um livro novo sobre a história da Europa.",
+        "Pode me dizer por favor onde fica a estação de trem?",
+        "As crianças brincam no parque e riem dos passarinhos.",
+        "Amanhã pegamos o trem para Lisboa para visitar minha irmã.",
+        "Há muitos restaurantes bons nesta bela cidade velha.",
+            "Por que você não diz simplesmente o que pensa de verdade?",
+        "Ele perdeu o emprego e agora procura um novo cargo na cidade.",
+        "Sem dúvida ela vai ligar de novo mais tarde à noite.",
+        "Quanto custa esse casaco bonito na vitrine da loja?",
+        "Devemos nos apressar ou perderemos o último ônibus para casa.",
+        "Ninguém sabia por que a luz do porão continuava acesa.",
+    ],
+    "sv": [
+        "Den snabba bruna räven hoppar över den lata hunden i trädgården.",
+        "Jag skulle vilja gå på bio med mina vänner i kväll.",
+        "Vädret är vackert och solen skiner över staden.",
+        "Vi läste en ny bok om Europas historia igår.",
+        "Kan du snälla berätta för mig var stationen ligger?",
+        "Barnen leker i parken och skrattar åt de små fåglarna.",
+        "Imorgon tar vi tåget till Stockholm till min syster.",
+        "Det finns många bra restauranger i denna vackra gamla stad.",
+            "Varför säger du inte bara vad du egentligen tycker om det?",
+        "Han förlorade sitt jobb och letar nu efter en ny tjänst.",
+        "Utan tvekan kommer hon att ringa igen senare på kvällen.",
+        "Hur mycket kostar den här fina jackan i skyltfönstret?",
+        "Vi måste skynda oss, annars missar vi sista bussen hem.",
+        "Ingen visste varför ljuset i källaren fortfarande brann.",
+    ],
+}
+
+LANGS = sorted(SEED_CORPUS)  # deterministic order = tie-break order
+
+
+def _normalize_py(text: str) -> str:
+    """Python twin of the Spark/SQL normalization: lowercase, keep only
+    [a-z ]. Accented letters DROP (not transliterate) — identical to
+    regexp_replace on both engines, and the n-gram signal that remains
+    (th/de/sch/ij/ão-stripped-to-o...) is exactly what's scored."""
+    return "".join(
+        c if ("a" <= c <= "z" or c == " ") else "" for c in text.lower()
+    )
+
+
+def _buckets_py(norm: str) -> list[int]:
+    return [
+        ((31 * ord(norm[i]) + ord(norm[i + 1])) * 31 + ord(norm[i + 2]))
+        % N_BUCKETS
+        for i in range(len(norm) - 2)
+    ]
+
+
+@lru_cache(maxsize=1)
+def train_langid_model() -> dict[str, list[int]]:
+    """Per-language integer weight vector w[lang][bucket] =
+    round(1e6 * ln((count + 1) / (total + B))) — multinomial NB with
+    add-one smoothing, quantized so scoring is integer-exact. Cached;
+    training cost is milliseconds over the seed corpus."""
+    model: dict[str, list[int]] = {}
+    for lang in LANGS:
+        counts = [0] * N_BUCKETS
+        for sent in SEED_CORPUS[lang]:
+            for b in _buckets_py(_normalize_py(sent)):
+                counts[b] += 1
+        total = sum(counts)
+        model[lang] = [
+            round(_SCALE * math.log((c + 1) / (total + N_BUCKETS)))
+            for c in counts
+        ]
+    return model
+
+
+def score_langs_py(text: str) -> dict[str, int]:
+    """Pure-Python replay of the Spark scoring (tests pin equality)."""
+    model = train_langid_model()
+    buckets = _buckets_py(_normalize_py(text))
+    return {
+        lang: sum(model[lang][b] for b in buckets) for lang in LANGS
+    }
+
+
+def lang_id_ngram_py(text: str) -> str:
+    scores = score_langs_py(text)
+    if not _buckets_py(_normalize_py(text)):
+        return "und"
+    best = max(scores.values())
+    return min(lang for lang, s in scores.items() if s == best)
+
+
+def _norm_col(col: Column) -> Column:
+    return F.regexp_replace(F.lower(col), "[^a-z ]", "")
+
+
+def _bucket_col(norm: Column) -> Column:
+    """array<int> of hashed-bigram buckets — empty for texts shorter
+    than one trigram (sequence with a negative span would count DOWN in
+    Spark, hence the explicit guard)."""
+    n = F.length(norm)
+    idx = F.sequence(F.lit(1), n - 2)
+    buckets = F.transform(
+        idx,
+        lambda i: (
+            (
+                F.ascii(F.substring(norm, i, 1)) * 31
+                + F.ascii(F.substring(norm, i + 1, 1))
+            )
+            * 31
+            + F.ascii(F.substring(norm, i + 2, 1))
+        )
+        % N_BUCKETS,
+    )
+    return F.when(n >= 3, buckets).otherwise(
+        F.array().cast("array<int>")
+    )
+
+
+def lang_scores_ngram(col: Column) -> dict[str, Column]:
+    """Per-language integer NB scores as codegen JVM expressions: the
+    bucket array is computed once (Spark CSEs identical deterministic
+    subtrees across a projection's aliases is NOT guaranteed — callers
+    wanting one pass should materialize the buckets column first, see
+    lang_id_ngram), each score is aggregate(element_at(literal-array))."""
+    model = train_langid_model()
+    buckets = _bucket_col(_norm_col(col))
+
+    def _score(weights):
+        # F.lit(list) -> one array Literal; F.array(*lits) would be a
+        # CreateArray re-built per element evaluation (512 constructions
+        # per gram per language). Bound outside the lambda: Spark infers
+        # the lambda's arity from its signature, so no default args.
+        arr = F.lit(list(weights))
+        return F.aggregate(
+            buckets,
+            F.lit(0).cast("long"),
+            lambda acc, b: acc + F.element_at(arr, b + 1).cast("long"),
+        )
+
+    return {lang: _score(model[lang]) for lang in LANGS}
+
+
+def lang_id_ngram(col: Column) -> Column:
+    """Argmax language (ties -> lexicographically first), 'und' for
+    texts with no scorable trigram. One expression tree; for wide reuse
+    compute lang_scores_ngram into columns and argmax those instead."""
+    scores = lang_scores_ngram(col)
+    arr = F.array(*scores.values())
+    langs = F.array(*[F.lit(lang) for lang in LANGS])
+    best = F.array_max(arr)
+    has_grams = F.size(_bucket_col(_norm_col(col))) > 0
+    return F.when(~has_grams, F.lit("und")).otherwise(
+        F.element_at(langs, F.array_position(arr, best).cast("int"))
+    )
+
+
+def oracle_weight_list_sql(lang: str) -> str:
+    """The language's weight vector as a DuckDB list literal — the
+    oracle SQL embeds the SAME trained model and re-derives every score
+    from raw text, so a hash match proves normalization, hashing, and
+    integer scoring all agree bit-for-bit."""
+    return "[" + ", ".join(str(w) for w in train_langid_model()[lang]) + "]"
+
+
+def lang_id_frame(
+    df, id_cols: list[str], text_col: str = "text"
+):
+    """DataFrame-level scorer — THE scale path. The Column API above
+    (lang_scores_ngram) evaluates its lambdas interpreted (Spark runs
+    higher-order functions outside whole-stage codegen; measured
+    ~5ms/doc), so the hot path instead explodes gram positions and
+    keeps every expression codegen-able:
+
+        norm -> explode(sequence) -> bucket expr -> 8x element_at on a
+        literal weight array -> partial hash aggregate per doc
+
+    One shuffle (the per-doc aggregate, map-side combined from
+    O(grams) to O(docs) rows); everything else is whole-stage codegen.
+    Returns ``id_cols`` + n_grams + pred_lang + best_score with the
+    same integer-exact semantics as the Python/SQL twins (measured
+    ~25s -> ~1s on 5k docs vs the HOF path)."""
+    model = train_langid_model()
+    norm = _norm_col(F.col(text_col))
+    d = df.select(*id_cols, norm.alias("__norm"))
+    g = (
+        d.filter(F.length("__norm") >= 3)
+        .select(
+            *id_cols,
+            "__norm",
+            F.explode(
+                F.sequence(F.lit(1), F.length("__norm") - 2)
+            ).alias("__i"),
+        )
+        .select(
+            *id_cols,
+            (
+                (
+                    (
+                        F.ascii(F.substring(F.col("__norm"), F.col("__i"), 1))
+                        * 31
+                        + F.ascii(
+                            F.substring(F.col("__norm"), F.col("__i") + 1, 1)
+                        )
+                    )
+                    * 31
+                    + F.ascii(
+                        F.substring(F.col("__norm"), F.col("__i") + 2, 1)
+                    )
+                )
+                % N_BUCKETS
+            ).alias("__bk"),
+        )
+    )
+    scored = g.select(
+        *id_cols,
+        *[
+            F.element_at(F.lit(model[lang]), F.col("__bk") + 1)
+            .cast("long")
+            .alias(f"__s_{lang}")
+            for lang in LANGS
+        ],
+    )
+    agg = scored.groupBy(*id_cols).agg(
+        F.count(F.lit(1)).alias("n_grams"),
+        *[F.sum(f"__s_{lang}").alias(f"__s_{lang}") for lang in LANGS],
+    )
+    out = d.select(*id_cols).join(agg, id_cols, "left")
+    score_cols = [
+        F.coalesce(F.col(f"__s_{lang}"), F.lit(0).cast("long"))
+        for lang in LANGS
+    ]
+    arr = F.array(*score_cols)
+    langs = F.array(*[F.lit(lang) for lang in LANGS])
+    best = F.array_max(arr)
+    n_grams = F.coalesce(F.col("n_grams"), F.lit(0)).cast("long")
+    return out.select(
+        *id_cols,
+        n_grams.alias("n_grams"),
+        F.when(n_grams == 0, F.lit("und"))
+        .otherwise(
+            F.element_at(langs, F.array_position(arr, best).cast("int"))
+        )
+        .alias("pred_lang"),
+        F.when(n_grams == 0, F.lit(0).cast("long"))
+        .otherwise(best)
+        .alias("best_score"),
+    )

@@ -10,11 +10,14 @@ Spark-side design for a 100 TB multimodal corpus:
   (``target_partition_bytes``), not row count — a partition must fit in
   executor memory with decode headroom.
 
-The actual codec calls are STUBBED (no PIL/ffmpeg in this container):
-``decoder=None`` raises NotImplementedError at call time, and
-``fake_image_decoder`` provides a deterministic stand-in so the plumbing —
-schemas, batch shapes, partitioning, UDF signatures — is fully real and
-tested end-to-end.
+Codec status: PNG pixel decode is REAL (r13 — stdlib zlib inflate +
+full scanline unfilter, see ``decode_png_pixels`` / ``png_pixels`` /
+``png_image_decoder``); JPEG/audio/video decode beyond container
+headers remains STUBBED (no PIL/ffmpeg in this container):
+``extract_features(decoder=None)`` raises NotImplementedError at call
+time, and ``fake_image_decoder`` provides a deterministic stand-in so
+the plumbing — schemas, batch shapes, partitioning, UDF signatures —
+is fully real and tested end-to-end either way.
 """
 
 from __future__ import annotations
@@ -607,3 +610,221 @@ def video_meta(df: DataFrame, content_col: str = "content", out_col: str = "vide
     (one Arrow projection, no shuffle); fills the video legs of
     MEDIA_META_SCHEMA (width/height/duration_ms) without any codec."""
     return df.withColumn(out_col, video_meta_udf()(F.col(content_col)))
+
+
+# -- PNG pixel decode (r13: the decode step stops being a stub) ----------
+#
+# A REAL pixel path, stdlib-only (zlib is the whole dependency): minimal
+# writer + full reader for 8-bit greyscale / grey+alpha / RGB / RGBA
+# PNGs, including all five scanline filters (public PNG spec,
+# RFC 2083 / W3C PNG; filter reconstruction per spec §6). Palette,
+# 16-bit, and interlaced images raise loudly — at 100 TB a silently
+# misdecoded image family poisons every downstream feature, so
+# unsupported means ERROR, not best-effort.
+
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\x0a"
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}  # color type -> samples/px
+
+
+def _png_chunk(kind: bytes, payload: bytes) -> bytes:
+    import struct
+    import zlib as _z
+
+    return (
+        struct.pack(">I", len(payload))
+        + kind
+        + payload
+        + struct.pack(">I", _z.crc32(kind + payload) & 0xFFFFFFFF)
+    )
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def encode_png(
+    width: int, height: int, color_type: int, pixels: bytes
+) -> bytes:
+    """Minimal 8-bit PNG writer. ``pixels`` is row-major
+    ``height x width x channels`` raw samples. Each scanline is written
+    under filter type ``y % 5`` — deliberately cycling through ALL five
+    spec filters so a decoder exercised against this writer proves its
+    whole unfilter path, not just filter 0."""
+    import struct
+    import zlib as _z
+
+    ch = _PNG_CHANNELS[color_type]
+    stride = width * ch
+    if len(pixels) != height * stride:
+        raise ValueError(
+            f"pixel buffer is {len(pixels)} bytes, expected "
+            f"{height}x{width}x{ch} = {height * stride}"
+        )
+    raw = bytearray()
+    prev = bytes(stride)
+    for y in range(height):
+        line = pixels[y * stride:(y + 1) * stride]
+        f = y % 5
+        raw.append(f)
+        for x in range(stride):
+            a = line[x - ch] if x >= ch else 0          # left
+            b = prev[x]                                  # up
+            c = prev[x - ch] if x >= ch else 0           # up-left
+            if f == 0:
+                v = line[x]
+            elif f == 1:
+                v = line[x] - a
+            elif f == 2:
+                v = line[x] - b
+            elif f == 3:
+                v = line[x] - (a + b) // 2
+            else:
+                v = line[x] - _paeth(a, b, c)
+            raw.append(v & 0xFF)
+        prev = line
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    return (
+        _PNG_MAGIC
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", _z.compress(bytes(raw)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png_pixels(content: bytes) -> tuple[int, int, int, bytes]:
+    """Full PNG pixel decode, stdlib-only: chunk walk (CRC-verified) ->
+    IDAT concatenation -> zlib inflate -> per-scanline unfilter (all
+    five filter types). Returns (width, height, channels, raw samples —
+    row-major ``height x width x channels`` bytes).
+
+    Loud on everything that would otherwise corrupt silently: bad magic,
+    CRC mismatch, truncated chunks or pixel data, and the unsupported
+    corners (palette color, 16-bit depth, interlace, private
+    compression/filter methods)."""
+    import struct
+    import zlib as _z
+
+    if content is None or len(content) < 8 or content[:8] != _PNG_MAGIC:
+        raise ValueError("not a PNG (bad magic)")
+    pos, ihdr, idat, ended = 8, None, bytearray(), False
+    while pos < len(content):
+        if pos + 8 > len(content):
+            raise ValueError("truncated PNG chunk header")
+        (length,) = struct.unpack(">I", content[pos:pos + 4])
+        kind = content[pos + 4:pos + 8]
+        data = content[pos + 8:pos + 8 + length]
+        if len(data) != length or pos + 12 + length > len(content):
+            raise ValueError(f"truncated PNG {kind!r} chunk")
+        (crc,) = struct.unpack(
+            ">I", content[pos + 8 + length:pos + 12 + length]
+        )
+        if _z.crc32(kind + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG {kind!r} chunk CRC mismatch")
+        if kind == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif kind == b"IDAT":
+            idat += data
+        elif kind == b"IEND":
+            ended = True
+            break
+        pos += 12 + length
+    if ihdr is None or not ended:
+        raise ValueError("PNG missing IHDR or IEND")
+    width, height, depth, color_type, comp, filt, interlace = ihdr
+    if depth != 8:
+        raise ValueError(f"unsupported PNG bit depth {depth} (8 only)")
+    if color_type not in _PNG_CHANNELS:
+        raise ValueError(f"unsupported PNG color type {color_type}")
+    if comp != 0 or filt != 0:
+        raise ValueError("unsupported PNG compression/filter method")
+    if interlace != 0:
+        raise ValueError("interlaced PNG unsupported")
+    ch = _PNG_CHANNELS[color_type]
+    stride = width * ch
+    raw = _z.decompress(bytes(idat))
+    if len(raw) != height * (1 + stride):
+        raise ValueError(
+            f"PNG pixel data is {len(raw)} bytes, expected "
+            f"{height}x(1+{stride}) = {height * (1 + stride)}"
+        )
+    out = bytearray(height * stride)
+    prev = bytes(stride)
+    for y in range(height):
+        f = raw[y * (1 + stride)]
+        line = bytearray(raw[y * (1 + stride) + 1:(y + 1) * (1 + stride)])
+        if f > 4:
+            raise ValueError(f"PNG scanline filter {f} undefined")
+        for x in range(stride):
+            a = line[x - ch] if x >= ch else 0
+            b = prev[x]
+            c = prev[x - ch] if x >= ch else 0
+            if f == 1:
+                line[x] = (line[x] + a) & 0xFF
+            elif f == 2:
+                line[x] = (line[x] + b) & 0xFF
+            elif f == 3:
+                line[x] = (line[x] + (a + b) // 2) & 0xFF
+            elif f == 4:
+                line[x] = (line[x] + _paeth(a, b, c)) & 0xFF
+        out[y * stride:(y + 1) * stride] = line
+        prev = bytes(line)
+    return width, height, ch, bytes(out)
+
+
+PNG_PIXELS_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("width", T.LongType(), True),
+        T.StructField("height", T.LongType(), True),
+        T.StructField("channels", T.LongType(), True),
+        T.StructField("pixels", T.ArrayType(T.LongType()), True),
+    ]
+)
+
+
+def png_pixels(
+    df: DataFrame,
+    content_col: str = "content",
+    id_col: str = "media_id",
+) -> DataFrame:
+    """Decode a PNG binary column to raw pixel samples via mapInPandas —
+    Arrow batches of whole rows in, one row of unpacked samples out; the
+    100-TB shape is repartition_by_bytes -> this stage -> JVM-side stats
+    (F.aggregate over the sample array), so Python touches each byte
+    once and every aggregate stays in codegen. Decode failures raise
+    (task error), they do not null-fill."""
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in
+                    ("media_id", "width", "height", "channels", "pixels")}
+            for mid, content in zip(pdf[id_col], pdf[content_col]):
+                w, h, ch, raw = decode_png_pixels(content)
+                rows["media_id"].append(mid)
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["channels"].append(ch)
+                rows["pixels"].append(list(raw))
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(_decode, schema=PNG_PIXELS_SCHEMA)
+
+
+def png_image_decoder(content: bytes) -> list[float]:
+    """REAL decode-backed feature vector for PNG content: per-channel
+    mean sample value (RGBA-aligned, absent channels 0.0) + normalized
+    dimensions — a drop-in ``decoder`` for ``extract_features`` whose
+    features depend on actual pixel values, not byte histograms. Raises
+    on non-PNG/corrupt input (same loudness contract as
+    ``decode_png_pixels``)."""
+    width, height, ch, raw = decode_png_pixels(content)
+    n_px = width * height
+    sums = [0] * ch
+    for i, v in enumerate(raw):
+        sums[i % ch] += v
+    means = [s / n_px / 255.0 for s in sums] + [0.0] * (4 - ch)
+    return means + [float(width), float(height), float(ch)]

@@ -153,8 +153,12 @@ def compact_count_store(
 ) -> None:
     """Compact the per-batch count rows to ONE summed row per group
     (default grouping: (bucket_ts, token) — the drift-store key minus
-    batch_id), the count twin of sketch_maintenance.compact_sketch_store
-    and the same two crash-convergent commits:
+    batch_id), the count twin of sketch_maintenance.compact_sketch_store.
+
+    On a ManifestTable store this is ONE atomic multi-op commit
+    (write_txn: delete the folded rows + upsert the sums in a single
+    publish — r13); stores without multi-op commits fall back to the
+    two crash-convergent commits:
 
     1. one UPSERT writes, per group, the fully-summed count under that
        group's smallest batch_id AND a ZERO count under every other
@@ -182,7 +186,15 @@ def compact_count_store(
     at a committed checkpoint (e.g. between availableNow runs)."""
     if group_cols is None:
         group_cols = [k for k in table.keys if k != "batch_id"]
-    all_rows = table.read().select(*group_cols, "batch_id", "cnt")
+    # Pin the resolved store ONCE: everything below (frontier agg,
+    # emptiness probe, fold write, sweep/tombstone write) otherwise
+    # re-runs the merge-on-read resolve per consumer — 4 resolves of a
+    # store whose whole point is to be small (O(buckets x vocab)).
+    all_rows = (
+        table.read()
+        .select(*group_cols, "batch_id", "cnt")
+        .localCheckpoint(eager=True)
+    )
     if assume_quiesced:
         current = all_rows
     else:
@@ -193,6 +205,25 @@ def compact_count_store(
     summed = current.groupBy(*group_cols).agg(
         F.sum("cnt").alias("cnt"), F.min("batch_id").alias("batch_id")
     )
+    if hasattr(table, "write_txn"):
+        # ManifestTable's atomic multi-op commit (r13): fold every
+        # consumed (group, batch_id) row away and land the summed row in
+        # ONE publish — no zero-row intermediate state to write or
+        # sweep, half the commits, and a reader can never observe
+        # between-phases at all. Keys overlapping the summed rows'
+        # (group, min batch_id) net to the upsert (write_txn is
+        # delete-then-upsert).
+        folded = current.select(*group_cols, "batch_id")
+        if not summed.take(1):
+            return
+        table.write_txn(
+            upserts=summed.select(*group_cols, "batch_id", "cnt"),
+            deletes=folded,
+        )
+        return
+    # Stores without multi-op commits (MergeTable): the crash-convergent
+    # two-phase dance — zero rows are SUM's merge identity, so a reader
+    # between the phases computes identical drift.
     zeroed = (
         current.join(
             summed.select(

@@ -208,7 +208,9 @@ def compact_sketch_store(
 ) -> None:
     """Compact the per-batch sketch rows to ONE merged row per group —
     the read-time merge then touches O(groups) rows instead of
-    O(groups x batches) — without ever making a read wrong mid-way:
+    O(groups x batches) — without ever making a read wrong mid-way.
+    On a ManifestTable store this is ONE atomic multi-op commit
+    (write_txn, r13); stores without it fall back to two phases:
 
     1. one UPSERT commit writes, per group, the fully-merged sketch
        under that group's smallest batch_id AND an EMPTY sketch (empty
@@ -233,9 +235,12 @@ def compact_sketch_store(
     ``assume_quiesced=True`` folds the frontier too — valid ONLY while
     the writing stream is stopped at a committed checkpoint (e.g.
     between availableNow runs)."""
+    # Pin the resolved store once — same rationale as
+    # compact_count_store: 4 downstream consumers, O(groups x batches)
+    # rows, one materialization instead of four MOR resolves.
     all_rows = table.read().select(
         *group_cols, "batch_id", "sketch", "zero_count", "n"
-    )
+    ).localCheckpoint(eager=True)
     if assume_quiesced:
         current = all_rows
     else:
@@ -263,6 +268,18 @@ def compact_sketch_store(
             F.lit(0).cast("bigint").alias("n"),
         )
     )
+    if hasattr(table, "write_txn"):
+        # ManifestTable's atomic multi-op commit (r13): fold the
+        # consumed rows and land the merged sketches in ONE publish —
+        # no empty-sketch intermediate to write or sweep (see
+        # drift_maintenance.compact_count_store for the full rationale).
+        if not merged_rows.take(1):
+            return
+        table.write_txn(
+            upserts=merged_rows,
+            deletes=current.select(*group_cols, "batch_id"),
+        )
+        return
     phase1 = merged_rows.unionByName(emptied)
     if not phase1.take(1):
         return

@@ -339,3 +339,102 @@ def test_null_fields_build_null_blobs_not_crashes(spark):
     mp4 = df.select(mp4_blob_col(F.col("w"), F.col("h"),
                                  F.lit(1000)).alias("b")).collect()
     assert mp4[0]["b"] is not None and mp4[1]["b"] is None
+
+
+# -- PNG pixel codec (r13) -------------------------------------------------
+
+
+def _card(w, h, ch, seed=0):
+    return bytes(
+        (seed + x * 3 + y * 7 + c * 11) % 256
+        for y in range(h) for x in range(w) for c in range(ch)
+    )
+
+
+def test_png_roundtrip_all_color_types_and_filters():
+    from dca_manager_spark.operators.multimodal import (
+        decode_png_pixels,
+        encode_png,
+    )
+
+    # h >= 6 so the writer's y%5 filter cycle exercises ALL five spec
+    # filters (0..4) inside a single image, per color type.
+    for ct, ch in ((0, 1), (2, 3), (4, 2), (6, 4)):
+        px = _card(5, 7, ch, seed=ct)
+        w, h, ch2, raw = decode_png_pixels(encode_png(5, 7, ct, px))
+        assert (w, h, ch2) == (5, 7, ch)
+        assert raw == px
+
+
+def test_png_decode_is_loud_on_corruption():
+    from dca_manager_spark.operators.multimodal import (
+        decode_png_pixels,
+        encode_png,
+    )
+
+    blob = encode_png(4, 4, 2, _card(4, 4, 3))
+    with pytest.raises(ValueError, match="magic"):
+        decode_png_pixels(b"\x00" + blob[1:])
+    with pytest.raises(ValueError, match="truncated"):
+        decode_png_pixels(blob[:-6])
+    # flip one IDAT payload byte -> CRC must catch it
+    idx = blob.index(b"IDAT") + 5
+    corrupt = blob[:idx] + bytes([blob[idx] ^ 0xFF]) + blob[idx + 1:]
+    with pytest.raises(ValueError, match="CRC"):
+        decode_png_pixels(corrupt)
+
+
+def test_png_decode_rejects_unsupported_shapes():
+    import struct
+    import zlib
+
+    from dca_manager_spark.operators.multimodal import (
+        _PNG_MAGIC,
+        _png_chunk,
+        decode_png_pixels,
+    )
+
+    def make(depth=8, ct=2, interlace=0):
+        ihdr = struct.pack(">IIBBBBB", 1, 1, depth, ct, 0, 0, interlace)
+        ch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[ct]
+        raw = bytes(1 + ch)
+        return (
+            _PNG_MAGIC
+            + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(raw))
+            + _png_chunk(b"IEND", b"")
+        )
+
+    with pytest.raises(ValueError, match="bit depth"):
+        decode_png_pixels(make(depth=16))
+    with pytest.raises(ValueError, match="color type"):
+        decode_png_pixels(make(ct=3))  # palette
+    with pytest.raises(ValueError, match="interlaced"):
+        decode_png_pixels(make(interlace=1))
+
+
+def test_png_pixels_spark_stage(spark):
+    from dca_manager_spark.operators.multimodal import encode_png, png_pixels
+
+    rows = [
+        (1, encode_png(3, 4, 2, _card(3, 4, 3, seed=5))),
+        (2, encode_png(2, 2, 0, _card(2, 2, 1, seed=9))),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, content binary")
+    got = {r.media_id: r for r in png_pixels(df).collect()}
+    assert (got[1].width, got[1].height, got[1].channels) == (3, 4, 3)
+    assert got[1].pixels == list(_card(3, 4, 3, seed=5))
+    assert got[2].pixels == list(_card(2, 2, 1, seed=9))
+
+
+def test_png_image_decoder_features():
+    from dca_manager_spark.operators.multimodal import (
+        encode_png,
+        png_image_decoder,
+    )
+
+    px = bytes([10, 200] * 16)  # 4x4 gray+alpha
+    f = png_image_decoder(encode_png(4, 4, 4, px))
+    assert abs(f[0] - 10 / 255) < 1e-9 and abs(f[1] - 200 / 255) < 1e-9
+    assert f[2] == 0.0 and f[3] == 0.0
+    assert f[4:] == [4.0, 4.0, 2.0]

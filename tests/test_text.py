@@ -383,3 +383,77 @@ def test_prepare_corpus_spans_composes_scrub(spark):
         assert out[i]["pred_lang"] == base[i]["pred_lang"]
         assert out[i]["quality"] == base[i]["quality"]
         assert out[i]["n_tokens_before"] == base[i]["n_tokens"]
+
+
+# -- hashed char-trigram NB language ID (r13, operators/langid.py) ---------
+
+
+HOLDOUT = {
+    "de": ["Heute morgen habe ich einen langen Brief an meine Mutter geschrieben.",
+           "Die Universität befindet sich in der Nähe des großen Flusses.",
+           "Warum hast du nicht gesagt, dass du später kommen würdest?"],
+    "en": ["This morning I wrote a long letter to my mother about the trip.",
+           "The university is located near the large river in the north.",
+           "Why did you not say that you would arrive later in the evening?"],
+    "es": ["Esta mañana escribí una carta larga a mi madre sobre el viaje.",
+           "La universidad se encuentra cerca del gran río del norte.",
+           "¿Por qué no dijiste que llegarías más tarde por la noche?"],
+    "fr": ["Ce matin j'ai écrit une longue lettre à ma mère au sujet du voyage.",
+           "L'université se trouve près du grand fleuve au nord de la ville.",
+           "Pourquoi n'as-tu pas dit que tu arriverais plus tard ce soir?"],
+    "it": ["Questa mattina ho scritto una lunga lettera a mia madre sul viaggio.",
+           "L'università si trova vicino al grande fiume a nord della città.",
+           "Perché non hai detto che saresti arrivato più tardi questa sera?"],
+    "nl": ["Vanmorgen heb ik een lange brief aan mijn moeder geschreven over de reis.",
+           "De universiteit ligt in de buurt van de grote rivier in het noorden.",
+           "Waarom heb je niet gezegd dat je later zou komen vanavond?"],
+    "pt": ["Esta manhã escrevi uma carta longa para minha mãe sobre a viagem.",
+           "A universidade fica perto do grande rio no norte da cidade.",
+           "Por que você não disse que chegaria mais tarde esta noite?"],
+    "sv": ["I morse skrev jag ett långt brev till min mamma om resan.",
+           "Universitetet ligger nära den stora floden i norra delen av staden.",
+           "Varför sa du inte att du skulle komma senare i kväll?"],
+}
+
+
+def test_langid_ngram_accuracy_floor():
+    """NONE of these sentences is in the seed corpus — this is a real
+    holdout. The floor is 90%; at r13 the model scores 24/24."""
+    from dca_manager_spark.operators.langid import lang_id_ngram_py
+
+    pairs = [(lang, s) for lang, ss in HOLDOUT.items() for s in ss]
+    hits = sum(lang_id_ngram_py(s) == lang for lang, s in pairs)
+    assert hits / len(pairs) >= 0.90, f"{hits}/{len(pairs)}"
+
+
+def test_langid_spark_frame_equals_python_twin(spark):
+    """The codegen frame path, the interpreted Column path, and the
+    pure-Python replay must agree bit-for-bit (integer scoring)."""
+    from dca_manager_spark.operators.langid import (
+        lang_id_frame,
+        lang_id_ngram,
+        lang_id_ngram_py,
+        score_langs_py,
+    )
+
+    rows = [(i, s) for i, (lang, ss) in enumerate(sorted(HOLDOUT.items()))
+            for s in ss[:2]]
+    rows = [(i * 10 + j, s) for i, (lang, ss) in
+            enumerate(sorted(HOLDOUT.items())) for j, s in enumerate(ss)]
+    rows += [(900, ""), (901, "¿¡42!?"), (902, "ab")]  # no scorable trigram
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    frame = {r.doc_id: (r.pred_lang, r.best_score)
+             for r in lang_id_frame(df, ["doc_id"], "text").collect()}
+    col = {r.doc_id: r.pred
+           for r in df.select(
+               "doc_id", lang_id_ngram(F.col("text")).alias("pred")
+           ).collect()}
+    for doc_id, text in rows:
+        want = lang_id_ngram_py(text)
+        assert frame[doc_id][0] == want, (doc_id, frame[doc_id], want)
+        assert col[doc_id] == want, (doc_id, col[doc_id], want)
+        if want != "und":
+            assert frame[doc_id][1] == max(score_langs_py(text).values())
+    assert frame[900][0] == "und" and frame[900][1] == 0
+    assert frame[902][0] == "und"
