@@ -171,6 +171,11 @@ class ScheduleRunner:
     max_event_age: dt.timedelta = dt.timedelta(seconds=60)
     last_checked: dt.datetime | None = None
     history: list[dict[str, Any]] = field(default_factory=list)
+    # Optional run-outcome notifier (pipeline/notifications.RunNotifier)
+    # — the reference's SNS success/failure lambda-destination seam
+    # (terraform/aws_sns.tf): every firing record is published, outcome-
+    # routed; a dead channel never fails the run (fire-and-forget).
+    notifier: Any | None = None
 
     def run_due(self, now: dt.datetime) -> list[dict[str, Any]]:
         since = self.last_checked or now - dt.timedelta(minutes=1)
@@ -200,4 +205,7 @@ class ScheduleRunner:
                 fired.append(record)
         self.last_checked = now
         self.history.extend(fired)
+        if self.notifier is not None:
+            for record in fired:
+                self.notifier.notify(record)
         return fired

@@ -101,71 +101,71 @@ def query(name: str, oracle: str | None):
 # The full catalog is still verified every round by scripts/driver_sim.py
 # regardless of window membership.
 _DRIVER_WINDOW = [
-    # Round-12 rotation, same policy as prior rounds: (1) queries ADDED
+    # Round-13 rotation, same policy as prior rounds: (1) queries ADDED
     # this round (no driver row yet) go first; (2) queries whose CODE
-    # changed this round — dedup_cluster_canonical (large-star/small-star
-    # components), the three multimodal header entries (fused range
-    # guards; audio also sorts before the parse), similarity_ivf_pq_rerank
-    # (residual default now follows codebook provenance), the drift pair
-    # (empty-slice guard in _aligned), the span trio (gram-cache
-    # lifecycle), and the two BPE entries (batched-merge signature);
-    # (3) ALL 20 entries whose driver verdicts date to r7 (VERDICT r11
-    # #6); (4) r8-scored fill, alphabetical, to exactly 50. The full
-    # catalog is still verified every round by scripts/driver_sim.py.
-    # -- (1) added in round 12 --
-    "text_perplexity_filter",
-    "corpus_domain_cap",
+    # changed this round — streaming_drift_buckets (write_txn single-
+    # commit compaction + pinned resolve + pinned events slice), the
+    # manifest pair (ManifestTable rebase loop, _split_by_touch
+    # refactor, uuid change-file leaves), multimodal_features/audio
+    # (module additions + r12->r13 sort pin), the BPE pair and span trio
+    # (commit 840a35f: batched-selection fix + span-cache lock); (3) ALL
+    # 29 entries whose freshest driver verdict is r8 (VERDICT r12 #9);
+    # (4) r10-scored fill, alphabetical, to exactly 50. The full catalog
+    # is still verified every round by scripts/driver_sim.py.
+    # -- (1) added in round 13 --
+    "multimodal_pixel_stats",
+    "text_lang_id_ngram",
+    "training_unigram_tokenize",
+    # -- (2) changed in round 13 --
     "streaming_drift_buckets",
-    "dedup_semantic",
-    # -- (2) changed in round 12 --
-    "dedup_cluster_canonical",
+    "manifest_incremental_pull",
+    "manifest_cdc_aggregate",
+    "multimodal_features",
     "multimodal_audio_meta",
-    "multimodal_video_meta",
-    "multimodal_image_dims",
-    "similarity_ivf_pq_rerank",
-    "drift_token_distribution",
-    "drift_top_divergent_tokens",
+    "training_bpe_tokenize",
+    "training_pack_bpe",
     "dedup_duplicate_spans",
     "dedup_span_scrub",
     "corpus_prep_spans",
-    "training_bpe_tokenize",
-    "training_pack_bpe",
-    # -- (3) last scored r7 --
-    "text_features",
-    "similarity_cosine_topk",
-    "similarity_lsh_ann",
-    "similarity_ivf_ann",
-    "similarity_ivf_learned",
-    "window_ntile_quartiles",
-    "window_first_last",
-    "window_percent_cume",
-    "unpivot_balances",
-    "training_pack_sequences",
-    "training_mixture_sample",
-    "training_chunk_documents",
-    "training_chunk_pack_pipeline",
-    "text_cleaning",
-    "text_repetition_ratio",
-    "text_effective_vocab",
-    "vocabulary_oov",
-    "text_decontaminate",
-    "udtf_top_tokens",
-    "text_boilerplate_removal",
-    # -- (4) r8-scored fill (alphabetical) --
-    "agg_hll_sketch",
-    "applyinarrow_flag_stats",
-    "cogroup_order_fulfillment",
-    "dedup_incremental_batch",
-    "dedup_incremental_indexed",
-    "dedup_minhash_lsh",
-    "embedding_decontaminate",
-    "embedding_incremental_admit",
-    "embedding_quantize_arrow",
-    "events_outliers_mad",
-    "events_sequence_detect",
-    "events_sessionize_gaps",
-    "events_value_histogram",
-    "fuzzy_match_part_names",
+    # -- (3) freshest driver verdict r8 --
+    "graph_pagerank",
+    "join_shuffle_hash_hint",
+    "map_functions",
+    "multimodal_frame_plan",
+    "null_handling_family",
+    "profile_orders",
+    "q11_important_stock",
+    "q12_shipclass_priority",
+    "q16_supplier_part_counts",
+    "q20_excess_shippers",
+    "q21_waiting_suppliers",
+    "q2_min_cost_supplier",
+    "q9_product_profit",
+    "regexp_extract_parts",
+    "scalar_interval_arith",
+    "scalar_math_funcs",
+    "scalar_subquery_above_avg",
+    "scd2_dimension_merge",
+    "similarity_hybrid_rrf",
+    "sql_correlated_exists",
+    "stat_corr_manual",
+    "stratified_hash_sample",
+    "text_bm25_rank",
+    "text_pii_redaction",
+    "text_pmi_collocations",
+    "text_quality_logit",
+    "text_tfidf_topk",
+    "train_val_test_split",
+    "training_shard_assignment",
+    # -- (4) r10-scored fill (alphabetical) --
+    "agg_approx_distinct",
+    "agg_approx_percentile",
+    "agg_cube_status_priority",
+    "agg_distinct_per_segment",
+    "agg_grouping_sets",
+    "agg_quantile_sketch",
+    "agg_rollup_region_nation",
+    "asof_join_purchase_view",
 ]
 
 
@@ -4175,6 +4175,75 @@ def training_pack_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.max("bin_id") + 1 == F.countDistinct("bin_id"))
             & (F.min("bin_id") == 0)
         ).alias("bins_contiguous_ok"),
+    )
+
+
+@query(
+    "training_unigram_tokenize",
+    r"""
+    WITH toks AS (
+      SELECT doc_id,
+             regexp_extract_all(lower(text),
+               '[a-z]+|[0-9]+|[^a-z0-9 \t\n\r\x0b\x0c]') AS pt
+      FROM documents
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(len(pt)) AS BIGINT) AS total_pretokens,
+           CAST(SUM(list_sum(list_transform(pt, x ->
+                CAST(length(x) AS BIGINT)))) AS BIGINT)
+             AS total_wordchars,
+           TRUE AS reconstruct_ok,
+           TRUE AS strictly_compressed,
+           TRUE AS multi_char_pieces_learned
+    FROM toks
+    """,
+)
+def training_unigram_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM tokenizer (operators/unigram.py, r13 — the
+    SentencePiece-style sibling of training_bpe_tokenize): a scored
+    piece vocabulary learned by Viterbi hard-EM over the distinct-word
+    frequency frame, then Arrow-vectorized Viterbi decode with the
+    model in the closure.
+
+    Trains via the bounded-local path (collect top-256k distinct words
+    — the train_pack_bpe precedent); the distributed path produces
+    BIT-IDENTICAL models (integer-microlog scoring end to end, pinned
+    three ways in tests/test_unigram.py: distributed == local ==
+    pure-Python replay). Oracle split, same contract as
+    training_bpe_tokenize: total_pretokens / total_wordchars are REAL
+    cross-engine checks of the shared ASCII pretokenizer; the learned
+    vocabulary is not SQL-expressible, so it surfaces as invariants —
+    reconstruct_ok (Viterbi pieces concatenate back to every word,
+    even with UNK-char fallback), strictly_compressed (the learned
+    multi-char pieces shrink the token stream strictly below character
+    count), multi_char_pieces_learned."""
+    from dca_manager_spark.operators.bpe import pretokenize_col
+    from dca_manager_spark.operators.unigram import (
+        train_unigram_model,
+        unigram_tokenize,
+    )
+
+    docs = t(spark, sf_dir, "documents")
+    model = train_unigram_model(
+        docs, vocab_size=256, seed_size=512, rounds=3, method="local"
+    )
+    enc = unigram_tokenize(docs.select("doc_id", "text"), model)
+    wordchars = F.aggregate(
+        pretokenize_col(F.col("text")),
+        F.lit(0),
+        lambda acc, x: acc + F.length(x),
+    )
+    return enc.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("uni.n_pretokens").cast("bigint").alias("total_pretokens"),
+        F.sum(wordchars).cast("bigint").alias("total_wordchars"),
+        F.every(F.col("uni.reconstruct")).alias("reconstruct_ok"),
+        (F.sum("uni.n_tokens") < F.sum(wordchars)).alias(
+            "strictly_compressed"
+        ),
+        F.lit(any(len(p) > 1 for p in model)).alias(
+            "multi_char_pieces_learned"
+        ),
     )
 
 

@@ -509,3 +509,98 @@ def test_schedule_runner_drops_stale_and_never_retries():
     runner.last_checked = dt.datetime(2026, 8, 21, 5, 59)
     fired = runner.run_due(dt.datetime(2026, 8, 21, 6, 0, 20))
     assert [f["status"] for f in fired] == ["error"] and len(calls) == 1
+
+
+# -- run-outcome notifications (r13, aws_sns.tf parity) --------------------
+
+
+def test_notifier_routes_success_and_failure(tmp_path):
+    import datetime as dt
+
+    from dca_manager_spark.pipeline.notifications import (
+        FileTopic,
+        ListTopic,
+        RunNotifier,
+    )
+    from dca_manager_spark.pipeline.scheduler import (
+        CronSchedule,
+        ScheduleRule,
+        ScheduleRunner,
+    )
+
+    ok_topic, dlq = ListTopic("success"), ListTopic("failure")
+    notifier = RunNotifier(success=ok_topic, failure=dlq)
+
+    def good():
+        return {"n": 1}
+
+    def bad():
+        raise RuntimeError("boom")
+
+    runner = ScheduleRunner(
+        rules=[
+            ScheduleRule(CronSchedule("0 6 * * ? *"), "Good"),
+            ScheduleRule(CronSchedule("0 6 * * ? *"), "Bad"),
+            ScheduleRule(CronSchedule("0 6 * * ? *"), "Missing"),
+        ],
+        dispatch={"Good": good, "Bad": bad},
+        notifier=notifier,
+    )
+    runner.last_checked = dt.datetime(2024, 1, 5, 5, 59, 30)
+    runner.run_due(dt.datetime(2024, 1, 5, 6, 0, 10))
+
+    assert len(ok_topic.messages) == 1
+    subject, msg = ok_topic.messages[0]
+    assert "Good succeeded" in subject and msg["result"] == {"n": 1}
+    # failure DLQ gets the raising handler AND the unroutable operation
+    assert len(dlq.messages) == 2
+    statuses = {m["operation"]: m["status"] for _, m in dlq.messages}
+    assert statuses == {"Bad": "error", "Missing": "no_handler"}
+
+    # stale firings route to the DLQ too (dropped, not silently lost)
+    runner.last_checked = dt.datetime(2024, 1, 12, 5, 59, 30)
+    runner.run_due(dt.datetime(2024, 1, 12, 6, 5, 0))
+    assert any(
+        m["status"] == "dropped_stale" for _, m in dlq.messages
+    )
+
+
+def test_notify_run_wraps_and_reraises(tmp_path):
+    import json
+
+    import pytest as _pytest
+
+    from dca_manager_spark.pipeline.notifications import (
+        FileTopic,
+        ListTopic,
+        RunNotifier,
+    )
+
+    ftopic = FileTopic(str(tmp_path / "success.jsonl"))
+    notifier = RunNotifier(success=ftopic, failure=ListTopic())
+    assert notifier.notify_run("backfill", lambda: 42) == 42
+    with _pytest.raises(ValueError):
+        notifier.notify_run("backfill", lambda: (_ for _ in ()).throw(ValueError("x")))
+    lines = [
+        json.loads(ln)
+        for ln in open(tmp_path / "success.jsonl").read().splitlines()
+    ]
+    assert len(lines) == 1 and lines[0]["message"]["result"] == 42
+    assert notifier.failure.messages[0][1]["status"] == "error"
+
+
+def test_notifier_channel_failure_never_fails_the_run():
+    from dca_manager_spark.pipeline.notifications import (
+        CallableTopic,
+        ListTopic,
+        RunNotifier,
+    )
+
+    def broken(subject, message):
+        raise OSError("network down")
+
+    notifier = RunNotifier(
+        success=CallableTopic(broken), failure=ListTopic()
+    )
+    assert notifier.notify_run("job", lambda: "done") == "done"
+    assert notifier.publish_errors and "network down" in notifier.publish_errors[0]
