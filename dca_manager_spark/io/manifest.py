@@ -220,6 +220,9 @@ class ManifestTable:
         table_type: str = "cow",
         constraints: dict[str, str] | None = None,
         commit_retries: int = 3,
+        bloom_by: tuple[str, ...] = (),
+        bloom_bits: int = 1024,
+        bloom_hashes: int = 4,
     ) -> None:
         """``cluster_by``: linear range clustering at write time — every
         commit range-partitions its rows on these columns and sorts within
@@ -283,6 +286,29 @@ class ManifestTable:
         # Cumulative lost-race count on this handle (observability: a
         # steadily climbing value means real multi-writer contention).
         self.rebase_count = 0
+        # ``bloom_by``: per-file Bloom filters on these columns (the
+        # Hudi bloom-index / Iceberg-Puffin analogue for POINT lookups
+        # on high-cardinality keys, where min/max ranges all overlap and
+        # range skipping is useless). Each commit pays ONE extra
+        # column-pruned pass over its own files (distributed bit_or
+        # aggregate — never a driver-side value read); ``read(
+        # point_filter={key: value})`` then skips every file whose bloom
+        # proves the key absent. No false negatives (results stay exact,
+        # enforced by a residual row filter); false-positive rate ~
+        # (1-e^(-kn/m))^k — default 1024 bits / 4 hashes holds ~1% at
+        # ~100 keys/file; raise bloom_bits for bigger files. Hash is
+        # md5(CAST(col AS STRING)) sliced into 32-bit positions — chosen
+        # because the JVM write side and the Python lookup side compute
+        # it identically (same canonical string as partition values).
+        if bloom_bits % 64 != 0 or bloom_bits <= 0:
+            raise ValueError(f"bloom_bits must be a positive multiple of 64, got {bloom_bits}")
+        if not (1 <= bloom_hashes <= 4):
+            raise ValueError(f"bloom_hashes must be in [1,4] (md5 yields 4 u32 slices), got {bloom_hashes}")
+        self.bloom_by = list(bloom_by)
+        self.bloom_bits = int(bloom_bits)
+        self.bloom_hashes = int(bloom_hashes)
+
+    _BLOOM_FAMILY = "md5-cast-string-v1"
 
     # -- manifest plumbing --------------------------------------------------
     def _manifest_dir(self) -> Path:
@@ -457,7 +483,124 @@ class ManifestTable:
                 if stats:
                     entry["stats"] = stats
             entries.append(entry)
+        bloom_cols = [c for c in self.bloom_by if c in df.columns]
+        for c in bloom_cols:
+            # Same eligibility as partition values, same reason: the
+            # JVM CAST(...AS STRING) at write and Python's rendering at
+            # lookup must agree EXACTLY or skipping gains false
+            # negatives (floats/timestamps diverge -> silently missing
+            # rows). Loud, not best-effort.
+            if df.schema[c].dataType.typeName() not in self._PARTITIONABLE:
+                raise ValueError(
+                    f"bloom_by column {c!r} has type "
+                    f"{df.schema[c].dataType.simpleString()}; blooms "
+                    f"support {self._PARTITIONABLE} (derive a string "
+                    "key first)"
+                )
+        if bloom_cols and entries:
+            self._attach_blooms(out_dir, entries, bloom_cols)
         return entries
+
+    def _bloom_positions_expr(self, col: Column) -> list[Column]:
+        """The k bit positions of one value, as JVM expressions:
+        md5(CAST(x AS STRING)) sliced into 32-bit big-endian words, each
+        mod bloom_bits. Must stay in lockstep with _bloom_positions_py
+        (family tag _BLOOM_FAMILY; bump both together)."""
+        h = F.md5(col.cast("string"))
+        return [
+            F.conv(F.substring(h, i * 8 + 1, 8), 16, 10).cast("long")
+            % self.bloom_bits
+            for i in range(self.bloom_hashes)
+        ]
+
+    def _bloom_positions_py(self, value: object) -> list[int]:
+        import hashlib
+
+        canon = _partition_key(value)
+        h = hashlib.md5(canon.encode("utf-8")).hexdigest()
+        return [
+            int(h[i * 8:(i + 1) * 8], 16) % self.bloom_bits
+            for i in range(self.bloom_hashes)
+        ]
+
+    def _attach_blooms(
+        self, out_dir: Path, entries: list[dict], cols: list[str]
+    ) -> None:
+        """ONE distributed pass over the commit's own files: per (file,
+        column) fold every value's k bit masks together with bit_or —
+        whole-stage-codegen expressions, map-side-combined, and only
+        O(files x words) rows ever reach the driver. Null values set no
+        bits (a point lookup of NULL is rejected at read)."""
+        from urllib.parse import unquote
+
+        n_words = self.bloom_bits // 64
+        scan = self.spark.read.parquet(str(out_dir)).select(
+            F.input_file_name().alias("__f"), *cols
+        )
+        aggs = []
+        for c in cols:
+            pos = self._bloom_positions_expr(F.col(c))
+            for j in range(n_words):
+                contrib = F.lit(0).cast("long")
+                for p in pos:
+                    # call_function: pyspark's F.shiftleft only takes a
+                    # literal bit count (the SQL function takes a
+                    # column); and Column.__or__ is LOGICAL or — bitwise
+                    # needs the explicit method.
+                    contrib = contrib.bitwiseOR(
+                        F.when(
+                            (p / 64).cast("int") == j,
+                            F.call_function(
+                                "shiftleft",
+                                F.lit(1).cast("long"),
+                                (p % 64).cast("int"),
+                            ),
+                        ).otherwise(F.lit(0).cast("long"))
+                    )
+                aggs.append(F.bit_or(contrib).alias(f"__b_{c}__{j}"))
+        rows = scan.groupBy("__f").agg(*aggs).collect()
+        # Key by path relative to the table root, NEVER the bare file
+        # name: partitionBy writes the SAME part-xxxxx name into every
+        # partition directory of a task, so names collide across a
+        # commit's partition dirs.
+        root = Path(self.path).resolve()
+        by_rel: dict[str, dict] = {}
+        for r in rows:
+            p = Path(unquote(r["__f"].removeprefix("file:"))).resolve()
+            rel = p.relative_to(root).as_posix()
+            by_rel[rel] = {
+                c: [r[f"__b_{c}__{j}"] or 0 for j in range(n_words)]
+                for c in cols
+            }
+        for e in entries:
+            words = by_rel.get(e["path"])
+            if words is not None:
+                e["bloom"] = {
+                    "family": self._BLOOM_FAMILY,
+                    "bits": self.bloom_bits,
+                    "hashes": self.bloom_hashes,
+                    "cols": words,
+                }
+
+    def _bloom_admits(self, entry: dict, col: str, value: object) -> bool:
+        """True unless this file's bloom PROVES the value absent.
+        Conservative on every mismatch: no bloom recorded, different
+        column set, or a filter written under a different family/bits/
+        hashes generation all read as 'might contain'."""
+        b = entry.get("bloom")
+        if (
+            not b
+            or b.get("family") != self._BLOOM_FAMILY
+            or b.get("bits") != self.bloom_bits
+            or b.get("hashes") != self.bloom_hashes
+            or col not in b.get("cols", {})
+        ):
+            return True
+        words = b["cols"][col]
+        for p in self._bloom_positions_py(value):
+            if not (words[p // 64] >> (p % 64)) & 1:
+                return False
+        return True
 
     @staticmethod
     def _stats_eligible(col: str, df: DataFrame) -> bool:
@@ -535,6 +678,7 @@ class ManifestTable:
         partition_filter: dict[str, object] | None = None,
         as_of: int | None = None,
         range_filter: dict[str, tuple] | None = None,
+        point_filter: dict[str, object] | None = None,
     ) -> DataFrame:
         """Read the table as of the newest manifest (or a historical one
         via ``as_of`` — manifests are retained until vacuumed, so any
@@ -550,7 +694,18 @@ class ManifestTable:
         sharp) and applies the same predicate row-level as a residual, so
         results are exact whether or not a file had stats. Only cluster
         columns carry stats; asking for any other column is a loud
-        error."""
+        error.
+
+        ``point_filter`` ({col: value}, equality only) SKIPS whole files
+        via the per-file Bloom filters a ``bloom_by`` table records —
+        the point-lookup twin of range_filter for high-cardinality keys
+        whose min/max bands all overlap. No false negatives (bloom
+        membership is conservative; a residual row filter keeps results
+        exact even for files committed before blooms existed), and MOR
+        pruning is safe because a file whose bloom excludes the key
+        contributes nothing to that key's latest-per-key resolution.
+        NULL lookups are rejected loudly (blooms set no bits for null;
+        filter isNull on the frame instead)."""
         if as_of is not None:
             if as_of not in self._manifest_ids():
                 raise FileNotFoundError(
@@ -581,6 +736,21 @@ class ManifestTable:
                     (lo is None or s[1] >= lo) and (hi is None or s[0] <= hi)
                     for c, (lo, hi) in range_filter.items()
                     if (s := f.get("stats", {}).get(c)) is not None
+                )
+            ]
+        if point_filter:
+            for c, v in point_filter.items():
+                if v is None:
+                    raise ValueError(
+                        f"point_filter[{c!r}] is None — blooms cannot "
+                        "prove null membership; use .filter(col(...)."
+                        "isNull()) on the read frame instead"
+                    )
+            files = [
+                f for f in files
+                if all(
+                    self._bloom_admits(f, c, v)
+                    for c, v in point_filter.items()
                 )
             ]
         if partition_filter:
@@ -631,6 +801,11 @@ class ManifestTable:
                 df = df.filter(
                     F.col(c).isNull() if v is None else (F.col(c) == v)
                 )
+        if point_filter:
+            # residual: blooms only prune files; surviving files still
+            # hold other keys (and pre-bloom commits were kept whole)
+            for c, v in point_filter.items():
+                df = df.filter(F.col(c) == v)
         return df
 
     def _check_partition_filter(self, partition_filter: dict) -> None:
