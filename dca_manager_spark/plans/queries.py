@@ -114,6 +114,7 @@ _DRIVER_WINDOW = [
     # is still verified every round by scripts/driver_sim.py.
     # -- (1) added in round 13 --
     "multimodal_pixel_stats",
+    "manifest_point_lookup",
     "text_lang_id_ngram",
     "training_unigram_tokenize",
     # -- (2) changed in round 13 --
@@ -165,7 +166,6 @@ _DRIVER_WINDOW = [
     "agg_grouping_sets",
     "agg_quantile_sketch",
     "agg_rollup_region_nation",
-    "asof_join_purchase_view",
 ]
 
 
@@ -5858,6 +5858,91 @@ def manifest_cdc_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_rows") > 0)
         .orderBy("bucket")
     )
+
+
+
+@query(
+    "manifest_point_lookup",
+    """
+    WITH base AS (
+      SELECT l_orderkey, l_linenumber,
+             MAX(l_extendedprice) AS l_extendedprice
+      FROM lineitem
+      WHERE l_returnflag = 'A' AND l_orderkey < 4000
+      GROUP BY l_orderkey, l_linenumber
+    )
+    SELECT l_orderkey, l_linenumber, l_extendedprice,
+           TRUE AS bloom_pruning_effective
+    FROM base
+    WHERE l_orderkey IN (7, 1093, 2500)
+    ORDER BY l_orderkey, l_linenumber
+    """,
+)
+def manifest_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-index point lookups, end-to-end and driver-scored (r13):
+    bulk-load a bounded lineitem slice into a ManifestTable with
+    bloom_by on the order key (three commits -> several files, each
+    carrying a per-file Bloom filter built by the commit's distributed
+    bit_or pass), then read three keys back through
+    read(point_filter=...) — the manifest-level file prune plus the
+    residual row filter. The oracle states the expected rows in closed
+    form over the same slice, so a hash match proves the bloom path
+    returns EXACTLY the keyed rows (no false negatives, no leakage from
+    admitted files). bloom_pruning_effective additionally asserts the
+    prune did real work: every looked-up key admits strictly fewer
+    files than the live file set (not SQL-expressible — surfaced as an
+    invariant, the training_bpe_tokenize pattern)."""
+    import tempfile
+
+    from dca_manager_spark.io.manifest import ManifestTable
+
+    base = (
+        t(spark, sf_dir, "lineitem")
+        .filter((F.col("l_returnflag") == "A") & (F.col("l_orderkey") < 4000))
+        .groupBy("l_orderkey", "l_linenumber")
+        .agg(F.max("l_extendedprice").alias("l_extendedprice"))
+    )
+    table = ManifestTable(
+        spark,
+        tempfile.mkdtemp(prefix="dca-bloom-q-"),
+        keys=("l_orderkey", "l_linenumber"),
+        precombine="l_extendedprice",
+        partition_by=(),
+        bloom_by=("l_orderkey",),
+        # ~hundreds of distinct keys per file: the 1024-bit default
+        # saturates (kn/m > 1 -> fp ~27%/file); 8192 bits holds fp
+        # well under 1% — bloom_bits is the knob that must track
+        # keys-per-file, which is the lesson this query pins.
+        bloom_bits=8192,
+    )
+    for lo, hi in ((0, 1000), (1000, 2200), (2200, 4000)):
+        table.write(
+            base.filter(
+                (F.col("l_orderkey") >= lo) & (F.col("l_orderkey") < hi)
+            ),
+            "bulk_insert" if lo == 0 else "insert",
+        )
+    keys = [7, 1093, 2500]
+    files = table._latest_manifest()[1]["files"]
+    pruned_ok = all(
+        sum(
+            1 for f in files
+            if table._bloom_admits(f, "l_orderkey", k)
+        ) < len(files)
+        for k in keys
+    )
+    out = None
+    for k in keys:
+        part = table.read(point_filter={"l_orderkey": k})
+        out = part if out is None else out.unionByName(part)
+    return (
+        out.select(
+            "l_orderkey", "l_linenumber", "l_extendedprice",
+            F.lit(pruned_ok).alias("bloom_pruning_effective"),
+        )
+        .orderBy("l_orderkey", "l_linenumber")
+    )
+
 
 
 # ===========================================================================
