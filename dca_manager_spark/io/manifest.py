@@ -1487,6 +1487,57 @@ class ManifestTable:
             "intact — re-issue the write or raise commit_retries"
         )
 
+    def delete_where(self, predicate: str | Column) -> int:
+        """Predicate-based delete (Delta ``DELETE FROM ... WHERE``):
+        one scan finds the matching keys, then the ordinary keyed
+        delete path removes them — COW rewrites only the touched
+        partitions, MOR lands O(matches) tombstones. Returns the number
+        of rows deleted. At 100 TB put the partition column in the
+        predicate: the matching scan prunes at the manifest level
+        through read(), and the delete rewrite is already
+        partition-bounded. The GDPR-delete shape."""
+        cond = F.expr(predicate) if isinstance(predicate, str) else predicate
+        ident = list(dict.fromkeys(
+            self.keys + self.partition_by + [self.precombine]
+        ))
+        matching = _pin(self.read().filter(cond).select(*ident))
+        n = matching.count()
+        if n:
+            self.write(matching, "delete")
+        return n
+
+    def update_where(
+        self,
+        predicate: str | Column,
+        assignments: dict[str, str | Column],
+    ) -> int:
+        """Predicate-based update (Delta ``UPDATE ... SET ... WHERE``):
+        matching rows are read, transformed, and upserted under their
+        own keys — the change capture records preimages exactly as any
+        upsert does, so CDC consumers see the update as (preimage,
+        new-version) pairs. Key and partition columns must not be
+        assigned (that is a delete+insert, not an update — loud).
+        Returns the number of rows updated."""
+        forbidden = set(self.keys) | set(self.partition_by)
+        bad = forbidden & set(assignments)
+        if bad:
+            raise ValueError(
+                f"update_where cannot assign key/partition column(s) "
+                f"{sorted(bad)} — move a row with an explicit "
+                "delete + upsert (or write_txn)"
+            )
+        cond = F.expr(predicate) if isinstance(predicate, str) else predicate
+        rows = _pin(self.read().filter(cond))
+        n = rows.count()
+        if not n:
+            return 0
+        for c, expr in assignments.items():
+            rows = rows.withColumn(
+                c, F.expr(expr) if isinstance(expr, str) else expr
+            )
+        self.write(rows, "upsert")
+        return n
+
     def _mor_txn(self, ups: DataFrame, dels: DataFrame, prev) -> None:
         """One MOR commit holding both delta files (upserts) and
         tombstone files (deletes). _resolve_mor already resolves by
@@ -1736,7 +1787,9 @@ class ManifestTable:
         latest = self._latest_manifest()
         return len(latest[1]["files"]) if latest else 0
 
-    def vacuum(self, keep_last: int = 1) -> int:
+    def vacuum(
+        self, keep_last: int = 1, orphan_grace_seconds: float = 3600.0
+    ) -> int:
         """Delete data files not referenced by any RETAINED manifest
         (orphans from pre-publish crashes + files replaced by COW commits
         older than the retention window) plus the expired manifests and
@@ -1745,7 +1798,21 @@ class ManifestTable:
         ``since``/``as_of`` within the retained window — the
         retention-window knob production runs on a schedule so in-flight
         readers of recent commits never lose their files. Returns the
-        number of data files removed."""
+        number of data files removed.
+
+        ``orphan_grace_seconds`` (r13, the multi-writer companion): a
+        file referenced by NO manifest at all and younger than the
+        grace window is KEPT — a concurrent writer between its data
+        write and its manifest publish has exactly such files, and a
+        vacuum racing it would otherwise delete them and brick the
+        commit the moment it publishes (the same reason Delta's VACUUM
+        refuses young files). Files referenced by an EXPIRED manifest
+        are definitely published, so they reclaim immediately
+        regardless of age. Default 1h dwarfs any write+rebase cycle;
+        pass 0 ONLY when no writer can be in flight (quiesced
+        maintenance windows)."""
+        import time
+
         ids = self._manifest_ids()
         if not ids:
             return 0
@@ -1755,10 +1822,22 @@ class ManifestTable:
             for mid in retained
             for f in self._load_manifest(mid)["files"]
         }
+        ever_referenced = {
+            f["path"]
+            for mid in ids
+            for f in self._load_manifest(mid)["files"]
+        }
         removed = 0
+        now = time.time()
         data_root = Path(self.path) / _DATA_DIR
         for p in data_root.rglob("*.parquet"):
-            if p.relative_to(Path(self.path)).as_posix() not in live:
+            rel = p.relative_to(Path(self.path)).as_posix()
+            if rel not in live:
+                if (
+                    rel not in ever_referenced
+                    and now - p.stat().st_mtime < orphan_grace_seconds
+                ):
+                    continue  # possibly an in-flight writer's commit
                 p.unlink()
                 removed += 1
         # prune emptied commit dirs (incl. Spark's _SUCCESS/.crc leftovers)

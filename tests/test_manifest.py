@@ -105,7 +105,12 @@ def test_crash_before_publish_is_invisible_and_vacuumable(spark, table):
     table._write_commit_files(make_df(spark, [("TX", TS1, "BTCGBP", 99.0)]))
     rows = table.read().collect()
     assert [r.transaction_id for r in rows] == ["T1"]  # reader sees old state
-    removed = table.vacuum()
+    # Default vacuum KEEPS fresh never-referenced files — they are
+    # indistinguishable from a concurrent writer's in-flight commit
+    # (r13 multi-writer grace window)...
+    assert table.vacuum() == 0
+    # ...a quiesced vacuum (grace 0) reclaims the crash orphans.
+    removed = table.vacuum(orphan_grace_seconds=0)
     assert removed >= 1
     assert [r.transaction_id for r in table.read().collect()] == ["T1"]
 

@@ -165,10 +165,14 @@ def test_retries_exhausted_aborts_loudly_and_table_intact(spark, tmp_path):
     # Loser published NOTHING: content is the winner's serialized state.
     rows = {r.transaction_id: r.price for r in t1.read().collect()}
     assert rows == {"T1": 1.0, "T2": 2.0}
-    # The lost attempt's data files are orphans; vacuum reclaims them and
-    # the table still reads identically afterwards.
-    removed = t1.vacuum(keep_last=1)
-    assert removed >= 1
+    # The lost attempt's data files are orphans. A DEFAULT vacuum keeps
+    # them (fresh never-referenced files look exactly like an in-flight
+    # writer's commit — the r13 grace window) while still reclaiming
+    # superseded PUBLISHED files; a quiesced vacuum (grace 0) then
+    # reclaims the orphans too. Either way the table reads identically.
+    t1.vacuum(keep_last=1)
+    removed = t1.vacuum(keep_last=1, orphan_grace_seconds=0)
+    assert removed >= 1  # the never-referenced lost-attempt files
     rows = {r.transaction_id: r.price for r in t1.read().collect()}
     assert rows == {"T1": 1.0, "T2": 2.0}
 

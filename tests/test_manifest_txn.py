@@ -135,3 +135,39 @@ def test_txn_time_travel_sees_pre_txn_state(spark, table):
     )
     old = {r.transaction_id for r in table.read(as_of=v).collect()}
     assert old == {"T1", "T2", "T3"}
+
+
+# -- predicate DML sugar (r13): delete_where / update_where ----------------
+
+
+def test_delete_where(spark, table):
+    seed(spark, table)
+    n = table.delete_where("price < 2.5")  # T1 (1.0), T2 (2.0)
+    assert n == 2
+    rows = {r.transaction_id for r in table.read().collect()}
+    assert rows == {"T3"}
+    assert table.delete_where("price > 100") == 0  # no match, no commit
+
+
+def test_update_where(spark, table):
+    seed(spark, table)
+    since = table.commits()[-1]
+    n = table.update_where("pair = 'BTCGBP'", {"price": "price * 10"})
+    assert n == 2
+    rows = {r.transaction_id: r.price for r in table.read().collect()}
+    assert rows == {"T1": 10.0, "T2": 20.0, "T3": 3.0}
+    # CDC sees the update as preimage + new version (COW only records
+    # preimages; MOR documents their absence)
+    if table.table_type == "cow":
+        cdc = table.read_cdc(since)
+        pre = {r.transaction_id: r.price for r in cdc.collect()
+               if r._change_type == "update_preimage"}
+        assert pre == {"T1": 1.0, "T2": 2.0}
+
+
+def test_update_where_rejects_key_assignment(spark, table):
+    seed(spark, table)
+    with pytest.raises(ValueError, match="key/partition"):
+        table.update_where("price > 0", {"pair": "'X'"})
+    with pytest.raises(ValueError, match="key/partition"):
+        table.update_where("price > 0", {"transaction_id": "'Z'"})
