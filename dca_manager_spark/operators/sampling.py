@@ -186,3 +186,77 @@ def cap_per_domain(
     if max_docs < 1:
         raise ValueError(f"max_docs must be >= 1, got {max_docs}")
     return exact_k_sample(df, id_col, max_docs, strata_col=domain_col, salt=salt)
+
+
+def token_budget_mixture(
+    df: DataFrame,
+    id_col: str,
+    domain_col: str,
+    tokens_col: str,
+    target_weights: dict[str, int],
+    token_budget: int,
+    salt: str = "token-budget",
+) -> tuple[DataFrame, dict[str, dict[str, int]]]:
+    """Token-budget-aware mixture sampling (the Chinchilla/DoReMi-style
+    data-budgeting step): given per-domain TARGET WEIGHTS (integers —
+    shares of the budget, e.g. per-mille) and a total ``token_budget``,
+    derive each domain's deterministic sampling rate and keep a
+    hash-selected subset whose expected token mass matches the budget
+    split.
+
+    Per domain d with available tokens A_d and desired tokens
+    D_d = budget * w_d // sum(w):
+        rate_bucket_d = min(BUCKETS, D_d * BUCKETS // A_d)
+    and a row survives iff hash_bucket(id, salt) < rate_bucket_d —
+    layout-independent, rerun-stable, join-free per row after one
+    broadcast of the O(domains) rate table. All arithmetic is integer,
+    so the selection is bit-reproducible in any engine (the catalog
+    oracle recomputes it in SQL).
+
+    Domains ABSENT from ``target_weights`` are dropped (weight 0) —
+    the mixture defines the corpus. A domain with fewer tokens than its
+    target contributes everything it has (rate capped at 1); UPSAMPLING
+    (epochs/repeats) is a separate, explicit op — silently repeating
+    documents here would corrupt dedup and contamination accounting
+    downstream.
+
+    Cost: one map-side-combined aggregate over the corpus (per-domain
+    token sums, O(domains) rows collected) + one broadcast-joined
+    filter pass. Returns (sampled_df, stats) where stats[d] =
+    {available, desired, rate_bucket}."""
+    if token_budget < 0:
+        raise ValueError(f"token_budget must be >= 0, got {token_budget}")
+    bad = {d: w for d, w in target_weights.items() if w < 0}
+    if bad or not target_weights:
+        raise ValueError(
+            f"target_weights must be non-empty with non-negative integer "
+            f"weights; got {target_weights}"
+        )
+    w_total = sum(target_weights.values())
+    avail = {
+        r["d"]: r["a"]
+        for r in df.groupBy(F.col(domain_col).alias("d"))
+        .agg(F.sum(F.col(tokens_col)).alias("a"))
+        .collect()
+    }
+    stats: dict[str, dict[str, int]] = {}
+    rate_rows = []
+    for d, w in sorted(target_weights.items()):
+        a = int(avail.get(d) or 0)
+        desired = token_budget * w // w_total
+        if a <= 0:
+            continue
+        edge = min(BUCKETS, desired * BUCKETS // a)
+        stats[d] = {"available": a, "desired": desired, "rate_bucket": edge}
+        rate_rows.append((d, edge))
+    if not rate_rows:
+        return df.limit(0), stats
+    rates = df.sparkSession.createDataFrame(
+        rate_rows, f"{domain_col} string, __edge long"
+    )
+    kept = (
+        df.join(F.broadcast(rates), domain_col)
+        .filter(hash_bucket(F.col(id_col), salt) < F.col("__edge"))
+        .select(*df.columns)  # join put the key first; restore caller order
+    )
+    return kept, stats

@@ -115,6 +115,7 @@ _DRIVER_WINDOW = [
     # -- (1) added in round 13 --
     "multimodal_pixel_stats",
     "manifest_point_lookup",
+    "corpus_token_budget_mixture",
     "text_lang_id_ngram",
     "training_unigram_tokenize",
     # -- (2) changed in round 13 --
@@ -165,7 +166,6 @@ _DRIVER_WINDOW = [
     "agg_distinct_per_segment",
     "agg_grouping_sets",
     "agg_quantile_sketch",
-    "agg_rollup_region_nation",
 ]
 
 
@@ -8172,6 +8172,82 @@ def corpus_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", registrable_domain(url).alias("domain")
     )
     return cap_per_domain(with_dom, "doc_id", "domain", 3).orderBy("doc_id")
+
+
+@query(
+    "corpus_token_budget_mixture",
+    """
+    WITH tot AS (SELECT SUM(n_chars) AS total FROM documents),
+    avail AS (
+      SELECT lang, CAST(SUM(n_chars) AS BIGINT) AS a
+      FROM documents GROUP BY lang
+    ),
+    w(lang, wt) AS (VALUES ('en', 500), ('de', 200), ('es', 200),
+                           ('fr', 100)),
+    rates AS (
+      SELECT avail.lang, avail.a,
+             LEAST(10000,
+                   (((SELECT total FROM tot) * 3 // 10) * w.wt // 1000)
+                   * 10000 // avail.a) AS edge
+      FROM avail JOIN w ON avail.lang = w.lang
+      WHERE avail.a > 0
+    ),
+    kept AS (
+      SELECT d.lang, d.doc_id, d.n_chars, r.edge
+      FROM documents d JOIN rates r ON d.lang = r.lang
+      WHERE CAST(concat('0x', substring(md5(concat('token-budget',
+                 CAST(d.doc_id AS VARCHAR))), 1, 8)) AS BIGINT)
+            % 10000 < r.edge
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS kept_tokens,
+           CAST(MIN(edge) AS BIGINT) AS rate_bucket
+    FROM kept
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def corpus_token_budget_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget-aware mixture (r13 — the Chinchilla/DoReMi-style
+    data-budgeting step; operators/sampling.token_budget_mixture):
+    target per-mille weights en/de/es/fr = 500/200/200/100 over a
+    budget of 30% of the corpus's total token mass (n_chars as the
+    token measure — SQL-exact on both engines), zh implicitly dropped
+    (weight 0). Per domain: desired = budget*w//1000, rate_bucket =
+    min(10000, desired*10000//available) — ALL integer arithmetic, so
+    the oracle recomputes the exact same hash-threshold selection from
+    scratch. One map-combined aggregate (per-domain sums, O(domains)
+    collected) + one broadcast-joined filter; under-supplied domains
+    contribute everything (rate capped), never upsample."""
+    from dca_manager_spark.operators.sampling import token_budget_mixture
+
+    docs = t(spark, sf_dir, "documents")
+    total = docs.agg(F.sum("n_chars").alias("t")).collect()[0]["t"]
+    budget = total * 3 // 10
+    kept, stats = token_budget_mixture(
+        docs,
+        "doc_id",
+        "lang",
+        "n_chars",
+        {"en": 500, "de": 200, "es": 200, "fr": 100},
+        budget,
+    )
+    rates = spark.createDataFrame(
+        [(d, s["rate_bucket"]) for d, s in sorted(stats.items())],
+        "lang string, rate_bucket long",
+    )
+    return (
+        kept.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("kept_tokens"),
+        )
+        .join(F.broadcast(rates), "lang")
+        .select("lang", "n_docs", "kept_tokens", "rate_bucket")
+        .orderBy("lang")
+    )
+
 
 
 @query(

@@ -603,3 +603,62 @@ def test_cap_per_domain_bounds_hot_domain(spark):
     assert "WindowGroupLimit" in plan, plan[:2000]
     with pytest.raises(ValueError, match="max_docs"):
         cap_per_domain(df, "doc_id", "domain", 0)
+
+
+# -- token-budget mixture (r13, operators/sampling.py) ---------------------
+
+
+def test_token_budget_mixture_semantics(spark):
+    from dca_manager_spark.operators.sampling import (
+        BUCKETS,
+        hash_bucket,
+        token_budget_mixture,
+    )
+    from pyspark.sql import functions as F
+
+    rows = [(i, "en" if i % 2 else "de", 100) for i in range(400)]
+    rows += [(1000 + i, "tiny", 10) for i in range(5)]
+    rows += [(2000 + i, "zh", 100) for i in range(50)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, toks long")
+
+    kept, stats = token_budget_mixture(
+        df, "doc_id", "lang", "toks",
+        {"en": 500, "de": 400, "tiny": 100}, token_budget=10_000,
+    )
+    # stats arithmetic is exact integer math
+    assert stats["en"] == {
+        "available": 20_000, "desired": 5_000, "rate_bucket": 2_500}
+    assert stats["de"] == {
+        "available": 20_000, "desired": 4_000, "rate_bucket": 2_000}
+    # under-supplied domain: rate capped at BUCKETS, keeps everything
+    assert stats["tiny"]["rate_bucket"] == BUCKETS
+    got = kept.groupBy("lang").count().collect()
+    by_lang = {r["lang"]: r["count"] for r in got}
+    assert by_lang.get("tiny") == 5
+    assert "zh" not in by_lang  # unlisted domain dropped
+    # selection is exactly the hash threshold (layout-independent)
+    expected = df.filter(
+        ((F.col("lang") == "en")
+         & (hash_bucket(F.col("doc_id"), "token-budget") < 2500))
+        | ((F.col("lang") == "de")
+           & (hash_bucket(F.col("doc_id"), "token-budget") < 2000))
+        | (F.col("lang") == "tiny")
+    )
+    assert kept.exceptAll(expected).count() == 0
+    assert expected.exceptAll(kept).count() == 0
+
+
+def test_token_budget_mixture_guards(spark):
+    import pytest as _pytest
+
+    from dca_manager_spark.operators.sampling import token_budget_mixture
+
+    df = spark.createDataFrame([(1, "en", 10)], "doc_id long, lang string, toks long")
+    with _pytest.raises(ValueError, match="token_budget"):
+        token_budget_mixture(df, "doc_id", "lang", "toks", {"en": 1}, -5)
+    with _pytest.raises(ValueError, match="target_weights"):
+        token_budget_mixture(df, "doc_id", "lang", "toks", {}, 100)
+    # zero-budget -> empty but typed
+    kept, stats = token_budget_mixture(
+        df, "doc_id", "lang", "toks", {"en": 1}, 0)
+    assert kept.count() == 0 and stats["en"]["rate_bucket"] == 0
