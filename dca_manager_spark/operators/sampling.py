@@ -260,3 +260,41 @@ def token_budget_mixture(
         .select(*df.columns)  # join put the key first; restore caller order
     )
     return kept, stats
+
+
+def repeat_epochs(
+    df: DataFrame,
+    domain_col: str,
+    epochs: dict[str, int],
+    epoch_col: str = "epoch",
+) -> DataFrame:
+    """EXPLICIT upsampling — the deliberate counterpart of
+    token_budget_mixture's never-upsample rule: replicate each domain's
+    rows ``epochs[domain]`` times (default 1 for unlisted domains),
+    tagging each copy with a 0-based ``epoch_col`` so downstream
+    shuffling/packing can interleave epochs instead of concatenating
+    them, and dedup/contamination accounting can filter ``epoch = 0``
+    to see each document once.
+
+    Epoch counts ride a broadcast O(domains) table into one
+    explode(sequence) — map-only, no shuffle, output size is the only
+    cost (exactly what "2.5 epochs of books" means in public training
+    recipes; fractional epochs = integer floor here + a hash-sampled
+    extra pass via token_budget_mixture if needed)."""
+    bad = {d: n for d, n in epochs.items() if n < 0}
+    if bad:
+        raise ValueError(f"epoch counts must be >= 0, got {bad}")
+    rows = [(d, n) for d, n in sorted(epochs.items())]
+    rates = df.sparkSession.createDataFrame(
+        rows, f"{domain_col} string, __epochs int"
+    )
+    return (
+        df.join(F.broadcast(rates), domain_col, "left")
+        .withColumn("__epochs", F.coalesce(F.col("__epochs"), F.lit(1)))
+        .filter(F.col("__epochs") > 0)
+        .withColumn(
+            epoch_col,
+            F.explode(F.sequence(F.lit(0), F.col("__epochs") - 1)),
+        )
+        .select(*df.columns, epoch_col)
+    )

@@ -662,3 +662,29 @@ def test_token_budget_mixture_guards(spark):
     kept, stats = token_budget_mixture(
         df, "doc_id", "lang", "toks", {"en": 1}, 0)
     assert kept.count() == 0 and stats["en"]["rate_bucket"] == 0
+
+
+def test_repeat_epochs(spark):
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from dca_manager_spark.operators.sampling import repeat_epochs
+
+    df = spark.createDataFrame(
+        [(1, "books"), (2, "books"), (3, "web"), (4, "junk")],
+        "doc_id long, lang string",
+    )
+    out = repeat_epochs(df, "lang", {"books": 3, "junk": 0})
+    got = out.groupBy("lang").count().collect()
+    by = {r["lang"]: r["count"] for r in got}
+    # books x3, web default x1, junk dropped (0 epochs)
+    assert by == {"books": 6, "web": 1}
+    # epoch tags are 0..n-1 per copy; epoch=0 recovers each doc once
+    assert out.filter(F.col("epoch") == 0).count() == 3
+    epochs = sorted(
+        r["epoch"] for r in out.filter(F.col("doc_id") == 1).collect()
+    )
+    assert epochs == [0, 1, 2]
+    assert out.columns == ["doc_id", "lang", "epoch"]
+    with _pytest.raises(ValueError, match=">= 0"):
+        repeat_epochs(df, "lang", {"books": -1})
