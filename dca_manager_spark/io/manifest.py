@@ -537,50 +537,62 @@ class ManifestTable:
         scan = self.spark.read.parquet(str(out_dir)).select(
             F.input_file_name().alias("__f"), *cols
         )
-        aggs = []
-        for c in cols:
-            pos = self._bloom_positions_expr(F.col(c))
-            for j in range(n_words):
-                contrib = F.lit(0).cast("long")
-                for p in pos:
-                    # call_function: pyspark's F.shiftleft only takes a
-                    # literal bit count (the SQL function takes a
-                    # column); and Column.__or__ is LOGICAL or — bitwise
-                    # needs the explicit method.
-                    contrib = contrib.bitwiseOR(
-                        F.when(
-                            (p / 64).cast("int") == j,
-                            F.call_function(
-                                "shiftleft",
-                                F.lit(1).cast("long"),
-                                (p % 64).cast("int"),
-                            ),
-                        ).otherwise(F.lit(0).cast("long"))
-                    )
-                aggs.append(F.bit_or(contrib).alias(f"__b_{c}__{j}"))
-        rows = scan.groupBy("__f").agg(*aggs).collect()
+        # Shape: per row, ONE array of (col-index, bit-position) structs
+        # (k md5 evaluations per column, nothing else), exploded and
+        # collect_set-aggregated per (file, col) — the distinct SET BITS
+        # travel, bounded by bloom_bits per (file, col) with map-side
+        # partial sets, and the word packing happens driver-side over
+        # O(files x set-bits). The per-word bit_or-aggregate
+        # formulation (n_words agg columns, each re-branching on every
+        # hash) costs k x n_words when-branches PER ROW and a codegen
+        # blow-up that scales with bloom_bits — measured 23s/commit at
+        # 8192 bits vs sub-second for this shape.
+        pairs = F.array(
+            *[
+                F.struct(F.lit(ci).alias("c"), p.cast("int").alias("p"))
+                for ci, c in enumerate(cols)
+                for p in self._bloom_positions_expr(F.col(c))
+            ]
+        )
+        rows = (
+            scan.select("__f", F.explode(pairs).alias("x"))
+            .groupBy("__f", F.col("x.c").alias("c"))
+            .agg(F.collect_set("x.p").alias("ps"))
+            .collect()
+        )
         # Key by path relative to the table root, NEVER the bare file
         # name: partitionBy writes the SAME part-xxxxx name into every
         # partition directory of a task, so names collide across a
         # commit's partition dirs.
         root = Path(self.path).resolve()
-        by_rel: dict[str, dict] = {}
+        # EVERY entry starts with an all-zeros bloom: a file the scan
+        # produced no rows for (zero-row part files happen — e.g. AQE
+        # artifacts; input_file_name never surfaces them) contains no
+        # key, so the empty bloom that admits NOTHING is exactly right
+        # — leaving it bloom-less would conservatively admit every
+        # lookup forever (observed: 1/3 fp floor from empty siblings).
+        by_rel: dict[str, dict] = {
+            e["path"]: {c: [0] * n_words for c in cols} for e in entries
+        }
         for r in rows:
             p = Path(unquote(r["__f"].removeprefix("file:"))).resolve()
             rel = p.relative_to(root).as_posix()
-            by_rel[rel] = {
-                c: [r[f"__b_{c}__{j}"] or 0 for j in range(n_words)]
-                for c in cols
-            }
+            words = by_rel.get(rel, {}).get(cols[r["c"]])
+            if words is None:
+                continue
+            for pos in r["ps"]:
+                w, b = pos // 64, pos % 64
+                val = words[w] | (1 << b)
+                # JSON-side longs are signed 64-bit: fold bit 63 into
+                # the canonical i64 representation _bloom_admits reads.
+                words[w] = val - (1 << 64) if val >= (1 << 63) else val
         for e in entries:
-            words = by_rel.get(e["path"])
-            if words is not None:
-                e["bloom"] = {
-                    "family": self._BLOOM_FAMILY,
-                    "bits": self.bloom_bits,
-                    "hashes": self.bloom_hashes,
-                    "cols": words,
-                }
+            e["bloom"] = {
+                "family": self._BLOOM_FAMILY,
+                "bits": self.bloom_bits,
+                "hashes": self.bloom_hashes,
+                "cols": by_rel[e["path"]],
+            }
 
     def _bloom_admits(self, entry: dict, col: str, value: object) -> bool:
         """True unless this file's bloom PROVES the value absent.
@@ -696,16 +708,18 @@ class ManifestTable:
         columns carry stats; asking for any other column is a loud
         error.
 
-        ``point_filter`` ({col: value}, equality only) SKIPS whole files
-        via the per-file Bloom filters a ``bloom_by`` table records —
-        the point-lookup twin of range_filter for high-cardinality keys
-        whose min/max bands all overlap. No false negatives (bloom
-        membership is conservative; a residual row filter keeps results
-        exact even for files committed before blooms existed), and MOR
-        pruning is safe because a file whose bloom excludes the key
-        contributes nothing to that key's latest-per-key resolution.
-        NULL lookups are rejected loudly (blooms set no bits for null;
-        filter isNull on the frame instead)."""
+        ``point_filter`` ({col: value} or {col: [values...]} — equality
+        / IN only) SKIPS whole files via the per-file Bloom filters a
+        ``bloom_by`` table records — the point-lookup twin of
+        range_filter for high-cardinality keys whose min/max bands all
+        overlap. A list admits a file if ANY value might be present
+        (one read for a batch of key lookups). No false negatives
+        (bloom membership is conservative; a residual row filter keeps
+        results exact even for files committed before blooms existed),
+        and MOR pruning is safe because a file whose bloom excludes the
+        key contributes nothing to that key's latest-per-key
+        resolution. NULL lookups are rejected loudly (blooms set no
+        bits for null; filter isNull on the frame instead)."""
         if as_of is not None:
             if as_of not in self._manifest_ids():
                 raise FileNotFoundError(
@@ -739,20 +753,25 @@ class ManifestTable:
                 )
             ]
         if point_filter:
+            pf: dict[str, list] = {}
             for c, v in point_filter.items():
-                if v is None:
+                vals = list(v) if isinstance(v, (list, tuple, set)) else [v]
+                if not vals or any(x is None for x in vals):
                     raise ValueError(
-                        f"point_filter[{c!r}] is None — blooms cannot "
+                        f"point_filter[{c!r}] must be a non-null value "
+                        "or a non-empty list of them — blooms cannot "
                         "prove null membership; use .filter(col(...)."
                         "isNull()) on the read frame instead"
                     )
+                pf[c] = sorted(set(vals), key=str)
             files = [
                 f for f in files
                 if all(
-                    self._bloom_admits(f, c, v)
-                    for c, v in point_filter.items()
+                    any(self._bloom_admits(f, c, x) for x in vals)
+                    for c, vals in pf.items()
                 )
             ]
+            point_filter = pf
         if partition_filter:
             self._check_partition_filter(partition_filter)
             # Partition evolution (Iceberg-style): a file written under
@@ -804,8 +823,8 @@ class ManifestTable:
         if point_filter:
             # residual: blooms only prune files; surviving files still
             # hold other keys (and pre-bloom commits were kept whole)
-            for c, v in point_filter.items():
-                df = df.filter(F.col(c) == v)
+            for c, vals in point_filter.items():
+                df = df.filter(F.col(c).isin(*vals))
         return df
 
     def _check_partition_filter(self, partition_filter: dict) -> None:

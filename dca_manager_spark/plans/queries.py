@@ -5901,6 +5901,8 @@ def manifest_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("l_returnflag") == "A") & (F.col("l_orderkey") < 4000))
         .groupBy("l_orderkey", "l_linenumber")
         .agg(F.max("l_extendedprice").alias("l_extendedprice"))
+        # pinned: three commit writes otherwise re-run the scan+shuffle
+        .localCheckpoint(eager=True)
     )
     table = ManifestTable(
         spark,
@@ -5931,10 +5933,9 @@ def manifest_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ) < len(files)
         for k in keys
     )
-    out = None
-    for k in keys:
-        part = table.read(point_filter={"l_orderkey": k})
-        out = part if out is None else out.unionByName(part)
+    # one batched IN-lookup: a list point_filter admits a file if ANY
+    # key might be present — one read job instead of one per key
+    out = table.read(point_filter={"l_orderkey": keys})
     return (
         out.select(
             "l_orderkey", "l_linenumber", "l_extendedprice",

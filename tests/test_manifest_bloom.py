@@ -121,7 +121,7 @@ def test_pre_bloom_commits_kept_conservatively(spark, tmp_path):
 def test_point_filter_guards(spark, tmp_path):
     t = make_table(spark, tmp_path / "t")
     t.write(seed_rows(spark, 10), "bulk_insert")
-    with pytest.raises(ValueError, match="None"):
+    with pytest.raises(ValueError, match="non-null"):
         t.read(point_filter={"transaction_id": None})
     # ineligible bloom column type fails at WRITE, loudly
     bad = make_table(spark, tmp_path / "t2", bloom_by=("price",))
@@ -178,3 +178,19 @@ def test_int_and_date_bloom_columns(spark, tmp_path):
     assert t.read(
         point_filter={"k": 2, "d": datetime.date(2024, 1, 3)}
     ).count() == 1
+
+
+def test_point_filter_list_batched_lookup(spark, tmp_path):
+    t = make_table(spark, tmp_path / "t")
+    commit_in_chunks(t, seed_rows(spark))
+    got = {
+        r.transaction_id
+        for r in t.read(
+            point_filter={"transaction_id": ["T3", "T77", "NOPE"]}
+        ).collect()
+    }
+    assert got == {"T3", "T77"}
+    with pytest.raises(ValueError, match="non-empty"):
+        t.read(point_filter={"transaction_id": []})
+    with pytest.raises(ValueError, match="non-null"):
+        t.read(point_filter={"transaction_id": ["T1", None]})
