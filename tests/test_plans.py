@@ -336,3 +336,40 @@ def test_audio_meta_sort_below_single_udf_pass(spark):
         assert node.startswith(("AdaptiveSparkPlan", "Project", "WholeStageCodegen")), (
             f"order-breaking node above the audio UDF: {node!r} in {tree}"
         )
+
+
+def test_lang_id_ngram_plan_is_codegen_single_agg_shuffle(spark):
+    """The r13 langid scale path must stay OUT of Python and inside
+    codegen: no BatchEvalPython/ArrowEvalPython anywhere (scoring is
+    literal-array element_at), a partial+final hash aggregate for the
+    per-doc sums (map-side combine — the O(grams)->O(docs) reduction),
+    and the gram explode as a Generate node."""
+    from dca_manager_spark.plans.inspect import physical_plan
+
+    df = q("text_lang_id_ngram", spark)
+    plan = physical_plan(df)
+    assert "EvalPython" not in plan, "langid scoring fell back to Python"
+    assert "Generate" in plan, "gram explode missing"
+    assert plan.count("HashAggregate") >= 2, "no partial+final aggregate"
+
+
+def test_unigram_tokenize_is_arrow_batched(spark):
+    """Unigram apply must be ONE Arrow-batched projection (never a
+    row-at-a-time PythonUDF) with no shuffle above it."""
+    from dca_manager_spark.operators.unigram import (
+        train_unigram_model,
+        unigram_tokenize,
+    )
+    from dca_manager_spark.plans.inspect import physical_plan
+
+    docs = spark.createDataFrame(
+        [(1, "the lower window"), (2, "merge the batch")],
+        "doc_id long, text string",
+    )
+    model = train_unigram_model(
+        docs, method="local", vocab_size=32, seed_size=64, rounds=2
+    )
+    out = unigram_tokenize(docs, model)
+    plan = physical_plan(out)
+    assert "ArrowEvalPython" in plan, "tokenizer not Arrow-vectorized"
+    assert "Exchange" not in plan, "unexpected shuffle in tokenize"
