@@ -10,7 +10,9 @@ table committed in CHUNKS (several files), then measures point lookups:
   disabled (bloom entries stripped), at local[32] — the at-scale gap is
   larger because every admitted file is an object-store GET.
 
-Usage: python scripts/stress_bloom.py [replicas=2] [chunks=8] [bits=65536]
+Usage: python scripts/stress_bloom.py [replicas=2] [chunks=8] [bits=1048576]
+
+Size bits ~10x distinct keys per file (here ~50k keys/file).
 """
 
 from __future__ import annotations
@@ -31,7 +33,7 @@ from dca_manager_spark.session import get_bench_session  # noqa: E402
 def main() -> None:
     replicas = int(sys.argv[1]) if len(sys.argv) > 1 else 2
     chunks = int(sys.argv[2]) if len(sys.argv) > 2 else 8
-    bits = int(sys.argv[3]) if len(sys.argv) > 3 else 65536
+    bits = int(sys.argv[3]) if len(sys.argv) > 3 else 1_048_576
     spark = get_bench_session("bloom-stress")
     spark.sparkContext.setLogLevel("ERROR")
 
