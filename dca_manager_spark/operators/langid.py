@@ -322,14 +322,25 @@ def lang_id_frame(
     ~25s -> ~1s on 5k docs vs the HOF path)."""
     model = train_langid_model()
     norm = _norm_col(F.col(text_col))
-    d = df.select(*id_cols, norm.alias("__norm"))
+    # Char CODES array first (one interpreted HOF pass per doc), then
+    # O(1) element_at per gram. The obvious substring(norm, i, 1) per
+    # exploded position is O(i) — UTF8String counts codepoints from the
+    # start on every call — which makes per-doc cost QUADRATIC in
+    # length (measured 5.5s -> 1.1s at sf0.1 switching to codes).
+    d = df.select(
+        *id_cols,
+        F.transform(
+            F.filter(F.split(norm, ""), lambda ch: ch != ""),
+            lambda ch: F.ascii(ch),
+        ).alias("__codes"),
+    )
     g = (
-        d.filter(F.length("__norm") >= 3)
+        d.filter(F.size("__codes") >= 3)
         .select(
             *id_cols,
-            "__norm",
+            "__codes",
             F.explode(
-                F.sequence(F.lit(1), F.length("__norm") - 2)
+                F.sequence(F.lit(1), F.size("__codes") - 2)
             ).alias("__i"),
         )
         .select(
@@ -337,16 +348,11 @@ def lang_id_frame(
             (
                 (
                     (
-                        F.ascii(F.substring(F.col("__norm"), F.col("__i"), 1))
-                        * 31
-                        + F.ascii(
-                            F.substring(F.col("__norm"), F.col("__i") + 1, 1)
-                        )
+                        F.element_at("__codes", F.col("__i")) * 31
+                        + F.element_at("__codes", F.col("__i") + 1)
                     )
                     * 31
-                    + F.ascii(
-                        F.substring(F.col("__norm"), F.col("__i") + 2, 1)
-                    )
+                    + F.element_at("__codes", F.col("__i") + 2)
                 )
                 % N_BUCKETS
             ).alias("__bk"),
