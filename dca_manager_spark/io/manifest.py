@@ -282,6 +282,10 @@ class ManifestTable:
         # newest manifest and re-applies its (pinned) batch against it —
         # the serialized result, like Delta's conflict-resolution retry.
         # 0 = strict single-writer (lose once -> ConcurrentCommitError).
+        if int(commit_retries) < 0:
+            raise ValueError(
+                f"commit_retries must be >= 0, got {commit_retries}"
+            )
         self.commit_retries = int(commit_retries)
         # Cumulative lost-race count on this handle (observability: a
         # steadily climbing value means real multi-writer contention).
