@@ -220,7 +220,7 @@ class ManifestTable:
         table_type: str = "cow",
         constraints: dict[str, str] | None = None,
         commit_retries: int = 3,
-        bloom_by: tuple[str, ...] = (),
+        bloom_by: tuple[str, ...] | None = None,
         bloom_bits: int = 1024,
         bloom_hashes: int = 4,
     ) -> None:
@@ -308,7 +308,19 @@ class ManifestTable:
             raise ValueError(f"bloom_bits must be a positive multiple of 64, got {bloom_bits}")
         if not (1 <= bloom_hashes <= 4):
             raise ValueError(f"bloom_hashes must be in [1,4] (md5 yields 4 u32 slices), got {bloom_hashes}")
-        self.bloom_by = list(bloom_by)
+        # The bloom config PERSISTS in every manifest, and a handle
+        # opened without one (bloom_by=None, the default) INHERITS the
+        # table's committed config on first manifest load — so a
+        # compactor or maintenance handle opened plain keeps writing
+        # blooms instead of silently degrading point-lookup pruning
+        # table-wide, and a plain reader gets the right bits/hashes for
+        # _bloom_admits' generation check. Pass an explicit bloom_by
+        # (possibly ()) to OVERRIDE; a mismatch vs the committed config
+        # warns once (pruning on files of the other generation degrades
+        # to conservative admit-all until recommitted).
+        self._bloom_explicit = bloom_by is not None
+        self._bloom_synced = False
+        self.bloom_by = list(bloom_by or ())
         self.bloom_bits = int(bloom_bits)
         self.bloom_hashes = int(bloom_hashes)
 
@@ -332,7 +344,42 @@ class ManifestTable:
         ids = self._manifest_ids()
         if not ids:
             return None
-        return ids[-1], self._load_manifest(ids[-1])
+        doc = self._load_manifest(ids[-1])
+        self._sync_bloom_config(doc)
+        return ids[-1], doc
+
+    def _sync_bloom_config(self, doc: dict) -> None:
+        """Inherit / cross-check the committed bloom config (see
+        __init__). Runs once per handle, on the first latest-manifest
+        load."""
+        if self._bloom_synced:
+            return
+        self._bloom_synced = True
+        committed = doc.get("bloom")
+        if not self._bloom_explicit:
+            if committed:
+                self.bloom_by = list(committed["by"])
+                self.bloom_bits = int(committed["bits"])
+                self.bloom_hashes = int(committed["hashes"])
+            return
+        mine = {
+            "by": self.bloom_by,
+            "bits": self.bloom_bits,
+            "hashes": self.bloom_hashes,
+        }
+        if committed is not None and committed != mine and (
+            committed.get("by") or mine["by"]
+        ):
+            import warnings
+
+            warnings.warn(
+                f"handle bloom config {mine} differs from the table's "
+                f"committed config {committed} on {self.path}: files of "
+                "the other generation admit every point lookup "
+                "(conservative, exact but unpruned) until recommitted — "
+                "open the handle without bloom_by to inherit",
+                stacklevel=3,
+            )
 
     def commits(self) -> list[int]:
         """Committed manifest ids, oldest first — the table's timeline
@@ -391,6 +438,14 @@ class ManifestTable:
             "changes": changes or {"upserts": [], "deletes": []},
             "op": op,
         }
+        if self.bloom_by:
+            # persist the bloom config so plain handles inherit it
+            # (see __init__ / _sync_bloom_config)
+            doc["bloom"] = {
+                "by": self.bloom_by,
+                "bits": self.bloom_bits,
+                "hashes": self.bloom_hashes,
+            }
         payload = json.dumps(doc, indent=1, sort_keys=True)
         target = mdir / f"{next_id:012d}.json"
         # Write the FULL payload to a temp file, then link it into place:
@@ -719,17 +774,28 @@ class ManifestTable:
         overlap. A list admits a file if ANY value might be present
         (one read for a batch of key lookups). No false negatives
         (bloom membership is conservative; a residual row filter keeps
-        results exact even for files committed before blooms existed),
-        and MOR pruning is safe because a file whose bloom excludes the
-        key contributes nothing to that key's latest-per-key
-        resolution. NULL lookups are rejected loudly (blooms set no
-        bits for null; filter isNull on the frame instead)."""
+        results exact even for files committed before blooms existed).
+        MOR pruning is KEY-COLUMN-ONLY on delta/tombstone files: a
+        delta whose bloom excludes a key value holds no rows for that
+        key, so the key's latest-per-key resolution is unaffected —
+        but pruning a delta on a NON-key column could hide a key's
+        newest version and resurrect its superseded base row past the
+        residual filter, so non-key lookups keep every delta and only
+        prune base files (where dropping a row is always safe: it is
+        either superseded or fails the residual anyway). NULL lookups
+        are rejected loudly (blooms set no bits for null; filter
+        isNull on the frame instead)."""
         if as_of is not None:
             if as_of not in self._manifest_ids():
                 raise FileNotFoundError(
                     f"no manifest {as_of} under {self.path} "
                     f"(available: {self._manifest_ids()})"
                 )
+            if point_filter and not self._bloom_synced:
+                # point lookups need the committed bloom bits/hashes
+                # even on a historical read — sync from the LATEST
+                # manifest (the config authority) before pruning
+                self._latest_manifest()
             doc = self._load_manifest(as_of)
         else:
             latest = self._latest_manifest()
@@ -768,11 +834,18 @@ class ManifestTable:
                         "isNull()) on the read frame instead"
                     )
                 pf[c] = sorted(set(vals), key=str)
+            # MOR: delta/tombstone files may only be pruned on KEY
+            # columns (mirrors range_filter's base-file-only guard).
+            # Pruning a delta on a non-key column can remove a key's
+            # NEWEST version from _resolve_mor, resurrecting the
+            # superseded base row — which then passes the residual
+            # filter (upsert k→pair A then k→pair B; lookup pair=A).
             files = [
                 f for f in files
                 if all(
                     any(self._bloom_admits(f, c, x) for x in vals)
                     for c, vals in pf.items()
+                    if not f.get("kind") or c in self.keys
                 )
             ]
             point_filter = pf
@@ -1085,25 +1158,9 @@ class ManifestTable:
         # (loser ordered after winner). Data files from a lost attempt
         # are unreferenced orphans; vacuum() reclaims them.
         for attempt in range(self.commit_retries + 1):
-            # Fail dtype conflicts UP FRONT, before any data file is
-            # written (the merge path would otherwise union-cast and die
-            # mid-write; MOR would commit files unreadable under the
-            # committed schema). Re-checked per attempt: the winning
-            # concurrent commit may have evolved the schema under us.
             prev = self._latest_manifest()
-            if prev is not None:
-                self._merged_schema_json(prev[1], df)  # raises on conflict
-            # `prev` is threaded into the write paths below so the
-            # manifest is loaded ONCE per attempt, not re-read per path.
             try:
-                if self.table_type == "mor":
-                    self._mor_write(df, op, prev=prev)
-                elif op in (WriteOperation.INSERT, WriteOperation.BULK_INSERT):
-                    self._append(df, prev=prev)
-                elif op == WriteOperation.UPSERT:
-                    self._merge(df, keep_batch=True, prev=prev)
-                else:
-                    self._merge(df, keep_batch=False, prev=prev)
+                self._write_attempt(df, op, prev)
                 return
             except FileExistsError as exc:
                 conflict = exc
@@ -1113,6 +1170,31 @@ class ManifestTable:
             f"{self.commit_retries + 1} time(s) ({conflict}); the table is "
             "intact — re-issue the write or raise commit_retries"
         )
+
+    def _write_attempt(
+        self, df: DataFrame, op: WriteOperation, prev
+    ) -> None:
+        """ONE optimistic-commit attempt against the ``prev`` manifest
+        (shared by write()'s rebase loop and the predicate-DML loops,
+        which must re-evaluate their predicate per attempt and so own
+        the loop themselves)."""
+        # Fail dtype conflicts UP FRONT, before any data file is
+        # written (the merge path would otherwise union-cast and die
+        # mid-write; MOR would commit files unreadable under the
+        # committed schema). Re-checked per attempt: the winning
+        # concurrent commit may have evolved the schema under us.
+        if prev is not None:
+            self._merged_schema_json(prev[1], df)  # raises on conflict
+        # `prev` is threaded into the write paths below so the
+        # manifest is loaded ONCE per attempt, not re-read per path.
+        if self.table_type == "mor":
+            self._mor_write(df, op, prev=prev)
+        elif op in (WriteOperation.INSERT, WriteOperation.BULK_INSERT):
+            self._append(df, prev=prev)
+        elif op == WriteOperation.UPSERT:
+            self._merge(df, keep_batch=True, prev=prev)
+        else:
+            self._merge(df, keep_batch=False, prev=prev)
 
     def _merged_schema_json(self, prev_doc: dict | None, df: DataFrame) -> str:
         """Committed schema for the next commit: previous fields plus any
@@ -1518,16 +1600,47 @@ class ManifestTable:
         of rows deleted. At 100 TB put the partition column in the
         predicate: the matching scan prunes at the manifest level
         through read(), and the delete rewrite is already
-        partition-bounded. The GDPR-delete shape."""
+        partition-bounded. The GDPR-delete shape.
+
+        Concurrency: the predicate is re-evaluated PER rebase attempt
+        against the manifest the attempt commits on top of (snapshot
+        pinned via as_of to the same id the publish races on) — a
+        lost race never re-applies a stale key set against the
+        winner's table, so rows a concurrent commit changed out of
+        the predicate are never deleted (Delta re-runs the predicate
+        under its conflict check for the same reason)."""
         cond = F.expr(predicate) if isinstance(predicate, str) else predicate
         ident = list(dict.fromkeys(
             self.keys + self.partition_by + [self.precombine]
         ))
-        matching = _pin(self.read().filter(cond).select(*ident))
-        n = matching.count()
-        if n:
-            self.write(matching, "delete")
-        return n
+        for attempt in range(self.commit_retries + 1):
+            prev = self._latest_manifest()
+            if prev is None:
+                raise FileNotFoundError(
+                    f"no committed manifest under {self.path}"
+                )
+            matching = _pin(
+                self.read(as_of=prev[0]).filter(cond).select(*ident)
+            )
+            n = matching.count()
+            if not n:
+                return 0
+            batch = (
+                matching
+                if self.table_type == "mor"
+                else precombine_dedup(matching, self.keys, self.precombine)
+            )
+            try:
+                self._write_attempt(batch, WriteOperation.DELETE, prev)
+                return n
+            except FileExistsError as exc:
+                conflict = exc
+                self.rebase_count += 1
+        raise ConcurrentCommitError(
+            f"delete_where on {self.path} lost the commit race "
+            f"{self.commit_retries + 1} time(s) ({conflict}); the table is "
+            "intact — re-issue the delete or raise commit_retries"
+        )
 
     def update_where(
         self,
@@ -1540,7 +1653,13 @@ class ManifestTable:
         upsert does, so CDC consumers see the update as (preimage,
         new-version) pairs. Key and partition columns must not be
         assigned (that is a delete+insert, not an update — loud).
-        Returns the number of rows updated."""
+        Returns the number of rows updated.
+
+        Concurrency: same contract as delete_where — the predicate and
+        assignments re-evaluate per rebase attempt against the
+        manifest the attempt commits on, so a lost race never
+        overwrites rows a concurrent commit moved out of the
+        predicate."""
         forbidden = set(self.keys) | set(self.partition_by)
         bad = forbidden & set(assignments)
         if bad:
@@ -1550,16 +1669,36 @@ class ManifestTable:
                 "delete + upsert (or write_txn)"
             )
         cond = F.expr(predicate) if isinstance(predicate, str) else predicate
-        rows = _pin(self.read().filter(cond))
-        n = rows.count()
-        if not n:
-            return 0
-        for c, expr in assignments.items():
-            rows = rows.withColumn(
-                c, F.expr(expr) if isinstance(expr, str) else expr
-            )
-        self.write(rows, "upsert")
-        return n
+        for attempt in range(self.commit_retries + 1):
+            prev = self._latest_manifest()
+            if prev is None:
+                raise FileNotFoundError(
+                    f"no committed manifest under {self.path}"
+                )
+            rows = _pin(self.read(as_of=prev[0]).filter(cond))
+            n = rows.count()
+            if not n:
+                return 0
+            # assignments are deterministic projections over the pinned
+            # snapshot — no second checkpoint needed for the multi-
+            # consumer merge path or the constraint gate
+            for c, expr in assignments.items():
+                rows = rows.withColumn(
+                    c, F.expr(expr) if isinstance(expr, str) else expr
+                )
+            if self.constraints:
+                self._check_constraints(rows)
+            try:
+                self._write_attempt(rows, WriteOperation.UPSERT, prev)
+                return n
+            except FileExistsError as exc:
+                conflict = exc
+                self.rebase_count += 1
+        raise ConcurrentCommitError(
+            f"update_where on {self.path} lost the commit race "
+            f"{self.commit_retries + 1} time(s) ({conflict}); the table is "
+            "intact — re-issue the update or raise commit_retries"
+        )
 
     def _mor_txn(self, ups: DataFrame, dels: DataFrame, prev) -> None:
         """One MOR commit holding both delta files (upserts) and
@@ -1663,7 +1802,26 @@ class ManifestTable:
         are NOT re-emitted as changes), deletes = current rows whose key
         vanishes. That diff costs one pass over both snapshots; restores
         are exceptional events, ordinary commits stay O(batch). Returns
-        the new commit id (the current id if already at ``version``)."""
+        the new commit id (the current id if already at ``version``).
+
+        Concurrency: runs under the same optimistic rebase loop as
+        write()/compact() — a concurrent commit during the restore
+        re-runs the snapshot diff against the winner's manifest and
+        surfaces as ConcurrentCommitError only when retries exhaust,
+        never as a raw FileExistsError."""
+        for attempt in range(self.commit_retries + 1):
+            try:
+                return self._restore_once(version)
+            except FileExistsError as exc:
+                conflict = exc
+                self.rebase_count += 1
+        raise ConcurrentCommitError(
+            f"restore on {self.path} lost the commit race "
+            f"{self.commit_retries + 1} time(s) ({conflict}); the table "
+            "is intact — re-run restore() or raise commit_retries"
+        )
+
+    def _restore_once(self, version: int) -> int:
         ids = self._manifest_ids()
         if version not in ids:
             raise FileNotFoundError(
@@ -1695,7 +1853,10 @@ class ManifestTable:
             )
 
         restored = _align(self.read(as_of=version))
-        current = _align(self.read())
+        # pin `current` to the same manifest the publish races on, so a
+        # commit landing mid-diff can't make the change capture reflect
+        # a state other than the one this attempt replaces
+        current = _align(self.read(as_of=prev_id))
         changed = restored.exceptAll(current)
         ident = list(dict.fromkeys(self.keys + self.partition_by))
         pred = F.lit(True)
@@ -1863,8 +2024,14 @@ class ManifestTable:
                     continue  # possibly an in-flight writer's commit
                 p.unlink()
                 removed += 1
-        # prune emptied commit dirs (incl. Spark's _SUCCESS/.crc leftovers)
+        # prune emptied commit dirs (incl. Spark's _SUCCESS/.crc
+        # leftovers). Same grace guard as the file path: a concurrent
+        # writer between mkdir and its first committed task file has a
+        # commit dir with NO *.parquet yet (only _temporary) — rmdir'ing
+        # it would fail the in-flight write job, so young dirs are kept.
         for d in sorted(data_root.glob("commit-*"), reverse=True):
+            if now - d.stat().st_mtime < orphan_grace_seconds:
+                continue  # possibly an in-flight writer's commit dir
             if not any(d.rglob("*.parquet")):
                 for sub in sorted(
                     d.rglob("*"), key=lambda p: len(p.parts), reverse=True

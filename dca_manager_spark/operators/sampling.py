@@ -142,27 +142,73 @@ def url_host(url_col: Column) -> Column:
     return F.regexp_extract(F.lower(url_col), _HOST_RE, 1)
 
 
+def load_suffix_table(path: str) -> tuple[str, ...]:
+    """Parse a public-suffix-list snapshot (publicsuffix.org text
+    format) into the multi-part suffix table ``registrable_domain``
+    consumes — the refresh seam for production (the built-in
+    MULTI_SUFFIXES is a point-in-time subset; the real PSL updates
+    continuously). Comments (//) and blank lines are skipped;
+    single-label rules (plain TLDs) are dropped (they are the
+    eTLD+1 default already); wildcard (``*.ck``) and exception
+    (``!www.ck``) rules raise loudly rather than being silently
+    mis-grouped — they are ~1% of the PSL and need rule semantics
+    this pure-expression grouping deliberately does not carry."""
+    out: list[str] = []
+    with open(path, encoding="utf-8") as fh:
+        for line in fh:
+            s = line.strip().lower()
+            if not s or s.startswith("//"):
+                continue
+            if s.startswith("*") or s.startswith("!"):
+                raise ValueError(
+                    f"PSL rule {s!r} uses wildcard/exception semantics "
+                    "registrable_domain does not implement — filter these "
+                    "rules out explicitly if the corpus cannot contain "
+                    "hosts under them"
+                )
+            if "." in s:
+                out.append(s)
+    return tuple(dict.fromkeys(out))
+
+
 def registrable_domain(
     url_col: Column,
     extra_suffixes: tuple[str, ...] = (),
+    suffixes: tuple[str, ...] | None = None,
 ) -> Column:
     """Registrable domain (eTLD+1) of a URL — the key the C4/Gopher
-    per-domain caps group on: the last two host labels, or three when
-    the last two form a known multi-part suffix (co.uk and friends —
-    see MULTI_SUFFIXES). Bare hosts (<= 2 labels) and IPv4 literals
-    pass through unchanged. One codegen'd expression, no UDF."""
+    per-domain caps group on: the last two host labels, or one more
+    label than the LONGEST known public suffix the host ends in
+    (co.uk and friends; 3-label registries like pref.aichi.jp promote
+    to four labels). Bare hosts (<= 2 labels) and IPv4 literals pass
+    through unchanged. One codegen'd when-chain (longest suffix length
+    first — PSL longest-match semantics), no UDF; a full suffix table
+    compiles to hash-set InSet membership, O(1) per row.
+
+    ``suffixes`` REPLACES the built-in table (pass a
+    ``load_suffix_table`` snapshot in production — the injectable
+    seam, same pattern as ``seeds=`` in similarity.ivf);
+    ``extra_suffixes`` extends whichever table is active."""
     host = url_host(url_col)
     parts = F.split(host, r"\.")
     n = F.size(parts)
-    last2 = F.concat_ws(".", F.slice(parts, -2, 2))
-    last3 = F.concat_ws(".", F.slice(parts, -3, 3))
-    suffixes = list(MULTI_SUFFIXES) + list(extra_suffixes)
+    table = (
+        list(MULTI_SUFFIXES) if suffixes is None else list(suffixes)
+    ) + list(extra_suffixes)
+    by_len: dict[int, list[str]] = {}
+    for s in table:
+        k = s.count(".") + 1
+        if k >= 2:  # 1-label rules are the eTLD+1 default already
+            by_len.setdefault(k, []).append(s)
     is_ip = host.rlike(r"^[0-9.]+$")
-    return (
-        F.when(is_ip | (n <= 2), host)
-        .when(last2.isin(*suffixes) & (n >= 3), last3)
-        .otherwise(last2)
-    )
+    expr = F.when(is_ip | (n <= 2), host)
+    for k in sorted(by_len, reverse=True):  # longest match wins
+        lastk = F.concat_ws(".", F.slice(parts, -k, k))
+        expr = expr.when(
+            lastk.isin(*by_len[k]) & (n >= k + 1),
+            F.concat_ws(".", F.slice(parts, -(k + 1), k + 1)),
+        )
+    return expr.otherwise(F.concat_ws(".", F.slice(parts, -2, 2)))
 
 
 def cap_per_domain(

@@ -131,6 +131,66 @@ def main() -> None:
             f"all-files ({t_plain/max(t_bloom,1e-9):.1f}x)"
         )
 
+    # ------------------------------------------------------------------
+    # Section 2 (VERDICT r13 #6): delta-heavy MOR lookup cost vs compact
+    # ------------------------------------------------------------------
+    # A streaming-ingest MOR table accumulates one delta file per
+    # micro-batch commit; point lookups resolve latest-per-key across
+    # base + ALL admitted deltas, and key-column blooms prune deltas
+    # safely (r14: non-key columns keep deltas conservatively). This
+    # section measures how lookup wall-time grows with delta count and
+    # how much one compact() claws back — the number that sets the
+    # compaction cadence rule in SCALE.md.
+    deltas = int(sys.argv[4]) if len(sys.argv) > 4 else 120
+    batch = 500
+    with tempfile.TemporaryDirectory() as tmp:
+        mor = ManifestTable(
+            spark,
+            f"{tmp}/mor",
+            keys=("k",),
+            precombine="l_extendedprice",
+            partition_by=(),
+            table_type="mor",
+            bloom_by=("k",),
+            bloom_bits=65536,
+        )
+        seed = corpus.limit(200_000).localCheckpoint(eager=True)
+        mor.write(seed, "bulk_insert")
+        keys = [r["k"] for r in seed.select("k").orderBy("k").limit(50).collect()]
+        t0 = time.perf_counter()
+        for d in range(deltas):
+            mor.write(
+                seed.filter(
+                    F.xxhash64("k", F.lit(d)) % (200_000 // batch) == 0
+                ).withColumn(
+                    "l_extendedprice", F.col("l_extendedprice") + d + 1
+                ),
+                "upsert",
+            )
+        t_ingest = time.perf_counter() - t0
+
+        def avg_lookup(t, ks):
+            t0 = time.perf_counter()
+            for k in ks:
+                t.read(point_filter={"k": k}).count()
+            return (time.perf_counter() - t0) / len(ks)
+
+        n_files_before = mor.file_count()
+        t_before = avg_lookup(mor, keys[:8])
+        t0 = time.perf_counter()
+        replaced = mor.compact()
+        t_compact = time.perf_counter() - t0
+        n_files_after = mor.file_count()
+        t_after = avg_lookup(mor, keys[:8])
+        print(
+            f"MOR deltas: base+{deltas} delta commits ({t_ingest:.1f}s "
+            f"ingest) -> {n_files_before} files; lookup "
+            f"{t_before*1000:.0f}ms | compact() replaced {replaced} "
+            f"files in {t_compact:.1f}s -> {n_files_after} files; "
+            f"lookup {t_after*1000:.0f}ms "
+            f"({t_before/max(t_after,1e-9):.1f}x faster)"
+        )
+
 
 if __name__ == "__main__":
     main()

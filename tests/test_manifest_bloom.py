@@ -194,3 +194,95 @@ def test_point_filter_list_batched_lookup(spark, tmp_path):
         t.read(point_filter={"transaction_id": []})
     with pytest.raises(ValueError, match="non-null"):
         t.read(point_filter={"transaction_id": ["T1", None]})
+
+
+def test_mor_delta_bloom_prunes_key_columns_only(spark, tmp_path):
+    """Regression (ADVICE r13, high): on a MOR table with a NON-key
+    bloom column, pruning a delta whose bloom excludes the looked-up
+    value would remove the key's NEWEST version from latest-per-key
+    resolution and resurrect its superseded row — which then passes
+    the residual filter. Delta/tombstone files must only ever be
+    bloom-pruned on key columns."""
+    t = ManifestTable(
+        spark, str(tmp_path / "t"),
+        keys=("transaction_id",), precombine="price",
+        partition_by=(), table_type="mor",
+        bloom_by=("transaction_id", "pair"),
+    )
+    t.write(
+        spark.createDataFrame([("T1", TS1, "AAA", 1.0)], SCHEMA),
+        "bulk_insert",
+    )
+    # newer version of T1 moves pair AAA -> BBB (lands as a delta whose
+    # pair-bloom excludes 'AAA')
+    t.write(
+        spark.createDataFrame([("T1", TS1, "BBB", 2.0)], SCHEMA),
+        "upsert",
+    )
+    # the stale (T1, AAA) row is superseded: looking up pair='AAA' must
+    # find NOTHING, even though the base file's bloom admits it
+    assert t.read(point_filter={"pair": "AAA"}).count() == 0
+    rows = t.read(point_filter={"pair": "BBB"}).collect()
+    assert [(r.transaction_id, r.pair, r.price) for r in rows] == [
+        ("T1", "BBB", 2.0)
+    ]
+    # KEY-column pruning still applies to deltas (safe: a delta whose
+    # bloom excludes the key holds no rows for it)
+    doc = t._latest_manifest()[1]
+    deltas = [f for f in doc["files"] if f.get("kind")]
+    assert deltas and not any(
+        t._bloom_admits(f, "transaction_id", "NOPE") for f in deltas
+    )
+    assert t.read(point_filter={"transaction_id": "NOPE"}).count() == 0
+
+
+def test_bloom_config_inherited_by_plain_handle(spark, tmp_path):
+    """Regression (ADVICE r13): the bloom config persists in the
+    manifest, so a compactor/maintenance handle opened WITHOUT
+    bloom_by inherits it instead of silently rewriting files with no
+    blooms (and a plain reader gets the right bits/hashes for the
+    _bloom_admits generation check)."""
+    t = make_table(spark, tmp_path / "t", bloom_bits=2048, bloom_hashes=3)
+    commit_in_chunks(t, seed_rows(spark, 40), n=40, step=20)
+    # plain handle: no bloom args at all
+    plain = ManifestTable(
+        spark, str(tmp_path / "t"),
+        keys=("transaction_id", "close_time"),
+        precombine="transaction_id", partition_by=("pair",),
+    )
+    plain.write(
+        spark.createDataFrame([("X1", TS1, "BTCGBP", 1.0)], SCHEMA),
+        "upsert",
+    )
+    assert plain.bloom_by == ["transaction_id"]
+    assert (plain.bloom_bits, plain.bloom_hashes) == (2048, 3)
+    doc = plain._latest_manifest()[1]
+    assert doc["bloom"] == {
+        "by": ["transaction_id"], "bits": 2048, "hashes": 3
+    }
+    # the plain handle's commit carries blooms of the INHERITED
+    # generation — every file prunable, absent key admits nothing
+    assert all(
+        f["bloom"]["bits"] == 2048 and f["bloom"]["hashes"] == 3
+        for f in doc["files"]
+    )
+    assert not any(
+        plain._bloom_admits(f, "transaction_id", "NOPE")
+        for f in doc["files"]
+    )
+    # fresh reader, also plain: lookups prune under the inherited config
+    reader = ManifestTable(
+        spark, str(tmp_path / "t"),
+        keys=("transaction_id", "close_time"),
+        precombine="transaction_id", partition_by=("pair",),
+    )
+    assert reader.read(point_filter={"transaction_id": "X1"}).count() == 1
+    assert reader.read(point_filter={"transaction_id": "NOPE"}).count() == 0
+
+
+def test_bloom_config_mismatch_warns(spark, tmp_path):
+    t = make_table(spark, tmp_path / "t", bloom_bits=2048)
+    t.write(seed_rows(spark, 10), "bulk_insert")
+    other = make_table(spark, tmp_path / "t", bloom_bits=4096)
+    with pytest.warns(UserWarning, match="bloom config"):
+        other.read(point_filter={"transaction_id": "T1"})

@@ -234,3 +234,122 @@ def test_threaded_writers_all_commits_land(spark, tmp_path):
     assert rows == expect
     # 9 commits, strictly sequential ids — no publish was ever clobbered.
     assert t1.commits() == list(range(9))
+
+
+def test_delete_where_reevaluates_predicate_after_race(spark, tmp_path):
+    """Regression (ADVICE r13, medium): delete_where must re-run its
+    predicate per rebase attempt — a lost race may not re-apply the
+    STALE key set against the winner's manifest, or it deletes rows a
+    concurrent commit changed so they no longer match (lost update;
+    Delta DELETE detects the conflict instead)."""
+    path = tmp_path / "t"
+    t1 = make_table(spark, path)
+    t2 = make_table(spark, path)
+    t1.write(
+        make_df(spark, [("T1", TS1, "BTCGBP", 5.0), ("T2", TS1, "BTCGBP", 50.0)]),
+        "upsert",
+    )
+    # rival moves T1 OUT of the predicate in the race window
+    inject_race(
+        t1,
+        lambda: t2.write(make_df(spark, [("T1", TS1, "BTCGBP", 100.0)]), "upsert"),
+    )
+    n = t1.delete_where("price < 10")
+    # after the rebase, nothing matches: zero deletes, T1 survives with
+    # the winner's value
+    assert n == 0
+    rows = {r.transaction_id: r.price for r in t1.read().collect()}
+    assert rows == {"T1": 100.0, "T2": 50.0}
+
+
+def test_delete_where_rebased_still_deletes_matching_rows(spark, tmp_path):
+    """The race-window rebase keeps deleting what STILL matches (and
+    picks up rows the winner moved INTO the predicate)."""
+    path = tmp_path / "t"
+    t1 = make_table(spark, path)
+    t2 = make_table(spark, path)
+    t1.write(
+        make_df(spark, [("T1", TS1, "BTCGBP", 5.0), ("T2", TS1, "BTCGBP", 50.0)]),
+        "upsert",
+    )
+    inject_race(
+        t1,
+        lambda: t2.write(make_df(spark, [("T2", TS1, "BTCGBP", 2.0)]), "upsert"),
+    )
+    n = t1.delete_where("price < 10")
+    assert n == 2  # T1 still matches; T2 moved INTO the predicate
+    assert t1.read().count() == 0
+    assert t1.rebase_count == 1
+
+
+def test_update_where_reevaluates_predicate_after_race(spark, tmp_path):
+    """update_where twin of the delete_where regression: the rebased
+    attempt must not clobber a row the winner moved out of the
+    predicate with a stale transformed version."""
+    path = tmp_path / "t"
+    t1 = make_table(spark, path)
+    t2 = make_table(spark, path)
+    t1.write(
+        make_df(spark, [("T1", TS1, "BTCGBP", 5.0), ("T2", TS1, "BTCGBP", 50.0)]),
+        "upsert",
+    )
+    inject_race(
+        t1,
+        lambda: t2.write(make_df(spark, [("T1", TS1, "BTCGBP", 100.0)]), "upsert"),
+    )
+    n = t1.update_where("price < 10", {"price": "price * 0"})
+    assert n == 0  # nothing matches after the rebase
+    rows = {r.transaction_id: r.price for r in t1.read().collect()}
+    assert rows == {"T1": 100.0, "T2": 50.0}
+
+
+def test_restore_rebases_and_aborts_loudly(spark, tmp_path):
+    """Regression (ADVICE r13, low): restore runs under the same
+    rebase/retry contract as write()/compact() — a concurrent commit
+    mid-restore is absorbed by a retry (content = the restored
+    version, serialized AFTER the winner), and retry exhaustion
+    surfaces as ConcurrentCommitError, never a raw FileExistsError."""
+    path = tmp_path / "t"
+    t1 = make_table(spark, path)
+    t2 = make_table(spark, path)
+    t1.write(make_df(spark, [("T1", TS1, "BTCGBP", 1.0)]), "upsert")  # v0
+    t1.write(make_df(spark, [("T2", TS1, "BTCGBP", 2.0)]), "upsert")  # v1
+    inject_race(
+        t1,
+        lambda: t2.write(make_df(spark, [("T3", TS1, "BTCGBP", 3.0)]), "upsert"),
+    )
+    t1.restore(0)
+    assert t1.rebase_count == 1
+    rows = {r.transaction_id: r.price for r in t1.read().collect()}
+    assert rows == {"T1": 1.0}  # the restored snapshot, serialized last
+
+    # exhaustion path: rival lands a commit on EVERY attempt
+    strict = make_table(spark, path, commit_retries=0)
+    orig = strict._publish
+
+    def always_raced(prev_id, files, schema_json, changes=None, op="unknown"):
+        t2.write(make_df(spark, [("TX", TS1, "BTCGBP", 9.0)]), "upsert")
+        return orig(prev_id, files, schema_json, changes, op=op)
+
+    strict._publish = always_raced
+    with pytest.raises(ConcurrentCommitError):
+        strict.restore(0)
+
+
+def test_vacuum_spares_young_empty_commit_dirs(spark, tmp_path):
+    """Regression (ADVICE r13, low): a concurrent writer between mkdir
+    and its first committed task file owns a commit-* dir containing
+    no *.parquet yet — vacuum's empty-dir sweep must honor the same
+    orphan grace window as the file path, or it rmdirs the dir under
+    the in-flight job."""
+    path = tmp_path / "t"
+    t = make_table(spark, path)
+    t.write(make_df(spark, [("T1", TS1, "BTCGBP", 1.0)]), "upsert")
+    inflight = path / "data" / "commit-racing" / "_temporary"
+    inflight.mkdir(parents=True)
+    (inflight / "task-0.tmp").write_text("in flight")
+    t.vacuum(keep_last=1)  # default grace: young dir survives
+    assert inflight.is_dir()
+    t.vacuum(keep_last=1, orphan_grace_seconds=0)  # quiesced: reclaimed
+    assert not (path / "data" / "commit-racing").exists()
+    assert {r.transaction_id for r in t.read().collect()} == {"T1"}

@@ -438,3 +438,232 @@ def test_png_image_decoder_features():
     assert abs(f[0] - 10 / 255) < 1e-9 and abs(f[1] - 200 / 255) < 1e-9
     assert f[2] == 0.0 and f[3] == 0.0
     assert f[4:] == [4.0, 4.0, 2.0]
+
+
+# -- baseline JPEG codec (r14: operators/jpeg.py) -----------------------
+
+
+def _card(w, h, ch, seed=5, block=8):
+    """Block-constant test card: every block x block tile one value."""
+    return bytes(
+        (seed + 3 * (x // block) + 5 * (y // block) + 11 * c) % 256
+        for y in range(h)
+        for x in range(w)
+        for c in range(ch)
+    )
+
+
+def test_jpeg_block_constant_bit_exact_gray_and_rgb():
+    """All-ones quant + block-constant input -> the lossy pipeline has
+    exactly one nonzero DCT coefficient per block and round-trips
+    BIT-EXACT, including partial edge blocks (19x13) and Adobe raw-RGB
+    (no color-space rounding)."""
+    from dca_manager_spark.operators.jpeg import (
+        decode_jpeg_baseline,
+        encode_jpeg_baseline,
+    )
+
+    for ch, adobe in ((1, False), (3, True)):
+        px = _card(19, 13, ch)
+        blob = encode_jpeg_baseline(
+            19, 13, ch, px,
+            quant_luma=[1] * 64, quant_chroma=[1] * 64, adobe_rgb=adobe,
+        )
+        w, h, c, raw = decode_jpeg_baseline(blob)
+        assert (w, h, c) == (19, 13, ch)
+        assert raw == px
+
+
+def test_jpeg_420_subsampling_bit_exact_on_mcu_constant_chroma():
+    """4:2:0: luma constant per 8x8, chroma constant per 16x16 MCU ->
+    the 2x2 box average is the value itself and the subsampled path
+    round-trips bit-exact (exercises the MCU walk: 4 luma blocks + 2
+    chroma blocks per MCU, replication upsample, edge crop)."""
+    from dca_manager_spark.operators.jpeg import (
+        decode_jpeg_baseline,
+        encode_jpeg_baseline,
+    )
+
+    w, h = 21, 18
+
+    def val(x, y, c):
+        if c == 0:
+            return (9 + 3 * (x // 8) + 5 * (y // 8)) % 256
+        return (40 + 17 * (x // 16) + 23 * (y // 16) + 11 * c) % 256
+
+    px = bytes(
+        val(x, y, c) for y in range(h) for x in range(w) for c in range(3)
+    )
+    blob = encode_jpeg_baseline(
+        w, h, 3, px,
+        quant_luma=[1] * 64, quant_chroma=[1] * 64,
+        subsampling="4:2:0", adobe_rgb=True,
+    )
+    ww, hh, cc, raw = decode_jpeg_baseline(blob)
+    assert (ww, hh, cc) == (w, h, 3)
+    assert raw == px
+
+
+def test_jpeg_restart_intervals_reset_dc_predictor():
+    from dca_manager_spark.operators.jpeg import (
+        decode_jpeg_baseline,
+        encode_jpeg_baseline,
+    )
+
+    px = _card(40, 24, 1)  # 5x3 = 15 MCUs
+    for ri in (1, 2, 7):
+        blob = encode_jpeg_baseline(
+            40, 24, 1, px, quant_luma=[1] * 64, restart_interval=ri
+        )
+        assert decode_jpeg_baseline(blob)[3] == px
+
+
+def test_jpeg_ac_zigzag_path_vs_independent_idct():
+    """Random images exercise the FULL AC path (runs, ZRL, zigzag,
+    every IDCT basis function). The decoder's output must match an
+    INDEPENDENT direct-cosine-sum reconstruction of the quantized
+    coefficients to the last bit — catching transposed zigzag, wrong
+    basis normalization, or run/size miscoding that a smooth image
+    would hide."""
+    import numpy as np
+
+    from dca_manager_spark.operators import jpeg as J
+
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, (16, 24), dtype=np.uint8)
+    blob = J.encode_jpeg_baseline(24, 16, 1, img.tobytes(), quality=75)
+    w, h, c, raw = J.decode_jpeg_baseline(blob)
+    got = np.frombuffer(raw, np.uint8).reshape(16, 24).astype(np.float64)
+
+    # independent reference: re-derive the quantized coefficients by
+    # forward-transforming with a DIRECT cosine double sum (not the
+    # module's matrix identity), then invert the same way
+    q = np.array(J.scale_quant_table(J.STD_QUANT_LUMA, 75),
+                 dtype=np.float64).reshape(8, 8)
+
+    def cu(u):
+        return np.sqrt(0.5) if u == 0 else 1.0
+
+    ref = np.zeros((16, 24))
+    for by in range(2):
+        for bx in range(3):
+            blk = img[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8].astype(float) - 128.0
+            coef = np.zeros((8, 8))
+            for u in range(8):
+                for v in range(8):
+                    s = sum(
+                        blk[y, x]
+                        * np.cos((2 * y + 1) * u * np.pi / 16)
+                        * np.cos((2 * x + 1) * v * np.pi / 16)
+                        for y in range(8) for x in range(8)
+                    )
+                    coef[u, v] = 0.25 * cu(u) * cu(v) * s
+            qc = np.rint(coef / q) * q
+            out = np.zeros((8, 8))
+            for y in range(8):
+                for x in range(8):
+                    out[y, x] = 0.25 * sum(
+                        cu(u) * cu(v) * qc[u, v]
+                        * np.cos((2 * y + 1) * u * np.pi / 16)
+                        * np.cos((2 * x + 1) * v * np.pi / 16)
+                        for u in range(8) for v in range(8)
+                    )
+            ref[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] = out + 128.0
+    ref = np.clip(np.rint(ref), 0, 255)
+    assert np.array_equal(got, ref)
+
+
+def test_jpeg_ycbcr_smooth_roundtrip_close():
+    """JFIF YCbCr color path (lossy by construction): a smooth gradient
+    at quality 90 must come back within a few levels — a channel swap,
+    wrong BT.601 constant, or chroma misalignment blows this up."""
+    import numpy as np
+
+    from dca_manager_spark.operators.jpeg import (
+        decode_jpeg_baseline,
+        encode_jpeg_baseline,
+    )
+
+    yy, xx = np.mgrid[0:32, 0:32]
+    img = np.stack(
+        [(yy * 4) % 256, (xx * 4) % 256, ((xx + yy) * 2) % 256], axis=-1
+    ).astype(np.uint8)
+    for sub in ("4:4:4", "4:2:0"):
+        blob = encode_jpeg_baseline(
+            32, 32, 3, img.tobytes(), quality=90, subsampling=sub
+        )
+        w, h, c, raw = decode_jpeg_baseline(blob)
+        out = np.frombuffer(raw, np.uint8).reshape(32, 32, 3).astype(int)
+        assert np.abs(out - img.astype(int)).max() <= 12
+
+
+def test_jpeg_decoder_loud_on_unsupported_and_corrupt():
+    from dca_manager_spark.operators.jpeg import (
+        decode_jpeg_baseline,
+        encode_jpeg_baseline,
+    )
+
+    px = _card(16, 8, 1)
+    blob = encode_jpeg_baseline(16, 8, 1, px, quant_luma=[1] * 64)
+
+    with pytest.raises(ValueError, match="SOI"):
+        decode_jpeg_baseline(b"\x00\x01")
+    with pytest.raises(ValueError, match="progressive"):
+        decode_jpeg_baseline(
+            b"\xff\xd8\xff\xc2\x00\x0b\x08\x00\x08\x00\x08\x01\x01\x11\x00"
+        )
+    with pytest.raises(ValueError, match="truncated"):
+        decode_jpeg_baseline(blob[: len(blob) // 2])
+    # 16-bit quant table (Pq=1) is not baseline
+    i = blob.index(b"\xff\xdb")
+    bad = bytearray(blob)
+    bad[i + 4] |= 0x10
+    with pytest.raises(ValueError, match="16-bit"):
+        decode_jpeg_baseline(bytes(bad))
+    # wrong restart marker index
+    rblob = encode_jpeg_baseline(
+        40, 8, 1, _card(40, 8, 1), quant_luma=[1] * 64, restart_interval=1
+    )
+    j = rblob.index(b"\xff\xd0")
+    bad = bytearray(rblob)
+    bad[j + 1] = 0xD3
+    with pytest.raises(ValueError, match="restart"):
+        decode_jpeg_baseline(bytes(bad))
+
+
+def test_jpeg_pixels_spark_plumbing(spark):
+    """jpeg_pixels mapInPandas stage + jpeg_image_decoder feature twin
+    against planted cards — the Spark-side shape of the codec."""
+    from dca_manager_spark.operators.jpeg import (
+        encode_jpeg_baseline,
+        jpeg_image_decoder,
+        jpeg_pixels,
+    )
+
+    rows = []
+    for i in range(6):
+        ch = 1 if i % 2 == 0 else 3
+        w, h = 8 + i, 5 + i
+        px = _card(w, h, ch, seed=i)
+        rows.append(
+            (i, encode_jpeg_baseline(
+                w, h, ch, px,
+                quant_luma=[1] * 64, quant_chroma=[1] * 64,
+                adobe_rgb=(ch == 3),
+            ), px, w, h, ch)
+        )
+    df = spark.createDataFrame(
+        [(i, b) for i, b, *_ in rows], "media_id long, content binary"
+    )
+    got = {r.media_id: r for r in jpeg_pixels(df).collect()}
+    for i, _, px, w, h, ch in rows:
+        r = got[i]
+        assert (r.width, r.height, r.channels) == (w, h, ch)
+        assert bytes(r.pixels) == px
+    # feature twin: per-channel means of the planted card
+    i, blob, px, w, h, ch = rows[1]
+    feat = jpeg_image_decoder(blob)
+    assert feat[3:] == [0.0, float(w), float(h), float(ch)]
+    for c in range(3):
+        mean = sum(px[c::3]) / (w * h) / 255.0
+        assert abs(feat[c] - mean) < 1e-9

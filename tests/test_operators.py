@@ -573,6 +573,55 @@ def test_registrable_domain_extraction(spark):
         assert got[i] == want, (cases[i][0], got[i])
 
 
+def test_registrable_domain_injectable_suffix_table(spark, tmp_path):
+    """VERDICT r13 #7: the suffix table is injectable — a production
+    PSL snapshot replaces the built-in subset via ``suffixes=`` (and
+    3-label registry rules promote to FOUR labels, longest match
+    first); ``load_suffix_table`` parses the publicsuffix.org text
+    format and is loud on wildcard/exception rules."""
+    from dca_manager_spark.operators.sampling import (
+        load_suffix_table,
+        registrable_domain,
+    )
+
+    psl = tmp_path / "psl.dat"
+    psl.write_text(
+        "// ===BEGIN ICANN DOMAINS===\n"
+        "com\n"            # 1-label: dropped (default behavior already)
+        "co.uk\n"
+        "pref.aichi.jp\n"  # 3-label registry rule
+        "CO.UK\n"          # duplicate after lowercasing
+        "\n"
+    )
+    table = load_suffix_table(str(psl))
+    assert table == ("co.uk", "pref.aichi.jp")
+
+    cases = [
+        ("https://www.example.co.uk/", "example.co.uk"),
+        ("https://deep.site.pref.aichi.jp/", "site.pref.aichi.jp"),
+        # com.au is in the BUILT-IN table but not this snapshot:
+        # replacement semantics -> grouped as a plain 2-label domain
+        ("https://a.b.example.com.au/", "com.au"),
+        ("https://plain.example.com/", "example.com"),
+    ]
+    df = spark.createDataFrame(
+        [(i, u) for i, (u, _) in enumerate(cases)], "i int, url string"
+    )
+    got = {
+        r["i"]: r["d"]
+        for r in df.select(
+            "i", registrable_domain(F.col("url"), suffixes=table).alias("d")
+        ).collect()
+    }
+    for i, (_, want) in enumerate(cases):
+        assert got[i] == want, (cases[i][0], got[i])
+
+    bad = tmp_path / "wild.dat"
+    bad.write_text("*.ck\n")
+    with pytest.raises(ValueError, match="wildcard"):
+        load_suffix_table(str(bad))
+
+
 def test_cap_per_domain_bounds_hot_domain(spark):
     """VERDICT r11 #4 skew pin: one domain holding 50% of the corpus
     must come out capped at max_docs; every other domain keeps min(n,
