@@ -112,6 +112,7 @@ _DRIVER_WINDOW = [
     # catalog is still verified every round by scripts/driver_sim.py.
     # -- (1) added in round 14 --
     "multimodal_jpeg_pixels",
+    "multimodal_gif_pixels",
     # -- (2) changed in round 14 (ManifestTable fixes) --
     "manifest_point_lookup",
     "manifest_incremental_pull",
@@ -163,7 +164,6 @@ _DRIVER_WINDOW = [
     "events_funnel",
     "events_resample_ffill",
     "events_rolling_anomaly",
-    "join_broadcast_dim",
 ]
 
 
@@ -4996,6 +4996,107 @@ def multimodal_jpeg_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         jpeg_pixels(media)
+        .select(
+            "media_id",
+            "width",
+            "height",
+            "channels",
+            F.aggregate(
+                "pixels", F.lit(0).cast("long"), lambda acc, v: acc + v
+            ).alias("px_sum"),
+            F.array_min("pixels").alias("px_min"),
+            F.array_max("pixels").alias("px_max"),
+            F.size("pixels").cast("long").alias("n_samples"),
+        )
+        .orderBy("media_id")
+    )
+
+
+@query(
+    "multimodal_gif_pixels",
+    """
+    WITH d AS (
+      SELECT doc_id AS media_id,
+             doc_id % 23 + 1 AS width,
+             doc_id % 19 + 1 AS height,
+             doc_id % 251 AS seed
+      FROM documents
+      WHERE doc_id % 6 = 1
+    ),
+    px AS (
+      SELECT d.media_id, d.width, d.height,
+             ((d.seed + 3 * x.xx + 5 * y.yy) % 64
+              * CASE c.cc WHEN 0 THEN 3 WHEN 1 THEN 7 ELSE 11 END)
+               % 256 AS v
+      FROM d, range(0, 24) x(xx), range(0, 20) y(yy), range(0, 3) c(cc)
+      WHERE x.xx < d.width AND y.yy < d.height
+    )
+    SELECT media_id,
+           MIN(width) AS width, MIN(height) AS height,
+           CAST(3 AS BIGINT) AS channels,
+           CAST(SUM(v) AS BIGINT) AS px_sum,
+           CAST(MIN(v) AS BIGINT) AS px_min,
+           CAST(MAX(v) AS BIGINT) AS px_max,
+           CAST(COUNT(*) AS BIGINT) AS n_samples
+    FROM px
+    GROUP BY media_id
+    ORDER BY media_id
+    """,
+)
+def multimodal_gif_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL GIF pixel decode, stdlib-only LZW (r14 — the image-codec
+    trio completes: PNG r13, JPEG r14, GIF here). Per selected doc a
+    planted 64-color frame (index = (seed + 3x + 5y) mod 64, palette
+    entry i = (3i, 7i, 11i) mod 256, dims 1..23 x 1..19, INTERLACED
+    for odd ids) is GIF-ENCODED in one Arrow batch
+    (operators/gif.encode_gif — real variable-width LZW with
+    dictionary reset) and decoded back by decode_gif_pixels (header/
+    extension walk, LZW with the KwKwK corner, deinterlace passes,
+    palette mapping); per-image RGB stats run JVM-side.
+
+    GIF is lossless, so the oracle recomputes every decoded sample
+    closed-form — a hash match proves bit-packing, code-width
+    bookkeeping, interlace reordering and palette lookup exact. The
+    dictionary-reset and corruption-loudness paths are pinned in
+    tests/test_multimodal.py. Same mapInPandas scale shape as the PNG/
+    JPEG stages."""
+    from dca_manager_spark.operators.gif import encode_gif, gif_pixels
+
+    docs = (
+        t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 6 == 1)
+        .select(
+            F.col("doc_id").alias("media_id"),
+            (F.col("doc_id") % 23 + 1).alias("w"),
+            (F.col("doc_id") % 19 + 1).alias("h"),
+            (F.col("doc_id") % 251).alias("seed"),
+            (F.col("doc_id") % 2).alias("inter"),
+        )
+    )
+
+    @F.pandas_udf("binary")
+    def make_gif(w, h, seed, inter):
+        import pandas as pd
+
+        pal = [((3 * i) % 256, (7 * i) % 256, (11 * i) % 256)
+               for i in range(64)]
+        out = []
+        for wi, hi, sd, it in zip(w, h, seed, inter):
+            idx = bytes(
+                (int(sd) + 3 * x + 5 * y) % 64
+                for y in range(int(hi))
+                for x in range(int(wi))
+            )
+            out.append(
+                encode_gif(int(wi), int(hi), pal, idx, interlace=bool(it))
+            )
+        return pd.Series(out)
+
+    media = docs.select(
+        "media_id", make_gif("w", "h", "seed", "inter").alias("content")
+    )
+    return (
+        gif_pixels(media)
         .select(
             "media_id",
             "width",

@@ -667,3 +667,100 @@ def test_jpeg_pixels_spark_plumbing(spark):
     for c in range(3):
         mean = sum(px[c::3]) / (w * h) / 255.0
         assert abs(feat[c] - mean) < 1e-9
+
+
+# -- GIF LZW codec (r14: operators/gif.py) ------------------------------
+
+
+def _pal(n):
+    return [((3 * i) % 256, (7 * i) % 256, (11 * i) % 256) for i in range(n)]
+
+
+def test_gif_round_trip_exact_plain_and_interlaced():
+    """GIF is lossless: encode->decode must reproduce every RGB sample
+    exactly, plain and interlaced (deinterlace pass reordering), across
+    palette sizes and non-multiple-of-8 dims."""
+    from dca_manager_spark.operators.gif import decode_gif_pixels, encode_gif
+
+    import random
+
+    rng = random.Random(3)
+    for (w, h, npal, inter) in [
+        (19, 13, 64, False), (33, 27, 256, True), (5, 37, 2, True),
+        (1, 1, 2, False), (300, 5, 16, False),
+    ]:
+        pal = _pal(npal)
+        idx = bytes(rng.randrange(npal) for _ in range(w * h))
+        blob = encode_gif(w, h, pal, idx, interlace=inter)
+        ww, hh, cc, raw = decode_gif_pixels(blob)
+        assert (ww, hh, cc) == (w, h, 3)
+        assert raw == b"".join(bytes(pal[i]) for i in idx)
+
+
+def test_gif_dictionary_reset_and_width_boundaries():
+    """A 300x300 mixed-pattern image forces the LZW dictionary past
+    4096 (clear-code reset) and crosses every code-width boundary; the
+    flush-at-boundary desync (encoder width counter vs the decoder's
+    one-behind table — found during r14 bring-up) is covered by the
+    planted sweep sizes 23x16 which straddle the 256-entry boundary at
+    the final flush."""
+    from dca_manager_spark.operators.gif import decode_gif_pixels, encode_gif
+
+    pal = [(i, i, i) for i in range(256)]
+    w, h = 300, 300
+    idx = bytes(((x * y) ^ (x + y)) % 256 for y in range(h) for x in range(w))
+    blob = encode_gif(w, h, pal, idx)
+    assert decode_gif_pixels(blob)[3] == b"".join(bytes(pal[i]) for i in idx)
+    # the exact boundary-flush regression shape (doc_id 91 in bring-up)
+    pal64 = _pal(64)
+    idx = bytes((91 % 251 + 3 * x + 5 * y) % 64 for y in range(16) for x in range(23))
+    blob = encode_gif(23, 16, pal64, idx, interlace=True)
+    assert decode_gif_pixels(blob)[3] == b"".join(bytes(pal64[i]) for i in idx)
+
+
+def test_gif_decoder_loud_on_corrupt():
+    from dca_manager_spark.operators.gif import decode_gif_pixels, encode_gif
+
+    pal = _pal(16)
+    idx = bytes((x + y) % 16 for y in range(9) for x in range(11))
+    blob = encode_gif(11, 9, pal, idx)
+
+    with pytest.raises(ValueError, match="magic"):
+        decode_gif_pixels(b"NOTGIF")
+    with pytest.raises(ValueError, match="truncated"):
+        decode_gif_pixels(blob[:20])
+    # header + full 16-entry color table, then an immediate trailer
+    with pytest.raises(ValueError, match="trailer"):
+        decode_gif_pixels(blob[:13 + 48] + b"\x3b")
+    bad = bytearray(blob)
+    bad[-12] ^= 0xFF  # corrupt the LZW stream tail
+    with pytest.raises(ValueError):
+        decode_gif_pixels(bytes(bad))
+    # encoder guards
+    with pytest.raises(ValueError, match="palette size"):
+        encode_gif(2, 2, _pal(3), b"\x00" * 4)
+    with pytest.raises(ValueError, match="index buffer"):
+        encode_gif(2, 2, pal, b"\x00" * 3)
+    with pytest.raises(ValueError, match="out of range"):
+        encode_gif(2, 2, _pal(4), bytes([0, 1, 2, 9]))
+
+
+def test_gif_pixels_spark_plumbing(spark):
+    from dca_manager_spark.operators.gif import encode_gif, gif_pixels
+
+    pal = _pal(64)
+    rows = []
+    for i in range(5):
+        w, h = 7 + i, 4 + i
+        idx = bytes((i + 3 * x + 5 * y) % 64 for y in range(h) for x in range(w))
+        rows.append(
+            (i, encode_gif(w, h, pal, idx, interlace=bool(i % 2)), idx, w, h)
+        )
+    df = spark.createDataFrame(
+        [(i, b) for i, b, *_ in rows], "media_id long, content binary"
+    )
+    got = {r.media_id: r for r in gif_pixels(df).collect()}
+    for i, _, idx, w, h in rows:
+        r = got[i]
+        assert (r.width, r.height, r.channels) == (w, h, 3)
+        assert bytes(r.pixels) == b"".join(bytes(pal[j]) for j in idx)
