@@ -373,3 +373,28 @@ def test_unigram_tokenize_is_arrow_batched(spark):
     plan = physical_plan(out)
     assert "ArrowEvalPython" in plan, "tokenizer not Arrow-vectorized"
     assert "Exchange" not in plan, "unexpected shuffle in tokenize"
+
+
+def test_pixel_codec_queries_map_only_until_final_sort(spark):
+    """The r14 JPEG/GIF pixel queries must touch Python exactly twice
+    (one ArrowEvalPython encode, one MapInPandas decode) with NO
+    exchange between them — the whole decode pipeline is map-only; the
+    single Exchange in the plan is the final orderBy's range partition,
+    and the per-image stats live in a JVM Project above the decode."""
+    for name in ("multimodal_jpeg_pixels", "multimodal_gif_pixels"):
+        df = q(name, spark)
+        plan = explain_formatted(df)
+        phys = plan.split("== Physical Plan ==", 1)[1]
+        tree = [
+            ln for ln in phys.splitlines()
+            if ("+-" in ln or "AdaptiveSparkPlan" in ln) and ln.strip()
+        ]
+        nodes = [ln.strip(" +-:*()0123456789") for ln in tree]
+        assert sum(n.startswith("MapInPandas") for n in nodes) == 1, (name, nodes)
+        assert sum(n.startswith("ArrowEvalPython") for n in nodes) == 1, (name, nodes)
+        assert sum(n.startswith("Exchange") for n in nodes) == 1, (name, nodes)
+        map_idx = next(i for i, n in enumerate(nodes) if n.startswith("MapInPandas"))
+        arrow_idx = next(i for i, n in enumerate(nodes) if n.startswith("ArrowEvalPython"))
+        ex_idx = next(i for i, n in enumerate(nodes) if n.startswith("Exchange"))
+        # root -> leaf ordering: Exchange above decode above encode
+        assert ex_idx < map_idx < arrow_idx, (name, nodes)

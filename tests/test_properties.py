@@ -635,3 +635,70 @@ def test_batched_selection_equals_sequential_bpe(
                 if len(m) > 1
             ]
     assert merges == expected, (words, batch_limit, top_k)
+
+
+# -- r14 codec properties (pure Python — no Spark session needed) -------
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    w=st.integers(1, 40),
+    h=st.integers(1, 40),
+    npal_bits=st.integers(1, 8),
+    interlace=st.booleans(),
+    data=st.data(),
+)
+def test_gif_lzw_round_trip_property(w, h, npal_bits, interlace, data):
+    """GIF is lossless: ANY index image round-trips exactly through the
+    LZW encoder/decoder, for every palette width, both scan orders —
+    the hypothesis net over the width-boundary/flush interactions the
+    r14 bring-up bug lived in."""
+    from dca_manager_spark.operators.gif import decode_gif_pixels, encode_gif
+
+    npal = 1 << npal_bits
+    pal = [((3 * i) % 256, (7 * i) % 256, (11 * i) % 256) for i in range(npal)]
+    idx = bytes(
+        data.draw(
+            st.lists(
+                st.integers(0, npal - 1), min_size=w * h, max_size=w * h
+            )
+        )
+    )
+    blob = encode_gif(w, h, pal, idx, interlace=interlace)
+    ww, hh, cc, raw = decode_gif_pixels(blob)
+    assert (ww, hh, cc) == (w, h, 3)
+    assert raw == b"".join(bytes(pal[i]) for i in idx)
+
+
+@settings(max_examples=120, deadline=None)
+@given(
+    w=st.integers(1, 33),
+    h=st.integers(1, 33),
+    seed=st.integers(0, 255),
+    ch=st.sampled_from([1, 3]),
+    rst=st.integers(0, 3),
+)
+def test_jpeg_block_constant_exact_property(w, h, seed, ch, rst):
+    """The bit-exactness contract the oracle rides on, as a property:
+    for ANY dims (partial edge blocks everywhere), seed, channel count
+    and restart interval, a block-constant card with unit quant tables
+    survives the full lossy pipeline byte-exact."""
+    from dca_manager_spark.operators.jpeg import (
+        decode_jpeg_baseline,
+        encode_jpeg_baseline,
+    )
+
+    px = bytes(
+        (seed + 3 * (x // 8) + 5 * (y // 8) + 11 * c) % 256
+        for y in range(h)
+        for x in range(w)
+        for c in range(ch)
+    )
+    blob = encode_jpeg_baseline(
+        w, h, ch, px,
+        quant_luma=[1] * 64, quant_chroma=[1] * 64,
+        adobe_rgb=(ch == 3), restart_interval=rst,
+    )
+    ww, hh, cc, raw = decode_jpeg_baseline(blob)
+    assert (ww, hh, cc) == (w, h, ch)
+    assert raw == px
