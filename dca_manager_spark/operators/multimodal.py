@@ -10,14 +10,17 @@ Spark-side design for a 100 TB multimodal corpus:
   (``target_partition_bytes``), not row count — a partition must fit in
   executor memory with decode headroom.
 
-Codec status: PNG pixel decode is REAL (r13 — stdlib zlib inflate +
-full scanline unfilter, see ``decode_png_pixels`` / ``png_pixels`` /
-``png_image_decoder``); JPEG/audio/video decode beyond container
-headers remains STUBBED (no PIL/ffmpeg in this container):
-``extract_features(decoder=None)`` raises NotImplementedError at call
-time, and ``fake_image_decoder`` provides a deterministic stand-in so
-the plumbing — schemas, batch shapes, partitioning, UDF signatures —
-is fully real and tested end-to-end either way.
+Codec status: IMAGE pixel decode is REAL for all three container
+formats — PNG (r13, stdlib zlib inflate + full scanline unfilter,
+``decode_png_pixels``), baseline JPEG (r14, ``operators/jpeg.py`` —
+Huffman + DCT, 4:2:0, restarts) and GIF (r14, ``operators/gif.py`` —
+LZW + interlace). ``media_image_decoder`` dispatches on the magic
+bytes and is a drop-in ``decoder`` for ``extract_features``. Audio/
+video decode beyond container headers remains STUBBED (no ffmpeg in
+this container): ``extract_features(decoder=None)`` raises
+NotImplementedError at call time, and ``fake_image_decoder`` provides
+a deterministic stand-in so the plumbing — schemas, batch shapes,
+partitioning, UDF signatures — is fully real and tested either way.
 """
 
 from __future__ import annotations
@@ -76,12 +79,15 @@ def extract_features(
     batch_hint: int = 64,
 ) -> DataFrame:
     """Decode + feature-extract via mapInPandas (Arrow batches of whole
-    media rows). ``decoder=None`` raises — the codec is deliberately
-    stubbed in this environment."""
+    media rows). ``decoder=None`` raises — an explicit decoder choice
+    is required (``media_image_decoder`` for real PNG/JPEG/GIF pixel
+    features, ``fake_image_decoder`` for plumbing tests, or a
+    PIL/torch-backed callable in a real deployment)."""
     if decoder is None:
         raise NotImplementedError(
-            "no media codec available in this environment — inject a decoder "
-            "(e.g. PIL-based) or use fake_image_decoder for plumbing tests"
+            "no decoder injected — use media_image_decoder (real PNG/JPEG/"
+            "GIF pixel decode), fake_image_decoder (plumbing tests), or a "
+            "PIL/torch-backed callable"
         )
 
     def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -828,3 +834,36 @@ def png_image_decoder(content: bytes) -> list[float]:
         sums[i % ch] += v
     means = [s / n_px / 255.0 for s in sums] + [0.0] * (4 - ch)
     return means + [float(width), float(height), float(ch)]
+
+
+def media_image_decoder(content: bytes) -> list[float]:
+    """REAL decode-backed feature vector for ANY supported image format
+    — dispatches on the magic bytes to the PNG / baseline-JPEG / GIF
+    pixel decoders and returns the shared feature contract (4
+    RGBA-aligned channel means + width + height + channels). The
+    drop-in ``decoder`` for ``extract_features`` on a mixed-format
+    corpus; unknown/corrupt payloads raise (same loudness contract as
+    the per-format decoders)."""
+    if content is None:
+        raise ValueError("null media content")
+    b = bytes(content)
+    if b[:8] == _PNG_MAGIC:
+        return png_image_decoder(b)
+    if b[:2] == b"\xff\xd8":
+        from dca_manager_spark.operators.jpeg import jpeg_image_decoder
+
+        return jpeg_image_decoder(b)
+    if b[:4] == b"GIF8":
+        from dca_manager_spark.operators.gif import decode_gif_pixels
+
+        width, height, ch, raw = decode_gif_pixels(b)
+        n_px = width * height
+        sums = [0] * ch
+        for i, v in enumerate(raw):
+            sums[i % ch] += v
+        means = [s / n_px / 255.0 for s in sums] + [0.0] * (4 - ch)
+        return means + [float(width), float(height), float(ch)]
+    raise ValueError(
+        f"unrecognized image payload (magic {b[:4]!r}) — "
+        "PNG/JPEG/GIF supported"
+    )

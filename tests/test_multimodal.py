@@ -27,7 +27,7 @@ def media(spark):
 
 
 def test_decoder_stub_raises(media):
-    with pytest.raises(NotImplementedError, match="codec"):
+    with pytest.raises(NotImplementedError, match="decoder"):
         extract_features(media, decoder=None)
 
 
@@ -764,3 +764,33 @@ def test_gif_pixels_spark_plumbing(spark):
         r = got[i]
         assert (r.width, r.height, r.channels) == (w, h, 3)
         assert bytes(r.pixels) == b"".join(bytes(pal[j]) for j in idx)
+
+
+def test_media_image_decoder_dispatches_all_three_formats(spark):
+    """r14: the magic-byte dispatcher feeds extract_features a REAL
+    decode for a MIXED PNG/JPEG/GIF corpus — per-channel means of the
+    planted pixels, loud on unknown payloads."""
+    from dca_manager_spark.operators.gif import encode_gif
+    from dca_manager_spark.operators.jpeg import encode_jpeg_baseline
+    from dca_manager_spark.operators.multimodal import (
+        encode_png,
+        extract_features,
+        media_image_decoder,
+    )
+
+    png = encode_png(4, 4, 0, bytes([10] * 16))            # grayscale 10s
+    jpg = encode_jpeg_baseline(8, 8, 1, bytes([50]) * 64,  # constant 50s
+                               quant_luma=[1] * 64)
+    gif = encode_gif(2, 2, [(0, 0, 0), (255, 255, 255)], bytes([1, 1, 1, 1]))
+    df = spark.createDataFrame(
+        [(1, png, None), (2, jpg, None), (3, gif, None)], MEDIA_SCHEMA
+    )
+    out = {
+        r.media_id: r.feature
+        for r in extract_features(df, media_image_decoder).collect()
+    }
+    assert abs(out[1][0] - 10 / 255) < 1e-6 and out[1][4:] == [4.0, 4.0, 1.0]
+    assert abs(out[2][0] - 50 / 255) < 1e-6 and out[2][4:] == [8.0, 8.0, 1.0]
+    assert out[3][:3] == [1.0, 1.0, 1.0] and out[3][4:] == [2.0, 2.0, 3.0]
+    with pytest.raises(ValueError, match="unrecognized"):
+        media_image_decoder(b"junk")
