@@ -171,6 +171,65 @@ def load_suffix_table(path: str) -> tuple[str, ...]:
     return tuple(dict.fromkeys(out))
 
 
+_URL_PARTS_RE = (
+    r"^(?:([A-Za-z][A-Za-z0-9+.-]*)://)?(?:[^/@?#]*@)?([^/:?#]+)"
+    r"(?::([0-9]+))?([^?#]*)(?:\?([^#]*))?(?:#.*)?$"
+)
+# query params that never affect content identity (tracking)
+TRACKING_PARAMS = ("gclid", "fbclid", "msclkid", "ref", "mc_cid", "mc_eid")
+
+
+def canonicalize_url(
+    url_col: Column,
+    strip_www: bool = True,
+    drop_params: tuple[str, ...] = TRACKING_PARAMS,
+) -> Column:
+    """Canonical URL for crawl-level dedup (the URL-normalization step
+    every web corpus needs before exact/near dedup — otherwise the
+    same page survives once per tracking link): lowercase scheme+host,
+    drop userinfo/fragment/default ports (http:80, https:443), strip
+    a leading ``www.``, strip the trailing slash of a non-root path,
+    drop tracking query params (``utm_*`` + ``drop_params``) and SORT
+    the survivors so parameter order never splits identity. A URL with
+    no recognizable host passes through unchanged (better to over-keep
+    than to merge garbage).
+
+    One regexp parse + array ops per row; the only lambda-HOF runs
+    over the tiny split-param array. Restates in DuckDB (list_filter/
+    list_sort) for the oracle."""
+    part = lambda i: F.regexp_extract(url_col, _URL_PARTS_RE, i)
+    scheme = F.lower(part(1))
+    host = F.lower(part(2))
+    if strip_www:
+        host = F.regexp_replace(host, r"^www\.", "")
+    port = part(3)
+    port = F.when(
+        ((scheme == "http") & (port == "80"))
+        | ((scheme == "https") & (port == "443"))
+        | (port == ""),
+        F.lit(""),
+    ).otherwise(F.concat(F.lit(":"), port))
+    path = F.regexp_replace(part(4), r"/$", "")
+    drops = [d.lower() for d in drop_params]
+    params = F.array_sort(
+        F.filter(
+            F.split(part(5), "&"),
+            lambda p: (p != "")
+            & ~F.lower(F.substring_index(p, "=", 1)).startswith("utm_")
+            & ~F.lower(F.substring_index(p, "=", 1)).isin(*drops),
+        )
+    )
+    query = F.when(
+        F.size(params) > 0,
+        F.concat(F.lit("?"), F.array_join(params, "&")),
+    ).otherwise(F.lit(""))
+    canon = F.concat(
+        F.when(scheme == "", F.lit("")).otherwise(F.concat(scheme, F.lit("://"))),
+        host, port, path, query,
+    )
+    return F.when(host == "", url_col).otherwise(canon)
+
+
 def registrable_domain(
     url_col: Column,
     extra_suffixes: tuple[str, ...] = (),

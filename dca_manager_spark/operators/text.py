@@ -201,6 +201,57 @@ def clean_text(col: Column) -> Column:
     return collapse_whitespace(mask_emails(strip_urls(col)))
 
 
+# Block-level closers that should become line breaks so words from
+# adjacent blocks never fuse ("</p><p>" must not join two paragraphs).
+_HTML_BLOCK_RE = (
+    r"(?i)</(?:p|div|h[1-6]|li|tr|table|ul|ol|blockquote|pre|"
+    r"section|article|header|footer|title)\s*>|<br\s*/?>"
+)
+# Entity decode order matters: &amp; LAST, or "&amp;lt;" would
+# double-decode to "<".
+_HTML_ENTITIES = [
+    ("&nbsp;", " "), ("&lt;", "<"), ("&gt;", ">"),
+    ("&quot;", '"'), ("&#39;", "'"), ("&apos;", "'"), ("&amp;", "&"),
+]
+
+
+def html_extract_text(col: Column) -> Column:
+    """Visible text from an HTML payload — the WARC->text step every
+    web-crawl corpus starts with — as ONE pure-JVM regexp chain (no
+    parser library, no UDF, whole-stage codegen):
+
+    1. drop <script>/<style> subtrees (their text is never content);
+    2. drop comments;
+    3. block-level closers and <br> become newlines (paragraph
+       boundaries survive; inline tags like </b> just vanish);
+    4. every remaining tag is stripped;
+    5. the common named/numeric entities decode (fixed list, &amp;
+       last — a FULL entity table is data, not algorithm; rare
+       entities pass through verbatim and are visible downstream);
+    6. whitespace normalizes (space runs collapse, 3+ newlines become
+       a paragraph break, edges trim).
+
+    Honest limits, chosen for the scale path: a regex chain is not an
+    HTML5 tree parser — a literal '>' inside a quoted attribute value
+    truncates that tag early, and CDATA is treated as text. Both are
+    rare in real crawls and fail VISIBLY (leftover tag fragments in
+    the output), not silently. The same chain restates in DuckDB
+    (RE2), so extraction is oracle-checkable cross-engine — which is
+    also why the script/style patterns avoid backreferences (RE2 has
+    none)."""
+    out = F.regexp_replace(col, r"(?is)<script\b[^>]*>.*?</script\s*>", " ")
+    out = F.regexp_replace(out, r"(?is)<style\b[^>]*>.*?</style\s*>", " ")
+    out = F.regexp_replace(out, r"(?s)<!--.*?-->", " ")
+    out = F.regexp_replace(out, _HTML_BLOCK_RE, "\n")
+    out = F.regexp_replace(out, r"(?s)<[^>]*>", "")
+    for ent, ch in _HTML_ENTITIES:
+        out = F.replace(out, F.lit(ent), F.lit(ch))
+    out = F.regexp_replace(out, r"[ \t]+", " ")
+    out = F.regexp_replace(out, r" ?\n ?", "\n")
+    out = F.regexp_replace(out, r"\n{3,}", "\n\n")
+    return F.trim(out)
+
+
 def sentence_repetition_ratio(col: Column, sep: str = r"\.\s+") -> Column:
     """Intra-document repetition: 1 - distinct/total over sentence-ish
     units (Gopher/RefinedWeb-style quality signal — boilerplate and

@@ -113,6 +113,8 @@ _DRIVER_WINDOW = [
     # -- (1) added in round 14 --
     "multimodal_jpeg_pixels",
     "multimodal_gif_pixels",
+    "text_html_extract",
+    "corpus_url_canonicalize",
     # -- (2) changed in round 14 (ManifestTable fixes) --
     "manifest_point_lookup",
     "manifest_incremental_pull",
@@ -162,8 +164,6 @@ _DRIVER_WINDOW = [
     "embedding_quantize_int8",
     "events_cohort_retention",
     "events_funnel",
-    "events_resample_ffill",
-    "events_rolling_anomaly",
 ]
 
 
@@ -8387,6 +8387,215 @@ def corpus_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", registrable_domain(url).alias("domain")
     )
     return cap_per_domain(with_dom, "doc_id", "domain", 3).orderBy("doc_id")
+
+
+@query(
+    "text_html_extract",
+    r"""
+    WITH h AS (
+      SELECT doc_id,
+             concat(
+               '<html><head><title>Doc ', CAST(doc_id AS VARCHAR),
+               '</title><script type="text/javascript">var t = "</p> tag soup";',
+               '</script><style>p { color: red; }</style></head><body>',
+               '<!-- hidden ', CAST(doc_id AS VARCHAR), ' -->',
+               '<h1>Title ', CAST(doc_id AS VARCHAR), '</h1><p>', text,
+               '</p><div>A &amp; B &lt;', lang, '&gt;&nbsp;!</div>',
+               '<ul><li>one</li><li>', source, '</li></ul>',
+               '<b>bold</b> tail</body></html>'
+             ) AS html
+      FROM documents WHERE doc_id % 9 = 2
+    ),
+    x AS (
+      SELECT doc_id,
+        trim(
+         regexp_replace(regexp_replace(regexp_replace(
+          replace(replace(replace(replace(replace(replace(replace(
+           regexp_replace(
+            regexp_replace(
+             regexp_replace(
+              regexp_replace(
+               regexp_replace(html,
+                 '(?is)<script\b[^>]*>.*?</script\s*>', ' ', 'g'),
+               '(?is)<style\b[^>]*>.*?</style\s*>', ' ', 'g'),
+              '(?s)<!--.*?-->', ' ', 'g'),
+             '(?i)</(?:p|div|h[1-6]|li|tr|table|ul|ol|blockquote|pre|section|article|header|footer|title)\s*>|<br\s*/?>',
+             chr(10), 'g'),
+            '(?s)<[^>]*>', '', 'g'),
+           '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+           '&#39;', chr(39)), '&apos;', chr(39)), '&amp;', '&'),
+          '[ '||chr(9)||']+', ' ', 'g'),
+          ' ?'||chr(10)||' ?', chr(10), 'g'),
+          chr(10)||'{3,}', chr(10)||chr(10), 'g')
+        ) AS extracted
+      FROM h
+    )
+    SELECT doc_id, extracted,
+           CAST(len(string_split_regex(extracted, '[ '||chr(10)||']+'))
+                AS BIGINT) AS n_toks
+    FROM x
+    ORDER BY doc_id
+    """,
+)
+def text_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML -> visible text (r14): the WARC->text step a web-crawl
+    corpus starts with. Each selected doc is wrapped in a deterministic
+    HTML template whose noise covers every extraction rule — a script
+    holding a LITERAL '</p>' (subtree removal must win over tag
+    stripping), a style block, a comment, block closers that must
+    become line breaks, inline tags that must vanish, and the common
+    entities (decoded fixed-list, &amp; last). operators/text.
+    html_extract_text runs the pure-JVM regexp chain; the oracle
+    restates the identical chain in DuckDB (RE2 — which is why the
+    chain uses no backreferences), so the extraction semantics are
+    pinned cross-engine byte-for-byte, newlines included. Map-only
+    plan + final sort; no UDF anywhere."""
+    from dca_manager_spark.operators.text import html_extract_text
+
+    docs = t(spark, sf_dir, "documents").filter(F.col("doc_id") % 9 == 2)
+    did = F.col("doc_id").cast("string")
+    html = F.concat(
+        F.lit("<html><head><title>Doc "), did,
+        F.lit('</title><script type="text/javascript">var t = "</p> tag soup";'),
+        F.lit("</script><style>p { color: red; }</style></head><body>"),
+        F.lit("<!-- hidden "), did, F.lit(" -->"),
+        F.lit("<h1>Title "), did, F.lit("</h1><p>"), F.col("text"),
+        F.lit("</p><div>A &amp; B &lt;"), F.col("lang"),
+        F.lit("&gt;&nbsp;!</div>"),
+        F.lit("<ul><li>one</li><li>"), F.col("source"), F.lit("</li></ul>"),
+        F.lit("<b>bold</b> tail</body></html>"),
+    )
+    return (
+        docs.select(
+            "doc_id", html_extract_text(html).alias("extracted")
+        )
+        .withColumn(
+            "n_toks",
+            F.size(F.split(F.col("extracted"), r"[ \n]+")).cast("long"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "corpus_url_canonicalize",
+    r"""
+    WITH u AS (
+      SELECT doc_id,
+             concat(
+               CASE WHEN doc_id % 4 = 0 THEN 'HTTPS://WWW.' ELSE 'https://' END,
+               source, '.com',
+               CASE WHEN doc_id % 5 = 0 THEN ':443' ELSE '' END,
+               '/page/', CAST(doc_id % 97 AS VARCHAR),
+               CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END,
+               CASE WHEN doc_id % 2 = 0
+                    THEN concat('?utm_source=feed&b=', CAST(doc_id % 7 AS VARCHAR),
+                                '&a=1&gclid=xyz')
+                    ELSE '' END,
+               CASE WHEN doc_id % 6 = 0 THEN '#section' ELSE '' END
+             ) AS url
+      FROM documents
+    ),
+    parts AS (
+      SELECT doc_id, url,
+        lower(regexp_extract(url,
+          '^(?:([A-Za-z][A-Za-z0-9+.-]*)://)?(?:[^/@?#]*@)?([^/:?#]+)(?::([0-9]+))?([^?#]*)(?:\?([^#]*))?(?:#.*)?$',
+          1)) AS scheme,
+        regexp_replace(lower(regexp_extract(url,
+          '^(?:([A-Za-z][A-Za-z0-9+.-]*)://)?(?:[^/@?#]*@)?([^/:?#]+)(?::([0-9]+))?([^?#]*)(?:\?([^#]*))?(?:#.*)?$',
+          2)), '^www\.', '') AS host,
+        regexp_extract(url,
+          '^(?:([A-Za-z][A-Za-z0-9+.-]*)://)?(?:[^/@?#]*@)?([^/:?#]+)(?::([0-9]+))?([^?#]*)(?:\?([^#]*))?(?:#.*)?$',
+          3) AS port,
+        regexp_replace(regexp_extract(url,
+          '^(?:([A-Za-z][A-Za-z0-9+.-]*)://)?(?:[^/@?#]*@)?([^/:?#]+)(?::([0-9]+))?([^?#]*)(?:\?([^#]*))?(?:#.*)?$',
+          4), '/$', '') AS path,
+        regexp_extract(url,
+          '^(?:([A-Za-z][A-Za-z0-9+.-]*)://)?(?:[^/@?#]*@)?([^/:?#]+)(?::([0-9]+))?([^?#]*)(?:\?([^#]*))?(?:#.*)?$',
+          5) AS query
+      FROM u
+    ),
+    canon AS (
+      SELECT doc_id,
+        concat(
+          CASE WHEN scheme = '' THEN '' ELSE concat(scheme, '://') END,
+          host,
+          CASE WHEN (scheme = 'http' AND port = '80')
+                 OR (scheme = 'https' AND port = '443')
+                 OR port = ''
+               THEN '' ELSE concat(':', port) END,
+          path,
+          CASE WHEN len(list_filter(string_split(query, '&'),
+                 p -> p <> ''
+                      AND NOT starts_with(lower(split_part(p, '=', 1)), 'utm_')
+                      AND lower(split_part(p, '=', 1)) NOT IN
+                        ('gclid', 'fbclid', 'msclkid', 'ref', 'mc_cid', 'mc_eid')
+               )) > 0
+               THEN concat('?', array_to_string(list_sort(
+                 list_filter(string_split(query, '&'),
+                   p -> p <> ''
+                        AND NOT starts_with(lower(split_part(p, '=', 1)), 'utm_')
+                        AND lower(split_part(p, '=', 1)) NOT IN
+                          ('gclid', 'fbclid', 'msclkid', 'ref', 'mc_cid', 'mc_eid')
+                 )), '&'))
+               ELSE '' END
+        ) AS canonical_url
+      FROM parts
+    )
+    SELECT canonical_url,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(MIN(doc_id) AS BIGINT) AS first_doc
+    FROM canon
+    GROUP BY canonical_url
+    ORDER BY canonical_url
+    """,
+)
+def corpus_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization for crawl dedup (r14): each doc's URL is
+    synthesized with deterministic MESS — random capitalization, www,
+    explicit default ports, trailing slashes, utm_*/gclid tracking
+    params in unsorted order, fragments — and
+    operators/sampling.canonicalize_url reduces every variant to one
+    canonical form; the aggregation then shows the dedup effect (docs
+    per canonical URL). One regexp parse + tiny-array param sort per
+    row, no UDF, no extra shuffle beyond the final groupBy. The oracle
+    restates the full normalization in DuckDB (RE2 + list_filter/
+    list_sort), so scheme/port/param/fragment handling is pinned
+    cross-engine."""
+    from dca_manager_spark.operators.sampling import canonicalize_url
+
+    docs = t(spark, sf_dir, "documents")
+    url = F.concat(
+        F.when(F.col("doc_id") % 4 == 0, F.lit("HTTPS://WWW.")).otherwise(
+            F.lit("https://")
+        ),
+        F.col("source"),
+        F.lit(".com"),
+        F.when(F.col("doc_id") % 5 == 0, F.lit(":443")).otherwise(F.lit("")),
+        F.lit("/page/"),
+        (F.col("doc_id") % 97).cast("string"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 2 == 0,
+            F.concat(
+                F.lit("?utm_source=feed&b="),
+                (F.col("doc_id") % 7).cast("string"),
+                F.lit("&a=1&gclid=xyz"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 6 == 0, F.lit("#section")).otherwise(F.lit("")),
+    )
+    return (
+        docs.select(
+            "doc_id", canonicalize_url(url).alias("canonical_url")
+        )
+        .groupBy("canonical_url")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.min("doc_id").cast("long").alias("first_doc"),
+        )
+        .orderBy("canonical_url")
+    )
 
 
 @query(

@@ -398,3 +398,13 @@ def test_pixel_codec_queries_map_only_until_final_sort(spark):
         ex_idx = next(i for i, n in enumerate(nodes) if n.startswith("Exchange"))
         # root -> leaf ordering: Exchange above decode above encode
         assert ex_idx < map_idx < arrow_idx, (name, nodes)
+
+
+def test_html_and_url_queries_are_udf_free(spark):
+    """The r14 WARC->text and URL-canonicalization queries are pure
+    JVM expression chains — any Python evaluator node in their plans
+    means the regexp chain regressed off the codegen path."""
+    for name in ("text_html_extract", "corpus_url_canonicalize"):
+        plan = explain_formatted(q(name, spark))
+        for node in ("ArrowEvalPython", "BatchEvalPython", "MapInPandas"):
+            assert node not in plan, (name, node)

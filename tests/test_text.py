@@ -457,3 +457,68 @@ def test_langid_spark_frame_equals_python_twin(spark):
             assert frame[doc_id][1] == max(score_langs_py(text).values())
     assert frame[900][0] == "und" and frame[900][1] == 0
     assert frame[902][0] == "und"
+
+
+def test_html_extract_text_rules(spark):
+    """r14 WARC->text chain: script/style subtrees die (even when a
+    script holds a literal closing tag), comments die, block closers
+    become newlines, inline tags vanish, fixed entities decode
+    (&amp; last — no double decode), whitespace normalizes."""
+    from dca_manager_spark.operators.text import html_extract_text
+
+    html = (
+        '<html><head><title>T</title>'
+        '<script>var a = "</p> not content";</script>'
+        "<style>p{color:red}</style></head><body>"
+        "<!-- secret -->"
+        "<h1>Head</h1><p>one   two</p>"
+        "<div>A &amp; B &lt;x&gt;&nbsp;end &amp;lt;</div>"
+        "<ul><li>i1</li><li>i2</li></ul><b>bold</b> tail"
+        "<br>after<BR/>line</body></html>"
+    )
+    df = spark.createDataFrame([(1, html)], "i int, h string")
+    got = df.select(html_extract_text(F.col("h")).alias("t")).first().t
+    assert got == (
+        "T\nHead\none two\nA & B <x> end &lt;\ni1\ni2\n\n"
+        "bold tail\nafter\nline"
+    ), repr(got)
+    assert "secret" not in got and "not content" not in got
+    # null/emptyish inputs
+    df2 = spark.createDataFrame([(1, None), (2, "plain, no tags")],
+                                "i int, h string")
+    rows = {r.i: r.t for r in
+            df2.select("i", html_extract_text(F.col("h")).alias("t")).collect()}
+    assert rows[1] is None and rows[2] == "plain, no tags"
+
+
+def test_canonicalize_url_rules(spark):
+    """r14 crawl-dedup normalization: case, www, default ports,
+    userinfo, fragments, trailing slash, tracking params, param
+    ORDER. Non-URLs pass through unchanged."""
+    from dca_manager_spark.operators.sampling import canonicalize_url
+
+    cases = [
+        ("HTTPS://WWW.Example.COM:443/a/b/?utm_source=x&b=2&a=1#f",
+         "https://example.com/a/b?a=1&b=2"),
+        ("http://user:pw@site.org:80/path/", "http://site.org/path"),
+        ("http://site.org:8080/p?gclid=1&z=9&UTM_CAMPAIGN=t",
+         "http://site.org:8080/p?z=9"),
+        ("site.org/p?a=1", "site.org/p?a=1"),
+        ("https://example.com/", "https://example.com"),
+        ("https://a.com/p?b=2&a=1", "https://a.com/p?a=1&b=2"),
+        ("not a url at all", "not a url at all"),
+    ]
+    df = spark.createDataFrame(
+        [(i, u) for i, (u, _) in enumerate(cases)], "i int, url string"
+    )
+    got = {
+        r.i: r.c
+        for r in df.select("i", canonicalize_url(F.col("url")).alias("c")).collect()
+    }
+    for i, (_, want) in enumerate(cases):
+        assert got[i] == want, (cases[i][0], got[i])
+    # strip_www=False keeps the www
+    r = df.filter("i = 0").select(
+        canonicalize_url(F.col("url"), strip_www=False).alias("c")
+    ).first()
+    assert r.c == "https://www.example.com/a/b?a=1&b=2"
