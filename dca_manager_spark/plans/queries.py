@@ -115,6 +115,7 @@ _DRIVER_WINDOW = [
     "multimodal_gif_pixels",
     "text_html_extract",
     "corpus_url_canonicalize",
+    "corpus_crawl_prep",
     # -- (2) changed in round 14 (ManifestTable fixes) --
     "manifest_point_lookup",
     "manifest_incremental_pull",
@@ -163,7 +164,6 @@ _DRIVER_WINDOW = [
     "dedup_simhash",
     "embedding_quantize_int8",
     "events_cohort_retention",
-    "events_funnel",
 ]
 
 
@@ -8387,6 +8387,168 @@ def corpus_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", registrable_domain(url).alias("domain")
     )
     return cap_per_domain(with_dom, "doc_id", "domain", 3).orderBy("doc_id")
+
+
+_HTML_EXTRACT_SQL = r"""trim(
+         regexp_replace(regexp_replace(regexp_replace(
+          replace(replace(replace(replace(replace(replace(replace(
+           regexp_replace(
+            regexp_replace(
+             regexp_replace(
+              regexp_replace(
+               regexp_replace({col},
+                 '(?is)<script\b[^>]*>.*?</script\s*>', ' ', 'g'),
+               '(?is)<style\b[^>]*>.*?</style\s*>', ' ', 'g'),
+              '(?s)<!--.*?-->', ' ', 'g'),
+             '(?i)</(?:p|div|h[1-6]|li|tr|table|ul|ol|blockquote|pre|section|article|header|footer|title)\s*>|<br\s*/?>',
+             chr(10), 'g'),
+            '(?s)<[^>]*>', '', 'g'),
+           '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+           '&#39;', chr(39)), '&apos;', chr(39)), '&amp;', '&'),
+          '[ '||chr(9)||']+', ' ', 'g'),
+          ' ?'||chr(10)||' ?', chr(10), 'g'),
+          chr(10)||'{{3,}}', chr(10)||chr(10), 'g')
+        )"""
+
+_URL_RE_SQL = (
+    r"'^(?:([A-Za-z][A-Za-z0-9+.-]*)://)?(?:[^/@?#]*@)?([^/:?#]+)"
+    r"(?::([0-9]+))?([^?#]*)(?:\?([^#]*))?(?:#.*)?$'"
+)
+
+_PARAM_FILTER_SQL = """list_filter(string_split(query, '&'),
+      p -> p <> ''
+           AND NOT starts_with(lower(split_part(p, '=', 1)), 'utm_')
+           AND lower(split_part(p, '=', 1)) NOT IN
+             ('gclid', 'fbclid', 'msclkid', 'ref', 'mc_cid', 'mc_eid'))"""
+
+_CANON_PARTS_SQL = f"""
+      SELECT doc_id, extracted,
+        lower(regexp_extract(url, {_URL_RE_SQL}, 1)) AS scheme,
+        regexp_replace(lower(regexp_extract(url, {_URL_RE_SQL}, 2)),
+                       '^www\\.', '') AS host,
+        regexp_extract(url, {_URL_RE_SQL}, 3) AS port,
+        regexp_replace(regexp_extract(url, {_URL_RE_SQL}, 4), '/$', '') AS path,
+        regexp_extract(url, {_URL_RE_SQL}, 5) AS query"""
+
+_CANON_EXPR_SQL = f"""concat(
+          CASE WHEN scheme = '' THEN '' ELSE concat(scheme, '://') END,
+          host,
+          CASE WHEN (scheme = 'http' AND port = '80')
+                 OR (scheme = 'https' AND port = '443')
+                 OR port = ''
+               THEN '' ELSE concat(':', port) END,
+          path,
+          CASE WHEN len({_PARAM_FILTER_SQL}) > 0
+               THEN concat('?', array_to_string(
+                      list_sort({_PARAM_FILTER_SQL}), '&'))
+               ELSE '' END)"""
+
+
+@query(
+    "corpus_crawl_prep",
+    f"""
+    WITH raw AS (
+      SELECT doc_id,
+             concat(
+               '<html><head><title>Doc ', CAST(doc_id AS VARCHAR),
+               '</title><script>var t = "</p> noise";</script>',
+               '<style>p {{ }}</style></head><body>',
+               '<h1>Title ', CAST(doc_id AS VARCHAR), '</h1><p>', text,
+               '</p><div>A &amp; B</div></body></html>'
+             ) AS html,
+             concat(
+               CASE WHEN doc_id % 4 = 0 THEN 'HTTPS://WWW.' ELSE 'https://' END,
+               source, '.com',
+               '/page/', CAST(doc_id % 61 AS VARCHAR),
+               CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END,
+               CASE WHEN doc_id % 2 = 0 THEN '?utm_source=x&v=1' ELSE '' END
+             ) AS url
+      FROM documents
+    ),
+    ext AS (
+      SELECT doc_id, url,
+             {_HTML_EXTRACT_SQL.format(col='html')} AS extracted
+      FROM raw
+    ),
+    parts AS ({_CANON_PARTS_SQL} FROM ext),
+    canon AS (
+      SELECT doc_id, extracted, {_CANON_EXPR_SQL} AS canonical_url
+      FROM parts
+    ),
+    dedup AS (
+      SELECT doc_id, canonical_url, extracted,
+             ROW_NUMBER() OVER (PARTITION BY canonical_url
+                                ORDER BY doc_id) AS rn
+      FROM canon
+    ),
+    kept AS (
+      SELECT doc_id, canonical_url,
+             CAST(len(string_split_regex(extracted,
+                  '[ '||chr(10)||']+')) AS BIGINT) AS n_toks
+      FROM dedup WHERE rn = 1
+    )
+    SELECT doc_id, canonical_url, n_toks
+    FROM kept
+    WHERE n_toks >= 20
+    ORDER BY doc_id
+    """,
+)
+def corpus_crawl_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed crawl-prep pipeline in ONE Spark plan (r14) — the
+    front half of a web-corpus build, chaining this round's operators
+    end to end: raw HTML -> visible text (text.html_extract_text),
+    messy URL -> canonical form (sampling.canonicalize_url), URL-level
+    exact dedup (first doc per canonical URL — the crawl-frontier
+    dedup that runs BEFORE content dedup, killing tracking-link
+    duplicates for free), then a token-count quality gate. Everything
+    up to the dedup window is map-only JVM expressions; the single
+    shuffle is the canonical-URL window + final sort. The oracle
+    composes the same stages from the shared SQL fragments, so the
+    whole pipeline — not just each stage — is value-exact
+    cross-engine."""
+    from dca_manager_spark.operators.sampling import canonicalize_url
+    from dca_manager_spark.operators.text import html_extract_text
+
+    docs = t(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("string")
+    html = F.concat(
+        F.lit("<html><head><title>Doc "), did,
+        F.lit('</title><script>var t = "</p> noise";</script>'),
+        F.lit("<style>p { }</style></head><body>"),
+        F.lit("<h1>Title "), did, F.lit("</h1><p>"), F.col("text"),
+        F.lit("</p><div>A &amp; B</div></body></html>"),
+    )
+    url = F.concat(
+        F.when(F.col("doc_id") % 4 == 0, F.lit("HTTPS://WWW.")).otherwise(
+            F.lit("https://")
+        ),
+        F.col("source"),
+        F.lit(".com/page/"),
+        (F.col("doc_id") % 61).cast("string"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 2 == 0, F.lit("?utm_source=x&v=1")).otherwise(
+            F.lit("")
+        ),
+    )
+    staged = docs.select(
+        "doc_id",
+        html_extract_text(html).alias("extracted"),
+        canonicalize_url(url).alias("canonical_url"),
+    )
+    w = Window.partitionBy("canonical_url").orderBy("doc_id")
+    return (
+        staged.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "doc_id",
+            "canonical_url",
+            F.size(F.split(F.col("extracted"), r"[ \n]+"))
+            .cast("long")
+            .alias("n_toks"),
+        )
+        .filter(F.col("n_toks") >= 20)
+        .orderBy("doc_id")
+    )
 
 
 @query(
