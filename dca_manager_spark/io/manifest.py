@@ -1882,6 +1882,69 @@ class ManifestTable:
         )
         return next_id
 
+    def clone(
+        self, target_path: str, version: int | None = None
+    ) -> "ManifestTable":
+        """SHALLOW clone (the Delta ``CREATE TABLE ... SHALLOW CLONE``
+        analogue): publish a manifest at ``target_path`` whose entries
+        reference THIS table's still-immutable data files by absolute
+        path — zero data copied, clone cost is one JSON write
+        regardless of table size. ``version`` clones a historical
+        snapshot (time-travel clone); default is the newest commit.
+
+        The clone is a fully independent table from commit 0 on: its
+        writes land under its own root (a COW rewrite reads source
+        files but writes replacements locally), its vacuum only ever
+        reclaims files under its own root (absolute source paths never
+        match the clone's data-dir walk), and the source never sees
+        clone commits. Table spec (keys/precombine/partitioning/
+        clustering/type/constraints) and the committed bloom config
+        carry over.
+
+        THE shallow-clone hazard, same as Delta's: the clone borrows
+        the source's files, so a SOURCE-side ``vacuum`` that expires
+        the cloned snapshot deletes files the clone still references —
+        the source has no back-references. Keep the source's retention
+        covering every live clone, or compact() the clone (which
+        rewrites its live set into its own root) to cut the cord."""
+        ids = self._manifest_ids()
+        if not ids:
+            raise FileNotFoundError(f"no committed manifest under {self.path}")
+        mid = ids[-1] if version is None else version
+        if mid not in ids:
+            raise FileNotFoundError(
+                f"no manifest {mid} under {self.path} (available: {ids})"
+            )
+        doc = self._load_manifest(mid)
+        src_root = Path(self.path).resolve()
+        files = [
+            {**f, "path": str(src_root / f["path"])} for f in doc["files"]
+        ]
+        bloom = doc.get("bloom") or {}
+        twin = ManifestTable(
+            self.spark,
+            str(target_path),
+            keys=tuple(self.keys),
+            precombine=self.precombine,
+            partition_by=tuple(self.partition_by),
+            cluster_by=tuple(self.cluster_by),
+            cluster_files=self.cluster_files,
+            cluster_method=self.cluster_method,
+            table_type=self.table_type,
+            constraints=dict(self.constraints),
+            commit_retries=self.commit_retries,
+            bloom_by=tuple(bloom["by"]) if bloom else None,
+            bloom_bits=int(bloom.get("bits", self.bloom_bits)),
+            bloom_hashes=int(bloom.get("hashes", self.bloom_hashes)),
+        )
+        if twin._manifest_ids():
+            raise FileExistsError(
+                f"{target_path} already holds a committed table — clone "
+                "targets must be fresh paths"
+            )
+        twin._publish(None, files, doc["schema"], op="clone")
+        return twin
+
     # -- maintenance --------------------------------------------------------
     def compact(
         self,

@@ -116,6 +116,7 @@ _DRIVER_WINDOW = [
     "text_html_extract",
     "corpus_url_canonicalize",
     "corpus_crawl_prep",
+    "manifest_clone_divergence",
     # -- (2) changed in round 14 (ManifestTable fixes) --
     "manifest_point_lookup",
     "manifest_incremental_pull",
@@ -163,7 +164,6 @@ _DRIVER_WINDOW = [
     "dedup_exact_documents",
     "dedup_simhash",
     "embedding_quantize_int8",
-    "events_cohort_retention",
 ]
 
 
@@ -6073,6 +6073,98 @@ def manifest_cdc_aggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("bucket")
     )
 
+
+
+@query(
+    "manifest_clone_divergence",
+    """
+    WITH base AS (
+      SELECT l_orderkey, l_linenumber,
+             MAX(l_extendedprice) AS price
+      FROM lineitem
+      WHERE l_returnflag = 'A' AND l_orderkey < 1200
+      GROUP BY l_orderkey, l_linenumber
+    ),
+    src AS (
+      SELECT 'src' AS side, l_orderkey, l_linenumber,
+             CASE WHEN l_orderkey < 300 THEN price + 1000
+                  ELSE price END AS price
+      FROM base
+    ),
+    clone AS (
+      SELECT 'clone' AS side, l_orderkey, l_linenumber,
+             CASE WHEN l_orderkey >= 300 AND l_orderkey < 600
+                  THEN price + 5000 ELSE price END AS price
+      FROM base
+      WHERE NOT (l_orderkey >= 900 AND l_orderkey < 1200)
+    )
+    SELECT side, l_orderkey, l_linenumber, price
+    FROM (SELECT * FROM src UNION ALL SELECT * FROM clone)
+    ORDER BY side, l_orderkey, l_linenumber
+    """,
+)
+def manifest_clone_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SHALLOW CLONE end-to-end, driver-scored (r14): bulk-load a
+    keyed lineitem slice in two commits, zero-copy clone() it, then
+    DIVERGE — the source upserts one key range, the clone upserts a
+    different range and deletes a third — and read both tables back.
+    The oracle states both final states closed-form, so a hash match
+    proves (a) the clone saw the exact snapshot, (b) clone writes
+    rewrite partitions by READING source-referenced absolute files and
+    landing replacements under the clone's own root, and (c) neither
+    side's commits leak into the other. Clone cost is one JSON write;
+    the heavy operation is the ordinary COW rewrite each side pays for
+    its own divergence only."""
+    import tempfile
+
+    from dca_manager_spark.io.manifest import ManifestTable
+
+    base = (
+        t(spark, sf_dir, "lineitem")
+        .filter((F.col("l_returnflag") == "A") & (F.col("l_orderkey") < 1200))
+        .groupBy("l_orderkey", "l_linenumber")
+        .agg(F.max("l_extendedprice").alias("price"))
+        .localCheckpoint(eager=True)
+    )
+    src = ManifestTable(
+        spark,
+        tempfile.mkdtemp(prefix="dca-clone-src-"),
+        keys=("l_orderkey", "l_linenumber"),
+        precombine="price",
+        partition_by=(),
+    )
+    for lo, hi in ((0, 600), (600, 1200)):
+        src.write(
+            base.filter(
+                (F.col("l_orderkey") >= lo) & (F.col("l_orderkey") < hi)
+            ),
+            "bulk_insert" if lo == 0 else "insert",
+        )
+    clone = src.clone(tempfile.mkdtemp(prefix="dca-clone-tgt-") + "/t")
+    src.write(
+        base.filter(F.col("l_orderkey") < 300).withColumn(
+            "price", F.col("price") + 1000
+        ),
+        "upsert",
+    )
+    clone.write(
+        base.filter(
+            (F.col("l_orderkey") >= 300) & (F.col("l_orderkey") < 600)
+        ).withColumn("price", F.col("price") + 5000),
+        "upsert",
+    )
+    clone.write(
+        base.filter(F.col("l_orderkey") >= 900),
+        "delete",
+    )
+    out = src.read().select(
+        F.lit("src").alias("side"), "l_orderkey", "l_linenumber", "price"
+    ).unionByName(
+        clone.read().select(
+            F.lit("clone").alias("side"), "l_orderkey", "l_linenumber", "price"
+        )
+    )
+    return out.orderBy("side", "l_orderkey", "l_linenumber")
 
 
 @query(

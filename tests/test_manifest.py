@@ -1217,3 +1217,104 @@ def test_top_level_nullable_flip_widens_committed_schema(spark, tmp_path):
     assert price_field.nullable is True
     # the null row is visible through the committed schema
     assert got.filter(F.col("price").isNull()).count() == 1
+
+
+def test_shallow_clone_content_independence_and_vacuum_safety(spark, tmp_path):
+    """r14 SHALLOW CLONE: zero-copy snapshot at a new root; clone and
+    source then evolve independently; the clone's vacuum can never
+    touch source files; time-travel clones pin historical versions."""
+    import datetime
+
+    TS = datetime.datetime(2024, 1, 1, 12, 0, 0)
+    SCHEMA = "transaction_id string, close_time timestamp, pair string, price double"
+
+    def rows(items):
+        return spark.createDataFrame(
+            [(k, TS, p, v) for k, p, v in items], SCHEMA
+        )
+
+    src = ManifestTable(
+        spark, str(tmp_path / "src"),
+        keys=("transaction_id",), precombine="price",
+        partition_by=("pair",),
+    )
+    src.write(rows([("T1", "BTCGBP", 1.0), ("T2", "ETHGBP", 2.0)]), "upsert")
+    src.write(rows([("T3", "BTCGBP", 3.0)]), "upsert")
+
+    # time-travel clone of v0 and a head clone
+    c0 = src.clone(tmp_path / "c0", version=0)
+    c1 = src.clone(tmp_path / "c1")
+    assert {r.transaction_id for r in c0.read().collect()} == {"T1", "T2"}
+    assert {r.transaction_id for r in c1.read().collect()} == {"T1", "T2", "T3"}
+    # zero data copied: the clone root holds only the manifest
+    assert not (tmp_path / "c1" / "data").exists()
+
+    # independent evolution: clone writes never touch the source
+    c1.write(rows([("T4", "ETHGBP", 4.0), ("T1", "BTCGBP", 10.0)]), "upsert")
+    assert {r.transaction_id: r.price for r in c1.read().collect()} == {
+        "T1": 10.0, "T2": 2.0, "T3": 3.0, "T4": 4.0
+    }
+    assert {r.transaction_id: r.price for r in src.read().collect()} == {
+        "T1": 1.0, "T2": 2.0, "T3": 3.0
+    }
+    # ...and source writes never show in the clone
+    src.write(rows([("T9", "BTCGBP", 9.0)]), "upsert")
+    assert "T9" not in {r.transaction_id for r in c1.read().collect()}
+
+    # the clone's vacuum reclaims only under its own root
+    import pathlib
+
+    src_files_before = sorted(
+        p.as_posix() for p in pathlib.Path(src.path).rglob("*.parquet")
+    )
+    c1.vacuum(keep_last=1, orphan_grace_seconds=0)
+    src_files_after = sorted(
+        p.as_posix() for p in pathlib.Path(src.path).rglob("*.parquet")
+    )
+    assert src_files_before == src_files_after
+    assert {r.transaction_id for r in c1.read().collect()} == {
+        "T1", "T2", "T3", "T4"
+    }
+    # fresh-path guard
+    with pytest.raises(FileExistsError, match="fresh"):
+        src.clone(tmp_path / "c1")
+    with pytest.raises(FileNotFoundError, match="no manifest 7"):
+        src.clone(tmp_path / "c9", version=7)
+
+
+def test_shallow_clone_mor_and_bloom_config_carry(spark, tmp_path):
+    """Clone of a MOR table resolves identically; the committed bloom
+    config carries so clone commits keep writing blooms."""
+    import datetime
+
+    TS = datetime.datetime(2024, 1, 1, 12, 0, 0)
+    SCHEMA = "transaction_id string, close_time timestamp, pair string, price double"
+
+    def rows(items):
+        return spark.createDataFrame(
+            [(k, TS, p, v) for k, p, v in items], SCHEMA
+        )
+
+    src = ManifestTable(
+        spark, str(tmp_path / "m"),
+        keys=("transaction_id",), precombine="price",
+        partition_by=(), table_type="mor",
+        bloom_by=("transaction_id",), bloom_bits=2048,
+    )
+    src.write(rows([("T1", "A", 1.0), ("T2", "B", 2.0)]), "bulk_insert")
+    src.write(rows([("T1", "A", 5.0)]), "upsert")   # delta
+    src.write(rows([("T2", "B", 0.0)]), "delete")   # tombstone
+
+    c = src.clone(tmp_path / "mc")
+    assert {r.transaction_id: r.price for r in c.read().collect()} == {"T1": 5.0}
+    assert (c.bloom_by, c.bloom_bits) == (["transaction_id"], 2048)
+    # clone commit writes blooms under the inherited config
+    c.write(rows([("T7", "C", 7.0)]), "upsert")
+    doc = c._latest_manifest()[1]
+    new_entries = [f for f in doc["files"] if not f["path"].startswith("/")
+                   or f["path"].startswith(str(tmp_path / "mc"))]
+    assert any(
+        f.get("bloom", {}).get("bits") == 2048 for f in new_entries
+    )
+    assert c.read(point_filter={"transaction_id": "T7"}).count() == 1
+    assert c.read(point_filter={"transaction_id": "NOPE"}).count() == 0
