@@ -52,9 +52,10 @@ from dca_manager_spark.schemas import DCA_ORDER_SCHEMA, QUEUE_MESSAGE_SCHEMA
 
 
 def register_python_sources(spark) -> None:
-    """Register both sources on a session (idempotent)."""
+    """Register all sources on a session (idempotent)."""
     spark.dataSource.register(DcaConfigDataSource)
     spark.dataSource.register(FileQueueDataSource)
+    spark.dataSource.register(ManifestChangesDataSource)
 
 
 # ---------------------------------------------------------------------------
@@ -235,3 +236,168 @@ class FileQueueDataSource(DataSource):
 
     def streamReader(self, schema: StructType) -> DataSourceStreamReader:
         return FileQueueStreamReader(self.options)
+
+
+# ---------------------------------------------------------------------------
+# dca_table_changes — streaming change feed over a ManifestTable
+# ---------------------------------------------------------------------------
+
+
+class _ChangeFilesPartition(InputPartition):
+    def __init__(self, files: list[str], change_type: str, commit: int) -> None:
+        self.files = files
+        self.change_type = change_type
+        self.commit = commit
+
+
+class ManifestChangesStreamReader(DataSourceStreamReader):
+    """``spark.readStream.format("dca_table_changes")`` over a
+    ManifestTable — the Delta CDF ``readStream`` analogue. Offsets are
+    manifest commit ids (the table's own commit log IS the offset log);
+    each micro-batch delivers the record-level change capture of the
+    commits that landed since the last batch, one input partition per
+    (commit, change-kind), with ``_change_type``
+    ('upsert' | 'update_preimage' | 'delete') and ``_commit`` columns —
+    the same contract as ``ManifestTable.read_cdc``, continuously.
+
+    ``startingCommit`` option: deliver commits STRICTLY AFTER this id
+    (default -1 = full retained history — valid only while commit 0 is
+    retained, same rule as read_cdc). History truncated by vacuum under
+    a checkpointed offset raises loudly instead of silently skipping
+    the gap. Change files are read executor-side with pyarrow (KB-MB
+    control-plane volumes — bulk data stays on the JVM readers; at
+    100 TB the heavy path is read_incremental on a schedule, this
+    source is the low-latency replication tail)."""
+
+    def __init__(self, options: dict) -> None:
+        path = options.get("path")
+        if not path:
+            raise ValueError("dca_table_changes requires a 'path' option")
+        self.root = Path(path)
+        self.starting = int(options.get("startingCommit", -1))
+
+    def _ids(self) -> list[int]:
+        mdir = self.root / "_manifests"
+        if not mdir.is_dir():
+            raise FileNotFoundError(f"no committed manifest under {self.root}")
+        return sorted(int(p.stem) for p in mdir.glob("*.json") if p.stem.isdigit())
+
+    def _doc(self, cid: int) -> dict:
+        return json.loads((self.root / "_manifests" / f"{cid:012d}.json").read_text())
+
+    def initialOffset(self) -> dict:
+        return {"commit": self.starting}
+
+    def latestOffset(self) -> dict:
+        ids = self._ids()
+        return {"commit": ids[-1] if ids else self.starting}
+
+    def partitions(self, start: dict, end: dict) -> list[InputPartition]:
+        lo, hi = start["commit"], end["commit"]
+        ids = set(self._ids())
+        missing = [i for i in range(lo + 1, hi + 1) if i not in ids]
+        if missing:
+            raise ValueError(
+                f"commits {missing} of {self.root} were vacuumed away "
+                "under this stream's offset — the change feed has a gap; "
+                "restart from a full read (and size vacuum retention to "
+                "cover stream downtime)"
+            )
+        parts: list[InputPartition] = []
+        for cid in range(lo + 1, hi + 1):
+            doc = self._doc(cid)
+            ch = doc.get("changes")
+            if ch is None:
+                raise ValueError(
+                    f"commit {cid} of {self.root} predates record-level "
+                    "change capture — start the stream after it "
+                    f"(startingCommit={cid})"
+                )
+            for kind, change_type in (
+                ("upserts", "upsert"),
+                ("preimages", "update_preimage"),
+                ("deletes", "delete"),
+            ):
+                files = ch.get(kind) or []
+                if files:
+                    parts.append(
+                        _ChangeFilesPartition(
+                            [str(self.root / p) for p in files],
+                            change_type,
+                            cid,
+                        )
+                    )
+        return parts
+
+    def read(self, partition: _ChangeFilesPartition):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        # Yield Arrow RECORD BATCHES (the Python-datasource fast path —
+        # no per-value Python conversion, and parquet temporal/decimal
+        # types pass through untouched). Field order/names come from
+        # the DECLARED schema (the newest manifest at stream start):
+        # older change files null-fill columns added later, same as
+        # read()/read_cdc.
+        target = self._arrow_schema  # the DECLARED schema, arrow form
+        names = self._field_names
+        for f in partition.files:
+            tbl = pq.read_table(f)
+            n = tbl.num_rows
+            cols = []
+            for name in names:
+                if name in tbl.column_names:
+                    cols.append(tbl.column(name))
+                else:
+                    cols.append(pa.nulls(n))
+            cols.append(pa.array([partition.change_type] * n))
+            cols.append(pa.array([partition.commit] * n, type=pa.int32()))
+            out = pa.table(cols, names=names + ["_change_type", "_commit"])
+            # cast to the exact arrow types Spark expects for the
+            # declared schema (e.g. parquet nanosecond timestamps ->
+            # timestamp[us, tz=UTC]; Spark rejects ns-precision arrow)
+            yield from out.cast(target).to_batches()
+
+    def commit(self, end: dict) -> None:
+        pass  # nothing to ack — retention is vacuum's job
+
+    def stop(self) -> None:
+        pass
+
+
+class ManifestChangesDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "dca_table_changes"
+
+    def schema(self) -> StructType:
+        path = self.options.get("path")
+        if not path:
+            raise ValueError("dca_table_changes requires a 'path' option")
+        mdir = Path(path) / "_manifests"
+        ids = sorted(int(p.stem) for p in mdir.glob("*.json") if p.stem.isdigit()) \
+            if mdir.is_dir() else []
+        if not ids:
+            raise FileNotFoundError(f"no committed manifest under {path}")
+        doc = json.loads((mdir / f"{ids[-1]:012d}.json").read_text())
+        base = StructType.fromJson(json.loads(doc["schema"]))
+        from pyspark.sql.types import IntegerType
+
+        return StructType(
+            base.fields
+            + [
+                StructField("_change_type", StringType(), False),
+                StructField("_commit", IntegerType(), False),
+            ]
+        )
+
+    def streamReader(self, schema: StructType) -> DataSourceStreamReader:
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        reader = ManifestChangesStreamReader(self.options)
+        reader._field_names = [
+            f.name for f in schema.fields
+            if f.name not in ("_change_type", "_commit")
+        ]
+        reader._arrow_schema = to_arrow_schema(schema)
+        return reader

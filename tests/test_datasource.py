@@ -275,3 +275,98 @@ def test_queue_counter_monotonic_under_concurrent_publishers(tmp_path, monkeypat
     # no leaked uuid tmp files
     leftovers = [f.name for f in (tmp_path / "q").iterdir() if f.name.endswith(".tmp")]
     assert leftovers in ([], [".last_published.tmp"])
+
+
+# -- dca_table_changes: streaming CDC over a ManifestTable --------------
+
+
+def _table(spark, path):
+    import datetime
+
+    from dca_manager_spark.io.manifest import ManifestTable
+
+    TS = datetime.datetime(2024, 1, 1, 12, 0, 0)
+    SCHEMA = "transaction_id string, close_time timestamp, pair string, price double"
+
+    def rows(items):
+        return spark.createDataFrame([(k, TS, p, v) for k, p, v in items], SCHEMA)
+
+    t = ManifestTable(
+        spark, str(path),
+        keys=("transaction_id",), precombine="price", partition_by=("pair",),
+    )
+    return t, rows
+
+
+def _drain_changes(spark, table_path, ckpt, starting=None):
+    reader = spark.readStream.format("dca_table_changes").option(
+        "path", str(table_path)
+    )
+    if starting is not None:
+        reader = reader.option("startingCommit", str(starting))
+    rows = []
+    q = (
+        reader.load()
+        .writeStream.foreachBatch(lambda df, _: rows.extend(df.collect()))
+        .option("checkpointLocation", str(ckpt))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return rows
+
+
+def test_table_changes_stream_delivers_cdc_and_resumes(registered, tmp_path):
+    """The streaming change feed is read_cdc, continuously: upserts,
+    overwrite preimages and delete before-images arrive tagged with
+    their commit; a resumed stream (same checkpoint) delivers ONLY the
+    commits that landed while it was down."""
+    t, rows = _table(registered, tmp_path / "t")
+    t.write(rows([("T1", "BTCGBP", 1.0), ("T2", "ETHGBP", 2.0)]), "upsert")
+    t.write(rows([("T1", "BTCGBP", 9.0)]), "upsert")       # preimage for T1
+    t.write(rows([("T2", "ETHGBP", 0.0)]), "delete")       # before-image
+
+    got = _drain_changes(registered, tmp_path / "t", tmp_path / "ck")
+    ev = sorted((r._commit, r._change_type, r.transaction_id, r.price) for r in got)
+    assert ev == [
+        (0, "upsert", "T1", 1.0),
+        (0, "upsert", "T2", 2.0),
+        (1, "update_preimage", "T1", 1.0),
+        (1, "upsert", "T1", 9.0),
+        (2, "delete", "T2", 2.0),
+    ]
+    # equivalence with the batch CDC feed
+    batch = sorted(
+        (r._commit, r._change_type, r.transaction_id, r.price)
+        for r in t.read_cdc(-1).collect()
+    )
+    assert ev == batch
+
+    # nothing new -> clean empty batch
+    assert _drain_changes(registered, tmp_path / "t", tmp_path / "ck") == []
+    # two commits while the stream is down -> exactly those on resume
+    t.write(rows([("T3", "BTCGBP", 3.0)]), "upsert")
+    t.write(rows([("T3", "BTCGBP", 4.0)]), "upsert")
+    got2 = _drain_changes(registered, tmp_path / "t", tmp_path / "ck")
+    ev2 = sorted((r._commit, r._change_type, r.transaction_id, r.price) for r in got2)
+    assert ev2 == [
+        (3, "upsert", "T3", 3.0),
+        (4, "update_preimage", "T3", 3.0),
+        (4, "upsert", "T3", 4.0),
+    ]
+
+
+def test_table_changes_starting_commit_and_vacuum_gap_is_loud(registered, tmp_path):
+    t, rows = _table(registered, tmp_path / "t")
+    t.write(rows([("T1", "BTCGBP", 1.0)]), "upsert")   # commit 0
+    t.write(rows([("T2", "BTCGBP", 2.0)]), "upsert")   # commit 1
+    t.write(rows([("T3", "BTCGBP", 3.0)]), "upsert")   # commit 2
+    got = _drain_changes(registered, tmp_path / "t", tmp_path / "ck1", starting=1)
+    assert [(r._commit, r.transaction_id) for r in got] == [(2, "T3")]
+
+    # vacuum away history under a fresh full-history stream -> loud gap
+    t.vacuum(keep_last=1, orphan_grace_seconds=0)
+    import pyspark.errors
+
+    with pytest.raises(Exception, match="vacuumed away|gap"):
+        _drain_changes(registered, tmp_path / "t", tmp_path / "ck2")
