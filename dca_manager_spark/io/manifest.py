@@ -1942,7 +1942,17 @@ class ManifestTable:
                 f"{target_path} already holds a committed table — clone "
                 "targets must be fresh paths"
             )
-        twin._publish(None, files, doc["schema"], op="clone")
+        # The clone's first manifest takes the SOURCE's commit id, not 0:
+        # MOR delta/tombstone entries carry their source "commit" ids and
+        # _resolve_mor resolves latest-per-key purely by that field — a
+        # clone restarting at id 1 would let a cloned tombstone (commit 2)
+        # shadow the clone's OWN later upsert (commit 1), silently
+        # swallowing writes. Starting at the source id makes every clone
+        # commit strictly newer than everything it borrowed. (Time travel
+        # below the clone point is simply absent — the clone has no
+        # earlier history, same as Delta.)
+        twin._publish(mid - 1 if mid > 0 else None, files, doc["schema"],
+                      op="clone")
         return twin
 
     # -- maintenance --------------------------------------------------------

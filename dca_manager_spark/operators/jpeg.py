@@ -259,11 +259,15 @@ def encode_jpeg_baseline(
         raise ValueError(f"subsampling must be '4:4:4' or '4:2:0', got {subsampling!r}")
     if subsampling == "4:2:0" and ncomp == 1:
         subsampling = "4:4:4"  # grayscale has no chroma to subsample
+    # `is not None`, not truthiness: quality=0 must hit the loud [1,100]
+    # validation in scale_quant_table, never silently alias quality=None
     qly = list(quant_luma or (
-        scale_quant_table(STD_QUANT_LUMA, quality) if quality else STD_QUANT_LUMA
+        scale_quant_table(STD_QUANT_LUMA, quality)
+        if quality is not None else STD_QUANT_LUMA
     ))
     qch = list(quant_chroma or (
-        scale_quant_table(STD_QUANT_CHROMA, quality) if quality else STD_QUANT_CHROMA
+        scale_quant_table(STD_QUANT_CHROMA, quality)
+        if quality is not None else STD_QUANT_CHROMA
     ))
 
     arr = np.frombuffer(pixels, dtype=np.uint8).reshape(height, width, ncomp)
@@ -524,6 +528,10 @@ def decode_jpeg_baseline(content: bytes) -> tuple[int, int, int, bytes]:
             raise ValueError(f"corrupt JPEG: no marker at offset {pos}")
         while pos + 1 < len(b) and b[pos + 1] == 0xFF:
             pos += 1  # fill bytes
+        if pos + 1 >= len(b):
+            # stream ends in fill bytes — truncated, and the contract is
+            # ValueError for every malformed payload, never IndexError
+            raise ValueError("truncated JPEG: stream ends in fill bytes")
         marker = b[pos + 1]
         pos += 2
         if marker == 0xD9:
@@ -556,6 +564,8 @@ def decode_jpeg_baseline(content: bytes) -> tuple[int, int, int, bytes]:
             while i < len(seg):
                 tc, th = seg[i] >> 4, seg[i] & 0x0F
                 bits = list(seg[i + 1:i + 17])
+                if len(bits) != 16:
+                    raise ValueError("truncated DHT table (BITS array)")
                 n = sum(bits)
                 vals = list(seg[i + 17:i + 17 + n])
                 if len(vals) != n:
@@ -620,6 +630,15 @@ def decode_jpeg_baseline(content: bytes) -> tuple[int, int, int, bytes]:
             raise ValueError(f"missing Huffman table (DC {td} / AC {ta})")
         order.append({**c, "dc": dc_luts[td], "ac": ac_luts[ta],
                       "q": qtabs[c["tq"]]})
+
+    if len(order) == 1:
+        # Single-component scans are NON-INTERLEAVED per ITU-T.81
+        # (A.2.2): the MCU is ONE 8x8 data unit in raster order and the
+        # declared sampling factors do not apply — a grayscale file
+        # carrying h=v=2 (e.g. a color JPEG converted with its factors
+        # left in place) must decode as plain raster blocks, not be
+        # scrambled into (or spuriously fail) a 2x2-MCU walk.
+        order[0] = {**order[0], "h": 1, "v": 1}
 
     hmax = max(c["h"] for c in order)
     vmax = max(c["v"] for c in order)

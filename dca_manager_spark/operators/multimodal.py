@@ -854,14 +854,15 @@ def media_image_decoder(content: bytes) -> list[float]:
 
         return jpeg_image_decoder(b)
     if b[:4] == b"GIF8":
+        import numpy as np
+
         from dca_manager_spark.operators.gif import decode_gif_pixels
 
         width, height, ch, raw = decode_gif_pixels(b)
-        n_px = width * height
-        sums = [0] * ch
-        for i, v in enumerate(raw):
-            sums[i % ch] += v
-        means = [s / n_px / 255.0 for s in sums] + [0.0] * (4 - ch)
+        # numpy means, not a per-byte Python loop — this runs inside the
+        # mapInPandas hot path (a 1-megapixel GIF is 3M samples)
+        arr = np.frombuffer(raw, dtype=np.uint8).reshape(width * height, ch)
+        means = [float(m) / 255.0 for m in arr.mean(axis=0)] + [0.0] * (4 - ch)
         return means + [float(width), float(height), float(ch)]
     raise ValueError(
         f"unrecognized image payload (magic {b[:4]!r}) — "

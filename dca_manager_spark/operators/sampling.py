@@ -194,9 +194,12 @@ def canonicalize_url(
     no recognizable host passes through unchanged (better to over-keep
     than to merge garbage).
 
-    One regexp parse + array ops per row; the only lambda-HOF runs
-    over the tiny split-param array. Restates in DuckDB (list_filter/
-    list_sort) for the oracle."""
+    Cost: FIVE bounded regex matches of the one parts pattern per row
+    (Spark has no multi-group extract-to-struct; each group is its own
+    regexp_extract) plus array ops — sub-microsecond on URL-length
+    strings and dwarfed by any adjacent text stage; the only
+    lambda-HOF runs over the tiny split-param array. Restates in
+    DuckDB (list_filter/list_sort) for the oracle."""
     part = lambda i: F.regexp_extract(url_col, _URL_PARTS_RE, i)
     scheme = F.lower(part(1))
     host = F.lower(part(2))

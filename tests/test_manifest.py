@@ -1318,3 +1318,43 @@ def test_shallow_clone_mor_and_bloom_config_carry(spark, tmp_path):
     )
     assert c.read(point_filter={"transaction_id": "T7"}).count() == 1
     assert c.read(point_filter={"transaction_id": "NOPE"}).count() == 0
+
+
+def test_shallow_clone_mor_writes_supersede_cloned_deltas(spark, tmp_path):
+    """Review regression (r14): cloned MOR delta/tombstone entries keep
+    their SOURCE commit ids and _resolve_mor resolves purely by that
+    field — so the clone's first manifest must take the source's id,
+    or a cloned tombstone (commit 2) shadows the clone's own later
+    upsert (which would have restarted at commit 1), silently
+    swallowing the write."""
+    import datetime
+
+    TS = datetime.datetime(2024, 1, 1, 12, 0, 0)
+    SCHEMA = "transaction_id string, close_time timestamp, pair string, price double"
+
+    def rows(items):
+        return spark.createDataFrame(
+            [(k, TS, p, v) for k, p, v in items], SCHEMA
+        )
+
+    src = ManifestTable(
+        spark, str(tmp_path / "m"),
+        keys=("transaction_id",), precombine="price",
+        partition_by=(), table_type="mor",
+    )
+    src.write(rows([("T1", "A", 1.0), ("T2", "B", 2.0)]), "bulk_insert")  # c0
+    src.write(rows([("T1", "A", 5.0)]), "upsert")                          # c1
+    src.write(rows([("T2", "B", 0.0)]), "delete")                          # c2
+
+    c = src.clone(tmp_path / "mc")
+    # resurrect the deleted key on the CLONE: must win over the cloned
+    # tombstone (the exact shadowing scenario)
+    c.write(rows([("T2", "B", 22.0)]), "upsert")
+    # and overwrite the cloned delta's key: exactly ONE version survives
+    c.write(rows([("T1", "A", 11.0)]), "upsert")
+    got = {r.transaction_id: r.price for r in c.read().collect()}
+    assert got == {"T1": 11.0, "T2": 22.0}, got
+    # source untouched
+    assert {r.transaction_id: r.price for r in src.read().collect()} == {
+        "T1": 5.0
+    }

@@ -794,3 +794,41 @@ def test_media_image_decoder_dispatches_all_three_formats(spark):
     assert out[3][:3] == [1.0, 1.0, 1.0] and out[3][4:] == [2.0, 2.0, 3.0]
     with pytest.raises(ValueError, match="unrecognized"):
         media_image_decoder(b"junk")
+
+
+def test_jpeg_single_component_scan_is_non_interleaved():
+    """Review regression (r14): per ITU-T.81 A.2.2 a single-component
+    scan is NON-interleaved (MCU = one 8x8 data unit, raster order,
+    sampling factors ignored) — a grayscale file whose SOF still
+    carries h=v=2 (color converted with factors left in place) must
+    decode as raster blocks, byte-identical to its 1x1 twin."""
+    from dca_manager_spark.operators.jpeg import (
+        decode_jpeg_baseline,
+        encode_jpeg_baseline,
+    )
+
+    px = _card(24, 24, 1, seed=7)
+    blob = encode_jpeg_baseline(24, 24, 1, px, quant_luma=[1] * 64)
+    i = blob.index(b"\xff\xc0")
+    hv_off = i + 2 + 2 + 1 + 2 + 2 + 1 + 1  # SOF0: marker len P Y X Nf Cid -> HV
+    assert blob[hv_off] == 0x11
+    patched = blob[:hv_off] + b"\x22" + blob[hv_off + 1:]
+    assert decode_jpeg_baseline(patched)[3] == px
+
+
+def test_jpeg_malformed_payloads_raise_valueerror_never_indexerror():
+    """Review regression (r14): the loudness CONTRACT is ValueError for
+    every malformed payload — fill-byte tails and truncated DHT BITS
+    arrays used to escape as IndexError; quality=0 used to silently
+    alias quality=None through a falsy check."""
+    from dca_manager_spark.operators.jpeg import (
+        decode_jpeg_baseline,
+        encode_jpeg_baseline,
+    )
+
+    with pytest.raises(ValueError, match="fill bytes"):
+        decode_jpeg_baseline(b"\xff\xd8\xff\xff")
+    with pytest.raises(ValueError, match="BITS"):
+        decode_jpeg_baseline(b"\xff\xd8\xff\xc4\x00\x05\x00\x01\x02")
+    with pytest.raises(ValueError, match="quality"):
+        encode_jpeg_baseline(8, 8, 1, bytes(64), quality=0)
