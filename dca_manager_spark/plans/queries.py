@@ -117,6 +117,7 @@ _DRIVER_WINDOW = [
     "corpus_url_canonicalize",
     "corpus_crawl_prep",
     "manifest_clone_divergence",
+    "multimodal_wav_samples",
     # -- (2) changed in round 14 (ManifestTable fixes) --
     "manifest_point_lookup",
     "manifest_incremental_pull",
@@ -163,7 +164,6 @@ _DRIVER_WINDOW = [
     "corpus_prep_pipeline",
     "dedup_exact_documents",
     "dedup_simhash",
-    "embedding_quantize_int8",
 ]
 
 
@@ -5108,6 +5108,114 @@ def multimodal_gif_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_min("pixels").alias("px_min"),
             F.array_max("pixels").alias("px_max"),
             F.size("pixels").cast("long").alias("n_samples"),
+        )
+        .orderBy("media_id")
+    )
+
+
+@query(
+    "multimodal_wav_samples",
+    """
+    WITH d AS (
+      SELECT doc_id AS media_id,
+             CAST(doc_id % 2 + 1 AS BIGINT) AS channels,
+             CAST(CASE doc_id % 3 WHEN 0 THEN 8 WHEN 1 THEN 16 ELSE 24 END
+                  AS BIGINT) AS bits,
+             doc_id % 50 + 10 AS n_frames,
+             doc_id % 251 AS seed
+      FROM documents
+      WHERE doc_id % 8 = 3
+    ),
+    s AS (
+      SELECT d.media_id, d.channels, d.bits,
+             CASE d.bits
+               WHEN 8  THEN (d.seed + 7 * i.i) % 256
+               WHEN 16 THEN (d.seed * 3 + 11 * i.i) % 65536 - 32768
+               ELSE         (d.seed * 5 + 13 * i.i) % 16777216 - 8388608
+             END AS v
+      FROM d, range(0, 120) i(i)
+      WHERE i.i < d.n_frames * d.channels
+    )
+    SELECT media_id,
+           MIN(channels) AS channels,
+           CAST(16000 AS BIGINT) AS sample_rate,
+           MIN(bits) AS bits,
+           CAST(SUM(v) AS BIGINT) AS s_sum,
+           CAST(MIN(v) AS BIGINT) AS s_min,
+           CAST(MAX(v) AS BIGINT) AS s_max,
+           CAST(COUNT(*) AS BIGINT) AS n_samples
+    FROM s
+    GROUP BY media_id
+    ORDER BY media_id
+    """,
+)
+def multimodal_wav_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL PCM WAV sample decode (r14 — audio decode beyond headers,
+    for the uncompressed format): per selected doc a planted
+    interleaved PCM signal (value = closed-form in the sample index,
+    depth cycling 8/16/24-bit, mono/stereo alternating) is WAV-encoded
+    in one Arrow batch (operators/multimodal.encode_wav) and decoded
+    back by decode_wav_samples (RIFF chunk walk, numpy-vectorized
+    widening — the 24-bit path pads 3-byte frames and arithmetic-
+    shifts); per-clip sample statistics run JVM-side. WAV PCM is
+    lossless, so the oracle recomputes every decoded sample exactly —
+    a hash match proves frame tiling, endianness, signedness per depth
+    (8-bit unsigned vs 16/24-bit signed) and the 24-bit widening
+    byte-exact. Same mapInPandas scale shape as the image pixel
+    stages; compressed audio stays honestly out of scope (no codec
+    libs here)."""
+    from dca_manager_spark.operators.multimodal import encode_wav, wav_samples
+
+    docs = (
+        t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 8 == 3)
+        .select(
+            F.col("doc_id").alias("media_id"),
+            (F.col("doc_id") % 2 + 1).alias("ch"),
+            (F.col("doc_id") % 3).alias("bsel"),
+            (F.col("doc_id") % 50 + 10).alias("n_frames"),
+            (F.col("doc_id") % 251).alias("seed"),
+        )
+    )
+
+    @F.pandas_udf("binary")
+    def make_wav(ch, bsel, n_frames, seed):
+        import pandas as pd
+
+        out = []
+        for c, bs, nf, sd in zip(ch, bsel, n_frames, seed):
+            bits = {0: 8, 1: 16, 2: 24}[int(bs)]
+            n = int(nf) * int(c)
+            if bits == 8:
+                samples = [(int(sd) + 7 * i) % 256 for i in range(n)]
+            elif bits == 16:
+                samples = [
+                    (int(sd) * 3 + 11 * i) % 65536 - 32768 for i in range(n)
+                ]
+            else:
+                samples = [
+                    (int(sd) * 5 + 13 * i) % 16777216 - 8388608
+                    for i in range(n)
+                ]
+            out.append(encode_wav(int(c), 16000, bits, samples))
+        return pd.Series(out)
+
+    media = docs.select(
+        "media_id", make_wav("ch", "bsel", "n_frames", "seed").alias("content")
+    )
+    return (
+        wav_samples(media)
+        .select(
+            "media_id",
+            "channels",
+            "sample_rate",
+            "bits",
+            F.aggregate(
+                "samples", F.lit(0).cast("long"), lambda acc, v: acc + v
+            ).alias("s_sum"),
+            F.array_min("samples").alias("s_min"),
+            F.array_max("samples").alias("s_max"),
+            F.size("samples").cast("long").alias("n_samples"),
         )
         .orderBy("media_id")
     )

@@ -832,3 +832,63 @@ def test_jpeg_malformed_payloads_raise_valueerror_never_indexerror():
         decode_jpeg_baseline(b"\xff\xd8\xff\xc4\x00\x05\x00\x01\x02")
     with pytest.raises(ValueError, match="quality"):
         encode_jpeg_baseline(8, 8, 1, bytes(64), quality=0)
+
+
+# -- PCM WAV sample decode (r14) -----------------------------------------
+
+
+def test_wav_sample_round_trip_all_depths():
+    """PCM is lossless: every depth (8 unsigned / 16 / 24 / 32 signed
+    LE) round-trips exactly, including the extreme values."""
+    import random
+
+    from dca_manager_spark.operators.multimodal import (
+        decode_wav_samples,
+        encode_wav,
+    )
+
+    rng = random.Random(5)
+    for bits in (8, 16, 24, 32):
+        lo = 0 if bits == 8 else -(1 << (bits - 1))
+        hi = 255 if bits == 8 else (1 << (bits - 1)) - 1
+        for ch in (1, 2):
+            samples = [rng.randint(lo, hi) for _ in range(60 * ch)]
+            samples[0], samples[1] = lo, hi
+            blob = encode_wav(ch, 8000, bits, samples)
+            assert decode_wav_samples(blob) == (ch, 8000, bits, samples)
+
+
+def test_wav_sample_decode_loudness():
+    from dca_manager_spark.operators.multimodal import (
+        decode_wav_samples,
+        encode_wav,
+    )
+
+    blob = encode_wav(1, 8000, 16, [1, 2, 3])
+    i = blob.index(b"fmt ")
+    bad = bytearray(blob)
+    bad[i + 8] = 3  # IEEE-float format tag
+    with pytest.raises(ValueError, match="PCM"):
+        decode_wav_samples(bytes(bad))
+    with pytest.raises(ValueError, match="sample 300"):
+        encode_wav(1, 8000, 8, [300])
+    with pytest.raises(ValueError, match="tile"):
+        encode_wav(2, 8000, 16, [1, 2, 3])
+
+
+def test_wav_samples_spark_plumbing(spark):
+    from dca_manager_spark.operators.multimodal import encode_wav, wav_samples
+
+    rows = []
+    for i, bits in enumerate((8, 16, 24)):
+        lo = 0 if bits == 8 else -(1 << (bits - 1))
+        samples = [lo + j for j in range(20)]
+        rows.append((i, encode_wav(1, 16000, bits, samples), bits, samples))
+    df = spark.createDataFrame(
+        [(i, b) for i, b, *_ in rows], "media_id long, content binary"
+    )
+    got = {r.media_id: r for r in wav_samples(df).collect()}
+    for i, _, bits, samples in rows:
+        r = got[i]
+        assert (r.channels, r.sample_rate, r.bits) == (1, 16000, bits)
+        assert list(r.samples) == samples
