@@ -47,6 +47,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import uuid
 from pathlib import Path
 
@@ -320,6 +321,10 @@ class ManifestTable:
         # to conservative admit-all until recommitted).
         self._bloom_explicit = bloom_by is not None
         self._bloom_synced = False
+        # Live catalog registrations on THIS handle (name -> options),
+        # refreshed after every commit this handle publishes (see
+        # ``register`` — the sync-on-write hive-sync cadence).
+        self._registered: dict[str, dict] = {}
         self.bloom_by = list(bloom_by or ())
         self.bloom_bits = int(bloom_bits)
         self.bloom_hashes = int(bloom_hashes)
@@ -464,6 +469,9 @@ class ManifestTable:
             raise FileExistsError(f"manifest {next_id} already published")
         finally:
             tmp.unlink(missing_ok=True)
+        if self._registered:
+            # sync-on-write: commit is durable, now refresh catalog views
+            self._sync_registered(doc)
         return next_id
 
     _PARTITIONABLE = ("string", "byte", "short", "integer", "long",
@@ -931,6 +939,244 @@ class ManifestTable:
                 f"(available: {ids}); "
                 "vacuum may have pruned it — fall back to a full read"
             )
+
+    # -- SQL catalog surface (hive-sync analogue) ---------------------------
+
+    _MOR_META = ("_commit", "_sup", "_del", "_sc")
+
+    @staticmethod
+    def _q(ident: str) -> str:
+        """Backtick-quote a SQL identifier (column / view name part)."""
+        return "`" + ident.replace("`", "``") + "`"
+
+    # Paths outside this alphabet fall back to one branch per file —
+    # Hadoop glob metacharacters ({}[]*?,) in a path would corrupt the
+    # brace-batched file list. Our own layout (data/commit-<hex>/ +
+    # hive-escaped partition dirs, where unsafe chars are %-encoded)
+    # always matches.
+    _GLOB_SAFE = re.compile(r"^[A-Za-z0-9._%=+@/-]+$")
+
+    def _file_columns(self, files: list[dict]) -> dict[str, frozenset]:
+        """{path: physical column set} with ONE parquet footer probe per
+        directory (all files of one directory come from one write job and
+        share a schema) — metadata-only reads, never row data."""
+        import pyarrow.parquet as pq
+
+        cache: dict[str, frozenset] = {}
+        out: dict[str, frozenset] = {}
+        for f in files:
+            d = str(Path(f["path"]).parent)
+            if d not in cache:
+                cache[d] = frozenset(
+                    pq.read_schema(str(Path(self.path) / f["path"])).names
+                )
+            out[f["path"]] = cache[d]
+        return out
+
+    def snapshot_sql(self, as_of: int | None = None, _doc: dict | None = None) -> str:
+        """ANSI-SQL text selecting the RESOLVED table snapshot — the exact
+        semantics of ``read()`` (committed schema with null-filled evolved
+        columns, MOR latest-per-key resolution, tombstones removed) as a
+        self-contained statement over the snapshot's data files. This is
+        what ``register(durable=True)`` persists as a catalog VIEW, so
+        ``spark.sql("SELECT ... FROM name")`` reads the table without a
+        Python handle — the engine's analogue of the reference's Hudi
+        hive-sync into Glue for Athena (glue/scripts/
+        load_transactions.py:73-79, README.md:203-204), where the synced
+        entry likewise encodes a point-in-time file layout refreshed on
+        every write.
+
+        Shape: one UNION ALL branch per (physical column set, commit kind)
+        group of files; each group's paths collapse into a single Hadoop
+        brace-glob scan (one JVM parquet scan per group — NOT per file),
+        so the text is O(groups + path bytes), and the plan is the same
+        multi-file parquet scan ``read()`` builds. MOR snapshots wrap the
+        union in the latest-per-key window ``_resolve_mor`` uses; COW
+        snapshots are the bare union. Schema evolution is per-branch
+        explicit projection (CAST(NULL AS t) for columns a file predates),
+        derived from one footer probe per commit directory.
+
+        At 100 TB the view text carries ~200k path entries (a few MB of
+        catalog metadata — the same order as the manifest itself); the
+        graduation point is the same as the manifest's: a real deployment
+        syncs an Iceberg/Delta catalog entry instead of inlined paths."""
+        if _doc is not None:
+            doc = _doc
+        elif as_of is not None:
+            if as_of not in self._manifest_ids():
+                raise FileNotFoundError(
+                    f"no manifest {as_of} under {self.path} "
+                    f"(available: {self._manifest_ids()})"
+                )
+            doc = self._load_manifest(as_of)
+        else:
+            latest = self._latest_manifest()
+            if latest is None:
+                raise FileNotFoundError(
+                    f"no committed manifest under {self.path}"
+                )
+            doc = latest[1]
+        from pyspark.sql.types import StructType
+
+        schema = StructType.fromJson(json.loads(doc["schema"]))
+        files = doc["files"]
+        mor = any(f.get("kind") for f in files)
+        if mor:
+            clash = set(self._MOR_META) & {f.name for f in schema.fields}
+            if clash:
+                raise ValueError(
+                    f"MOR snapshot SQL reserves column names "
+                    f"{self._MOR_META}; table schema uses {sorted(clash)}"
+                )
+        typed = [
+            (f.name, self._q(f.name), f.dataType.simpleString())
+            for f in schema.fields
+        ]
+        null_row = ", ".join(f"CAST(NULL AS {t}) AS {q}" for _, q, t in typed)
+        if not files:
+            # empty table: typed empty relation (mirrors read())
+            return f"SELECT {null_row} FROM (SELECT 1) AS _e WHERE 1 = 0"
+
+        file_cols = self._file_columns(files)
+        groups: dict[tuple, list[str]] = {}
+        for f in files:
+            kind = f.get("kind")
+            commit = f.get("commit", -1) if kind else -1
+            opk = f.get("op", "base") if kind else "base"
+            key = (tuple(sorted(file_cols[f["path"]])), commit, opk)
+            groups.setdefault(key, []).append(f["path"])
+
+        root = self.path if "://" in self.path else str(Path(self.path).absolute())
+        branches: list[str] = []
+        for (cols, commit, opk), paths in sorted(groups.items()):
+            present = set(cols)
+            proj = [
+                f"CAST({q} AS {t}) AS {q}" if n in present
+                else f"CAST(NULL AS {t}) AS {q}"
+                for n, q, t in typed
+            ]
+            if mor:
+                sup = opk in ("upsert", "delete")
+                proj += [
+                    f"{commit} AS _commit",
+                    f"{'TRUE' if sup else 'FALSE'} AS _sup",
+                    f"{'TRUE' if opk == 'delete' else 'FALSE'} AS _del",
+                ]
+            sel = ", ".join(proj)
+            for p in paths:
+                if "`" in p or "\n" in p:
+                    raise ValueError(f"data path not SQL-embeddable: {p!r}")
+            safe = [p for p in sorted(paths) if self._GLOB_SAFE.match(p)]
+            odd = [p for p in sorted(paths) if not self._GLOB_SAFE.match(p)]
+            if len(safe) > 1:
+                branches.append(
+                    f"SELECT {sel} FROM parquet.`{root}/{{{','.join(safe)}}}`"
+                )
+            elif safe:
+                branches.append(f"SELECT {sel} FROM parquet.`{root}/{safe[0]}`")
+            branches.extend(
+                f"SELECT {sel} FROM parquet.`{root}/{p}`" for p in odd
+            )
+        union = "\nUNION ALL\n".join(branches)
+        if not mor:
+            return union
+        ident = ", ".join(
+            self._q(c) for c in dict.fromkeys(self.keys + self.partition_by)
+        )
+        out_cols = ", ".join(q for _, q, _t in typed)
+        return (
+            f"SELECT {out_cols} FROM (\n"
+            f"  SELECT *, COALESCE(MAX(CASE WHEN _sup THEN _commit END)"
+            f" OVER (PARTITION BY {ident}), -2) AS _sc\n"
+            f"  FROM (\n{union}\n) AS _raw\n"
+            f") AS _resolved\n"
+            f"WHERE (NOT _sup AND _commit > _sc)"
+            f" OR (_sup AND NOT _del AND _commit = _sc)"
+        )
+
+    def register(
+        self, name: str, durable: bool = True, as_of: int | None = None
+    ) -> None:
+        """Catalog sync: make this table addressable from ``spark.sql``
+        by ``name`` — the ManifestTable twin of ``MergeTable.register``
+        (io/merge.py:108) and of the reference's per-run Hudi hive-sync
+        (glue/scripts/load_transactions.py:73-79 syncing Glue for Athena).
+
+        ``durable=True`` (default): a catalog VIEW whose text is
+        ``snapshot_sql()`` — the RESOLVED snapshot (MOR-merged,
+        schema-evolved, tombstones gone; a plain external-parquet table
+        over the directory would resurrect superseded rows and read
+        uncommitted files). The entry lives in the shared catalog: any
+        ``newSession()`` of this application — and, under a Hive
+        metastore, any new PROCESS over the same warehouse — queries it
+        by name. ``durable=False``: session-scoped temp view over
+        ``read()`` (same plan, no catalog entry).
+
+        Sync-on-write: a live registration (``as_of=None``) is recorded
+        on this handle and REFRESHED after every commit this handle
+        publishes (write/delete_where/compact/restore/...), exactly the
+        reference's sync-every-run cadence. Writes from OTHER handles
+        don't refresh it — re-run ``register`` (idempotent) to re-sync,
+        or write through the registered handle. A failed refresh warns
+        and leaves the previous (still-consistent, just stale) snapshot
+        registered rather than failing the already-durable commit.
+
+        ``as_of`` pins a historical snapshot (time-travel view); pinned
+        registrations never auto-refresh. ``vacuum(keep_last=1)`` keeps
+        every latest-snapshot file, so live views survive vacuums;
+        pinned views outlive their manifest only until its files are
+        reclaimed — drop them before vacuuming past their version."""
+        self._register_once(name, durable=durable, as_of=as_of)
+        if as_of is None:
+            self._registered[name] = {"durable": durable}
+        else:
+            self._registered.pop(name, None)
+
+    def unregister(self, name: str) -> None:
+        """Drop the catalog entry and stop refresh-on-commit for it."""
+        self._registered.pop(name, None)
+        parts = name.split(".")
+        quoted = ".".join(self._q(p) for p in parts)
+        try:
+            self.spark.sql(f"DROP VIEW IF EXISTS {quoted}")
+        except Exception:
+            self.spark.catalog.dropTempView(name)
+
+    def _register_once(
+        self,
+        name: str,
+        durable: bool,
+        as_of: int | None = None,
+        doc: dict | None = None,
+    ) -> None:
+        if not durable:
+            self.read(as_of=as_of).createOrReplaceTempView(name)
+            return
+        parts = name.split(".")
+        quoted = ".".join(self._q(p) for p in parts)
+        if len(parts) > 1:
+            self.spark.sql(f"CREATE DATABASE IF NOT EXISTS {self._q(parts[0])}")
+        sql = self.snapshot_sql(as_of=as_of, _doc=doc)
+        self.spark.sql(f"CREATE OR REPLACE VIEW {quoted} AS {sql}")
+
+    def _sync_registered(self, doc: dict) -> None:
+        """Refresh every live registration onto the just-published
+        manifest (sync-on-write). Never fails the commit: the data is
+        already durable; a refresh error leaves the prior consistent
+        snapshot registered and warns."""
+        import warnings
+
+        for name, opts in list(self._registered.items()):
+            try:
+                self._register_once(name, durable=opts["durable"], doc=doc)
+            except Exception as exc:  # pragma: no cover - catalog-layer only
+                warnings.warn(
+                    f"catalog sync of {name!r} failed after commit "
+                    f"{doc.get('id')}: {exc}; view is stale until the next "
+                    "successful register()/commit",
+                    RuntimeWarning,
+                    stacklevel=2,
+                )
 
     def _changed_rows(self, since: int, schema) -> DataFrame | None:
         """Union of the captured change sets of every commit after

@@ -1,0 +1,236 @@
+"""ManifestTable SQL-catalog surface: register()/snapshot_sql() — the
+hive-sync analogue (reference: glue/scripts/load_transactions.py:73-79
+syncs the Hudi table into Glue so Athena queries it by name;
+README.md:203-204 "Query Glue Tables"). The registered view must encode
+the RESOLVED snapshot: MOR latest-per-key merge, schema-evolved
+null-fills, tombstones gone — a plain external-parquet registration over
+the directory would resurrect superseded rows and read uncommitted
+files."""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from dca_manager_spark.io.manifest import ManifestTable
+
+TS1 = datetime.datetime(2024, 1, 1, 12, 0, 0)
+TS2 = datetime.datetime(2024, 2, 1, 12, 0, 0)
+
+
+def make_df(spark, rows):
+    return spark.createDataFrame(
+        rows, "transaction_id string, close_time timestamp, pair string, price double"
+    )
+
+
+def sql_rows(spark, name):
+    return {
+        (r.transaction_id, r.pair, r.price)
+        for r in spark.sql(
+            f"SELECT transaction_id, pair, price FROM {name}"
+        ).collect()
+    }
+
+
+@pytest.fixture
+def cow(spark, tmp_path):
+    return ManifestTable(
+        spark,
+        str(tmp_path / "cow"),
+        keys=("transaction_id", "close_time"),
+        precombine="price",
+        partition_by=("pair",),
+    )
+
+
+@pytest.fixture
+def mor(spark, tmp_path):
+    return ManifestTable(
+        spark,
+        str(tmp_path / "mor"),
+        keys=("transaction_id", "close_time"),
+        precombine="price",
+        partition_by=("pair",),
+        table_type="mor",
+    )
+
+
+def test_register_durable_matches_read(spark, cow):
+    cow.write(
+        make_df(spark, [("T1", TS1, "BTCGBP", 1.0), ("T2", TS1, "ETHGBP", 5.0)]),
+        "bulk_insert",
+    )
+    cow.register("mt_cow_basic")
+    try:
+        assert sql_rows(spark, "mt_cow_basic") == {
+            ("T1", "BTCGBP", 1.0),
+            ("T2", "ETHGBP", 5.0),
+        }
+    finally:
+        cow.unregister("mt_cow_basic")
+
+
+def test_refresh_on_commit_upsert_delete_visible(spark, cow):
+    cow.write(
+        make_df(spark, [("T1", TS1, "BTCGBP", 1.0), ("T2", TS1, "ETHGBP", 5.0)]),
+        "bulk_insert",
+    )
+    cow.register("mt_cow_sync")
+    try:
+        # upsert through the SAME handle refreshes the view (sync-on-write)
+        cow.write(make_df(spark, [("T1", TS1, "BTCGBP", 9.0)]), "upsert")
+        assert sql_rows(spark, "mt_cow_sync") == {
+            ("T1", "BTCGBP", 9.0),
+            ("T2", "ETHGBP", 5.0),
+        }
+        cow.write(make_df(spark, [("T2", TS1, "ETHGBP", 5.0)]), "delete")
+        assert sql_rows(spark, "mt_cow_sync") == {("T1", "BTCGBP", 9.0)}
+    finally:
+        cow.unregister("mt_cow_sync")
+
+
+def test_mor_view_resolves_and_drops_tombstones(spark, mor):
+    mor.write(
+        make_df(spark, [("T1", TS1, "BTCGBP", 1.0), ("T2", TS1, "ETHGBP", 5.0)]),
+        "bulk_insert",
+    )
+    mor.write(make_df(spark, [("T1", TS1, "BTCGBP", 9.0)]), "upsert")
+    mor.write(make_df(spark, [("T2", TS1, "ETHGBP", 5.0)]), "delete")
+    mor.register("mt_mor_resolved")
+    try:
+        # superseded base row for T1 hidden, T2 tombstoned away — the
+        # plain-parquet failure mode this surface exists to avoid
+        assert sql_rows(spark, "mt_mor_resolved") == {("T1", "BTCGBP", 9.0)}
+        # view result == Python read path, row for row
+        via_read = {
+            (r.transaction_id, r.pair, r.price)
+            for r in mor.read().select(
+                "transaction_id", "pair", "price"
+            ).collect()
+        }
+        assert sql_rows(spark, "mt_mor_resolved") == via_read
+    finally:
+        mor.unregister("mt_mor_resolved")
+
+
+def test_schema_evolution_null_fills_in_view(spark, cow):
+    cow.write(make_df(spark, [("T1", TS1, "BTCGBP", 1.0)]), "bulk_insert")
+    evolved = make_df(spark, [("T2", TS2, "ETHGBP", 5.0)]).withColumn(
+        "venue", F.lit("kraken")
+    )
+    cow.write(evolved, "insert")
+    cow.register("mt_cow_evolved")
+    try:
+        rows = {
+            (r.transaction_id, r.venue)
+            for r in spark.sql(
+                "SELECT transaction_id, venue FROM mt_cow_evolved"
+            ).collect()
+        }
+        # T1's file predates `venue`: the view's per-branch projection
+        # null-fills it (parquet.`path` alone would fail to resolve it)
+        assert rows == {("T1", None), ("T2", "kraken")}
+    finally:
+        cow.unregister("mt_cow_evolved")
+
+
+def test_cross_session_visibility(spark, cow):
+    cow.write(make_df(spark, [("T1", TS1, "BTCGBP", 1.0)]), "bulk_insert")
+    cow.register("mt_cow_xsession")
+    try:
+        ns = spark.newSession()
+        got = ns.sql(
+            "SELECT transaction_id, price FROM mt_cow_xsession"
+        ).collect()
+        assert [(r.transaction_id, r.price) for r in got] == [("T1", 1.0)]
+        # a temp view must NOT cross sessions (contrast case)
+        cow.register("mt_cow_temp", durable=False)
+        from pyspark.errors.exceptions.captured import AnalysisException
+
+        with pytest.raises(AnalysisException):
+            ns.sql("SELECT * FROM mt_cow_temp").collect()
+    finally:
+        cow.unregister("mt_cow_xsession")
+        cow.unregister("mt_cow_temp")
+
+
+def test_as_of_pinned_snapshot_does_not_refresh(spark, cow):
+    cow.write(make_df(spark, [("T1", TS1, "BTCGBP", 1.0)]), "bulk_insert")
+    cow.write(make_df(spark, [("T1", TS1, "BTCGBP", 9.0)]), "upsert")
+    cow.register("mt_cow_v0", as_of=0)
+    cow.register("mt_cow_live")
+    try:
+        assert sql_rows(spark, "mt_cow_v0") == {("T1", "BTCGBP", 1.0)}
+        cow.write(make_df(spark, [("T2", TS1, "ETHGBP", 5.0)]), "insert")
+        # live view refreshed, pinned view untouched
+        assert sql_rows(spark, "mt_cow_live") == {
+            ("T1", "BTCGBP", 9.0),
+            ("T2", "ETHGBP", 5.0),
+        }
+        assert sql_rows(spark, "mt_cow_v0") == {("T1", "BTCGBP", 1.0)}
+    finally:
+        cow.unregister("mt_cow_v0")
+        cow.unregister("mt_cow_live")
+
+
+def test_view_survives_compaction_and_vacuum(spark, mor):
+    mor.write(
+        make_df(spark, [("T1", TS1, "BTCGBP", 1.0), ("T2", TS1, "ETHGBP", 5.0)]),
+        "bulk_insert",
+    )
+    mor.write(make_df(spark, [("T1", TS1, "BTCGBP", 9.0)]), "upsert")
+    mor.register("mt_mor_maint")
+    try:
+        expected = {("T1", "BTCGBP", 9.0), ("T2", "ETHGBP", 5.0)}
+        assert sql_rows(spark, "mt_mor_maint") == expected
+        mor.compact()  # publishes -> auto-refresh onto compacted files
+        assert sql_rows(spark, "mt_mor_maint") == expected
+        mor.vacuum(keep_last=1, orphan_grace_seconds=0.0)
+        # vacuum keeps every latest-snapshot file; the refreshed view
+        # references exactly those
+        assert sql_rows(spark, "mt_mor_maint") == expected
+    finally:
+        mor.unregister("mt_mor_maint")
+
+
+def test_empty_table_view_is_typed_empty(spark, cow):
+    cow.write(make_df(spark, [("T1", TS1, "BTCGBP", 1.0)]), "bulk_insert")
+    cow.write(make_df(spark, [("T1", TS1, "BTCGBP", 1.0)]), "delete")
+    cow.register("mt_cow_empty")
+    try:
+        out = spark.sql("SELECT * FROM mt_cow_empty")
+        assert out.count() == 0
+        assert [f.name for f in out.schema.fields] == [
+            "transaction_id", "close_time", "pair", "price",
+        ]
+        assert out.schema["price"].dataType.simpleString() == "double"
+    finally:
+        cow.unregister("mt_cow_empty")
+
+
+def test_snapshot_sql_globs_batch_files(spark, cow):
+    # three commits -> >=3 files; same column set -> ONE brace-glob branch
+    for i, op in enumerate(["bulk_insert", "insert", "insert"]):
+        cow.write(make_df(spark, [(f"T{i}", TS1, "BTCGBP", float(i))]), op)
+    sql = cow.snapshot_sql()
+    assert sql.count("FROM parquet.") == 1  # batched, not one scan per file
+    assert "{" in sql
+    got = spark.sql(sql)
+    assert got.count() == 3
+
+
+def test_mor_meta_column_clash_is_loud(spark, tmp_path):
+    t = ManifestTable(
+        spark,
+        str(tmp_path / "clash"),
+        keys=("k",),
+        precombine="k",
+        partition_by=(),
+        table_type="mor",
+    )
+    t.write(spark.createDataFrame([(1, 2)], "k int, _sup int"), "upsert")
+    with pytest.raises(ValueError, match="_sup"):
+        t.snapshot_sql()
