@@ -137,3 +137,63 @@ def replicate(
     return follower.run_once(
         lambda feed, lo, hi: replica.apply_cdc(feed), max_commits=max_commits
     )
+
+
+def replicate_stream(
+    spark,
+    source_path: str,
+    replica,
+    checkpoint: str,
+    starting_commit: int | None = None,
+    available_now: bool = True,
+    _fault=None,
+):
+    """``CdcFollower``'s datasource-native twin (r15 — VERDICT r14 #5):
+    continuous lake-to-lake replication as a STRUCTURED STREAMING query
+    over the ``dca_table_changes`` source (io/datasource.py) instead of a
+    hand-rolled poll loop — Spark owns the offset log, batch scheduling,
+    trigger cadence and restart semantics, exactly how Delta's CDF
+    streaming source feeds a ``foreachBatch`` MERGE.
+
+    Exactly-once story (the streaming half of CdcFollower's contract):
+    - the source's offsets are commit ids; Spark's checkpoint WAL makes a
+      micro-batch's commit range durable BEFORE it runs and marks it done
+      only AFTER ``foreachBatch`` returns — a crash mid-apply REPLAYS the
+      whole batch on restart (at-least-once);
+    - the sink is ``apply_cdc``: commit-ordered keyed upserts/deletes,
+      IDEMPOTENT under replay (re-upserting the same postimages and
+      re-deleting absent keys are both no-ops on the resolved state);
+    - at-least-once delivery + idempotent apply = the replica CONVERGES
+      to the source state exactly once, across any kill/restart point
+      (pinned by tests/test_streaming_cdc.py's fault-injection restart).
+
+    A micro-batch may span several source commits; ``apply_cdc`` applies
+    them in ``_commit`` order, so intra-batch ordering is preserved and
+    cross-batch ordering is Spark's serialized-batch guarantee. The
+    replica's manifest HISTORY under replay differs (extra no-op
+    commits); its resolved state per key does not — same trade Delta
+    makes replaying a MERGE.
+
+    ``available_now=True`` drains everything committed so far and stops
+    (the catch-up/batch-backfill trigger); False runs continuously.
+    ``_fault`` is test-only fault injection, called after each applied
+    batch BEFORE Spark marks it done. Returns the StreamingQuery."""
+    reader = spark.readStream.format("dca_table_changes").option(
+        "path", str(source_path)
+    )
+    if starting_commit is not None:
+        reader = reader.option("startingCommit", str(starting_commit))
+
+    def _apply(batch: DataFrame, batch_id: int) -> None:
+        replica.apply_cdc(batch)
+        if _fault is not None:
+            _fault(batch, batch_id)
+
+    writer = (
+        reader.load()
+        .writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", str(checkpoint))
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -172,3 +172,94 @@ def test_replicate_from_a_mor_source(spark, tmp_path):
                               ("TX", TS1, "ETHGBP", 0.0)]), "delete")  # TX phantom
     assert replicate(mor, replica, ckpt) == 3
     assert state(replica) == state(mor) == {("T1", "BTCGBP"): 9.0}
+
+
+# -- replicate_stream: the datasource-native follower (r15) ---------------
+
+
+def _drain(q):
+    try:
+        q.awaitTermination(180)
+    finally:
+        if q.isActive:
+            q.stop()
+
+
+def test_replicate_stream_converges_and_resumes(spark, source, replica, tmp_path):
+    """Checkpointed Structured Streaming replication over the
+    dca_table_changes source: drain, converge, then commits landing
+    while the stream is down arrive on restart (and ONLY those)."""
+    from dca_manager_spark.io.datasource import register_python_sources
+    from dca_manager_spark.streaming.cdc import replicate_stream
+
+    register_python_sources(spark)
+    ckpt = str(tmp_path / "sckpt")
+    source.write(make_df(spark, [("T1", TS1, "BTCGBP", 1.0),
+                                 ("T2", TS1, "ETHGBP", 2.0)]), "upsert")
+    source.write(make_df(spark, [("T1", TS1, "BTCGBP", 9.0)]), "upsert")
+
+    _drain(replicate_stream(spark, source.path, replica, ckpt))
+    assert state(replica) == state(source) == {
+        ("T1", "BTCGBP"): 9.0, ("T2", "ETHGBP"): 2.0,
+    }
+
+    # two commits while the stream is down -> exactly those on restart
+    source.write(make_df(spark, [("T2", TS1, "ETHGBP", 2.0)]), "delete")
+    source.write(make_df(spark, [("T3", TS1, "BTCGBP", 3.0)]), "upsert")
+    before = replica.commits()[-1]
+    _drain(replicate_stream(spark, source.path, replica, ckpt))
+    assert state(replica) == state(source) == {
+        ("T1", "BTCGBP"): 9.0, ("T3", "BTCGBP"): 3.0,
+    }
+    # caught-up restart: clean no-op, no spurious replica commits
+    tail = replica.commits()[-1]
+    _drain(replicate_stream(spark, source.path, replica, ckpt))
+    assert replica.commits()[-1] == tail
+    assert before < tail
+
+
+def test_replicate_stream_exactly_once_across_forced_crash(
+    spark, source, replica, tmp_path
+):
+    """Kill/resume fault injection at the worst point — AFTER apply_cdc
+    ran, BEFORE Spark marks the micro-batch done. The restart REPLAYS
+    the batch (at-least-once delivery); apply_cdc's keyed idempotence
+    makes the replica's resolved state exactly-once: converged, zero
+    lost updates, zero resurrections."""
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from dca_manager_spark.io.datasource import register_python_sources
+    from dca_manager_spark.streaming.cdc import replicate_stream
+
+    register_python_sources(spark)
+    ckpt = str(tmp_path / "sckpt")
+    source.write(make_df(spark, [("T1", TS1, "BTCGBP", 1.0),
+                                 ("T2", TS1, "ETHGBP", 2.0)]), "upsert")
+    source.write(make_df(spark, [("T1", TS1, "BTCGBP", 9.0)]), "upsert")
+    source.write(make_df(spark, [("T2", TS1, "ETHGBP", 2.0)]), "delete")
+
+    crashed = {"n": 0}
+
+    def fault(batch, batch_id):
+        crashed["n"] += 1
+        raise RuntimeError("injected crash between apply and batch commit")
+
+    q = replicate_stream(spark, source.path, replica, ckpt, _fault=fault)
+    with pytest.raises(StreamingQueryException):
+        q.awaitTermination(180)
+    assert crashed["n"] == 1
+    # the apply DID run before the crash — data is already in the replica
+    assert state(replica) == {("T1", "BTCGBP"): 9.0}
+
+    # restart from the same checkpoint: the unacknowledged batch REPLAYS
+    applied_commits = len(replica.commits())
+    _drain(replicate_stream(spark, source.path, replica, ckpt))
+    assert state(replica) == state(source) == {("T1", "BTCGBP"): 9.0}
+    # replay happened (extra no-op commits on the replica's timeline —
+    # the documented at-least-once trade), state unchanged
+    assert len(replica.commits()) > applied_commits
+
+    # post-crash commits still flow
+    source.write(make_df(spark, [("T4", TS1, "ETHGBP", 4.0)]), "upsert")
+    _drain(replicate_stream(spark, source.path, replica, ckpt))
+    assert state(replica) == state(source)
