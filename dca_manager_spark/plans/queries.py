@@ -5222,6 +5222,110 @@ def multimodal_wav_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "multimodal_flac_samples",
+    """
+    WITH d AS (
+      SELECT doc_id AS media_id,
+             CAST(doc_id % 2 + 1 AS BIGINT) AS channels,
+             CAST(CASE doc_id % 3 WHEN 0 THEN 8 WHEN 1 THEN 16 ELSE 24 END
+                  AS BIGINT) AS bits,
+             doc_id % 40 + 20 AS n_frames,
+             doc_id % 257 AS seed
+      FROM documents
+      WHERE doc_id % 8 = 5
+    ),
+    s AS (
+      SELECT d.media_id, d.channels, d.bits,
+             (d.seed * 3 + 11 * i.i)
+               % CASE d.bits WHEN 8 THEN 256 WHEN 16 THEN 65536
+                 ELSE 16777216 END
+               - CASE d.bits WHEN 8 THEN 128 WHEN 16 THEN 32768
+                 ELSE 8388608 END AS v
+      FROM d, range(0, 120) i(i)
+      WHERE i.i < d.n_frames * d.channels
+    )
+    SELECT media_id,
+           MIN(channels) AS channels,
+           CAST(16000 AS BIGINT) AS sample_rate,
+           MIN(bits) AS bits,
+           CAST(SUM(v) AS BIGINT) AS s_sum,
+           CAST(MIN(v) AS BIGINT) AS s_min,
+           CAST(MAX(v) AS BIGINT) AS s_max,
+           CAST(COUNT(*) AS BIGINT) AS n_samples,
+           TRUE AS md5_ok
+    FROM s
+    GROUP BY media_id
+    ORDER BY media_id
+    """,
+)
+def multimodal_flac_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL FLAC decode (r15 — compressed audio joins the from-scratch
+    codec family; RFC 9639 implemented in operators/flac.py): per
+    selected doc a planted signed PCM signal (closed-form in the sample
+    index, depth cycling 8/16/24-bit, mono/stereo alternating) is
+    FLAC-encoded in one Arrow batch — stereo blocks cycling
+    independent/left-side/right-side/mid-side, subframes cycling
+    constant/verbatim/fixed/LPC, rice partitions and raw-escape
+    partitions both exercised — then decoded back by
+    decode_flac_samples (frame sync, CRC-8/CRC-16 verification, rice
+    entropy decode, predictor reconstruction, stereo decorrelation).
+    FLAC is lossless, so the oracle recomputes every decoded sample
+    exactly; md5_ok additionally asserts the decoder's IN-BAND
+    integrity check — MD5 of the decoded stream equals STREAMINFO's
+    hash of the pre-encode original — passed for every clip. Same
+    mapInPandas scale shape as the WAV/image stages."""
+    from dca_manager_spark.operators.flac import encode_flac, flac_samples
+
+    docs = (
+        t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 8 == 5)
+        .select(
+            F.col("doc_id").alias("media_id"),
+            (F.col("doc_id") % 2 + 1).alias("ch"),
+            (F.col("doc_id") % 3).alias("bsel"),
+            (F.col("doc_id") % 40 + 20).alias("n_frames"),
+            (F.col("doc_id") % 257).alias("seed"),
+        )
+    )
+
+    @F.pandas_udf("binary")
+    def make_flac(ch, bsel, n_frames, seed):
+        import pandas as pd
+
+        out = []
+        for c, bs, nf, sd in zip(ch, bsel, n_frames, seed):
+            bits = {0: 8, 1: 16, 2: 24}[int(bs)]
+            n = int(nf) * int(c)
+            m, half = 1 << bits, 1 << (bits - 1)
+            samples = [(int(sd) * 3 + 11 * i) % m - half for i in range(n)]
+            out.append(
+                encode_flac(int(c), 16000, bits, samples, block_size=16)
+            )
+        return pd.Series(out)
+
+    media = docs.select(
+        "media_id", make_flac("ch", "bsel", "n_frames", "seed").alias("content")
+    )
+    return (
+        flac_samples(media)
+        .select(
+            "media_id",
+            "channels",
+            "sample_rate",
+            "bits",
+            F.aggregate(
+                "samples", F.lit(0).cast("long"), lambda acc, v: acc + v
+            ).alias("s_sum"),
+            F.array_min("samples").alias("s_min"),
+            F.array_max("samples").alias("s_max"),
+            F.size("samples").cast("long").alias("n_samples"),
+            F.col("md5_ok"),
+        )
+        .orderBy("media_id")
+    )
+
+
+@query(
     "multimodal_features",
     """
     WITH m AS (
