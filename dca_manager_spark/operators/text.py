@@ -215,7 +215,7 @@ _HTML_ENTITIES = [
 ]
 
 
-def html_extract_text(col: Column) -> Column:
+def html_extract_text(col: Column, max_chars: int | None = None) -> Column:
     """Visible text from an HTML payload — the WARC->text step every
     web-crawl corpus starts with — as ONE pure-JVM regexp chain (no
     parser library, no UDF, whole-stage codegen):
@@ -238,7 +238,22 @@ def html_extract_text(col: Column) -> Column:
     the output), not silently. The same chain restates in DuckDB
     (RE2), so extraction is oracle-checkable cross-engine — which is
     also why the script/style patterns avoid backreferences (RE2 has
-    none)."""
+    none).
+
+    ``max_chars`` caps the input per document BEFORE the chain runs —
+    set it (~1-4M) on raw-crawl inputs, the truncate-monster-docs
+    practice every web corpus build applies (Common Crawl itself
+    truncates around 1 MB). The cap is a SCALE guard, not cosmetics:
+    each chained pass materializes a fresh intermediate string, and
+    the r15 scale-curve measurement (scripts/scale_curve.py, SCALE.md)
+    found per-pass cost linear through 16 MB docs but the 17-pass
+    CHAIN cliff-ing ~25x superlinearly between 4 MB and 16 MB — JVM
+    large-object (G1 humongous) allocation churn across 17 x 16 MB
+    intermediates per row, not regex backtracking. Capped at 4 MB the
+    chain stays linear; default None preserves exact whole-document
+    semantics for curated inputs."""
+    if max_chars is not None:
+        col = F.substring(col, 1, max_chars)
     out = F.regexp_replace(col, r"(?is)<script\b[^>]*>.*?</script\s*>", " ")
     out = F.regexp_replace(out, r"(?is)<style\b[^>]*>.*?</style\s*>", " ")
     out = F.regexp_replace(out, r"(?s)<!--.*?-->", " ")
