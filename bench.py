@@ -180,8 +180,23 @@ def main() -> None:
     EXTRA_HEAVY = 2
     samples: dict[str, list[float]] = {name: [] for name in names}
 
+    def release_storage() -> None:
+        # Release prior samples' localCheckpoint blocks EXPLICITLY.
+        # gc.collect() alone leaves it to the async ContextCleaner (and
+        # to py4j reference lifetimes), and the leak is measurable:
+        # r15 measured dedup_semantic at 9.6s inside a dirty 180-entry
+        # sweep vs 3.4s solo — leaked checkpoint storage from earlier
+        # entries inflates later ones via executor GC pressure (same
+        # mechanism found in scripts/scale_curve.py; Dataset.unpersist
+        # does NOT free a localCheckpoint's RDD). Entries are
+        # independent, so a blanket unpersist between samples is safe.
+        gc.collect()
+        m = spark.sparkContext._jsc.getPersistentRDDs()
+        for k in m.keySet().toArray():
+            m.get(k).unpersist(True)
+
     def time_one(name: str) -> None:
-        gc.collect()  # release prior queries' localCheckpoint RDDs
+        release_storage()
         start = time.perf_counter()
         run_full(qs[name](spark, sf_dir))
         samples[name].append(time.perf_counter() - start)
@@ -276,7 +291,7 @@ def main() -> None:
 
     pool = int(os.environ.get("SPARK_GRAFT_BENCH_POOL", "6"))
     errors = 0
-    gc.collect()
+    release_storage()  # start the sweep from a clean-storage session
     start = time.perf_counter()
     with ThreadPoolExecutor(pool) as ex:
         futs = {

@@ -39,14 +39,20 @@ def stream_upsert(
     available_now: bool = True,
     allow_non_idempotent: bool = False,
     query_name: str = "stream-upsert",
+    trigger_interval: str | None = None,
 ) -> StreamingQuery:
     """Continuously merge a streaming DataFrame into a keyed table.
 
     ``table``: any object with ``write(df, operation)`` — ManifestTable or
     MergeTable. ``available_now=True`` drains the backlog and stops
     (Trigger.AvailableNow — the batch-like deployment mode); ``False``
-    runs micro-batch triggers until stopped.
-    """
+    runs micro-batch triggers until stopped. ``trigger_interval``
+    (continuous mode only, e.g. "2 seconds") paces micro-batches: on a
+    MULTI-WRITER table, an as-fast-as-possible ingest loop commits at
+    the table's own commit latency and can starve a concurrent
+    maintenance writer's optimistic rebase loop — pace the ingest at or
+    above the maintenance writer's per-op latency (measured in
+    scripts/stress_manifest.py section 5)."""
     if operation in ("insert", "bulk_insert") and not allow_non_idempotent:
         raise ValueError(
             f"operation {operation!r} duplicates rows if a micro-batch "
@@ -66,4 +72,6 @@ def stream_upsert(
     )
     if available_now:
         writer = writer.trigger(availableNow=True)
+    elif trigger_interval:
+        writer = writer.trigger(processingTime=trigger_interval)
     return writer.start()
