@@ -101,69 +101,70 @@ def query(name: str, oracle: str | None):
 # The full catalog is still verified every round by scripts/driver_sim.py
 # regardless of window membership.
 _DRIVER_WINDOW = [
-    # Round-14 rotation, same policy as prior rounds: (1) queries ADDED
-    # this round (no driver row yet) go first; (2) queries whose CODE
-    # changed this round — the four ManifestTable-backed entries (r14
-    # ADVICE fixes: MOR key-only bloom pruning, predicate-DML rebase
-    # loops, restore retry, vacuum dir grace, persisted bloom config);
-    # (3) ALL 32 entries whose freshest driver verdict is r10
-    # (VERDICT r13 #1 — incl. the flagship q1_pricing_summary);
-    # (4) r11-scored fill, alphabetical, to exactly 50. The full
-    # catalog is still verified every round by scripts/driver_sim.py.
-    # -- (1) added in round 14 --
-    "multimodal_jpeg_pixels",
-    "multimodal_gif_pixels",
+    # Round-15 rotation (VERDICT r14 #1): (1) queries ADDED this round
+    # (no driver row yet); (2) queries whose CODE changed this round
+    # (html_extract_text grew the max_chars guard — default None, same
+    # semantics, but the driver row is the hard proof); (3) ALL 33
+    # entries whose freshest driver verdict is r11 — three rounds
+    # stale, the brief's headline item (precombine_dedup_lineitem is
+    # the A13 semantics row; q3/q5/q10/q13/q15/q17/q22; the window,
+    # set-op and events families); (4) r12-scored fill, alphabetical,
+    # to exactly 50. The full catalog is still verified every round by
+    # scripts/driver_sim.py.
+    # -- (1) added in round 15 --
+    "manifest_sql_select",
+    "multimodal_flac_samples",
+    # -- (2) changed in round 15 (html_extract_text max_chars) --
     "text_html_extract",
-    "corpus_url_canonicalize",
     "corpus_crawl_prep",
-    "manifest_clone_divergence",
-    "multimodal_wav_samples",
-    # -- (2) changed in round 14 (ManifestTable fixes) --
-    "manifest_point_lookup",
-    "manifest_incremental_pull",
-    "manifest_cdc_aggregate",
-    "streaming_drift_buckets",
-    # -- (3) freshest driver verdict r10 --
-    "agg_rollup_region_nation",
-    "asof_join_purchase_view",
-    "cross_join_region_types",
-    "dedup_embedding_cosine",
-    "dedup_embedding_cosine_exact",
-    "dedup_ngram_jaccard",
-    "distinct_projection",
-    "explode_word_counts",
-    "filter_predicate_family",
-    "from_json_typed",
-    "join_full_outer",
-    "join_left_anti",
-    "join_left_semi",
-    "join_sort_merge_hint",
-    "manifest_mor_resolve",
-    "q14_promo_revenue_ratio",
-    "q18_large_volume_customers",
-    "q19_disjunctive_revenue",
-    "q1_pricing_summary",
-    "q4_late_order_priority",
-    "q6_forecast_revenue",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "range_join_purchase_clicks",
-    "scalar_case_banding",
-    "scalar_date_funcs",
-    "scalar_json_extract",
-    "scalar_string_funcs",
-    "similarity_pq_adc",
-    "text_gopher_repetition",
-    "union_missing_columns",
-    "window_range_frame",
-    # -- (4) r11-scored fill (alphabetical) --
-    "agg_collect_sorted",
-    "agg_median_price",
-    "applyinpandas_zscore",
-    "array_functions",
-    "corpus_prep_pipeline",
-    "dedup_exact_documents",
-    "dedup_simhash",
+    # -- (3) freshest driver verdict r11 --
+    "embedding_quantize_int8",
+    "events_cohort_retention",
+    "events_funnel",
+    "events_resample_ffill",
+    "events_rolling_anomaly",
+    "join_broadcast_dim",
+    "join_salted_skew",
+    "pivot_status_by_priority",
+    "precombine_dedup_lineitem",
+    "q10_returned_items",
+    "q13_customer_order_distribution",
+    "q15_top_supplier",
+    "q17_small_quantity_revenue",
+    "q22_idle_customer_balance",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "sampling_exact_k",
+    "session_window_batch",
+    "set_except_all",
+    "set_except_parts",
+    "set_intersect_all",
+    "set_intersect_nations",
+    "set_union_entities",
+    "sliding_window_events",
+    "stat_regression_by_group",
+    "text_lang_id",
+    "theta_join_regions",
+    "topk_global_lineitems",
+    "tumbling_window_events",
+    "variant_semi_structured",
+    "window_lag_lead",
+    "window_rank_orders",
+    "window_running_invested",
+    # -- (4) r12-scored fill (alphabetical) --
+    "agg_hll_sketch",
+    "applyinarrow_flag_stats",
+    "cogroup_order_fulfillment",
+    "corpus_domain_cap",
+    "dedup_cluster_canonical",
+    "dedup_incremental_batch",
+    "dedup_incremental_indexed",
+    "dedup_minhash_lsh",
+    "dedup_semantic",
+    "drift_token_distribution",
+    "drift_top_divergent_tokens",
+    "embedding_decontaminate",
+    "embedding_incremental_admit",
 ]
 
 
