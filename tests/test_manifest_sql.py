@@ -234,3 +234,56 @@ def test_mor_meta_column_clash_is_loud(spark, tmp_path):
     t.write(spark.createDataFrame([(1, 2)], "k int, _sup int"), "upsert")
     with pytest.raises(ValueError, match="_sup"):
         t.snapshot_sql()
+
+
+def test_view_plan_pushdown_and_pruning(spark, cow):
+    """The registered view must be TRANSPARENT to Catalyst: a predicate
+    over the view reaches the parquet scan (PushedFilters), the scan
+    reads only referenced columns (ReadSchema pruning), and a same-
+    schema COW snapshot collapses into ONE multi-file scan (the
+    brace-glob group), not one scan per file."""
+    for i in range(3):
+        cow.write(
+            make_df(spark, [(f"T{i}", TS1, "BTCGBP", float(i))]),
+            "bulk_insert" if i == 0 else "insert",
+        )
+    cow.register("mt_plan")
+    try:
+        plan = (
+            spark.sql(
+                "SELECT transaction_id, price FROM mt_plan WHERE price > 1.0"
+            )
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert plan.count("FileScan") == 1  # one glob scan, not per-file
+        assert "PushedFilters: [IsNotNull(price), GreaterThan(price,1.0)" in plan
+        scan_line = next(l for l in plan.splitlines() if "FileScan" in l)
+        assert "close_time" not in scan_line and "pair" not in scan_line
+    finally:
+        cow.unregister("mt_plan")
+
+
+def test_mor_view_plan_keeps_window_and_pushes_partition_filter(spark, mor):
+    """MOR views resolve latest-per-key via a window; a filter on a
+    window PARTITION column (here the table's partition col) still
+    pushes below it into the scans — the pruning a partition-targeted
+    query needs at scale."""
+    mor.write(
+        make_df(spark, [("T1", TS1, "BTCGBP", 1.0), ("T2", TS1, "ETHGBP", 2.0)]),
+        "bulk_insert",
+    )
+    mor.write(make_df(spark, [("T1", TS1, "BTCGBP", 9.0)]), "upsert")
+    mor.register("mt_mor_plan")
+    try:
+        plan = (
+            spark.sql("SELECT price FROM mt_mor_plan WHERE pair = 'BTCGBP'")
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "Window" in plan  # resolution survives into the plan
+        assert "EqualTo(pair,BTCGBP)" in plan  # pushed into the scans
+    finally:
+        mor.unregister("mt_mor_plan")
