@@ -114,6 +114,7 @@ _DRIVER_WINDOW = [
     # -- (1) added in round 15 --
     "manifest_sql_select",
     "multimodal_flac_samples",
+    "multimodal_mp3_meta",
     # -- (2) changed in round 15 (html_extract_text max_chars) --
     "text_html_extract",
     "corpus_crawl_prep",
@@ -164,7 +165,6 @@ _DRIVER_WINDOW = [
     "drift_token_distribution",
     "drift_top_divergent_tokens",
     "embedding_decontaminate",
-    "embedding_incremental_admit",
 ]
 
 
@@ -5324,6 +5324,125 @@ def multimodal_flac_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("media_id")
     )
+
+
+@query(
+    "multimodal_mp3_meta",
+    """
+    WITH d AS (
+      SELECT doc_id AS media_id,
+             CASE doc_id % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000
+                  ELSE 32000 END AS sample_rate,
+             CAST(doc_id % 2 + 1 AS INT) AS channels,
+             doc_id % 25 + 8 AS n_frames,
+             CASE doc_id % 3 WHEN 0 THEN 128 WHEN 1 THEN 192
+                  ELSE 320 END AS kbps,
+             (doc_id % 5 = 0) AS vbr
+      FROM documents
+      WHERE doc_id % 8 = 1
+    ),
+    frames AS (
+      SELECT d.media_id, d.sample_rate, d.channels, d.n_frames, d.vbr,
+             CASE WHEN d.vbr AND i.i % 2 = 1
+                  THEN CASE WHEN d.kbps = 320 THEN 128 ELSE 320 END
+                  ELSE d.kbps END AS fk
+      FROM d, range(0, 33) i(i)
+      WHERE i.i < d.n_frames
+    ),
+    sized AS (
+      SELECT media_id, sample_rate, channels, n_frames, vbr, fk,
+             CAST(FLOOR(144 * fk * 1000.0 / sample_rate) AS BIGINT)
+               AS fbytes
+      FROM frames
+    )
+    SELECT media_id,
+           'mp3' AS format,
+           'MPEG1' AS version,
+           MIN(sample_rate) AS sample_rate,
+           MIN(channels) AS channels,
+           CAST(COUNT(*) AS BIGINT) AS n_frames,
+           CAST(FLOOR(COUNT(*) * 1152000.0 / MIN(sample_rate)) AS BIGINT)
+             AS duration_ms,
+           CAST(SUM(fbytes) AS BIGINT) AS audio_bytes,
+           CAST(FLOOR(SUM(fk * fbytes) * 1.0 / SUM(fbytes) + 0.5) AS INT)
+             AS bitrate_kbps,
+           BOOL_OR(vbr) AS is_vbr
+    FROM sized
+    GROUP BY media_id
+    ORDER BY media_id
+    """,
+)
+def multimodal_mp3_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MP3 stream metadata via the full frame walk (r15 — compressed-
+    audio METADATA joins the MP4 box walk; ISO/IEC 11172-3 header
+    layer, operators/multimodal.parse_mp3_meta). Per selected doc a
+    structurally-real Layer III stream is planted — ID3v2 tag of
+    varying syncsafe size, CBR at 128/192/320 kbps cycling with the
+    sample rate, every 5th doc genuinely VBR (alternating per-frame
+    bitrates) — and the walk must skip the tag, validate EVERY frame
+    header, and sum exact per-frame sizes and sample counts. The
+    oracle recomputes frame-by-frame from the planted parameters
+    (per-frame explode, floor'd slot sizes, size-weighted mean
+    bitrate), so a hash match proves the walk measures frames rather
+    than estimating from the first header — the difference between
+    VBR-correct and VBR-wrong duration. Audio payload stays undecoded
+    (honest scope: sample decode is WAV/FLAC's job)."""
+    from dca_manager_spark.operators.multimodal import (
+        encode_mp3_frames,
+        mp3_meta,
+    )
+
+    docs = (
+        t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 8 == 1)
+        .select(
+            F.col("doc_id").alias("media_id"),
+            (F.col("doc_id") % 3).alias("rsel"),
+            (F.col("doc_id") % 2 + 1).alias("ch"),
+            (F.col("doc_id") % 25 + 8).alias("n_frames"),
+            (F.col("doc_id") % 5 == 0).alias("vbr"),
+        )
+    )
+
+    @F.pandas_udf("binary")
+    def make_mp3(rsel, ch, n_frames, vbr):
+        import pandas as pd
+
+        rates = {0: 44100, 1: 48000, 2: 32000}
+        base = {0: 128, 1: 192, 2: 320}
+        out = []
+        for r, c, nf, v in zip(rsel, ch, n_frames, vbr):
+            kbps = base[int(r)]
+            alt = 128 if kbps == 320 else 320
+            bl = [
+                alt if (bool(v) and i % 2 == 1) else kbps
+                for i in range(int(nf))
+            ]
+            out.append(
+                encode_mp3_frames(
+                    3, rates[int(r)], int(c), bl,
+                    id3_payload=bytes(int(nf) * 11),
+                    protection=bool(v),
+                )
+            )
+        return pd.Series(out)
+
+    media = docs.select(
+        "media_id", make_mp3("rsel", "ch", "n_frames", "vbr").alias("content")
+    )
+    out = mp3_meta(media)
+    return out.select(
+        "media_id",
+        F.col("audio.format").alias("format"),
+        F.col("audio.version").alias("version"),
+        F.col("audio.sample_rate").alias("sample_rate"),
+        F.col("audio.channels").alias("channels"),
+        F.col("audio.n_frames").alias("n_frames"),
+        F.col("audio.duration_ms").alias("duration_ms"),
+        F.col("audio.audio_bytes").alias("audio_bytes"),
+        F.col("audio.bitrate_kbps").alias("bitrate_kbps"),
+        F.col("audio.is_vbr").alias("is_vbr"),
+    ).orderBy("media_id")
 
 
 @query(

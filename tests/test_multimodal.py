@@ -892,3 +892,84 @@ def test_wav_samples_spark_plumbing(spark):
         r = got[i]
         assert (r.channels, r.sample_rate, r.bits) == (1, 16000, bits)
         assert list(r.samples) == samples
+
+
+# -- MP3 frame walk (r15) ---------------------------------------------------
+
+
+def test_mp3_walk_cbr_exact_and_id3_skip():
+    from dca_manager_spark.operators.multimodal import (
+        _mp3_frame_len,
+        encode_mp3_frames,
+        parse_mp3_meta,
+    )
+
+    blob = encode_mp3_frames(3, 44100, 2, [128] * 10, id3_payload=b"t" * 300)
+    assert parse_mp3_meta(blob) == (
+        "mp3", "MPEG1", 44100, 2, 10,
+        10 * 1152 * 1000 // 44100,
+        10 * _mp3_frame_len(3, 128, 44100, 0),
+        128, False,
+    )
+    # the walk measures every frame: trailing garbage is loud, not ignored
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="sync|trailing"):
+        parse_mp3_meta(blob + b"\x00\x01")
+
+
+def test_mp3_walk_vbr_duration_is_frame_exact():
+    """A first-frame-only estimator reads a 64/128 VBR stream as all-64;
+    the walk must sum real frame sizes and samples."""
+    from dca_manager_spark.operators.multimodal import (
+        encode_mp3_frames,
+        parse_mp3_meta,
+    )
+
+    blob = encode_mp3_frames(2, 16000, 1, [64, 128] * 5, protection=True)
+    fmt, ver, rate, ch, n, dur, nbytes, kbps, vbr = parse_mp3_meta(blob)
+    assert (ver, rate, ch, n, vbr) == ("MPEG2", 16000, 1, 10, True)
+    assert dur == 10 * 576 * 1000 // 16000  # LSF: 576 samples/frame
+    s64, s128 = 72 * 64000 // 16000, 72 * 128000 // 16000
+    assert nbytes == 5 * s64 + 5 * s128
+    assert kbps == int((64 * s64 * 5 + 128 * s128 * 5) / nbytes + 0.5)
+
+
+def test_mp3_walk_is_loud_on_corruption():
+    import pytest as _pt
+
+    from dca_manager_spark.operators.multimodal import (
+        encode_mp3_frames,
+        parse_mp3_meta,
+    )
+
+    good = encode_mp3_frames(3, 48000, 2, [192] * 4)
+    with _pt.raises(ValueError, match="truncated"):
+        parse_mp3_meta(good[:-5])
+    with _pt.raises(ValueError, match="sync"):
+        parse_mp3_meta(b"\x12\x34" + good)
+    with _pt.raises(ValueError, match="no MP3 frames"):
+        parse_mp3_meta(b"ID3" + bytes([4, 0, 0, 0, 0, 0, 4]) + b"abcd")
+    # mid-stream sample-rate flip: two valid streams concatenated
+    other = encode_mp3_frames(3, 32000, 2, [192] * 2)
+    with _pt.raises(ValueError, match="mid-stream"):
+        parse_mp3_meta(good + other)
+    with _pt.raises(ValueError, match="not syncsafe"):
+        parse_mp3_meta(b"ID3" + bytes([4, 0, 0, 0x80, 0, 0, 0]))
+
+
+def test_mp3_meta_operator(spark):
+    from dca_manager_spark.operators.multimodal import (
+        encode_mp3_frames,
+        mp3_meta,
+    )
+
+    rows = [
+        (1, encode_mp3_frames(3, 44100, 2, [128] * 6)),
+        (2, encode_mp3_frames(3, 32000, 1, [320, 128] * 4, id3_payload=b"z" * 64)),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, content binary")
+    got = {r.media_id: r.audio for r in mp3_meta(df).collect()}
+    assert got[1].n_frames == 6 and got[1].is_vbr is False
+    assert got[2].n_frames == 8 and got[2].is_vbr is True
+    assert got[2].channels == 1 and got[2].sample_rate == 32000
