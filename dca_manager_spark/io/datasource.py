@@ -38,13 +38,17 @@ cover the reference's CONTROL-PLANE inputs, which are KB-sized):
 from __future__ import annotations
 
 import json
+import uuid
 from pathlib import Path
 
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     DataSourceStreamReader,
+    DataSourceStreamWriter,
+    DataSourceWriter,
     InputPartition,
+    WriterCommitMessage,
 )
 from pyspark.sql.types import StringType, StructField, StructType
 
@@ -56,6 +60,7 @@ def register_python_sources(spark) -> None:
     spark.dataSource.register(DcaConfigDataSource)
     spark.dataSource.register(FileQueueDataSource)
     spark.dataSource.register(ManifestChangesDataSource)
+    spark.dataSource.register(ManifestWriteDataSource)
 
 
 # ---------------------------------------------------------------------------
@@ -401,3 +406,234 @@ class ManifestChangesDataSource(DataSource):
         ]
         reader._arrow_schema = to_arrow_schema(schema)
         return reader
+
+
+# -- dca_manifest (batch + streaming WRITE): the lakehouse table as a -----
+# -- Spark-native sink ----------------------------------------------------
+#
+# ``df.write.format("dca_manifest").option("path", p).save()`` commits an
+# APPEND to a ManifestTable through Spark's own writer lifecycle, mapping
+# 1:1 onto the manifest commit protocol (io/manifest.py module doc):
+#
+# - every task writes its rows as immutable parquet PUTs into the job's
+#   fresh ``data/commit-<uuid>/`` dir (executor-parallel, no driver
+#   bottleneck, pyarrow with the exact Arrow schema of the declared
+#   Spark schema so types round-trip);
+# - Spark hands ONLY successful task attempts' commit messages to the
+#   driver-side ``commit()`` — failed/speculative attempts' files are
+#   never referenced (the vacuum orphan grace window reclaims them);
+# - ``commit()`` is the atomic publish: merged-schema check + manifest
+#   put-if-absent, with a bounded rebase loop on lost races (append
+#   content is position-independent, so rebase = re-publish on the new
+#   head);
+# - ``abort()`` best-effort deletes the written files.
+#
+# The STREAMING writer adds replay idempotence: each micro-batch's
+# publish records its batch id in the manifest, and a replayed
+# ``commit(batch N)`` (crash after publish, before Spark's checkpoint
+# marked N done) finds N among the retained manifests and SKIPS the
+# duplicate publish — its rewritten files stay unreferenced orphans for
+# vacuum. At-least-once task replay + exactly-once publish = an
+# exactly-once append sink with no foreachBatch needed.
+#
+# Scope: APPEND only. mode("overwrite") raises — replacement without
+# tombstones would silently break CDC/replica consumers; keyed semantics
+# (upsert/delete) need the table handle's merge paths. Bloom/cluster
+# write options likewise live on ManifestTable.write.
+
+
+class _ManifestFilesMessage(WriterCommitMessage):
+    def __init__(self, entries: list):
+        self.entries = entries
+
+
+class _ManifestWriterBase:
+    def __init__(self, options, schema, overwrite: bool):
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        from dca_manager_spark.io.manifest import ManifestTable
+
+        if overwrite:
+            raise ValueError(
+                "dca_manifest is an APPEND sink: mode('overwrite') would "
+                "replace content without delete capture and break CDC "
+                "consumers — use ManifestTable.write/delete_where/restore "
+                "for keyed or replacement semantics"
+            )
+        path = options.get("path")
+        if not path:
+            raise ValueError("dca_manifest requires a 'path' option")
+        self.path = path
+        self.partition_by = [
+            c for c in options.get("partition_by", "").split(",") if c
+        ]
+        self.retries = int(options.get("retries", "10"))
+        names = {f.name for f in schema.fields}
+        missing = [c for c in self.partition_by if c not in names]
+        if missing:
+            raise ValueError(
+                f"partition_by columns {missing} absent from the write "
+                f"schema {sorted(names)}"
+            )
+        for c in self.partition_by:
+            t = schema[c].dataType.typeName()
+            if t not in ManifestTable._PARTITIONABLE:
+                raise ValueError(
+                    f"partition column {c!r} has type {t}; supported: "
+                    f"{ManifestTable._PARTITIONABLE} (canonical-rendering "
+                    "rule, see io/manifest._partition_key)"
+                )
+        self.schema = schema
+        self.arrow_schema = to_arrow_schema(schema)
+        self.commit_dir = f"data/commit-{uuid.uuid4().hex}"
+
+    # -- executor side ------------------------------------------------
+    def write(self, iterator):
+        import pandas as pd
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        from urllib.parse import quote
+
+        rows = list(iterator)
+        if not rows:
+            return _ManifestFilesMessage([])
+        pdf = pd.DataFrame(rows, columns=self.schema.names)
+        tbl = pa.Table.from_pandas(
+            pdf, schema=self.arrow_schema, preserve_index=False
+        )
+        from dca_manager_spark.io.manifest import _partition_key
+
+        if self.partition_by:
+            import pyarrow.compute as pc
+
+            keys = list(
+                zip(*[
+                    [
+                        _partition_key(v.as_py() if hasattr(v, "as_py") else v)
+                        for v in tbl.column(c)
+                    ]
+                    for c in self.partition_by
+                ])
+            )
+            groups: dict[tuple, list[int]] = {}
+            for i, k in enumerate(keys):
+                groups.setdefault(k, []).append(i)
+            parts = [
+                (dict(zip(self.partition_by, k)), tbl.take(idx))
+                for k, idx in sorted(groups.items(), key=lambda kv: str(kv[0]))
+            ]
+        else:
+            parts = [({}, tbl)]
+        entries = []
+        for partition, sub in parts:
+            dirs = "/".join(
+                f"__part_{c}=" + (
+                    "__HIVE_DEFAULT_PARTITION__" if v is None
+                    else quote(v, safe="")
+                )
+                for c, v in partition.items()
+            )
+            rel = "/".join(
+                x for x in (self.commit_dir, dirs,
+                            f"part-{uuid.uuid4().hex}.parquet") if x
+            )
+            target = Path(self.path) / rel
+            target.parent.mkdir(parents=True, exist_ok=True)
+            pq.write_table(sub, str(target))
+            entries.append({"path": rel, "partition": partition})
+        return _ManifestFilesMessage(entries)
+
+    # -- driver side ----------------------------------------------------
+    def _entries(self, messages) -> list[dict]:
+        return [e for m in messages if m is not None for e in m.entries]
+
+    def _table(self):
+        from dca_manager_spark.io.manifest import ManifestTable
+
+        return ManifestTable(
+            None, self.path, keys=("__unused",), precombine="__unused",
+            partition_by=tuple(self.partition_by),
+        )
+
+    def _publish_append(self, entries: list[dict], extra: dict | None) -> None:
+        table = self._table()
+        paths = [e["path"] for e in entries]
+        for attempt in range(self.retries + 1):
+            prev = table._latest_manifest()
+            prev_id, prev_doc = (prev[0], prev[1]) if prev else (None, None)
+            prev_files = prev_doc["files"] if prev_doc else []
+            if extra and self._already_published(table, extra):
+                return  # replayed micro-batch: publish is already durable
+            schema_json = table._merge_schema_json(prev_doc, self.schema)
+            try:
+                table._publish(
+                    prev_id,
+                    prev_files + entries,
+                    schema_json,
+                    changes={"upserts": paths, "deletes": []},
+                    op="append",
+                    extra=extra,
+                )
+                return
+            except FileExistsError:
+                if attempt == self.retries:
+                    raise
+                table.rebase_count += 1
+
+    @staticmethod
+    def _already_published(table, extra: dict) -> bool:
+        batch = extra.get("stream_batch")
+        sink = extra.get("stream_sink")
+        for mid in reversed(table._manifest_ids()):
+            doc = table._load_manifest(mid)
+            if doc.get("stream_batch") == batch and doc.get("stream_sink") == sink:
+                return True
+        return False
+
+    def _abort(self, messages) -> None:
+        for e in self._entries(messages):
+            (Path(self.path) / e["path"]).unlink(missing_ok=True)
+
+
+class ManifestBatchWriter(_ManifestWriterBase, DataSourceWriter):
+    def commit(self, messages) -> None:
+        self._publish_append(self._entries(messages), extra=None)
+
+    def abort(self, messages) -> None:
+        self._abort(messages)
+
+
+class ManifestStreamWriter(_ManifestWriterBase, DataSourceStreamWriter):
+    def __init__(self, options, schema, overwrite):
+        super().__init__(options, schema, overwrite)
+        # one logical sink identity per checkpointed query: lets two
+        # different streams share a table without colliding batch ids
+        self.sink_id = options.get("sink_id", "default")
+
+    def commit(self, messages, batchId: int) -> None:
+        self._publish_append(
+            self._entries(messages),
+            extra={"stream_batch": int(batchId), "stream_sink": self.sink_id},
+        )
+
+    def abort(self, messages, batchId: int) -> None:
+        self._abort(messages)
+
+
+class ManifestWriteDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "dca_manifest"
+
+    def schema(self) -> StructType:
+        raise ValueError(
+            "dca_manifest is a WRITE-side source; read a ManifestTable "
+            "through ManifestTable.read() or its registered SQL view "
+            "(ManifestTable.register)"
+        )
+
+    def writer(self, schema: StructType, overwrite: bool) -> DataSourceWriter:
+        return ManifestBatchWriter(self.options, schema, overwrite)
+
+    def streamWriter(self, schema: StructType, overwrite: bool):
+        return ManifestStreamWriter(self.options, schema, overwrite)

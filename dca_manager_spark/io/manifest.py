@@ -421,6 +421,7 @@ class ManifestTable:
         schema_json: str,
         changes: dict | None = None,
         op: str = "unknown",
+        extra: dict | None = None,
     ) -> int:
         """Atomic put-if-absent of the next manifest. O_EXCL is the local
         analogue of an S3 conditional PUT; a concurrent writer losing the
@@ -443,6 +444,11 @@ class ManifestTable:
             "changes": changes or {"upserts": [], "deletes": []},
             "op": op,
         }
+        if extra:
+            # commit-scoped metadata (e.g. the stream writer's batch id
+            # for replay idempotence) — reserved keys stay reserved
+            assert not set(extra) & set(doc), set(extra) & set(doc)
+            doc.update(extra)
         if self.bloom_by:
             # persist the bloom config so plain handles inherit it
             # (see __init__ / _sync_bloom_config)
@@ -1443,16 +1449,22 @@ class ManifestTable:
             self._merge(df, keep_batch=False, prev=prev)
 
     def _merged_schema_json(self, prev_doc: dict | None, df: DataFrame) -> str:
+        return self._merge_schema_json(prev_doc, df.schema)
+
+    @staticmethod
+    def _merge_schema_json(prev_doc: dict | None, batch_schema) -> str:
         """Committed schema for the next commit: previous fields plus any
         NEW batch fields appended (nullable) — the same union-evolution
-        the COW merge path gets from unionByName."""
+        the COW merge path gets from unionByName. Static and
+        SparkSession-free so the DataSource writer's driver-side commit
+        (io/datasource.py) can reuse it."""
         if prev_doc is None:
-            return df.schema.json()
+            return batch_schema.json()
         from pyspark.sql.types import StructField, StructType
 
         prev = StructType.fromJson(json.loads(prev_doc["schema"]))
         by_name = {f.name: f for f in prev.fields}
-        batch_by_name = {f.name: f for f in df.schema.fields}
+        batch_by_name = {f.name: f for f in batch_schema.fields}
         # An overlapping batch field with a DIFFERENT physical dataType
         # must fail LOUDLY here, before publish: the commit's parquet
         # files hold the batch type while the committed schema would keep
@@ -1467,7 +1479,7 @@ class ManifestTable:
         conflicts = [
             (f.name, by_name[f.name].dataType.simpleString(),
              f.dataType.simpleString())
-            for f in df.schema.fields
+            for f in batch_schema.fields
             if f.name in by_name
             and _nullable_normalized(by_name[f.name].dataType)
             != _nullable_normalized(f.dataType)
@@ -1507,7 +1519,7 @@ class ManifestTable:
             else:
                 kept.append(f)
         merged = StructType(
-            kept + [f for f in df.schema.fields if f.name not in by_name]
+            kept + [f for f in batch_schema.fields if f.name not in by_name]
         )
         return merged.json()
 

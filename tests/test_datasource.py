@@ -370,3 +370,139 @@ def test_table_changes_starting_commit_and_vacuum_gap_is_loud(registered, tmp_pa
 
     with pytest.raises(Exception, match="vacuumed away|gap"):
         _drain_changes(registered, tmp_path / "t", tmp_path / "ck2")
+
+
+# -- dca_manifest: the lakehouse table as a Spark-native WRITE sink -------
+
+
+def _mtable(spark, path, partition_by=("pair",)):
+    import datetime
+
+    from dca_manager_spark.io.manifest import ManifestTable
+
+    return ManifestTable(
+        spark, str(path),
+        keys=("transaction_id",), precombine="price",
+        partition_by=partition_by,
+    )
+
+
+def test_manifest_sink_batch_append(registered, tmp_path):
+    """df.write.format('dca_manifest') commits an append through Spark's
+    writer lifecycle: executor-written files, one atomic manifest
+    publish, readable by the normal table handle with partition pruning
+    intact."""
+    spark = registered
+    df = spark.createDataFrame(
+        [("T1", "BTCGBP", 1.0), ("T2", "ETHGBP", 2.0), ("T3", "BTCGBP", 3.0)],
+        "transaction_id string, pair string, price double",
+    )
+    (df.repartition(3).write.format("dca_manifest")
+       .option("path", str(tmp_path / "t"))
+       .option("partition_by", "pair").mode("append").save())
+    t = _mtable(spark, tmp_path / "t")
+    assert t.commits() == [0]
+    got = {(r.transaction_id, r.price) for r in t.read().collect()}
+    assert got == {("T1", 1.0), ("T2", 2.0), ("T3", 3.0)}
+    # manifest-level partition pruning works on sink-written entries
+    btc = t.read(partition_filter={"pair": "BTCGBP"})
+    assert {r.transaction_id for r in btc.collect()} == {"T1", "T3"}
+    # second append via the sink + one via the handle: same table
+    df2 = spark.createDataFrame(
+        [("T4", "BTCGBP", 4.0)], "transaction_id string, pair string, price double"
+    )
+    df2.write.format("dca_manifest").option("path", str(tmp_path / "t")) \
+       .option("partition_by", "pair").mode("append").save()
+    from pyspark.sql import functions as F
+
+    t.write(df2.withColumn("transaction_id", F.lit("T5")), "insert")
+    assert t.read().count() == 5
+    assert t.commits() == [0, 1, 2]
+
+
+def test_manifest_sink_schema_evolution_and_conflict(registered, tmp_path):
+    spark = registered
+    p = str(tmp_path / "t")
+    spark.createDataFrame(
+        [("T1", "BTCGBP", 1.0)], "transaction_id string, pair string, price double"
+    ).write.format("dca_manifest").option("path", p) \
+     .option("partition_by", "pair").mode("append").save()
+    # new column appends nullable (union evolution)
+    spark.createDataFrame(
+        [("T2", "ETHGBP", 2.0, "kraken")],
+        "transaction_id string, pair string, price double, venue string",
+    ).write.format("dca_manifest").option("path", p) \
+     .option("partition_by", "pair").mode("append").save()
+    t = _mtable(spark, tmp_path / "t")
+    got = {(r.transaction_id, r.venue) for r in t.read().collect()}
+    assert got == {("T1", None), ("T2", "kraken")}
+    # physical type conflict fails LOUDLY at commit, nothing published
+    before = t.commits()
+    with pytest.raises(Exception, match="schema conflict"):
+        spark.createDataFrame(
+            [("T3", "BTCGBP", 3)],  # price long, table has double
+            "transaction_id string, pair string, price long",
+        ).write.format("dca_manifest").option("path", p) \
+         .option("partition_by", "pair").mode("append").save()
+    assert t.commits() == before
+
+
+def test_manifest_sink_guards(registered, tmp_path):
+    spark = registered
+    df = spark.createDataFrame([("T1", 1.0)], "transaction_id string, price double")
+    with pytest.raises(Exception, match="APPEND sink"):
+        df.write.format("dca_manifest").option("path", str(tmp_path / "t")) \
+          .mode("overwrite").save()
+    with pytest.raises(Exception, match="absent from the write"):
+        df.write.format("dca_manifest").option("path", str(tmp_path / "t")) \
+          .option("partition_by", "nope").mode("append").save()
+    with pytest.raises(Exception, match="partition column"):
+        df.write.format("dca_manifest").option("path", str(tmp_path / "t")) \
+          .option("partition_by", "price").mode("append").save()  # double
+
+
+def test_manifest_sink_streaming_exactly_once(registered, tmp_path):
+    """writeStream.format('dca_manifest'): micro-batches append with the
+    batch id recorded in the manifest; a REPLAYED commit (same batch id,
+    same sink id) is skipped, so restart duplication cannot happen."""
+    spark = registered
+    p = str(tmp_path / "t")
+    src = str(tmp_path / "src")
+    schema = "transaction_id string, pair string, price double"
+    spark.createDataFrame([("T1", "BTCGBP", 1.0)], schema).write.json(src)
+
+    def drain():
+        q = (
+            spark.readStream.schema(schema).json(src)
+            .writeStream.format("dca_manifest")
+            .option("path", p)
+            .option("partition_by", "pair")
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    drain()
+    t = _mtable(spark, tmp_path / "t")
+    assert t.read().count() == 1
+    doc = t._load_manifest(t.commits()[-1])
+    assert doc["stream_batch"] == 0 and doc["op"] == "append"
+
+    # simulate the crash-after-publish replay: re-commit batch 0
+    from dca_manager_spark.io.datasource import ManifestStreamWriter
+
+    w = ManifestStreamWriter(
+        {"path": p, "partition_by": "pair"},
+        t.read().schema, False,
+    )
+    w.commit([], batchId=0)  # replay -> must detect and skip
+    assert t.commits() == [0]
+    assert t.read().count() == 1
+
+    # new data while the stream is down -> exactly the new rows land
+    spark.createDataFrame([("T2", "ETHGBP", 2.0)], schema) \
+        .write.mode("append").json(src)
+    drain()
+    assert t.read().count() == 2
+    assert t._load_manifest(t.commits()[-1])["stream_batch"] == 1
