@@ -221,7 +221,7 @@ def test_round_trip_any_signal(data, channels, bits, n_frames):
 
 
 def test_round_trip_extreme_values_all_depths():
-    for bits in (8, 16, 24, 32):
+    for bits in (8, 12, 16, 20, 24, 32):
         lo, hi = -(1 << (bits - 1)), (1 << (bits - 1)) - 1
         sig = [lo, hi, lo, hi, 0, -1, 1, lo, hi, 0] * 10
         blob = encode_flac(2, 48000, bits, sig, block_size=16)
