@@ -931,6 +931,78 @@ def mp3_meta(df: DataFrame, content_col: str = "content", out_col: str = "audio"
     return df.withColumn(out_col, meta(F.col(content_col)))
 
 
+AUDIO_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("container", T.StringType(), True),
+        T.StructField("channels", T.LongType(), True),
+        T.StructField("sample_rate", T.LongType(), True),
+        T.StructField("n_samples", T.LongType(), True),
+        T.StructField("duration_ms", T.LongType(), True),
+        T.StructField("s_sum", T.LongType(), True),
+        T.StructField("integrity", T.BooleanType(), True),
+    ]
+)
+
+
+def audio_media_stats(content: bytes | None) -> tuple:
+    """Unified audio stats for ANY supported audio payload — dispatches
+    on the magic bytes to PCM WAV decode, FLAC decode, or the MP3 frame
+    walk, and returns one contract regardless of container:
+    (container, channels, sample_rate, n_samples interleaved,
+    duration_ms, s_sum or None, integrity). ``s_sum`` is the exact
+    decoded-sample sum where decode exists (WAV/FLAC) and None for the
+    metadata-only walk (MP3 — the frozen perceptual-codec scope);
+    ``integrity`` is FLAC's in-band MD5 verdict, parse-success
+    elsewhere. The audio twin of ``media_image_decoder``; unknown
+    payloads raise."""
+    if content is None:
+        raise ValueError("null audio content")
+    b = bytes(content)
+    if b[:4] == b"RIFF":
+        ch, rate, _bits, samples = decode_wav_samples(b)
+        return ("wav", ch, rate, len(samples),
+                len(samples) // ch * 1000 // rate, sum(samples), True)
+    if b[:4] == b"fLaC":
+        from dca_manager_spark.operators.flac import decode_flac_samples
+
+        ch, rate, _bits, samples, md5_ok = decode_flac_samples(b)
+        return ("flac", ch, rate, len(samples),
+                len(samples) // ch * 1000 // rate, sum(samples), md5_ok)
+    if b[:3] == b"ID3" or (len(b) >= 2 and b[0] == 0xFF and b[1] & 0xE0 == 0xE0):
+        _f, ver, rate, ch, n_frames, dur, _nb, _kbps, _vbr = parse_mp3_meta(b)
+        spf = 1152 if ver == "MPEG1" else 576
+        return ("mp3", ch, rate, n_frames * spf * ch, dur, None, True)
+    raise ValueError(
+        f"unrecognized audio payload (magic {b[:4]!r}) — WAV/FLAC/MP3 "
+        "supported"
+    )
+
+
+def audio_stats(
+    df: DataFrame,
+    content_col: str = "content",
+    id_col: str = "media_id",
+) -> DataFrame:
+    """Mixed-container audio corpus stats in one Arrow-batched pass —
+    the audio-modality twin of the crawl-prep extraction stage: decode
+    failures raise, stats aggregate JVM-side in the caller."""
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        names = ("container", "channels", "sample_rate", "n_samples",
+                 "duration_ms", "s_sum", "integrity")
+        for pdf in batches:
+            rows = {k: [] for k in ("media_id",) + names}
+            for mid, content in zip(pdf[id_col], pdf[content_col]):
+                out = audio_media_stats(content)
+                rows["media_id"].append(mid)
+                for k, v in zip(names, out):
+                    rows[k].append(v)
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(_decode, schema=AUDIO_STATS_SCHEMA)
+
+
 # -- PNG pixel decode (r13: the decode step stops being a stub) ----------
 #
 # A REAL pixel path, stdlib-only (zlib is the whole dependency): minimal

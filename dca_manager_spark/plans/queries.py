@@ -115,6 +115,7 @@ _DRIVER_WINDOW = [
     "manifest_sql_select",
     "multimodal_flac_samples",
     "multimodal_mp3_meta",
+    "corpus_audio_prep",
     # -- (2) changed in round 15 (html_extract_text max_chars) --
     "text_html_extract",
     "corpus_crawl_prep",
@@ -164,7 +165,6 @@ _DRIVER_WINDOW = [
     "dedup_semantic",
     "drift_token_distribution",
     "drift_top_divergent_tokens",
-    "embedding_decontaminate",
 ]
 
 
@@ -5443,6 +5443,117 @@ def multimodal_mp3_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("audio.bitrate_kbps").alias("bitrate_kbps"),
         F.col("audio.is_vbr").alias("is_vbr"),
     ).orderBy("media_id")
+
+
+@query(
+    "corpus_audio_prep",
+    """
+    WITH d AS (
+      SELECT doc_id AS media_id, doc_id % 3 AS csel,
+             CAST(doc_id % 2 + 1 AS BIGINT) AS ch,
+             doc_id % 30 + 10 AS nf,
+             doc_id % 199 AS seed
+      FROM documents
+      WHERE doc_id % 8 = 7
+    ),
+    pcm_s AS (
+      SELECT d.media_id,
+             SUM((d.seed * 3 + 11 * i.i) % 65536 - 32768) AS s_sum
+      FROM d, range(0, 120) i(i)
+      WHERE d.csel < 2 AND i.i < d.nf * d.ch
+      GROUP BY d.media_id
+    ),
+    clips AS (
+      SELECT d.media_id,
+             CASE d.csel WHEN 0 THEN 'wav' WHEN 1 THEN 'flac'
+                  ELSE 'mp3' END AS container,
+             CASE WHEN d.csel = 2 THEN d.nf * 1152 * 2
+                  ELSE d.nf * d.ch END AS n_samples,
+             CAST(CASE WHEN d.csel = 2
+                  THEN FLOOR(d.nf * 1152 * 1000.0 / 44100)
+                  ELSE FLOOR(d.nf * 1000.0 / 16000) END AS BIGINT)
+               AS duration_ms,
+             CASE WHEN d.csel = 2 THEN NULL ELSE s.s_sum END AS s_sum
+      FROM d LEFT JOIN pcm_s s ON s.media_id = d.media_id
+    )
+    SELECT container,
+           CAST(COUNT(*) AS BIGINT) AS n_clips,
+           CAST(SUM(n_samples) AS BIGINT) AS total_samples,
+           CAST(SUM(duration_ms) AS BIGINT) AS total_duration_ms,
+           CAST(SUM(s_sum) AS BIGINT) AS sum_signal,
+           TRUE AS all_ok
+    FROM clips
+    WHERE n_samples >= 30
+    GROUP BY container
+    ORDER BY container
+    """,
+)
+def corpus_audio_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed AUDIO-corpus prep pipeline (r15) — the audio twin of
+    corpus_crawl_prep: a mixed-container corpus (WAV / FLAC / MP3
+    cycling per doc, planted closed-form signals) flows through ONE
+    dispatch-decode pass (multimodal.audio_media_stats: magic-byte
+    routing to PCM decode, FLAC decode with its in-band MD5 verdict, or
+    the MP3 frame walk), then a JVM-side duration/sample quality gate
+    and per-container aggregation. The oracle recomputes every clip's
+    stats in closed form — decoded-sample sums for the lossless
+    containers, frame arithmetic for MP3 — so a hash match proves the
+    dispatch, all three decode paths, the unified stats contract, the
+    gate and the rollup in one plan. all_ok pins FLAC MD5 integrity
+    TRUE across the corpus."""
+    from dca_manager_spark.operators.flac import encode_flac
+    from dca_manager_spark.operators.multimodal import (
+        audio_stats,
+        encode_mp3_frames,
+        encode_wav,
+    )
+
+    docs = (
+        t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 8 == 7)
+        .select(
+            F.col("doc_id").alias("media_id"),
+            (F.col("doc_id") % 3).alias("csel"),
+            (F.col("doc_id") % 2 + 1).alias("ch"),
+            (F.col("doc_id") % 30 + 10).alias("nf"),
+            (F.col("doc_id") % 199).alias("seed"),
+        )
+    )
+
+    @F.pandas_udf("binary")
+    def make_audio(csel, ch, nf, seed):
+        import pandas as pd
+
+        out = []
+        for cs, c, n, sd in zip(csel, ch, nf, seed):
+            cs, c, n, sd = int(cs), int(c), int(n), int(sd)
+            if cs == 2:
+                out.append(encode_mp3_frames(3, 44100, 2, [192] * n))
+                continue
+            samples = [(sd * 3 + 11 * i) % 65536 - 32768
+                       for i in range(n * c)]
+            out.append(
+                encode_wav(c, 16000, 16, samples) if cs == 0
+                else encode_flac(c, 16000, 16, samples, block_size=16)
+            )
+        return pd.Series(out)
+
+    media = docs.select(
+        "media_id", make_audio("csel", "ch", "nf", "seed").alias("content")
+    )
+    return (
+        audio_stats(media)
+        .filter(F.col("n_samples") >= 30)
+        .groupBy("container")
+        .agg(
+            F.count(F.lit(1)).alias("n_clips"),
+            F.sum("n_samples").cast("long").alias("total_samples"),
+            F.sum("duration_ms").cast("long").alias("total_duration_ms"),
+            F.sum("s_sum").cast("long").alias("sum_signal"),
+            F.bool_and("integrity").alias("all_ok"),
+        )
+        .orderBy("container")
+    )
 
 
 @query(

@@ -973,3 +973,31 @@ def test_mp3_meta_operator(spark):
     assert got[1].n_frames == 6 and got[1].is_vbr is False
     assert got[2].n_frames == 8 and got[2].is_vbr is True
     assert got[2].channels == 1 and got[2].sample_rate == 32000
+
+
+def test_audio_media_stats_dispatch_unified_contract():
+    import pytest as _pt
+
+    from dca_manager_spark.operators.flac import encode_flac
+    from dca_manager_spark.operators.multimodal import (
+        audio_media_stats,
+        encode_mp3_frames,
+        encode_wav,
+    )
+
+    sig = [(7 * i) % 65536 - 32768 for i in range(20)]
+    wav = audio_media_stats(encode_wav(2, 16000, 16, sig))
+    flac = audio_media_stats(encode_flac(2, 16000, 16, sig, block_size=16))
+    assert wav == ("wav", 2, 16000, 20, 0, sum(sig), True)
+    assert flac == ("flac", 2, 16000, 20, 0, sum(sig), True)
+    mp3 = audio_media_stats(encode_mp3_frames(3, 44100, 2, [128] * 4))
+    assert mp3 == ("mp3", 2, 44100, 4 * 1152 * 2,
+                   4 * 1152 * 1000 // 44100, None, True)
+    # bare-sync MP3 (no ID3) dispatches too
+    assert audio_media_stats(
+        encode_mp3_frames(3, 44100, 1, [128] * 2)
+    )[0] == "mp3"
+    with _pt.raises(ValueError, match="unrecognized audio"):
+        audio_media_stats(b"OggS whatever")
+    with _pt.raises(ValueError, match="null audio"):
+        audio_media_stats(None)
