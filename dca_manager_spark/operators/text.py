@@ -135,6 +135,29 @@ def normalize_text(col: Column) -> Column:
     return F.regexp_replace(F.lower(col), r"[^a-z0-9]", "")
 
 
+def unicode_nfc(col: Column) -> Column:
+    """Unicode NFC normalization (r15) — the canonicalization step every
+    hashing/dedup stage needs BEFORE fingerprinting a real crawl: the
+    same visible text arrives both precomposed (U+00E9) and decomposed
+    (e + U+0301), and without NFC those are different md5s, different
+    shingles, different duplicates. Spark has no built-in normalizer
+    (java.text.Normalizer is not exposed to SQL), so this is an honest
+    Arrow-batched pandas_udf over Python's unicodedata — one pass,
+    cheap relative to any adjacent shingling, and cross-checkable
+    against DuckDB's nfc_normalize. NFC (not NFKC) deliberately:
+    compatibility folding (ligatures, width) is lossy and belongs to a
+    tokenizer's policy, not the engine's canonical form."""
+    @F.pandas_udf("string")
+    def _nfc(s):
+        import unicodedata
+
+        return s.map(
+            lambda x: unicodedata.normalize("NFC", x) if x is not None else None
+        )
+
+    return _nfc(col)
+
+
 def fingerprint_md5(col: Column) -> Column:
     """Document fingerprint: md5 of the normalized text (identical hex in
     every engine — the cross-checkable fingerprint)."""

@@ -116,6 +116,7 @@ _DRIVER_WINDOW = [
     "multimodal_flac_samples",
     "multimodal_mp3_meta",
     "corpus_audio_prep",
+    "text_nfc_normalize",
     # -- (2) changed in round 15 (html_extract_text max_chars) --
     "text_html_extract",
     "corpus_crawl_prep",
@@ -164,7 +165,6 @@ _DRIVER_WINDOW = [
     "dedup_minhash_lsh",
     "dedup_semantic",
     "drift_token_distribution",
-    "drift_top_divergent_tokens",
 ]
 
 
@@ -9162,6 +9162,61 @@ def corpus_crawl_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_toks"),
         )
         .filter(F.col("n_toks") >= 20)
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "text_nfc_normalize",
+    """
+    WITH aug AS (
+      SELECT doc_id,
+             text || ' Café Å ñ é' AS raw
+      FROM documents WHERE doc_id % 9 = 4
+    )
+    SELECT doc_id,
+           CAST(LENGTH(raw) AS BIGINT) AS len_raw,
+           CAST(LENGTH(nfc_normalize(raw)) AS BIGINT) AS len_nfc,
+           LENGTH(raw) <> LENGTH(nfc_normalize(raw)) AS changed,
+           MD5(nfc_normalize(raw)) AS nfc_md5
+    FROM aug
+    ORDER BY doc_id
+    """,
+)
+def text_nfc_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode NFC canonicalization (r15 — operators/text.unicode_nfc):
+    every doc is augmented with DECOMPOSED sequences (e+COMBINING ACUTE,
+    A+COMBINING RING, n+COMBINING TILDE) next to a precomposed é, then
+    normalized. The md5 of the normalized string hash-matches DuckDB's
+    nfc_normalize byte-for-byte — full-string equality across engines,
+    not just lengths — which is the property that makes NFC-before-
+    fingerprinting sound: both engines converge the two spellings of
+    the same visible text onto one canonical byte sequence. Arrow-
+    batched pandas_udf (Spark exposes no normalizer to SQL); testdata
+    text is ASCII so the planted sequences are the only non-ASCII and
+    Unicode-version drift cannot split the oracle."""
+    from dca_manager_spark.operators.text import unicode_nfc
+
+    aug = (
+        t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 9 == 4)
+        .select(
+            "doc_id",
+            F.concat(
+                F.col("text"),
+                F.lit(" Café Å ñ é"),
+            ).alias("raw"),
+        )
+    )
+    nfc = unicode_nfc(F.col("raw"))
+    return (
+        aug.select(
+            "doc_id",
+            F.length("raw").cast("long").alias("len_raw"),
+            F.length(nfc).cast("long").alias("len_nfc"),
+            (F.length("raw") != F.length(nfc)).alias("changed"),
+            F.md5(nfc).alias("nfc_md5"),
+        )
         .orderBy("doc_id")
     )
 
