@@ -146,6 +146,7 @@ def replicate_stream(
     checkpoint: str,
     starting_commit: int | None = None,
     available_now: bool = True,
+    trigger_interval: str | None = None,
     _fault=None,
 ):
     """``CdcFollower``'s datasource-native twin (r15 — VERDICT r14 #5):
@@ -175,9 +176,13 @@ def replicate_stream(
     makes replaying a MERGE.
 
     ``available_now=True`` drains everything committed so far and stops
-    (the catch-up/batch-backfill trigger); False runs continuously.
-    ``_fault`` is test-only fault injection, called after each applied
-    batch BEFORE Spark marks it done. Returns the StreamingQuery."""
+    (the catch-up/batch-backfill trigger); False runs continuously —
+    pass ``trigger_interval`` ("5 seconds") to pace the poll, and pace
+    it at or above the replica's commit latency when the replica has
+    OTHER writers (same rebase-starvation rule as
+    streaming/ingest.stream_upsert). ``_fault`` is test-only fault
+    injection, called after each applied batch BEFORE Spark marks it
+    done. Returns the StreamingQuery."""
     reader = spark.readStream.format("dca_table_changes").option(
         "path", str(source_path)
     )
@@ -196,4 +201,6 @@ def replicate_stream(
     )
     if available_now:
         writer = writer.trigger(availableNow=True)
+    elif trigger_interval:
+        writer = writer.trigger(processingTime=trigger_interval)
     return writer.start()

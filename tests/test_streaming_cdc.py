@@ -263,3 +263,40 @@ def test_replicate_stream_exactly_once_across_forced_crash(
     source.write(make_df(spark, [("T4", TS1, "ETHGBP", 4.0)]), "upsert")
     _drain(replicate_stream(spark, source.path, replica, ckpt))
     assert state(replica) == state(source)
+
+
+def test_replicate_stream_continuous_mode_follows_live_commits(
+    spark, source, replica, tmp_path
+):
+    """Continuous (non-availableNow) replication: commits landing WHILE
+    the stream runs are applied without a restart."""
+    import time as _t
+
+    from dca_manager_spark.io.datasource import register_python_sources
+    from dca_manager_spark.streaming.cdc import replicate_stream
+
+    register_python_sources(spark)
+    source.write(make_df(spark, [("T1", TS1, "BTCGBP", 1.0)]), "upsert")
+    q = replicate_stream(
+        spark, source.path, replica, str(tmp_path / "ck"),
+        available_now=False, trigger_interval="1 seconds",
+    )
+    def safe_state():
+        try:
+            return state(replica)
+        except FileNotFoundError:  # first replicated commit not landed yet
+            return {}
+
+    try:
+        deadline = _t.time() + 120
+        while _t.time() < deadline and safe_state() != {("T1", "BTCGBP"): 1.0}:
+            _t.sleep(0.5)
+        assert state(replica) == {("T1", "BTCGBP"): 1.0}
+        # a LIVE commit while the query keeps running
+        source.write(make_df(spark, [("T2", TS1, "ETHGBP", 2.0)]), "upsert")
+        while _t.time() < deadline and len(safe_state()) != 2:
+            _t.sleep(0.5)
+        assert state(replica) == state(source)
+    finally:
+        q.stop()
+        q.awaitTermination(60)
