@@ -1162,6 +1162,17 @@ class ManifestTable:
         quoted = ".".join(self._q(p) for p in parts)
         if len(parts) > 1:
             self.spark.sql(f"CREATE DATABASE IF NOT EXISTS {self._q(parts[0])}")
+        # Re-sync replaces the catalog entry whatever its prior KIND: a
+        # TABLE under this name (e.g. a MergeTable.register from a
+        # previous run of the same job with the other table format)
+        # blocks CREATE OR REPLACE VIEW, so drop it first — hive-sync
+        # owns the name, exactly like the reference's per-run Glue sync.
+        try:
+            entry = self.spark.catalog.getTable(name)
+            if entry.tableType != "VIEW":
+                self.spark.sql(f"DROP TABLE IF EXISTS {quoted}")
+        except Exception:
+            pass  # no prior entry
         sql = self.snapshot_sql(as_of=as_of, _doc=doc)
         self.spark.sql(f"CREATE OR REPLACE VIEW {quoted} AS {sql}")
 

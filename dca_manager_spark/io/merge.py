@@ -135,7 +135,15 @@ class MergeTable:
             if "://" in self.path
             else str(Path(self.path).absolute())
         )
-        self.spark.sql(f"DROP TABLE IF EXISTS {quoted}")
+        # re-sync owns the name whatever its prior kind: a VIEW under it
+        # (a ManifestTable.register from the other table format) blocks
+        # DROP TABLE, so drop the matching entity first
+        try:
+            entry = self.spark.catalog.getTable(name)
+            drop_kind = "VIEW" if entry.tableType == "VIEW" else "TABLE"
+        except Exception:
+            drop_kind = "TABLE"  # no prior entry
+        self.spark.sql(f"DROP {drop_kind} IF EXISTS {quoted}")
         self.spark.sql(f"CREATE TABLE {quoted} USING PARQUET LOCATION '{location}'")
         if self.partition_by:
             self.spark.sql(f"MSCK REPAIR TABLE {quoted}")

@@ -287,3 +287,32 @@ def test_mor_view_plan_keeps_window_and_pushes_partition_filter(spark, mor):
         assert "EqualTo(pair,BTCGBP)" in plan  # pushed into the scans
     finally:
         mor.unregister("mt_mor_plan")
+
+
+def test_register_replaces_prior_entry_of_either_kind(spark, cow, tmp_path):
+    """Hive-sync owns the name whatever the prior entity kind: a job
+    that switches table_format between runs re-syncs the SAME catalog
+    name from a parquet TABLE (MergeTable.register) to a resolved VIEW
+    (ManifestTable.register) and back — found by
+    test_load_transactions_manifest_format running after a merge-format
+    run in the same session."""
+    from dca_manager_spark.io.merge import MergeTable
+
+    mt = MergeTable(
+        spark, str(tmp_path / "merge"),
+        keys=("transaction_id", "close_time"), precombine="transaction_id",
+        partition_by=("pair",),
+    )
+    mt.write(make_df(spark, [("M1", TS1, "BTCGBP", 7.0)]), "bulk_insert")
+    mt.register("mt_kind_swap")
+    cow.write(make_df(spark, [("T1", TS1, "BTCGBP", 1.0)]), "bulk_insert")
+    try:
+        cow.register("mt_kind_swap")  # TABLE -> VIEW
+        assert sql_rows(spark, "mt_kind_swap") == {("T1", "BTCGBP", 1.0)}
+        mt.register("mt_kind_swap")   # VIEW -> TABLE
+        assert sql_rows(spark, "mt_kind_swap") == {("M1", "BTCGBP", 7.0)}
+        cow.register("mt_kind_swap")  # and back
+        assert sql_rows(spark, "mt_kind_swap") == {("T1", "BTCGBP", 1.0)}
+    finally:
+        cow.unregister("mt_kind_swap")
+        spark.sql("DROP TABLE IF EXISTS mt_kind_swap")
