@@ -180,32 +180,43 @@ def main() -> None:
     EXTRA_HEAVY = 2
     samples: dict[str, list[float]] = {name: [] for name in names}
 
-    def release_storage() -> None:
-        # Release prior samples' localCheckpoint blocks EXPLICITLY.
-        # gc.collect() alone leaves it to the async ContextCleaner (and
-        # to py4j reference lifetimes), and the leak is measurable:
-        # r15 measured dedup_semantic at 9.6s inside a dirty 180-entry
-        # sweep vs 3.4s solo — leaked checkpoint storage from earlier
-        # entries inflates later ones via executor GC pressure (same
-        # mechanism found in scripts/scale_curve.py; Dataset.unpersist
-        # does NOT free a localCheckpoint's RDD). Entries are
-        # independent, so a blanket unpersist between samples is safe.
+    def persistent_ids() -> frozenset:
+        m = spark.sparkContext._jsc.getPersistentRDDs()
+        return frozenset(int(k) for k in m.keySet().toArray())
+
+    def release_storage(protected: frozenset = frozenset()) -> None:
+        # Release an entry's localCheckpoint blocks EXPLICITLY once its
+        # samples are done. gc.collect() alone leaves it to the async
+        # ContextCleaner (and to py4j reference lifetimes), and the leak
+        # is measurable: r15 measured dedup_semantic at 9.6s inside a
+        # dirty 180-entry sweep vs 3.4s solo — leaked checkpoint storage
+        # from earlier entries inflates later ones via executor GC
+        # pressure (same mechanism found in scripts/scale_curve.py;
+        # Dataset.unpersist does NOT free a localCheckpoint's RDD).
+        # Scope is PER ENTRY, never per sample: steady-state entries
+        # (dedup_incremental_steady_xxh64) build a pinned index on their
+        # first sample and reuse it across the block — a per-sample
+        # blanket unpersist kills those blocks mid-entry
+        # (checkpointRDDBlockIdNotFound, found the hard way).
+        # ``protected`` = blocks that existed before the entry started.
         gc.collect()
         m = spark.sparkContext._jsc.getPersistentRDDs()
         for k in m.keySet().toArray():
-            m.get(k).unpersist(True)
+            if int(k) not in protected:
+                m.get(k).unpersist(True)
 
     def time_one(name: str) -> None:
-        release_storage()
         start = time.perf_counter()
         run_full(qs[name](spark, sf_dir))
         samples[name].append(time.perf_counter() - start)
 
     for name in names:
+        pre_entry = persistent_ids()
         for _ in range(RUNS):
             time_one(name)
         while min(samples[name]) > HEAVY_SEC and len(samples[name]) < RUNS + EXTRA_HEAVY:
             time_one(name)
+        release_storage(pre_entry)
 
     timings: dict[str, float] = {}
     stats: dict[str, dict] = {}
