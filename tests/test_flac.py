@@ -270,3 +270,21 @@ def test_flac_samples_operator(spark):
         assert (r.channels, r.sample_rate, r.bits) == (channels, 16000, bits)
         assert list(r.samples) == sig
         assert r.md5_ok
+
+
+def test_fixed_orders_three_and_four_selected_and_decoded():
+    """Polynomial signals make the high fixed orders win (an order-k
+    predictor annihilates degree k-1), so these round trips execute the
+    order-3/4 encode AND decode paths that random/wrapped signals never
+    select."""
+    from dca_manager_spark.operators.flac import _residuals
+
+    quad = [3 * i * i + 5 * i + 7 for i in range(96)]       # order 3 exact
+    cubic = [i ** 3 - 7 * i * i for i in range(96)]         # order 4 exact
+    for sig, want in ((quad, 3), (cubic, 4)):
+        costs = [sum(abs(e) for e in _residuals(sig[:32], o))
+                 for o in range(5)]
+        assert costs.index(min(costs)) == want, costs
+        blob = encode_flac(1, 44100, 24, sig, block_size=32)
+        _, _, _, out, md5_ok = decode_flac_samples(blob)
+        assert out == sig and md5_ok
