@@ -564,6 +564,18 @@ class _ManifestWriterBase:
             prev_files = prev_doc["files"] if prev_doc else []
             if extra and self._already_published(table, extra):
                 return  # replayed micro-batch: publish is already durable
+            # MOR tables: a plain (kind-less) entry resolves as commit -1
+            # base, so an older delta UPSERT of the same key would hide a
+            # sink-appended row. Land as INSERT DELTAS at this commit's
+            # true id instead — exactly what the handle's MOR insert
+            # writes: additive rows that stack at their own commit.
+            # Re-derived per rebase attempt (next_id moves with the head).
+            if any(f.get("kind") for f in prev_files):
+                next_id = 0 if prev_id is None else prev_id + 1
+                for e in entries:
+                    e["kind"] = "delta"
+                    e["op"] = "insert"
+                    e["commit"] = next_id
             schema_json = table._merge_schema_json(prev_doc, self.schema)
             try:
                 table._publish(

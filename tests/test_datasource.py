@@ -506,3 +506,37 @@ def test_manifest_sink_streaming_exactly_once(registered, tmp_path):
     drain()
     assert t.read().count() == 2
     assert t._load_manifest(t.commits()[-1])["stream_batch"] == 1
+
+
+def test_manifest_sink_append_to_mor_table_stacks_not_hides(registered, tmp_path):
+    """Regression (r15 self-review): sink entries into a table with MOR
+    files must land as INSERT DELTAS at their true commit — a plain
+    base entry resolves at commit -1, and an OLDER delta upsert of the
+    same key would silently hide the sink-appended row."""
+    import datetime
+
+    from dca_manager_spark.io.manifest import ManifestTable
+
+    spark = registered
+    TS = datetime.datetime(2024, 1, 1, 12, 0, 0)
+    schema = "transaction_id string, close_time timestamp, pair string, price double"
+    t = ManifestTable(
+        spark, str(tmp_path / "t"),
+        keys=("transaction_id",), precombine="price",
+        partition_by=("pair",), table_type="mor",
+    )
+    t.write(spark.createDataFrame([("T1", TS, "BTCGBP", 1.0)], schema), "upsert")
+    t.write(spark.createDataFrame([("T1", TS, "BTCGBP", 9.0)], schema), "upsert")
+    # sink-append a duplicate of T1 AFTER the upserts: must STACK
+    # (insert-duplicate semantics), never vanish under the older delta
+    spark.createDataFrame([("T1", TS, "BTCGBP", 5.0)], schema) \
+        .write.format("dca_manifest").option("path", str(tmp_path / "t")) \
+        .option("partition_by", "pair").mode("append").save()
+    prices = sorted(r.price for r in t.read().collect())
+    assert prices == [5.0, 9.0]
+    # and a LATER upsert still supersedes everything for the key
+    t.write(spark.createDataFrame([("T1", TS, "BTCGBP", 2.0)], schema), "upsert")
+    assert [r.price for r in t.read().collect()] == [2.0]
+    # compaction folds it all and the answer is unchanged
+    t.compact()
+    assert [r.price for r in t.read().collect()] == [2.0]
