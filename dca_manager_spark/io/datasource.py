@@ -37,7 +37,9 @@ cover the reference's CONTROL-PLANE inputs, which are KB-sized):
 
 from __future__ import annotations
 
+import hashlib
 import json
+import os
 import uuid
 from pathlib import Path
 
@@ -558,11 +560,14 @@ class _ManifestWriterBase:
     def _publish_append(self, entries: list[dict], extra: dict | None) -> None:
         table = self._table()
         paths = [e["path"] for e in entries]
+        stream_mark = (
+            (extra["stream_sink"], int(extra["stream_batch"])) if extra else None
+        )
         for attempt in range(self.retries + 1):
             prev = table._latest_manifest()
             prev_id, prev_doc = (prev[0], prev[1]) if prev else (None, None)
             prev_files = prev_doc["files"] if prev_doc else []
-            if extra and self._already_published(table, extra):
+            if stream_mark and self._already_published(table, prev_doc, stream_mark):
                 return  # replayed micro-batch: publish is already durable
             # MOR tables: a plain (kind-less) entry resolves as commit -1
             # base, so an older delta UPSERT of the same key would hide a
@@ -585,6 +590,7 @@ class _ManifestWriterBase:
                     changes={"upserts": paths, "deletes": []},
                     op="append",
                     extra=extra,
+                    stream_mark=stream_mark,
                 )
                 return
             except FileExistsError:
@@ -593,14 +599,26 @@ class _ManifestWriterBase:
                 table.rebase_count += 1
 
     @staticmethod
-    def _already_published(table, extra: dict) -> bool:
-        batch = extra.get("stream_batch")
-        sink = extra.get("stream_sink")
-        for mid in reversed(table._manifest_ids()):
-            doc = table._load_manifest(mid)
-            if doc.get("stream_batch") == batch and doc.get("stream_sink") == sink:
-                return True
-        return False
+    def _already_published(table, prev_doc, stream_mark: tuple[str, int]) -> bool:
+        """A micro-batch is a replay iff its batch id is at or below the
+        table's high-water mark for this sink. The mark rides in EVERY
+        manifest (``stream_marks``, carried forward by all commit paths),
+        so it survives vacuum() pruning the manifest that originally
+        published the batch — a replay after vacuum used to double-append
+        (ADVICE r15) — and the check is O(1), not a scan of all retained
+        manifests. Pre-map tables fall back to the legacy per-commit scan
+        once; their next commit writes the migrated map."""
+        if prev_doc is None:
+            return False
+        sink, batch = stream_mark
+        marks = prev_doc.get("stream_marks")
+        if marks is None:  # table written before the high-water map existed
+            for mid in reversed(table._manifest_ids()):
+                doc = table._load_manifest(mid)
+                if doc.get("stream_batch") == batch and doc.get("stream_sink") == sink:
+                    return True
+            return False
+        return batch <= marks.get(sink, -1)
 
     def _abort(self, messages) -> None:
         for e in self._entries(messages):
@@ -618,9 +636,27 @@ class ManifestBatchWriter(_ManifestWriterBase, DataSourceWriter):
 class ManifestStreamWriter(_ManifestWriterBase, DataSourceStreamWriter):
     def __init__(self, options, schema, overwrite):
         super().__init__(options, schema, overwrite)
-        # one logical sink identity per checkpointed query: lets two
-        # different streams share a table without colliding batch ids
-        self.sink_id = options.get("sink_id", "default")
+        # One logical sink identity per checkpointed query. A SHARED
+        # default would be wrong twice over (ADVICE r15): two independent
+        # queries writing the same table would suppress each other's
+        # batches as "replays", and a restart from a FRESH checkpoint dir
+        # (batch ids restart at 0) would silently drop new data. The
+        # checkpoint location IS the query's durable identity — same
+        # checkpoint = same offsets = genuine replay — so the default is
+        # derived from it; without one, require an explicit sink_id.
+        self.sink_id = options.get("sink_id")
+        if not self.sink_id:
+            ckpt = options.get("checkpointLocation")
+            if not ckpt:
+                raise ValueError(
+                    "dca_manifest streaming sink needs a durable sink "
+                    "identity for exactly-once replay suppression: pass "
+                    ".option('sink_id', <stable name>) or a "
+                    "checkpointLocation (from which one is derived)"
+                )
+            self.sink_id = "ckpt-" + hashlib.sha256(
+                os.path.abspath(ckpt).encode("utf-8")
+            ).hexdigest()[:16]
 
     def commit(self, messages, batchId: int) -> None:
         self._publish_append(

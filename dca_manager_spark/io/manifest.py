@@ -414,6 +414,40 @@ class ManifestTable:
             "n_preimage_files int, n_delete_files int",
         )
 
+    def _carry_stream_marks(
+        self, prev_id: int | None, stream_mark: tuple[str, int] | None
+    ) -> dict[str, int]:
+        """High-water map {sink_id: max committed stream batch id} for the
+        next manifest: the previous manifest's map carried forward,
+        optionally advanced by this commit's (sink, batch). Tables written
+        before the map existed are migrated once — the retained manifests
+        are scanned for legacy per-commit stream_batch/stream_sink keys —
+        and every manifest after that carries the key (possibly empty), so
+        the scan never repeats."""
+        marks: dict[str, int] = {}
+        if prev_id is not None:
+            try:
+                prev_doc = self._load_manifest(prev_id)
+            except FileNotFoundError:
+                prev_doc = None  # clone publishes a synthetic prev id
+            if prev_doc is not None:
+                if "stream_marks" in prev_doc:
+                    marks = dict(prev_doc["stream_marks"])
+                else:
+                    # one-time migration from the legacy per-commit keys
+                    for mid in self._manifest_ids():
+                        try:
+                            doc = self._load_manifest(mid)
+                        except FileNotFoundError:
+                            continue
+                        sink, batch = doc.get("stream_sink"), doc.get("stream_batch")
+                        if sink is not None and batch is not None:
+                            marks[sink] = max(marks.get(sink, -1), int(batch))
+        if stream_mark is not None:
+            sink, batch = stream_mark
+            marks[sink] = max(marks.get(sink, -1), int(batch))
+        return marks
+
     def _publish(
         self,
         prev_id: int | None,
@@ -422,6 +456,7 @@ class ManifestTable:
         changes: dict | None = None,
         op: str = "unknown",
         extra: dict | None = None,
+        stream_mark: tuple[str, int] | None = None,
     ) -> int:
         """Atomic put-if-absent of the next manifest. O_EXCL is the local
         analogue of an S3 conditional PUT; a concurrent writer losing the
@@ -433,7 +468,15 @@ class ManifestTable:
         ``changes`` is the commit's record-level change capture
         ({"upserts": [paths], "deletes": [paths]} — see
         ``read_incremental(records=True)``); None = a content-neutral
-        commit (compaction)."""
+        commit (compaction).
+
+        ``stream_mark`` is a (sink_id, batch_id) pair from the streaming
+        write sink. Every manifest carries a ``stream_marks`` high-water
+        map {sink_id: max committed batch id}, carried FORWARD from the
+        previous manifest by every commit path (handle writes included),
+        so the replay check survives vacuum() pruning the manifest that
+        originally published a batch, and stays O(1) instead of scanning
+        all retained manifests per commit."""
         mdir = self._manifest_dir()
         mdir.mkdir(parents=True, exist_ok=True)
         next_id = 0 if prev_id is None else prev_id + 1
@@ -443,11 +486,20 @@ class ManifestTable:
             "schema": schema_json,
             "changes": changes or {"upserts": [], "deletes": []},
             "op": op,
+            "stream_marks": self._carry_stream_marks(prev_id, stream_mark),
         }
         if extra:
             # commit-scoped metadata (e.g. the stream writer's batch id
-            # for replay idempotence) — reserved keys stay reserved
-            assert not set(extra) & set(doc), set(extra) & set(doc)
+            # for replay idempotence) — reserved keys stay reserved.
+            # Explicit raise, NOT assert: a colliding key silently
+            # overwriting core manifest fields under `python -O` would
+            # corrupt the table (ADVICE r15).
+            clash = set(extra) & set(doc)
+            if clash:
+                raise ValueError(
+                    f"commit-scoped extra metadata collides with reserved "
+                    f"manifest keys: {sorted(clash)}"
+                )
             doc.update(extra)
         if self.bloom_by:
             # persist the bloom config so plain handles inherit it
@@ -979,6 +1031,26 @@ class ManifestTable:
             out[f["path"]] = cache[d]
         return out
 
+    def _check_sql_embeddable_root(self) -> None:
+        """The table ROOT is embedded in every `parquet.` branch of the
+        view text; unlike the per-file _GLOB_SAFE fallback there is no
+        escape hatch for it (Hadoop globs the whole path string), so a
+        root containing glob metacharacters ({}[]*?,) or SQL-identifier
+        breakers would silently corrupt all scans of a durable registered
+        view (ADVICE r15). Refuse loudly instead."""
+        root = self.path if "://" in self.path else str(Path(self.path).absolute())
+        if "`" in root or "\n" in root:
+            raise ValueError(f"table root not SQL-embeddable: {root!r}")
+        scheme, _, rpath = root.rpartition("://")
+        if not self._GLOB_SAFE.match(rpath) or (
+            scheme and not re.match(r"^[A-Za-z][A-Za-z0-9+.-]*$", scheme)
+        ):
+            raise ValueError(
+                f"table root {root!r} contains Hadoop glob metacharacters "
+                "or other unsafe characters; snapshot_sql/register cannot "
+                "address it — read through ManifestTable.read() instead"
+            )
+
     def snapshot_sql(self, as_of: int | None = None, _doc: dict | None = None) -> str:
         """ANSI-SQL text selecting the RESOLVED table snapshot — the exact
         semantics of ``read()`` (committed schema with null-filled evolved
@@ -1006,6 +1078,7 @@ class ManifestTable:
         catalog metadata — the same order as the manifest itself); the
         graduation point is the same as the manifest's: a real deployment
         syncs an Iceberg/Delta catalog entry instead of inlined paths."""
+        self._check_sql_embeddable_root()
         if _doc is not None:
             doc = _doc
         elif as_of is not None:

@@ -291,6 +291,16 @@ def _write_residual(
             width = max(
                 1, max((abs(e).bit_length() + 1 for e in p), default=1)
             )
+            if width > 31:
+                # The escape width field is 5 bits (RFC 9639 §9.2.7.1);
+                # writing a wider value would silently mask to width%32
+                # and corrupt the stream, detected only downstream via
+                # CRC/MD5 (ADVICE r15). Fail at the encoder instead.
+                raise ValueError(
+                    f"residual needs {width}-bit raw escape partitions; "
+                    "the FLAC escape width field caps at 31 bits — "
+                    "reduce bit depth or predictor order"
+                )
             w.write(escape, pbits)
             w.write(width, 5)
             for e in p:

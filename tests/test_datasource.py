@@ -489,11 +489,13 @@ def test_manifest_sink_streaming_exactly_once(registered, tmp_path):
     doc = t._load_manifest(t.commits()[-1])
     assert doc["stream_batch"] == 0 and doc["op"] == "append"
 
-    # simulate the crash-after-publish replay: re-commit batch 0
+    # simulate the crash-after-publish replay: re-commit batch 0 under the
+    # SAME query identity (same checkpointLocation -> same derived sink_id)
     from dca_manager_spark.io.datasource import ManifestStreamWriter
 
     w = ManifestStreamWriter(
-        {"path": p, "partition_by": "pair"},
+        {"path": p, "partition_by": "pair",
+         "checkpointLocation": str(tmp_path / "ck")},
         t.read().schema, False,
     )
     w.commit([], batchId=0)  # replay -> must detect and skip
@@ -540,3 +542,130 @@ def test_manifest_sink_append_to_mor_table_stacks_not_hides(registered, tmp_path
     # compaction folds it all and the answer is unchanged
     t.compact()
     assert [r.price for r in t.read().collect()] == [2.0]
+
+
+def test_manifest_sink_sink_identity_required(registered, tmp_path):
+    """ADVICE r15: no shared-default sink identity. Without sink_id OR a
+    checkpointLocation the stream writer fails loudly instead of
+    adopting an identity that would collide across queries."""
+    import pytest
+
+    from dca_manager_spark.io.datasource import ManifestStreamWriter
+
+    schema = registered.createDataFrame(
+        [("T1", "BTCGBP", 1.0)], "transaction_id string, pair string, price double"
+    ).schema
+    with pytest.raises(ValueError, match="sink_id"):
+        ManifestStreamWriter({"path": str(tmp_path / "t")}, schema, False)
+    # explicit sink_id wins over the checkpoint derivation
+    w = ManifestStreamWriter(
+        {"path": str(tmp_path / "t"), "sink_id": "mine",
+         "checkpointLocation": str(tmp_path / "ck")}, schema, False)
+    assert w.sink_id == "mine"
+    # distinct checkpoints -> distinct derived identities
+    a = ManifestStreamWriter(
+        {"path": str(tmp_path / "t"),
+         "checkpointLocation": str(tmp_path / "ck_a")}, schema, False)
+    b = ManifestStreamWriter(
+        {"path": str(tmp_path / "t"),
+         "checkpointLocation": str(tmp_path / "ck_b")}, schema, False)
+    assert a.sink_id != b.sink_id
+
+
+def test_manifest_sink_two_queries_same_table_no_collision(registered, tmp_path):
+    """Two independent streaming queries (distinct checkpoints, no
+    explicit sink_id) appending the same table: batch 0 of the SECOND
+    query must not be suppressed as a 'replay' of the first's batch 0 —
+    the r15 shared-'default' bug."""
+    from dca_manager_spark.io.datasource import ManifestStreamWriter
+
+    spark = registered
+    p = str(tmp_path / "t")
+    schema = "transaction_id string, pair string, price double"
+    _mtable(spark, tmp_path / "t").write(
+        spark.createDataFrame([("T0", "BTCGBP", 0.5)], schema), "insert")
+    t = _mtable(spark, tmp_path / "t")
+    sch = t.read().schema
+
+    def writer(ck):
+        return ManifestStreamWriter(
+            {"path": p, "partition_by": "pair",
+             "checkpointLocation": str(tmp_path / ck)}, sch, False)
+
+    wa, wb = writer("ck_a"), writer("ck_b")
+    wa.commit([], batchId=0)
+    before = t.read().count()
+    wb.commit([], batchId=0)  # same batch id, DIFFERENT query: must land
+    doc = t._load_manifest(t.commits()[-1])
+    assert doc["stream_sink"] == wb.sink_id and doc["stream_batch"] == 0
+    assert len(t.commits()) == 3  # insert + wa batch 0 + wb batch 0
+    # and each query's own replay is still suppressed
+    wa.commit([], batchId=0)
+    wb.commit([], batchId=0)
+    assert len(t.commits()) == 3
+    assert t.read().count() == before
+
+
+def test_manifest_sink_replay_survives_vacuum(registered, tmp_path):
+    """ADVICE r15: the high-water mark {sink: max batch} rides in EVERY
+    manifest, carried forward by handle commits too, so a replay arriving
+    after vacuum() pruned the manifest that originally published the
+    batch is STILL suppressed (the legacy per-manifest scan double-
+    appended here)."""
+    from dca_manager_spark.io.datasource import ManifestStreamWriter
+
+    spark = registered
+    schema = "transaction_id string, pair string, price double"
+    t = _mtable(spark, tmp_path / "t")
+    sch = spark.createDataFrame([("T1", "BTCGBP", 1.0)], schema).schema
+    w = ManifestStreamWriter(
+        {"path": str(tmp_path / "t"), "partition_by": "pair",
+         "checkpointLocation": str(tmp_path / "ck")}, sch, False)
+    w.commit(
+        [type("M", (), {"entries": []})()], batchId=0)  # publish batch 0
+    # interleave ordinary handle commits: the mark must carry forward
+    t = _mtable(spark, tmp_path / "t")
+    t.write(spark.createDataFrame([("T2", "ETHGBP", 2.0)], schema), "upsert")
+    t.write(spark.createDataFrame([("T3", "ETHGBP", 3.0)], schema), "upsert")
+    head = t._load_manifest(t.commits()[-1])
+    assert head["stream_marks"] == {w.sink_id: 0}
+    # vacuum away everything but the head -> the batch-0 manifest is gone
+    t.vacuum(keep_last=1, orphan_grace_seconds=0)
+    assert len(t._manifest_ids()) == 1
+    n = t.read().count()
+    w.commit([], batchId=0)  # crash-recovery replay AFTER vacuum
+    assert t.read().count() == n  # no double append
+    assert len(t._manifest_ids()) == 1
+    # a genuinely new batch still lands and advances the mark
+    w.commit([], batchId=1)
+    assert t._load_manifest(t.commits()[-1])["stream_marks"] == {w.sink_id: 1}
+
+
+def test_manifest_sink_legacy_table_migrates_marks(registered, tmp_path):
+    """A table whose manifests predate stream_marks (legacy per-commit
+    stream_batch/stream_sink keys only) still suppresses replays, and its
+    first post-upgrade commit writes the migrated high-water map."""
+    import json as _json
+
+    from dca_manager_spark.io.datasource import ManifestStreamWriter
+
+    spark = registered
+    schema = "transaction_id string, pair string, price double"
+    t = _mtable(spark, tmp_path / "t")
+    t.write(spark.createDataFrame([("T1", "BTCGBP", 1.0)], schema), "insert")
+    # strip the new key + plant legacy stream keys, as an old writer wrote
+    mdir = t._manifest_dir()
+    f = mdir / f"{t.commits()[-1]:012d}.json"
+    doc = _json.loads(f.read_text())
+    doc.pop("stream_marks", None)
+    doc["stream_batch"], doc["stream_sink"] = 4, "legacy-q"
+    f.write_text(_json.dumps(doc))
+    w = ManifestStreamWriter(
+        {"path": str(tmp_path / "t"), "partition_by": "pair",
+         "sink_id": "legacy-q"}, t.read().schema, False)
+    n = len(t.commits())
+    w.commit([], batchId=4)  # replay of the legacy-format batch
+    assert len(t.commits()) == n  # suppressed via the legacy scan
+    t.write(spark.createDataFrame([("T2", "ETHGBP", 2.0)], schema), "upsert")
+    head = t._load_manifest(t.commits()[-1])
+    assert head["stream_marks"] == {"legacy-q": 4}  # migrated once

@@ -288,3 +288,22 @@ def test_fixed_orders_three_and_four_selected_and_decoded():
         blob = encode_flac(1, 44100, 24, sig, block_size=32)
         _, _, _, out, md5_ok = decode_flac_samples(blob)
         assert out == sig and md5_ok
+
+
+def test_escape_width_over_31_bits_fails_at_encode():
+    """ADVICE r15: the raw-escape width field is 5 bits; a residual
+    needing >31 bits used to be silently masked (width % 32), producing
+    a corrupt stream caught only by CRC/MD5 downstream. The encoder must
+    raise at the source instead."""
+    import pytest
+
+    from dca_manager_spark.operators.flac import _BitWriter, _write_residual
+
+    w = _BitWriter()
+    # 32-bit-depth residual: abs().bit_length()+1 == 32 > 31
+    huge = [-(1 << 31), (1 << 31) - 1, 0, 0]
+    with pytest.raises(ValueError, match="31 bits"):
+        _write_residual(w, huge, 0, len(huge), 0, force_escape=True)
+    # boundary: exactly 31 bits still encodes
+    ok = [-(1 << 29), (1 << 30) - 1, 0, 0]  # bit_length 30 -> width 31
+    _write_residual(_BitWriter(), ok, 0, len(ok), 0, force_escape=True)

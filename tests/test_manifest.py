@@ -135,7 +135,7 @@ def test_manifest_documents_are_json(spark, table):
     docs = sorted(mdir.glob("*.json"))
     assert docs
     doc = json.loads(docs[-1].read_text())
-    assert set(doc) == {"id", "files", "schema", "changes", "op"}
+    assert set(doc) == {"id", "files", "schema", "changes", "op", "stream_marks"}
     assert all(set(f) == {"path", "partition"} for f in doc["files"])
     assert set(doc["changes"]) == {"upserts", "deletes"}
 

@@ -316,3 +316,22 @@ def test_register_replaces_prior_entry_of_either_kind(spark, cow, tmp_path):
     finally:
         cow.unregister("mt_kind_swap")
         spark.sql("DROP TABLE IF EXISTS mt_kind_swap")
+
+
+def test_snapshot_sql_rejects_glob_metachar_root(spark, tmp_path):
+    """ADVICE r15: the table ROOT is embedded unescaped in every parquet.
+    branch of the view text; glob metacharacters in it would silently
+    corrupt all scans, so snapshot_sql must refuse such roots loudly."""
+    import pytest
+
+    from dca_manager_spark.io.manifest import ManifestTable
+
+    root = tmp_path / "odd{dir}[1]"
+    root.mkdir()
+    t = ManifestTable(
+        spark, str(root), keys=("transaction_id",), precombine="price",
+        partition_by=())
+    with pytest.raises(ValueError, match="glob metacharacters"):
+        t.snapshot_sql()
+    with pytest.raises(ValueError, match="glob metacharacters"):
+        t.register("odd_root_view")
