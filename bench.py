@@ -180,6 +180,36 @@ def main() -> None:
     EXTRA_HEAVY = 2
     samples: dict[str, list[float]] = {name: [] for name in names}
 
+    # Load context per entry (VERDICT r15 #6): the judge needs to
+    # separate driver-session CONTENTION from real regressions without
+    # re-timing. Machine load (1-min loadavg at entry start) plus the
+    # JVM's process CPU time per entry do that directly: under external
+    # contention, wall time inflates while the entry's own CPU stays
+    # flat, so cpu/wall drops and loadavg exceeds the core count.
+    # (py4j cannot dispatch com.sun.management interface methods on the
+    # platform MX bean, so read the JVM's utime+stime from /proc — in
+    # local mode all executor work happens in that one JVM process.)
+    try:
+        _jvm_pid = int(
+            spark.sparkContext._jvm.java.lang.ProcessHandle.current().pid()
+        )
+        _clk = os.sysconf("SC_CLK_TCK")
+    except Exception:
+        _jvm_pid = None
+
+    def jvm_cpu_sec() -> float | None:
+        if _jvm_pid is None:
+            return None
+        try:
+            with open(f"/proc/{_jvm_pid}/stat") as fh:
+                parts = fh.read().rsplit(")", 1)[1].split()
+            # fields after comm: utime is index 11, stime 12 (0-based)
+            return (int(parts[11]) + int(parts[12])) / _clk
+        except Exception:
+            return None
+
+    load_ctx: dict[str, dict] = {}
+
     def persistent_ids() -> frozenset:
         m = spark.sparkContext._jsc.getPersistentRDDs()
         return frozenset(int(k) for k in m.keySet().toArray())
@@ -212,10 +242,25 @@ def main() -> None:
 
     for name in names:
         pre_entry = persistent_ids()
+        load1 = os.getloadavg()[0]
+        cpu0 = jvm_cpu_sec()
+        wall0 = time.perf_counter()
         for _ in range(RUNS):
             time_one(name)
         while min(samples[name]) > HEAVY_SEC and len(samples[name]) < RUNS + EXTRA_HEAVY:
             time_one(name)
+        wall = time.perf_counter() - wall0
+        cpu1 = jvm_cpu_sec()
+        load_ctx[name] = {
+            "loadavg1_at_start": round(load1, 2),
+            "jvm_cpu_sec": (
+                round(cpu1 - cpu0, 3) if cpu0 is not None else None
+            ),
+            "cpu_per_wall": (
+                round((cpu1 - cpu0) / wall, 2)
+                if cpu0 is not None and wall > 0 else None
+            ),
+        }
         release_storage(pre_entry)
 
     timings: dict[str, float] = {}
@@ -241,6 +286,7 @@ def main() -> None:
             "drift_budget_pct": round(
                 max(5.0, 200.0 * (var ** 0.5) / best if best > 0 else 5.0), 1
             ),
+            **load_ctx.get(name, {}),
         }
 
     # Per-query overhead floor: job launch + the noop sink with ZERO data
@@ -336,6 +382,12 @@ def main() -> None:
                 "total_concurrent_wall": total_concurrent_wall,
                 "concurrent_pool": pool,
                 "concurrent_errors": errors,
+                # machine context at bench end: 1/5/15-min loadavg on a
+                # 32-core box — >32 means the driver session shared the
+                # machine and wall times are inflated (see per-entry
+                # cpu_per_wall in query_stats)
+                "loadavg_at_end": [round(x, 2) for x in os.getloadavg()],
+                "n_cpus": os.cpu_count(),
                 "queries": timings,
                 "query_stats": stats,
             },

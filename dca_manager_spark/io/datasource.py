@@ -431,16 +431,19 @@ class ManifestChangesDataSource(DataSource):
 # - ``abort()`` best-effort deletes the written files.
 #
 # The STREAMING writer adds replay idempotence: each micro-batch's
-# publish records its batch id in the manifest, and a replayed
-# ``commit(batch N)`` (crash after publish, before Spark's checkpoint
-# marked N done) finds N among the retained manifests and SKIPS the
-# duplicate publish — its rewritten files stay unreferenced orphans for
-# vacuum. At-least-once task replay + exactly-once publish = an
-# exactly-once append sink with no foreachBatch needed.
+# publish records its batch id against the query's sink identity in the
+# manifest's high-water map, and a replayed ``commit(batch N)`` (crash
+# after publish, before Spark's checkpoint marked N done) finds N at or
+# below the mark and SKIPS the duplicate publish — its rewritten files
+# stay unreferenced orphans for vacuum. At-least-once task replay +
+# exactly-once publish = an exactly-once sink with no foreachBatch.
 #
-# Scope: APPEND only. mode("overwrite") raises — replacement without
-# tombstones would silently break CDC/replica consumers; keyed semantics
-# (upsert/delete) need the table handle's merge paths. Bloom/cluster
+# Scope: append by default; `keys`+`precombine` options switch the sink
+# to keyed UPSERT ingest (micro-batches land as MOR upsert deltas —
+# latest commit wins per key, within-batch duplicates resolve by
+# precombine at read). mode("overwrite") and deletes still raise —
+# replacement without tombstones would silently break CDC/replica
+# consumers; those need the table handle's merge paths. Bloom/cluster
 # write options likewise live on ManifestTable.write.
 
 
@@ -470,7 +473,35 @@ class _ManifestWriterBase:
             c for c in options.get("partition_by", "").split(",") if c
         ]
         self.retries = int(options.get("retries", "10"))
+        # Keyed upsert mode (r16, VERDICT r15 #5): with `keys` (+
+        # `precombine`) options the sink's micro-batches land as MOR
+        # upsert DELTAS at their own commit id instead of appends — the
+        # exactly-once streaming sink then covers keyed ingest without a
+        # foreachBatch + stream_upsert detour. Pure metadata: commit()
+        # (a plain Python worker, no SparkSession) just marks the
+        # executor-written files kind=delta/op=upsert; latest-per-key
+        # resolution — including WITHIN-batch duplicates, which commit()
+        # cannot precombine — happens at read via _resolve_mor's
+        # (commit, precombine) ordering, the Hudi deferred-merge shape.
         names = {f.name for f in schema.fields}
+        self.keys = [c for c in options.get("keys", "").split(",") if c]
+        self.precombine = options.get("precombine")
+        if self.keys:
+            if not self.precombine:
+                raise ValueError(
+                    "keyed sink mode needs BOTH options: keys=<cols> and "
+                    "precombine=<col> (within-batch duplicate resolution)"
+                )
+            absent = [
+                c for c in self.keys + [self.precombine] if c not in names
+            ]
+            if absent:
+                raise ValueError(
+                    f"keys/precombine column(s) {absent} absent from the "
+                    f"write schema {sorted(names)}"
+                )
+        elif self.precombine:
+            raise ValueError("precombine option is meaningless without keys")
         missing = [c for c in self.partition_by if c not in names]
         if missing:
             raise ValueError(
@@ -575,12 +606,24 @@ class _ManifestWriterBase:
             # true id instead — exactly what the handle's MOR insert
             # writes: additive rows that stack at their own commit.
             # Re-derived per rebase attempt (next_id moves with the head).
-            if any(f.get("kind") for f in prev_files):
+            # Keyed mode: the batch is an UPSERT delta — latest commit
+            # wins per key, within-commit duplicates resolve by
+            # precombine at read (_resolve_mor). The reading handle must
+            # be configured with the SAME keys/precombine (the usual
+            # multi-writer contract; the manifest stores files, not key
+            # config — exactly like Hudi writers agreeing on recordkey).
+            if self.keys or any(f.get("kind") for f in prev_files):
                 next_id = 0 if prev_id is None else prev_id + 1
                 for e in entries:
                     e["kind"] = "delta"
-                    e["op"] = "insert"
+                    e["op"] = "upsert" if self.keys else "insert"
                     e["commit"] = next_id
+                    if self.keys:
+                        # NOT precombined (commit() has no SparkSession):
+                        # readers add within-commit precombine resolution
+                        # only when they see this flag — handle-written
+                        # commits keep the cheaper plan
+                        e["pc"] = False
             schema_json = table._merge_schema_json(prev_doc, self.schema)
             try:
                 table._publish(
@@ -588,7 +631,7 @@ class _ManifestWriterBase:
                     prev_files + entries,
                     schema_json,
                     changes={"upserts": paths, "deletes": []},
-                    op="append",
+                    op="upsert" if self.keys else "append",
                     extra=extra,
                     stream_mark=stream_mark,
                 )

@@ -48,6 +48,7 @@ from __future__ import annotations
 import json
 import os
 import re
+import threading as _threading
 import uuid
 from pathlib import Path
 
@@ -1000,7 +1001,7 @@ class ManifestTable:
 
     # -- SQL catalog surface (hive-sync analogue) ---------------------------
 
-    _MOR_META = ("_commit", "_sup", "_del", "_sc")
+    _MOR_META = ("_commit", "_sup", "_del", "_sc", "_rn")
 
     @staticmethod
     def _q(ident: str) -> str:
@@ -1163,14 +1164,34 @@ class ManifestTable:
             self._q(c) for c in dict.fromkeys(self.keys + self.partition_by)
         )
         out_cols = ", ".join(q for _, q, _t in typed)
+        # _rn mirrors _resolve_mor's within-commit precombine resolution
+        # (a streaming-sink upsert commit may carry several rows per key
+        # — commit() cannot precombine without a SparkSession). Gated
+        # exactly like _resolve_mor: only manifests holding pc=False
+        # sink-upsert entries pay the row_number sort; handle-written
+        # commits are precombined, so ordinary tables keep the r15 plan.
+        needs_rn = any(
+            f.get("kind") and f.get("op") == "upsert" and f.get("pc") is False
+            for f in files
+        )
+        if needs_rn:
+            pc = self._q(self.precombine)
+            rn_sql = (
+                f"  ROW_NUMBER() OVER (PARTITION BY {ident}"
+                f" ORDER BY _sup DESC, _commit DESC, _del ASC, {pc} DESC)"
+                f" AS _rn\n"
+            )
+        else:
+            rn_sql = "  1 AS _rn\n"
         return (
             f"SELECT {out_cols} FROM (\n"
             f"  SELECT *, COALESCE(MAX(CASE WHEN _sup THEN _commit END)"
-            f" OVER (PARTITION BY {ident}), -2) AS _sc\n"
+            f" OVER (PARTITION BY {ident}), -2) AS _sc,\n"
+            f"{rn_sql}"
             f"  FROM (\n{union}\n) AS _raw\n"
             f") AS _resolved\n"
             f"WHERE (NOT _sup AND _commit > _sc)"
-            f" OR (_sup AND NOT _del AND _commit = _sc)"
+            f" OR (_sup AND NOT _del AND _commit = _sc AND _rn = 1)"
         )
 
     def register(
@@ -1208,12 +1229,17 @@ class ManifestTable:
         self._register_once(name, durable=durable, as_of=as_of)
         if as_of is None:
             self._registered[name] = {"durable": durable}
+            # SQL DML by name (manifest_sql): live registrations accept
+            # INSERT/DELETE/UPDATE/MERGE routed through this handle.
+            # Pinned (as_of) views are read-only history — no DML entry.
+            _dml_register(name, self)
         else:
             self._registered.pop(name, None)
 
     def unregister(self, name: str) -> None:
         """Drop the catalog entry and stop refresh-on-commit for it."""
         self._registered.pop(name, None)
+        _dml_unregister(name)
         parts = name.split(".")
         quoted = ".".join(self._q(p) for p in parts)
         try:
@@ -1702,9 +1728,45 @@ class ManifestTable:
         sup_commit = F.max(
             F.when(F.col("_sup"), F.col("_commit"))
         ).over(w)
-        resolved = rows.withColumn("_sc", F.coalesce(sup_commit, F.lit(-2))).filter(
+        # Within-commit precombine (r16): an upsert commit from the
+        # STREAMING SINK cannot precombine its batch (commit() runs in a
+        # plain Python worker, no SparkSession), so a key may carry
+        # several rows at the winning commit. Resolve them exactly as
+        # precombine_dedup would — largest precombine wins; at the same
+        # commit a live upsert row beats a tombstone (the handle's
+        # existing same-commit semantics). GATED on the manifest: sink
+        # upsert entries carry pc=False; handle commits are precombined
+        # before writing, so a table never touched by a keyed sink skips
+        # the row_number entirely (its sort would otherwise tax every
+        # MOR read — measured +~2x on compact+drift-read, r16).
+        needs_rn = any(
+            f.get("kind") and f.get("op") == "upsert"
+            and f.get("pc") is False
+            for f in files
+        )
+        rows = rows.withColumn("_sc", F.coalesce(sup_commit, F.lit(-2)))
+        if needs_rn:
+            rows = rows.withColumn(
+                "_rn",
+                F.row_number().over(
+                    Window.partitionBy(*[F.col(c) for c in ident])
+                    .orderBy(
+                        F.col("_sup").desc(),
+                        F.col("_commit").desc(),
+                        F.col("_del").asc(),
+                        F.col(self.precombine).desc(),
+                    )
+                ),
+            )
+        else:
+            rows = rows.withColumn("_rn", F.lit(1))
+        resolved = rows.filter(
             (~F.col("_sup") & (F.col("_commit") > F.col("_sc")))
-            | (F.col("_sup") & ~F.col("_del") & (F.col("_commit") == F.col("_sc")))
+            | (
+                F.col("_sup") & ~F.col("_del")
+                & (F.col("_commit") == F.col("_sc"))
+                & (F.col("_rn") == 1)
+            )
         )
         return resolved.select(*[F.col(f.name) for f in schema.fields])
 
@@ -2472,3 +2534,243 @@ class ManifestTable:
                         sub.unlink() if sub.is_file() else sub.rmdir()
                     d.rmdir()
         return removed
+
+
+# ---------------------------------------------------------------------------
+# SQL DML over registered lakehouse names (VERDICT r15 #4)
+# ---------------------------------------------------------------------------
+# Spark 4.1's Python Data Source API cannot back a catalog TABLE: a
+# `CREATE TABLE ... USING dca_manifest OPTIONS (path ...)` parses, but the
+# options map arrives EMPTY in both reader() and writer() (probed
+# empirically, r16), so `INSERT INTO <name>` can never learn which table
+# it addresses. Until Spark forwards table properties to Python data
+# sources, SQL DML routes through this front-end — the same position
+# Delta Lake occupied before its JVM session extensions: SQL text in,
+# handle-API transactions out, plain `spark.sql` for everything else.
+# Reads stay on the registered VIEW (`register()`), which IS plain
+# `spark.sql`.
+
+_DML_REGISTRY: dict[str, "ManifestTable"] = {}
+_DML_LOCK = _threading.Lock()
+
+
+def _dml_register(name: str, table: "ManifestTable") -> None:
+    with _DML_LOCK:
+        _DML_REGISTRY[name.lower()] = table
+
+
+def _dml_unregister(name: str) -> None:
+    with _DML_LOCK:
+        _DML_REGISTRY.pop(name.lower(), None)
+
+
+def _dml_table(name: str) -> "ManifestTable":
+    with _DML_LOCK:
+        table = _DML_REGISTRY.get(name.strip("`").lower())
+    if table is None:
+        raise ValueError(
+            f"{name!r} is not a registered ManifestTable in this process "
+            "— call ManifestTable.register(name) on a live handle first "
+            "(the DML registry is process-scoped; the read VIEW alone "
+            "cannot accept writes)"
+        )
+    return table
+
+
+_IDENT = r"[A-Za-z_][\w]*|`[^`]+`"
+_INSERT_RE = re.compile(
+    rf"^\s*INSERT\s+INTO\s+(?:TABLE\s+)?(?P<name>{_IDENT})\s*"
+    r"(?:\((?P<cols>[^)]*)\)\s*)?"
+    r"(?P<query>(?:SELECT|VALUES|WITH|TABLE|FROM)\b.*)$",
+    re.I | re.S,
+)
+_DELETE_RE = re.compile(
+    rf"^\s*DELETE\s+FROM\s+(?P<name>{_IDENT})\s*"
+    r"(?:WHERE\s+(?P<pred>.+?))?\s*;?\s*$",
+    re.I | re.S,
+)
+_UPDATE_RE = re.compile(
+    rf"^\s*UPDATE\s+(?P<name>{_IDENT})\s+SET\s+(?P<sets>.+?)"
+    r"(?:\s+WHERE\s+(?P<pred>.+?))?\s*;?\s*$",
+    re.I | re.S,
+)
+_MERGE_RE = re.compile(
+    rf"^\s*MERGE\s+INTO\s+(?P<name>{_IDENT})(?:\s+(?:AS\s+)?(?P<talias>{_IDENT}))?"
+    rf"\s+USING\s+(?P<src>\((?:[^()]|\([^()]*\))*\)|{_IDENT})"
+    rf"(?:\s+(?:AS\s+)?(?P<salias>{_IDENT}))?"
+    r"\s+ON\s+(?P<cond>.+?)"
+    r"\s+WHEN\s+MATCHED\s+THEN\s+UPDATE\s+SET\s+\*"
+    r"\s+WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT\s+\*\s*;?\s*$",
+    re.I | re.S,
+)
+
+
+def _split_top_level(text: str) -> list[str]:
+    """Split on commas not nested in parens/brackets/quotes (SET a=f(x,y))."""
+    parts, depth, buf, quote = [], 0, [], None
+    for ch in text:
+        if quote:
+            buf.append(ch)
+            if ch == quote:
+                quote = None
+            continue
+        if ch in "'\"`":
+            quote = ch
+            buf.append(ch)
+        elif ch in "([":
+            depth += 1
+            buf.append(ch)
+        elif ch in ")]":
+            depth -= 1
+            buf.append(ch)
+        elif ch == "," and depth == 0:
+            parts.append("".join(buf).strip())
+            buf = []
+        else:
+            buf.append(ch)
+    if buf:
+        parts.append("".join(buf).strip())
+    return parts
+
+
+def _align_to_table(table: "ManifestTable", df: DataFrame,
+                    cols: list[str] | None) -> DataFrame:
+    """INSERT column resolution: by POSITION against the committed schema
+    (no column list), or by the explicit column list with unnamed columns
+    null-filled — the ANSI/Spark INSERT contract. Values cast to the
+    table's types (an incompatible cast fails at analysis, loudly)."""
+    fields = table.read().schema.fields
+    if cols is None:
+        if len(df.columns) != len(fields):
+            raise ValueError(
+                f"INSERT by position needs {len(fields)} columns "
+                f"({[f.name for f in fields]}), got {len(df.columns)}"
+            )
+        return df.select(*[
+            F.col(df.columns[i]).cast(f.dataType).alias(f.name)
+            for i, f in enumerate(fields)
+        ])
+    names = {f.name.lower(): f for f in fields}
+    want = [c.strip().strip("`") for c in cols]
+    unknown = [c for c in want if c.lower() not in names]
+    if unknown:
+        raise ValueError(
+            f"INSERT column(s) {unknown} not in table schema "
+            f"{[f.name for f in fields]}"
+        )
+    if len(df.columns) != len(want):
+        raise ValueError(
+            f"INSERT column list has {len(want)} names but the query "
+            f"produces {len(df.columns)} columns"
+        )
+    by_name = {c.lower(): df.columns[i] for i, c in enumerate(want)}
+    return df.select(*[
+        (F.col(by_name[f.name.lower()]) if f.name.lower() in by_name
+         else F.lit(None)).cast(f.dataType).alias(f.name)
+        for f in fields
+    ])
+
+
+def manifest_sql(spark: SparkSession, text: str) -> DataFrame:
+    """SQL entry point with lakehouse DML: INSERT INTO / DELETE FROM /
+    UPDATE / MERGE INTO statements naming a ``register()``-ed
+    ManifestTable are routed through the handle's transactional paths
+    (OCC rebase loop, change capture, constraint checks, sync-on-write
+    view refresh all apply); every other statement — including all reads,
+    which resolve against the registered VIEW — passes through to
+    ``spark.sql`` unchanged. See the module note above for WHY this
+    front-end exists (Spark cannot yet route SQL writes to a Python data
+    source table).
+
+    Supported DML, mapped to the Athena/Hudi write surface the reference
+    drives through Glue jobs (glue/scripts/load_transactions.py:117-122
+    writes by table path then syncs the name):
+
+    - ``INSERT INTO name [(cols)] <query|VALUES ...>`` -> ``write(df,
+      "insert")`` (append; by-position or by-column-list resolution)
+    - ``DELETE FROM name [WHERE pred]`` -> ``delete_where(pred)``
+    - ``UPDATE name SET c = expr, ... [WHERE pred]`` ->
+      ``update_where(pred, assignments)``
+    - ``MERGE INTO name USING src ON <key equality> WHEN MATCHED THEN
+      UPDATE SET * WHEN NOT MATCHED THEN INSERT *`` -> ``write(df,
+      "upsert")`` — the ON clause must equate exactly the table's record
+      keys (that IS upsert semantics; anything else errors loudly)
+
+    DML returns a 1-row ``num_affected_rows`` frame (Delta's contract);
+    INSERT counts the appended batch. The DML registry is
+    process-scoped: a fresh process must re-``register()`` handles
+    before writing by name (reads need no handle — the VIEW is durable).
+    """
+    m = _INSERT_RE.match(text)
+    if m:
+        table = _dml_table(m.group("name"))
+        src = spark.sql(m.group("query"))
+        cols = _split_top_level(m.group("cols")) if m.group("cols") else None
+        batch = _pin(_align_to_table(table, src, cols))
+        n = batch.count()
+        table.write(batch, "insert")
+        return spark.createDataFrame([(n,)], "num_affected_rows bigint")
+    m = _DELETE_RE.match(text)
+    if m:
+        table = _dml_table(m.group("name"))
+        n = table.delete_where(m.group("pred") or F.lit(True))
+        return spark.createDataFrame([(n,)], "num_affected_rows bigint")
+    m = _UPDATE_RE.match(text)
+    if m:
+        table = _dml_table(m.group("name"))
+        sets: dict[str, str] = {}
+        for part in _split_top_level(m.group("sets")):
+            col, eq, expr = part.partition("=")
+            if not eq or not col.strip() or not expr.strip():
+                raise ValueError(f"cannot parse UPDATE assignment {part!r}")
+            sets[col.strip().strip("`")] = expr.strip()
+        n = table.update_where(m.group("pred") or F.lit(True), sets)
+        return spark.createDataFrame([(n,)], "num_affected_rows bigint")
+    m = _MERGE_RE.match(text)
+    if m:
+        table = _dml_table(m.group("name"))
+        # the canonical upsert MERGE: the ON clause must equate exactly
+        # the table's record keys (target.k = source.k AND ...)
+        pairs = re.split(r"\s+AND\s+", m.group("cond").strip(), flags=re.I)
+        on_keys = set()
+        for p in pairs:
+            eq = re.match(
+                rf"^\s*(?:(?:{_IDENT})\s*\.\s*)?(?P<a>{_IDENT})\s*=\s*"
+                rf"(?:(?:{_IDENT})\s*\.\s*)?(?P<b>{_IDENT})\s*$",
+                p,
+            )
+            if not eq or eq.group("a").strip("`").lower() != eq.group(
+                    "b").strip("`").lower():
+                raise ValueError(
+                    f"MERGE ON clause term {p!r} is not a same-named key "
+                    "equality; this front-end supports the canonical "
+                    "upsert MERGE only (ON equates the record keys)"
+                )
+            on_keys.add(eq.group("a").strip("`").lower())
+        want = {k.lower() for k in table.keys}
+        if on_keys != want:
+            raise ValueError(
+                f"MERGE ON clause keys {sorted(on_keys)} must equal the "
+                f"table's record keys {sorted(want)} for upsert semantics"
+            )
+        src = m.group("src")
+        source_df = spark.sql(
+            f"SELECT * FROM {src}" if not src.startswith("(")
+            else f"SELECT * FROM {src} AS __merge_src"
+        )
+        # MERGE resolves by NAME (both branches are SET * / INSERT *)
+        fields = table.read().schema.fields
+        have = {c.lower() for c in source_df.columns}
+        missing = [f.name for f in fields if f.name.lower() not in have]
+        if missing:
+            raise ValueError(
+                f"MERGE source lacks table column(s) {missing} "
+                "(UPDATE SET * / INSERT * need every column)"
+            )
+        batch = _pin(source_df.select(*[
+            F.col(f.name).cast(f.dataType).alias(f.name) for f in fields
+        ]))
+        n = batch.count()
+        table.write(batch, "upsert")
+        return spark.createDataFrame([(n,)], "num_affected_rows bigint")
+    return spark.sql(text)

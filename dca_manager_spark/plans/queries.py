@@ -101,70 +101,72 @@ def query(name: str, oracle: str | None):
 # The full catalog is still verified every round by scripts/driver_sim.py
 # regardless of window membership.
 _DRIVER_WINDOW = [
-    # Round-15 rotation (VERDICT r14 #1): (1) queries ADDED this round
-    # (no driver row yet); (2) queries whose CODE changed this round
-    # (html_extract_text grew the max_chars guard — default None, same
-    # semantics, but the driver row is the hard proof); (3) ALL 33
-    # entries whose freshest driver verdict is r11 — three rounds
-    # stale, the brief's headline item (precombine_dedup_lineitem is
-    # the A13 semantics row; q3/q5/q10/q13/q15/q17/q22; the window,
-    # set-op and events families); (4) r12-scored fill, alphabetical,
-    # to exactly 50. The full catalog is still verified every round by
-    # scripts/driver_sim.py.
-    # -- (1) added in round 15 --
+    # Round-16 rotation (VERDICT r15 #1): (1) queries ADDED this round
+    # (no driver row yet — manifest_sql_insert is the SQL-DML surface,
+    # multimodal_mp4_samples the sample-table walk); (2) queries whose
+    # CODE changed this round (the span family gained _spread
+    # parallelization and the spans= reuse recomposition; the
+    # manifest-SQL view text gained the within-commit precombine _rn,
+    # so manifest_sql_select re-proves the registered-view read path);
+    # (3) ALL 33 entries whose freshest driver verdict is r12 — three
+    # rounds stale, the brief's headline item (the similarity/events/
+    # window/training families, ivf_pq_rerank); (4) r13-scored fill,
+    # alphabetical, to exactly 50. The full catalog is still verified
+    # every round by scripts/driver_sim.py.
+    # -- (1) added in round 16 --
+    "manifest_sql_insert",
+    "multimodal_mp4_samples",
+    # -- (2) changed in round 16 --
+    "dedup_span_scrub",
+    "corpus_prep_spans",
+    "dedup_duplicate_spans",
     "manifest_sql_select",
-    "multimodal_flac_samples",
-    "multimodal_mp3_meta",
-    "corpus_audio_prep",
-    "text_nfc_normalize",
-    # -- (2) changed in round 15 (html_extract_text max_chars) --
-    "text_html_extract",
-    "corpus_crawl_prep",
-    # -- (3) freshest driver verdict r11 --
-    "embedding_quantize_int8",
-    "events_cohort_retention",
-    "events_funnel",
-    "events_resample_ffill",
-    "events_rolling_anomaly",
-    "join_broadcast_dim",
-    "join_salted_skew",
-    "pivot_status_by_priority",
-    "precombine_dedup_lineitem",
-    "q10_returned_items",
-    "q13_customer_order_distribution",
-    "q15_top_supplier",
-    "q17_small_quantity_revenue",
-    "q22_idle_customer_balance",
-    "q3_shipping_priority",
-    "q5_local_supplier_volume",
-    "sampling_exact_k",
-    "session_window_batch",
-    "set_except_all",
-    "set_except_parts",
-    "set_intersect_all",
-    "set_intersect_nations",
-    "set_union_entities",
-    "sliding_window_events",
-    "stat_regression_by_group",
-    "text_lang_id",
-    "theta_join_regions",
-    "topk_global_lineitems",
-    "tumbling_window_events",
-    "variant_semi_structured",
-    "window_lag_lead",
-    "window_rank_orders",
-    "window_running_invested",
-    # -- (4) r12-scored fill (alphabetical) --
-    "agg_hll_sketch",
-    "applyinarrow_flag_stats",
-    "cogroup_order_fulfillment",
-    "corpus_domain_cap",
-    "dedup_cluster_canonical",
-    "dedup_incremental_batch",
-    "dedup_incremental_indexed",
-    "dedup_minhash_lsh",
-    "dedup_semantic",
-    "drift_token_distribution",
+    # -- (3) freshest driver verdict r12 --
+    "drift_top_divergent_tokens",
+    "embedding_decontaminate",
+    "embedding_incremental_admit",
+    "embedding_quantize_arrow",
+    "events_outliers_mad",
+    "events_sequence_detect",
+    "events_sessionize_gaps",
+    "events_value_histogram",
+    "fuzzy_match_part_names",
+    "multimodal_image_dims",
+    "multimodal_video_meta",
+    "similarity_cosine_topk",
+    "similarity_ivf_ann",
+    "similarity_ivf_learned",
+    "similarity_ivf_pq_rerank",
+    "similarity_lsh_ann",
+    "text_boilerplate_removal",
+    "text_cleaning",
+    "text_decontaminate",
+    "text_effective_vocab",
+    "text_features",
+    "text_perplexity_filter",
+    "text_repetition_ratio",
+    "training_chunk_documents",
+    "training_chunk_pack_pipeline",
+    "training_mixture_sample",
+    "training_pack_sequences",
+    "udtf_top_tokens",
+    "unpivot_balances",
+    "vocabulary_oov",
+    "window_first_last",
+    "window_ntile_quartiles",
+    "window_percent_cume",
+    # -- (4) r13-scored fill (alphabetical) --
+    "agg_approx_distinct",
+    "agg_approx_percentile",
+    "agg_cube_status_priority",
+    "agg_distinct_per_segment",
+    "agg_grouping_sets",
+    "agg_quantile_sketch",
+    "corpus_token_budget_mixture",
+    "graph_pagerank",
+    "join_shuffle_hash_hint",
+    "map_functions",
+    "multimodal_audio_meta",
 ]
 
 
@@ -4810,6 +4812,100 @@ def multimodal_video_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "multimodal_mp4_samples",
+    """
+    WITH d AS (SELECT doc_id FROM documents WHERE doc_id % 6 = 2),
+    tr AS (
+      SELECT doc_id, k FROM d, (VALUES (1), (2)) t(k)
+      WHERE k = 1 OR doc_id % 2 = 0
+    ),
+    par AS (
+      SELECT doc_id, k,
+             CASE k WHEN 1 THEN 12800 ELSE 48000 END AS ts,
+             8 + (doc_id * 7 + k * 13) % 40 AS n,
+             256 + (doc_id % 4) * 128 AS d1,
+             4 + k AS spc
+      FROM tr
+    ),
+    units AS (
+      SELECT *, (n // 2) * d1 + (n - n // 2) * 512 AS total_units FROM par
+    ),
+    sz AS (
+      SELECT doc_id, k,
+             SUM(100 + ((doc_id * 31 + k * 7 + j.j * 17) % 900))
+               AS total_bytes,
+             MAX(100 + ((doc_id * 31 + k * 7 + j.j * 17) % 900))
+               AS max_bytes
+      FROM par, LATERAL (SELECT unnest(range(0, n)) AS j) j
+      GROUP BY doc_id, k
+    )
+    SELECT u.doc_id AS media_id,
+           CAST(u.k AS INT) AS track_id,
+           CAST(ts AS INT) AS timescale,
+           CAST(n AS BIGINT) AS n_samples,
+           CAST(total_units * 1000 // ts AS BIGINT) AS duration_ms,
+           CAST(n * ts * 1000 // total_units AS BIGINT) AS fps_x1000,
+           CAST(total_bytes AS BIGINT) AS total_sample_bytes,
+           CAST(max_bytes AS INT) AS max_sample_bytes,
+           CAST((n + spc - 1) // spc AS INT) AS n_chunks
+    FROM units u JOIN sz ON sz.doc_id = u.doc_id AND sz.k = u.k
+    ORDER BY media_id, track_id
+    """,
+)
+def multimodal_mp4_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MP4 SAMPLE-TABLE walk (r16 — VERDICT r15 #8, the video twin of the
+    MP3 frame walk): per-TRACK exact frame counts, durations, byte
+    totals and chunk counts from stts/stsz/stsc/stco under
+    trak/mdia/minf/stbl (ISO/IEC 14496-12 §8.6-8.7), four box levels
+    down, no payload decode anywhere. Per selected doc a structurally
+    real container is planted — one or two tracks, two-run stts
+    (changing frame duration mid-track: a correct walk must SUM runs,
+    not multiply the first delta), variable per-sample sizes, ragged
+    final chunk — and operators/multimodal.parse_mp4_samples re-derives
+    every number while cross-validating the tables against each other
+    (stts totals vs stsz count, stsc/stco chunk coverage). The oracle
+    recomputes all metrics closed-form from the planted parameters; a
+    hash match proves the walk reads the real tables. Map-only plan
+    (mapInPandas explode to track rows), no shuffle before the sort."""
+    from dca_manager_spark.operators.multimodal import mp4_samples
+
+    docs = (
+        t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 6 == 2)
+        .select(F.col("doc_id").alias("media_id"))
+    )
+
+    @F.pandas_udf("binary")
+    def make_mp4(media_id):
+        import pandas as pd
+
+        from dca_manager_spark.operators.multimodal import encode_mp4_sampled
+
+        out = []
+        for did in media_id:
+            did = int(did)
+            tracks = []
+            for k in (1, 2):
+                if k == 2 and did % 2:
+                    continue
+                n = 8 + (did * 7 + k * 13) % 40
+                d1 = 256 + (did % 4) * 128
+                tracks.append(dict(
+                    track_id=k,
+                    timescale=12800 if k == 1 else 48000,
+                    stts=[(n // 2, d1), (n - n // 2, 512)],
+                    sizes=[100 + ((did * 31 + k * 7 + j * 17) % 900)
+                           for j in range(n)],
+                    samples_per_chunk=4 + k,
+                ))
+            out.append(encode_mp4_sampled(tracks))
+        return pd.Series(out)
+
+    media = docs.select("media_id", make_mp4("media_id").alias("content"))
+    return mp4_samples(media, "content").orderBy("media_id", "track_id")
+
+
+@query(
     "multimodal_pixel_stats",
     """
     WITH d AS (
@@ -6785,6 +6881,88 @@ def manifest_sql_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     table.unregister(name)
     return out
 
+
+@query(
+    "manifest_sql_insert",
+    f"""
+    WITH final AS (
+      SELECT o_orderkey, o_orderstatus,
+             CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice * 2
+                  ELSE o_totalprice END AS o_totalprice
+      FROM orders
+      WHERE o_orderkey < 6000 AND o_orderkey % 9 <> 0
+    )
+    SELECT o_orderstatus,
+           COUNT(*) AS n_orders,
+           {o_dsum('o_totalprice')} AS total_price
+    FROM final
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+)
+def manifest_sql_insert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL DML over the registered lakehouse name (r16 — VERDICT r15 #4):
+    the table is WRITTEN through SQL text, not the Python handle —
+    ``INSERT INTO name SELECT ...``, ``UPDATE name SET ... WHERE``,
+    ``DELETE FROM name WHERE`` via ``manifest_sql`` (io/manifest.py),
+    which routes DML on registered names through the handle's OCC commit
+    paths and passes reads through to ``spark.sql``. The reference's ETL
+    jobs write by table path and sync the name for Athena
+    (glue/scripts/load_transactions.py:117-122); this closes the loop so
+    the NAME itself is writable. (Spark 4.1 cannot route SQL writes to a
+    Python data source table — CREATE TABLE ... USING dca_manifest
+    forwards no options to the writer, probed r16 — hence the front-end,
+    the position Delta occupied before its JVM session extensions.)
+
+    Flow: bulk-insert orders under 3000; SQL INSERT the 3000-5999 slice;
+    SQL UPDATE doubles every 10th key's price; SQL DELETE every 9th key;
+    aggregate through the registered view with plain spark.sql. The hash
+    match proves the SQL-driven commits produce exactly the closed-form
+    end state."""
+    import tempfile
+    import uuid as _uuid
+
+    from dca_manager_spark.io.manifest import ManifestTable, manifest_sql
+
+    base = (
+        t(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .filter(F.col("o_orderkey") < 3000)
+        .localCheckpoint(eager=True)
+    )
+    table = ManifestTable(
+        spark,
+        tempfile.mkdtemp(prefix="dca-sql-dml-"),
+        keys=("o_orderkey",),
+        precombine="o_totalprice",
+        partition_by=("o_orderstatus",),
+    )
+    table.write(base, "bulk_insert")
+    tag = _uuid.uuid4().hex[:8]
+    name, src = f"manifest_dml_{tag}", f"orders_src_{tag}"
+    table.register(name)
+    t(spark, sf_dir, "orders").createOrReplaceTempView(src)
+    manifest_sql(spark, f"""
+        INSERT INTO {name}
+        SELECT o_orderkey, o_orderstatus, o_totalprice FROM {src}
+        WHERE o_orderkey >= 3000 AND o_orderkey < 6000
+    """)
+    manifest_sql(spark, f"""
+        UPDATE {name} SET o_totalprice = o_totalprice * 2
+        WHERE o_orderkey % 10 = 0
+    """)
+    manifest_sql(spark, f"DELETE FROM {name} WHERE o_orderkey % 9 = 0")
+    out = spark.sql(f"""
+        SELECT o_orderstatus,
+               COUNT(*) AS n_orders,
+               {o_dsum('o_totalprice')} AS total_price
+        FROM {name}
+        GROUP BY o_orderstatus
+        ORDER BY o_orderstatus
+    """)
+    table.unregister(name)
+    spark.catalog.dropTempView(src)
+    return out
 
 
 # ===========================================================================

@@ -427,6 +427,82 @@ def main() -> int:
             prep,
         ))
 
+    # 9. FLAC decode throughput (VERDICT r15 #7: the audio family's
+    # missing curve). Clips are ENCODED at build time (pandas_udf,
+    # materialized via localCheckpoint so the timed half is decode
+    # only), then decoded through the production operator path:
+    # repartition_by_bytes -> flac_samples (Arrow mapInPandas) ->
+    # JVM-side aggregation. The per-clip work is constant, so the
+    # honest expectation is b ~= 1.0 in CLIP COUNT (embarrassingly
+    # parallel; the scale story is MB/s/core and the byte-budget
+    # partition rule, both printed per point).
+    if want("flac_decode"):
+        from dca_manager_spark.operators.flac import flac_samples
+        from dca_manager_spark.operators.multimodal import (
+            repartition_by_bytes,
+        )
+
+        AUDIO_BUDGET = 1 << 20  # 1 MiB of encoded clips per partition
+
+        def clips(n):
+            @F.pandas_udf("binary")
+            def make_flac(cid):
+                import pandas as pd
+
+                from dca_manager_spark.operators.flac import encode_flac
+
+                out = []
+                for c in cid:
+                    c = int(c)
+                    sig = [
+                        (((c * 37 + j) * (j % 97 + 1)) % 2048) - 1024
+                        for j in range(4096)
+                    ]
+                    out.append(encode_flac(1, 16000, 16, sig, block_size=256))
+                return pd.Series(out)
+
+            media = _SPARK.range(n).select(
+                F.col("id").alias("media_id"),
+                make_flac("id").alias("content"),
+            ).localCheckpoint(eager=True)  # encode cost paid HERE
+            enc_bytes = media.select(
+                F.sum(F.length("content"))
+            ).first()[0]
+            return media, int(enc_bytes)
+
+        def decode(handle):
+            media, enc_bytes = handle
+            t0 = time.perf_counter()
+            noop(
+                flac_samples(
+                    repartition_by_bytes(media, "content", AUDIO_BUDGET),
+                    "content", "media_id",
+                )
+                .select(
+                    F.sum(F.size("samples")).alias("n"),
+                    F.min(F.col("md5_ok").cast("int")).alias("ok"),
+                )
+            )
+            dt = time.perf_counter() - t0
+            cores = _SPARK.sparkContext.defaultParallelism
+            print(json.dumps({
+                "op": "flac_decode_point",
+                "clips": media.count(),
+                "encoded_mb": round(enc_bytes / 2**20, 2),
+                "decode_sec": round(dt, 2),
+                "mb_per_sec": round(enc_bytes / 2**20 / dt, 2),
+                "mb_per_sec_per_core": round(
+                    enc_bytes / 2**20 / dt / cores, 4),
+                "byte_budget": AUDIO_BUDGET,
+            }))
+
+        rows.append(run_curve(
+            "flac_decode",
+            [max(base // 40, 50) * s for s in SCALES],
+            clips,
+            decode,
+        ))
+
     if not rows:
         print(f"no curves selected from {sorted(only or set())}")
         return 2

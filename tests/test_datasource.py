@@ -669,3 +669,160 @@ def test_manifest_sink_legacy_table_migrates_marks(registered, tmp_path):
     t.write(spark.createDataFrame([("T2", "ETHGBP", 2.0)], schema), "upsert")
     head = t._load_manifest(t.commits()[-1])
     assert head["stream_marks"] == {"legacy-q": 4}  # migrated once
+
+
+def test_manifest_sink_keyed_upsert_mode(registered, tmp_path):
+    """VERDICT r15 #5: keys+precombine options switch the streaming sink
+    to keyed upsert ingest — later micro-batches supersede earlier rows
+    per key, within-batch duplicates resolve by precombine, and a
+    replayed micro-batch is still suppressed (exactly-once keyed ingest
+    without foreachBatch)."""
+    import datetime
+
+    from dca_manager_spark.io.manifest import ManifestTable
+
+    spark = registered
+    TS = datetime.datetime(2024, 1, 1)
+    schema = "transaction_id string, close_time timestamp, pair string, price double"
+    p = str(tmp_path / "t")
+    src = str(tmp_path / "src")
+
+    def drain(batch_rows):
+        spark.createDataFrame(batch_rows, schema) \
+            .write.mode("append").json(src)
+        q = (
+            spark.readStream.schema(schema).json(src)
+            .writeStream.format("dca_manifest")
+            .option("path", p)
+            .option("partition_by", "pair")
+            .option("keys", "transaction_id")
+            .option("precombine", "price")
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    # batch 0: T1 twice in ONE batch (within-batch duplicate: max
+    # precombine wins at read) + T2
+    drain([("T1", TS, "BTCGBP", 1.0), ("T1", TS, "BTCGBP", 5.0),
+           ("T2", TS, "ETHGBP", 2.0)])
+    t = ManifestTable(spark, p, keys=("transaction_id",),
+                      precombine="price", partition_by=("pair",))
+    got = {r.transaction_id: r.price for r in t.read().collect()}
+    assert got == {"T1": 5.0, "T2": 2.0}
+    assert t._load_manifest(t.commits()[-1])["op"] == "upsert"
+
+    # batch 1: T1 superseded by a LOWER precombine in a NEWER batch —
+    # commit order wins across batches (the stream is the log)
+    drain([("T1", TS, "BTCGBP", 3.0)])
+    got = {r.transaction_id: r.price for r in t.read().collect()}
+    assert got == {"T1": 3.0, "T2": 2.0}
+
+    # replay of batch 1 under the same identity: suppressed
+    from dca_manager_spark.io.datasource import ManifestStreamWriter
+
+    w = ManifestStreamWriter(
+        {"path": p, "partition_by": "pair", "keys": "transaction_id",
+         "precombine": "price",
+         "checkpointLocation": str(tmp_path / "ck")},
+        t.read().schema, False)
+    n_commits = len(t.commits())
+    w.commit([], batchId=1)
+    assert len(t.commits()) == n_commits
+
+    # the registered SQL view resolves identically (within-commit
+    # precombine now rides in the view text too)
+    t.register("keyed_sink_view")
+    try:
+        via_sql = {
+            r.transaction_id: r.price
+            for r in spark.sql(
+                "SELECT transaction_id, price FROM keyed_sink_view"
+            ).collect()
+        }
+        assert via_sql == got
+    finally:
+        t.unregister("keyed_sink_view")
+    # handle upsert AFTER sink batches still supersedes (shared commit order)
+    t.write(spark.createDataFrame([("T2", TS, "ETHGBP", 9.0)], schema), "upsert")
+    got = {r.transaction_id: r.price for r in t.read().collect()}
+    assert got == {"T1": 3.0, "T2": 9.0}
+    # compaction folds deltas, answer unchanged
+    t.compact()
+    assert {r.transaction_id: r.price for r in t.read().collect()} == got
+
+
+def test_manifest_sink_keyed_mode_converges_with_stream_upsert(registered, tmp_path):
+    """The keyed sink and the foreachBatch stream_upsert path converge to
+    the SAME table state over the same input stream (checkpoint replay
+    included): the sink can replace the detour."""
+    import datetime
+
+    from dca_manager_spark.io.manifest import ManifestTable
+    from dca_manager_spark.streaming.ingest import stream_upsert
+
+    spark = registered
+    TS = datetime.datetime(2024, 1, 1)
+    schema = "transaction_id string, close_time timestamp, pair string, price double"
+    src = str(tmp_path / "src")
+    batches = [
+        [("T1", TS, "BTCGBP", 1.0), ("T2", TS, "ETHGBP", 2.0)],
+        [("T1", TS, "BTCGBP", 7.0), ("T3", TS, "BTCGBP", 3.0)],
+        [("T2", TS, "ETHGBP", 4.0)],
+    ]
+
+    def feed(i):
+        spark.createDataFrame(batches[i], schema) \
+            .write.mode("append").json(src + f"/b{i}")
+
+    via_sink = ManifestTable(
+        spark, str(tmp_path / "sink_t"), keys=("transaction_id",),
+        precombine="price", partition_by=("pair",))
+    via_febatch = ManifestTable(
+        spark, str(tmp_path / "feb_t"), keys=("transaction_id",),
+        precombine="price", partition_by=("pair",))
+
+    for i in range(len(batches)):
+        feed(i)
+        q = (
+            spark.readStream.schema(schema).json(src + "/*")
+            .writeStream.format("dca_manifest")
+            .option("path", via_sink.path)
+            .option("partition_by", "pair")
+            .option("keys", "transaction_id")
+            .option("precombine", "price")
+            .option("checkpointLocation", str(tmp_path / "ck_sink"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        q2 = stream_upsert(
+            spark.readStream.schema(schema).json(src + "/*"),
+            via_febatch, str(tmp_path / "ck_feb"))
+        q2.awaitTermination(120)
+
+    a = {(r.transaction_id, r.price) for r in via_sink.read().collect()}
+    b = {(r.transaction_id, r.price) for r in via_febatch.read().collect()}
+    assert a == b == {("T1", 7.0), ("T2", 4.0), ("T3", 3.0)}
+
+
+def test_manifest_sink_keyed_mode_option_validation(registered, tmp_path):
+    import pytest
+
+    from dca_manager_spark.io.datasource import ManifestStreamWriter
+
+    schema = registered.createDataFrame(
+        [("T1", 1.0)], "transaction_id string, price double").schema
+    with pytest.raises(ValueError, match="precombine"):
+        ManifestStreamWriter(
+            {"path": str(tmp_path / "t"), "keys": "transaction_id",
+             "sink_id": "s"}, schema, False)
+    with pytest.raises(ValueError, match="absent from the write schema"):
+        ManifestStreamWriter(
+            {"path": str(tmp_path / "t"), "keys": "nope",
+             "precombine": "price", "sink_id": "s"}, schema, False)
+    with pytest.raises(ValueError, match="meaningless without keys"):
+        ManifestStreamWriter(
+            {"path": str(tmp_path / "t"), "precombine": "price",
+             "sink_id": "s"}, schema, False)

@@ -293,3 +293,41 @@ def test_mor_history_records_delta_ops(spark, tmp_path):
     # delta commits capture their own files; compact captures nothing
     assert h[1].n_upsert_files > 0 and h[2].n_delete_files > 0
     assert h[3].n_upsert_files == h[3].n_delete_files == 0
+
+
+def test_mor_resolution_skips_row_number_without_sink_upserts(spark, tmp_path):
+    """r16 gating: the within-commit precombine row_number exists ONLY
+    when the manifest holds un-precombined sink upsert entries
+    (pc=False). Handle-only MOR tables must keep the cheap plan — the
+    extra sort was measured at ~+2x on compact+drift-read when applied
+    unconditionally."""
+    import datetime
+
+    from dca_manager_spark.io.manifest import ManifestTable
+
+    TS = datetime.datetime(2024, 1, 1)
+    schema = "transaction_id string, close_time timestamp, pair string, price double"
+    t = ManifestTable(
+        spark, str(tmp_path / "t"), keys=("transaction_id",),
+        precombine="price", partition_by=("pair",), table_type="mor")
+    t.write(spark.createDataFrame([("T1", TS, "BTCGBP", 1.0)], schema), "insert")
+    t.write(spark.createDataFrame([("T1", TS, "BTCGBP", 2.0)], schema), "upsert")
+    plan = t.read()._jdf.queryExecution().optimizedPlan().toString()
+    assert "row_number" not in plan
+    assert "ROW_NUMBER" not in t.snapshot_sql()
+    # plant a sink-style un-precombined upsert entry -> rn appears
+    from dca_manager_spark.io.datasource import ManifestStreamWriter
+
+    w = ManifestStreamWriter(
+        {"path": str(tmp_path / "t"), "partition_by": "pair",
+         "keys": "transaction_id", "precombine": "price", "sink_id": "s"},
+        t.read().schema, False)
+    msg = w.write(iter([("T2", TS, "ETHGBP", 3.0)]))  # executor-side half
+    w.commit([msg], batchId=0)
+    plan = t.read()._jdf.queryExecution().optimizedPlan().toString()
+    assert "row_number" in plan
+    assert "ROW_NUMBER" in t.snapshot_sql()
+    # compaction folds the sink deltas away -> cheap plan returns
+    t.compact()
+    plan = t.read()._jdf.queryExecution().optimizedPlan().toString()
+    assert "row_number" not in plan

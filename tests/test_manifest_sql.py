@@ -335,3 +335,133 @@ def test_snapshot_sql_rejects_glob_metachar_root(spark, tmp_path):
         t.snapshot_sql()
     with pytest.raises(ValueError, match="glob metacharacters"):
         t.register("odd_root_view")
+
+
+# -- SQL DML over registered names (manifest_sql, VERDICT r15 #4) ---------
+
+
+@pytest.fixture
+def dml(spark, tmp_path):
+    from dca_manager_spark.io.manifest import ManifestTable
+
+    t = ManifestTable(
+        spark, str(tmp_path / "t"), keys=("id",), precombine="v",
+        partition_by=())
+    t.write(spark.createDataFrame(
+        [(1, 1.0, "a"), (2, 2.0, "b")], "id int, v double, s string"),
+        "bulk_insert")
+    t.register("dml_t")
+    yield t
+    t.unregister("dml_t")
+    spark.sql("DROP VIEW IF EXISTS dml_t")
+
+
+def test_manifest_sql_insert_values_and_select(spark, dml):
+    """INSERT INTO a registered name lands as a transactional append and
+    is immediately visible through the registered view (sync-on-write) —
+    the Athena-ETL write-by-name parity (glue/scripts/
+    load_transactions.py:117-122 writes the path, syncs the name)."""
+    from dca_manager_spark.io.manifest import manifest_sql
+
+    r = manifest_sql(spark, "INSERT INTO dml_t VALUES (3, 3.0, 'c')")
+    assert r.collect()[0].num_affected_rows == 1
+    r = manifest_sql(
+        spark, "INSERT INTO dml_t SELECT 10 + id, v * 10, upper(s) "
+               "FROM dml_t WHERE id <= 2")
+    assert r.collect()[0].num_affected_rows == 2
+    got = sorted((x.id, x.v, x.s)
+                 for x in spark.sql("SELECT * FROM dml_t").collect())
+    assert got == [(1, 1.0, "a"), (2, 2.0, "b"), (3, 3.0, "c"),
+                   (11, 10.0, "A"), (12, 20.0, "B")]
+    # values are CAST to the table's types (INSERT semantics)
+    assert dml.read().schema["v"].dataType.simpleString() == "double"
+
+
+def test_manifest_sql_insert_column_list_null_fills(spark, dml):
+    from dca_manager_spark.io.manifest import manifest_sql
+
+    manifest_sql(spark, "INSERT INTO dml_t (s, id) VALUES ('e', 5)")
+    row = spark.sql("SELECT * FROM dml_t WHERE id = 5").collect()[0]
+    assert (row.id, row.v, row.s) == (5, None, "e")
+    with pytest.raises(ValueError, match="not in table schema"):
+        manifest_sql(spark, "INSERT INTO dml_t (nope) VALUES (1)")
+    with pytest.raises(ValueError, match="by position needs"):
+        manifest_sql(spark, "INSERT INTO dml_t VALUES (9)")
+
+
+def test_manifest_sql_update_delete_merge(spark, dml):
+    from dca_manager_spark.io.manifest import manifest_sql
+
+    assert manifest_sql(
+        spark, "UPDATE dml_t SET v = v * 100 WHERE id = 1"
+    ).collect()[0].num_affected_rows == 1
+    assert manifest_sql(
+        spark, "DELETE FROM dml_t WHERE id = 2"
+    ).collect()[0].num_affected_rows == 1
+    spark.createDataFrame(
+        [(1, 7.0, "a1"), (6, 6.0, "f")], "id int, v double, s string"
+    ).createOrReplaceTempView("merge_src")
+    manifest_sql(
+        spark,
+        "MERGE INTO dml_t AS t USING merge_src AS s ON t.id = s.id "
+        "WHEN MATCHED THEN UPDATE SET * "
+        "WHEN NOT MATCHED THEN INSERT *")
+    got = sorted((x.id, x.v, x.s)
+                 for x in spark.sql("SELECT * FROM dml_t").collect())
+    assert got == [(1, 7.0, "a1"), (6, 6.0, "f")]
+    # CDC captured the SQL-driven changes like any handle write
+    assert dml.read_incremental(0).count() > 0
+
+
+def test_manifest_sql_is_loud_on_bad_dml(spark, dml):
+    from dca_manager_spark.io.manifest import manifest_sql
+
+    with pytest.raises(ValueError, match="not a registered ManifestTable"):
+        manifest_sql(spark, "INSERT INTO nowhere VALUES (1)")
+    # MERGE ON must equate exactly the record keys — upsert semantics
+    spark.createDataFrame(
+        [(1, 1.0, "x")], "id int, v double, s string"
+    ).createOrReplaceTempView("msrc")
+    with pytest.raises(ValueError, match="record keys"):
+        manifest_sql(
+            spark,
+            "MERGE INTO dml_t t USING msrc s ON t.s = s.s "
+            "WHEN MATCHED THEN UPDATE SET * "
+            "WHEN NOT MATCHED THEN INSERT *")
+    # non-DML text passes through untouched
+    assert manifest_sql(spark, "SELECT 1 AS one").collect()[0].one == 1
+
+
+def test_manifest_sql_insert_conflicts_with_handle_writer(spark, dml, tmp_path):
+    """VERDICT r15 #4's conflict case: a SQL INSERT racing a concurrent
+    HANDLE writer — the OCC rebase loop absorbs the lost race and both
+    commits land (no lost update, serialized history)."""
+    from dca_manager_spark.io.manifest import ManifestTable, manifest_sql
+
+    other = ManifestTable(
+        spark, str(tmp_path / "t"), keys=("id",), precombine="v",
+        partition_by=())
+
+    # interleave: the handle writer publishes BETWEEN the SQL front-end's
+    # batch pin and its publish attempt, forcing a rebase
+    real_publish = type(dml)._publish
+    hits = {"n": 0}
+
+    def racing_publish(self, prev_id, *a, **k):
+        if hits["n"] == 0 and self is dml:
+            hits["n"] = 1
+            other.write(
+                spark.createDataFrame([(50, 50.0, "race")],
+                                      "id int, v double, s string"),
+                "insert")
+            # dml's first attempt now targets a stale prev_id -> rebase
+        return real_publish(self, prev_id, *a, **k)
+
+    type(dml)._publish = racing_publish
+    try:
+        manifest_sql(spark, "INSERT INTO dml_t VALUES (60, 60.0, 'sql')")
+    finally:
+        type(dml)._publish = real_publish
+    ids = {r.id for r in dml.read().collect()}
+    assert {50, 60} <= ids, "both the racing handle write and the SQL insert must land"
+    assert dml.rebase_count >= 1 or hits["n"] == 1

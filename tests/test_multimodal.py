@@ -1001,3 +1001,117 @@ def test_audio_media_stats_dispatch_unified_contract():
         audio_media_stats(b"OggS whatever")
     with _pt.raises(ValueError, match="null audio"):
         audio_media_stats(None)
+
+
+# -- MP4 sample tables (r16: per-track exact metrics, no codec) -----------
+
+
+def test_mp4_sample_walk_round_trip():
+    """encode_mp4_sampled -> parse_mp4_samples re-derives every planted
+    number: two-run stts summed (not first-delta-multiplied), variable
+    stsz, ragged final chunk counted."""
+    from dca_manager_spark.operators.multimodal import (
+        encode_mp4_sampled,
+        parse_mp4_samples,
+    )
+
+    sizes = [100 + (j * 17) % 900 for j in range(17)]
+    blob = encode_mp4_sampled([
+        dict(track_id=1, timescale=12800, stts=[(10, 512), (7, 256)],
+             sizes=sizes, samples_per_chunk=4),
+        dict(track_id=7, timescale=48000, stts=[(5, 1024)],
+             sizes=[64] * 5, samples_per_chunk=8),
+    ])
+    got = parse_mp4_samples(blob)
+    units = 10 * 512 + 7 * 256
+    assert got[0] == (1, 12800, 17, units * 1000 // 12800,
+                      17 * 12800 * 1000 // units, sum(sizes), max(sizes), 5)
+    assert got[1] == (7, 48000, 5, 5 * 1024 * 1000 // 48000,
+                      5 * 48000 * 1000 // (5 * 1024), 320, 64, 1)
+    # the plain header walk still reads the same container's duration
+    from dca_manager_spark.operators.multimodal import parse_mp4_header
+
+    fmt, _, _, dur = parse_mp4_header(blob)
+    assert fmt == "mp4" and dur == units * 1000 // 12800
+
+
+def test_mp4_sample_walk_fixed_size_shortcut():
+    """stsz with sample_size != 0 (all samples equal) has NO size array;
+    the walk must use the fixed-size shortcut, not read absent bytes."""
+    from dca_manager_spark.operators.multimodal import (
+        _box, _full_box, encode_mp4_sampled, parse_mp4_samples,
+    )
+
+    blob = encode_mp4_sampled([
+        dict(track_id=1, timescale=1000, stts=[(6, 100)],
+             sizes=[50] * 6, samples_per_chunk=3)])
+    # rewrite stsz to the fixed-size form
+    i = blob.find(b"stsz") - 4
+    size = int.from_bytes(blob[i:i + 4], "big")
+    fixed = _full_box(b"stsz", (50).to_bytes(4, "big") + (6).to_bytes(4, "big"))
+    patched = blob[:i] + fixed + blob[i + size:]
+    # fix enclosing box sizes (stbl, minf, mdia, trak, moov shrink)
+    delta = size - len(fixed)
+    out = bytearray(patched)
+    for tag in (b"moov", b"trak", b"mdia", b"minf", b"stbl"):
+        j = out.find(tag) - 4
+        out[j:j + 4] = (int.from_bytes(out[j:j + 4], "big") - delta
+                        ).to_bytes(4, "big")
+    got = parse_mp4_samples(bytes(out))
+    assert got[0][2] == 6 and got[0][5] == 300 and got[0][6] == 50
+
+
+def test_mp4_sample_walk_is_loud_on_inconsistent_tables():
+    import pytest
+
+    from dca_manager_spark.operators.multimodal import (
+        encode_mp4_sampled, parse_mp4_samples,
+    )
+
+    blob = encode_mp4_sampled([
+        dict(track_id=1, timescale=1000, stts=[(6, 100)],
+             sizes=[50] * 6, samples_per_chunk=3)])
+    cnt_off = blob.find(b"stsz") + 12
+    under = bytearray(blob)
+    under[cnt_off:cnt_off + 4] = (5).to_bytes(4, "big")
+    with pytest.raises(ValueError, match="stts declares"):
+        parse_mp4_samples(bytes(under))
+    over = bytearray(blob)
+    over[cnt_off:cnt_off + 4] = (7).to_bytes(4, "big")
+    with pytest.raises(ValueError, match="truncated MP4 sample table"):
+        parse_mp4_samples(bytes(over))
+    with pytest.raises(ValueError, match="truncated MP4"):
+        parse_mp4_samples(blob[:60])
+    # stco chunk count out of step with stsc coverage
+    co_off = blob.find(b"stco") + 8
+    badco = bytearray(blob)
+    badco[co_off:co_off + 4] = (1).to_bytes(4, "big")
+    with pytest.raises(ValueError, match="stsc/stco"):
+        parse_mp4_samples(bytes(badco))
+    # non-MP4 payloads pass through silently (shared contract)
+    assert parse_mp4_samples(b"not a video") == []
+    assert parse_mp4_samples(None) == []
+
+
+def test_mp4_samples_operator(spark):
+    """mapInPandas explode: one row per track, carry-through columns
+    preserved, Arrow-batched."""
+    from dca_manager_spark.operators.multimodal import (
+        encode_mp4_sampled, mp4_samples,
+    )
+
+    rows = []
+    for mid in range(4):
+        n_tracks = 1 + mid % 2
+        blob = encode_mp4_sampled([
+            dict(track_id=k + 1, timescale=1000, stts=[(4 + mid, 250)],
+                 sizes=[10 * (k + 1)] * (4 + mid), samples_per_chunk=2)
+            for k in range(n_tracks)
+        ])
+        rows.append((mid, f"tag{mid}", bytearray(blob)))
+    df = spark.createDataFrame(rows, "media_id int, tag string, content binary")
+    got = mp4_samples(df, "content").orderBy("media_id", "track_id").collect()
+    assert len(got) == 1 + 2 + 1 + 2
+    assert got[1].media_id == 1 and got[1].tag == "tag1"
+    assert got[2].track_id == 2 and got[2].total_sample_bytes == 20 * 5
+    assert all(r.duration_ms == (4 + r.media_id) * 250 for r in got)
