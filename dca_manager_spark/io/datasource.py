@@ -441,10 +441,13 @@ class ManifestChangesDataSource(DataSource):
 # Scope: append by default; `keys`+`precombine` options switch the sink
 # to keyed UPSERT ingest (micro-batches land as MOR upsert deltas —
 # latest commit wins per key, within-batch duplicates resolve by
-# precombine at read). mode("overwrite") and deletes still raise —
-# replacement without tombstones would silently break CDC/replica
-# consumers; those need the table handle's merge paths. Bloom/cluster
-# write options likewise live on ManifestTable.write.
+# precombine at read), and `delete_column` adds the Hudi
+# _hoodie_is_deleted contract: marker-true rows become same-commit
+# tombstones, so a CDC feed streams straight in — upserts AND deletes —
+# with no foreachBatch. mode("overwrite") still raises — wholesale
+# replacement without delete capture would silently break CDC/replica
+# consumers; that needs the table handle's restore/delete_where paths.
+# Bloom/cluster write options likewise live on ManifestTable.write.
 
 
 class _ManifestFilesMessage(WriterCommitMessage):
@@ -486,6 +489,12 @@ class _ManifestWriterBase:
         names = {f.name for f in schema.fields}
         self.keys = [c for c in options.get("keys", "").split(",") if c]
         self.precombine = options.get("precombine")
+        # CDC delete markers (the Hudi _hoodie_is_deleted contract): in
+        # keyed mode, rows where this boolean column is true are DELETES
+        # of their key; the marker is transport metadata and never lands
+        # in the table schema. Lets a change feed stream straight into
+        # the sink — upserts AND deletes — with no foreachBatch.
+        self.delete_column = options.get("delete_column")
         if self.keys:
             if not self.precombine:
                 raise ValueError(
@@ -502,6 +511,28 @@ class _ManifestWriterBase:
                 )
         elif self.precombine:
             raise ValueError("precombine option is meaningless without keys")
+        if self.delete_column:
+            if not self.keys:
+                raise ValueError(
+                    "delete_column is meaningless without keys (appends "
+                    "have no delete semantics)"
+                )
+            if self.delete_column not in names:
+                raise ValueError(
+                    f"delete_column {self.delete_column!r} absent from the "
+                    f"write schema {sorted(names)}"
+                )
+            if schema[self.delete_column].dataType.typeName() != "boolean":
+                raise ValueError(
+                    f"delete_column {self.delete_column!r} must be boolean, "
+                    f"got {schema[self.delete_column].dataType.simpleString()}"
+                )
+            clash = {self.precombine, *self.keys, *self.partition_by}
+            if self.delete_column in clash:
+                raise ValueError(
+                    "delete_column cannot double as a key/partition/"
+                    "precombine column"
+                )
         missing = [c for c in self.partition_by if c not in names]
         if missing:
             raise ValueError(
@@ -518,6 +549,14 @@ class _ManifestWriterBase:
                 )
         self.schema = schema
         self.arrow_schema = to_arrow_schema(schema)
+        # the delete marker is transport metadata: files and the table
+        # schema exclude it
+        self.table_schema = (
+            StructType([
+                f for f in schema.fields if f.name != self.delete_column
+            ])
+            if self.delete_column else schema
+        )
         self.commit_dir = f"data/commit-{uuid.uuid4().hex}"
 
     # -- executor side ------------------------------------------------
@@ -536,9 +575,17 @@ class _ManifestWriterBase:
         )
         from dca_manager_spark.io.manifest import _partition_key
 
+        # Group rows into output files by (delete-marker, partition
+        # values): delete-marked rows land in their OWN files so the
+        # commit can reference them as tombstones; the marker column
+        # itself is transport metadata and is dropped before writing.
+        row_ops = (
+            [bool(v) for v in pdf[self.delete_column]]
+            if self.delete_column else [False] * len(pdf)
+        )
+        if self.delete_column:
+            tbl = tbl.drop_columns([self.delete_column])
         if self.partition_by:
-            import pyarrow.compute as pc
-
             keys = list(
                 zip(*[
                     [
@@ -548,17 +595,19 @@ class _ManifestWriterBase:
                     for c in self.partition_by
                 ])
             )
-            groups: dict[tuple, list[int]] = {}
-            for i, k in enumerate(keys):
-                groups.setdefault(k, []).append(i)
-            parts = [
-                (dict(zip(self.partition_by, k)), tbl.take(idx))
-                for k, idx in sorted(groups.items(), key=lambda kv: str(kv[0]))
-            ]
         else:
-            parts = [({}, tbl)]
+            keys = [()] * len(pdf)
+        groups: dict[tuple, list[int]] = {}
+        for i, (k, d) in enumerate(zip(keys, row_ops)):
+            groups.setdefault((d, k), []).append(i)
+        parts = [
+            (d, dict(zip(self.partition_by, k)), tbl.take(idx))
+            for (d, k), idx in sorted(
+                groups.items(), key=lambda kv: str(kv[0])
+            )
+        ]
         entries = []
-        for partition, sub in parts:
+        for is_delete, partition, sub in parts:
             dirs = "/".join(
                 f"__part_{c}=" + (
                     "__HIVE_DEFAULT_PARTITION__" if v is None
@@ -573,7 +622,10 @@ class _ManifestWriterBase:
             target = Path(self.path) / rel
             target.parent.mkdir(parents=True, exist_ok=True)
             pq.write_table(sub, str(target))
-            entries.append({"path": rel, "partition": partition})
+            e = {"path": rel, "partition": partition}
+            if is_delete:
+                e["__delete"] = True  # consumed (and stripped) by commit
+            entries.append(e)
         return _ManifestFilesMessage(entries)
 
     # -- driver side ----------------------------------------------------
@@ -590,7 +642,6 @@ class _ManifestWriterBase:
 
     def _publish_append(self, entries: list[dict], extra: dict | None) -> None:
         table = self._table()
-        paths = [e["path"] for e in entries]
         stream_mark = (
             (extra["stream_sink"], int(extra["stream_batch"])) if extra else None
         )
@@ -615,8 +666,12 @@ class _ManifestWriterBase:
             if self.keys or any(f.get("kind") for f in prev_files):
                 next_id = 0 if prev_id is None else prev_id + 1
                 for e in entries:
-                    e["kind"] = "delta"
-                    e["op"] = "upsert" if self.keys else "insert"
+                    is_del = e.pop("__delete", False)
+                    e["kind"] = "tombstone" if is_del else "delta"
+                    e["op"] = (
+                        "delete" if is_del
+                        else ("upsert" if self.keys else "insert")
+                    )
                     e["commit"] = next_id
                     if self.keys:
                         # NOT precombined (commit() has no SparkSession):
@@ -624,13 +679,15 @@ class _ManifestWriterBase:
                         # only when they see this flag — handle-written
                         # commits keep the cheaper plan
                         e["pc"] = False
-            schema_json = table._merge_schema_json(prev_doc, self.schema)
+            ups = [e["path"] for e in entries if e.get("op") != "delete"]
+            dels = [e["path"] for e in entries if e.get("op") == "delete"]
+            schema_json = table._merge_schema_json(prev_doc, self.table_schema)
             try:
                 table._publish(
                     prev_id,
                     prev_files + entries,
                     schema_json,
-                    changes={"upserts": paths, "deletes": []},
+                    changes={"upserts": ups, "deletes": dels},
                     op="upsert" if self.keys else "append",
                     extra=extra,
                     stream_mark=stream_mark,

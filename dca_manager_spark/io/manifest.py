@@ -1171,14 +1171,13 @@ class ManifestTable:
         # sink-upsert entries pay the row_number sort; handle-written
         # commits are precombined, so ordinary tables keep the r15 plan.
         needs_rn = any(
-            f.get("kind") and f.get("op") == "upsert" and f.get("pc") is False
-            for f in files
+            f.get("kind") and f.get("pc") is False for f in files
         )
         if needs_rn:
             pc = self._q(self.precombine)
             rn_sql = (
                 f"  ROW_NUMBER() OVER (PARTITION BY {ident}"
-                f" ORDER BY _sup DESC, _commit DESC, _del ASC, {pc} DESC)"
+                f" ORDER BY _sup DESC, _commit DESC, {pc} DESC, _del DESC)"
                 f" AS _rn\n"
             )
         else:
@@ -1728,21 +1727,20 @@ class ManifestTable:
         sup_commit = F.max(
             F.when(F.col("_sup"), F.col("_commit"))
         ).over(w)
-        # Within-commit precombine (r16): an upsert commit from the
+        # Within-commit precombine (r16): a keyed commit from the
         # STREAMING SINK cannot precombine its batch (commit() runs in a
         # plain Python worker, no SparkSession), so a key may carry
-        # several rows at the winning commit. Resolve them exactly as
-        # precombine_dedup would — largest precombine wins; at the same
-        # commit a live upsert row beats a tombstone (the handle's
-        # existing same-commit semantics). GATED on the manifest: sink
-        # upsert entries carry pc=False; handle commits are precombined
-        # before writing, so a table never touched by a keyed sink skips
-        # the row_number entirely (its sort would otherwise tax every
-        # MOR read — measured +~2x on compact+drift-read, r16).
+        # several rows — possibly mixed upsert + delete-marker rows — at
+        # the winning commit. Resolve exactly as Hudi's
+        # _hoodie_is_deleted contract: largest precombine wins, a delete
+        # wins precombine ties (CDC-conservative). Handle commits never
+        # mix ops for one key in one commit (write_txn drops overlapped
+        # deletes up front) and are precombined, so this GATE — sink
+        # entries carry pc=False — means ordinary tables skip the
+        # row_number entirely (its sort would otherwise tax every MOR
+        # read; measured +~2x on compact+drift-read, r16).
         needs_rn = any(
-            f.get("kind") and f.get("op") == "upsert"
-            and f.get("pc") is False
-            for f in files
+            f.get("kind") and f.get("pc") is False for f in files
         )
         rows = rows.withColumn("_sc", F.coalesce(sup_commit, F.lit(-2)))
         if needs_rn:
@@ -1753,8 +1751,8 @@ class ManifestTable:
                     .orderBy(
                         F.col("_sup").desc(),
                         F.col("_commit").desc(),
-                        F.col("_del").asc(),
                         F.col(self.precombine).desc(),
+                        F.col("_del").desc(),
                     )
                 ),
             )

@@ -826,3 +826,98 @@ def test_manifest_sink_keyed_mode_option_validation(registered, tmp_path):
         ManifestStreamWriter(
             {"path": str(tmp_path / "t"), "precombine": "price",
              "sink_id": "s"}, schema, False)
+
+
+def test_manifest_sink_delete_markers(registered, tmp_path):
+    """r16: the keyed sink's delete_column option (Hudi _hoodie_is_deleted
+    contract) — marker-true rows land as tombstones in the same
+    exactly-once commit as the batch's upserts; the marker column never
+    enters the table schema; within one batch the highest precombine
+    wins and a delete wins precombine ties."""
+    import datetime
+
+    from dca_manager_spark.io.manifest import ManifestTable
+
+    spark = registered
+    TS = datetime.datetime(2024, 1, 1)
+    schema = ("transaction_id string, close_time timestamp, pair string, "
+              "price double, deleted boolean")
+    p = str(tmp_path / "t")
+    src = str(tmp_path / "src")
+
+    def drain(batch_rows):
+        spark.createDataFrame(batch_rows, schema) \
+            .write.mode("append").json(src)
+        q = (
+            spark.readStream.schema(schema).json(src)
+            .writeStream.format("dca_manifest")
+            .option("path", p)
+            .option("partition_by", "pair")
+            .option("keys", "transaction_id")
+            .option("precombine", "price")
+            .option("delete_column", "deleted")
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    # batch 0: inserts T1..T3
+    drain([("T1", TS, "BTCGBP", 1.0, False),
+           ("T2", TS, "ETHGBP", 2.0, False),
+           ("T3", TS, "BTCGBP", 3.0, False)])
+    t = ManifestTable(spark, p, keys=("transaction_id",),
+                      precombine="price", partition_by=("pair",))
+    assert "deleted" not in t.read().columns  # marker stripped
+    assert t.read().count() == 3
+
+    # batch 1: a CDC slice — update T1, DELETE T2, mixed-op same key T3:
+    # upsert at price 9 AND delete at price 5 -> upsert wins (higher pc)
+    drain([("T1", TS, "BTCGBP", 7.0, False),
+           ("T2", TS, "ETHGBP", 2.5, True),
+           ("T3", TS, "BTCGBP", 9.0, False),
+           ("T3", TS, "BTCGBP", 5.0, True)])
+    got = {r.transaction_id: r.price for r in t.read().collect()}
+    assert got == {"T1": 7.0, "T3": 9.0}
+    doc = t._load_manifest(t.commits()[-1])
+    assert doc["changes"]["deletes"], "tombstone files must be change-captured"
+
+    # batch 2: delete wins a precombine TIE (CDC-conservative)
+    drain([("T3", TS, "BTCGBP", 9.0, True),
+           ("T3", TS, "BTCGBP", 9.0, False)])
+    assert {r.transaction_id for r in t.read().collect()} == {"T1"}
+
+    # the registered view resolves identically
+    t.register("cdc_sink_view")
+    try:
+        assert {r.transaction_id for r in registered.sql(
+            "SELECT transaction_id FROM cdc_sink_view").collect()} == {"T1"}
+    finally:
+        t.unregister("cdc_sink_view")
+    # compaction folds everything; answer unchanged
+    t.compact()
+    assert {r.transaction_id for r in t.read().collect()} == {"T1"}
+
+
+def test_manifest_sink_delete_marker_validation(registered, tmp_path):
+    import pytest
+
+    from dca_manager_spark.io.datasource import ManifestStreamWriter
+
+    schema = registered.createDataFrame(
+        [("T1", 1.0, True)],
+        "transaction_id string, price double, deleted boolean").schema
+    with pytest.raises(ValueError, match="meaningless without keys"):
+        ManifestStreamWriter(
+            {"path": str(tmp_path / "t"), "delete_column": "deleted",
+             "sink_id": "s"}, schema, False)
+    with pytest.raises(ValueError, match="must be boolean"):
+        ManifestStreamWriter(
+            {"path": str(tmp_path / "t"), "keys": "transaction_id",
+             "precombine": "price", "delete_column": "price",
+             "sink_id": "s"}, schema, False)
+    with pytest.raises(ValueError, match="absent from the write schema"):
+        ManifestStreamWriter(
+            {"path": str(tmp_path / "t"), "keys": "transaction_id",
+             "precombine": "price", "delete_column": "nope",
+             "sink_id": "s"}, schema, False)
