@@ -392,6 +392,26 @@ class ManifestTable:
         (Hudi-timeline analogue)."""
         return self._manifest_ids()
 
+    def version_at_timestamp(self, ts: "datetime.datetime") -> int:
+        """Latest commit published at or before ``ts`` (the TIMESTAMP AS
+        OF resolution rule, Delta's contract). Publication time is the
+        manifest file's mtime — the O_EXCL put IS the commit instant, so
+        the file timestamp is authoritative; a naive ``ts`` is taken in
+        LOCAL time (what ``TIMESTAMP AS OF '2024-01-01 12:00:00'`` means
+        in a session-local SQL literal)."""
+        epoch = ts.timestamp()
+        best = None
+        for mid in self._manifest_ids():
+            mtime = (self._manifest_dir() / f"{mid:012d}.json").stat().st_mtime
+            if mtime <= epoch and (best is None or mid > best):
+                best = mid
+        if best is None:
+            raise ValueError(
+                f"no commit at or before {ts.isoformat()} is retained on "
+                f"{self.path} (earliest retained manifest is newer, or "
+                "the table is empty)")
+        return best
+
     def history(self) -> DataFrame:
         """DESCRIBE HISTORY analogue: one row per RETAINED commit with
         the operation kind and file/change-capture counts — built from
@@ -2083,11 +2103,17 @@ class ManifestTable:
                 return 0
             # assignments are deterministic projections over the pinned
             # snapshot — no second checkpoint needed for the multi-
-            # consumer merge path or the constraint gate
+            # consumer merge path or the constraint gate. Each result is
+            # CAST back to the column's committed type: UPDATE never
+            # changes a column's type (ANSI/Delta), and without the cast
+            # a bare literal like 99.0 parses as DECIMAL and would be
+            # rejected as a schema conflict at write time.
+            types = {f.name: f.dataType for f in rows.schema.fields}
             for c, expr in assignments.items():
-                rows = rows.withColumn(
-                    c, F.expr(expr) if isinstance(expr, str) else expr
-                )
+                val = F.expr(expr) if isinstance(expr, str) else expr
+                if c in types:
+                    val = val.cast(types[c])
+                rows = rows.withColumn(c, val)
             if self.constraints:
                 self._check_constraints(rows)
             try:
@@ -2576,8 +2602,28 @@ def _dml_table(name: str) -> "ManifestTable":
 
 
 _IDENT = r"[A-Za-z_][\w]*|`[^`]+`"
+_DESCRIBE_HISTORY_RE = re.compile(
+    rf"^\s*DESCRIBE\s+HISTORY\s+(?P<name>{_IDENT})\s*;?\s*$", re.I)
+_OPTIMIZE_RE = re.compile(
+    rf"^\s*OPTIMIZE\s+(?P<name>{_IDENT})"
+    r"(?:\s+ZORDER\s+BY\s*\((?P<cols>[^)]*)\))?\s*;?\s*$", re.I)
+_VACUUM_RE = re.compile(
+    rf"^\s*VACUUM\s+(?P<name>{_IDENT})"
+    r"(?:\s+RETAIN\s+(?P<n>\d+)\s+COMMITS)?\s*;?\s*$", re.I)
+_TIME_TRAVEL_RE = re.compile(
+    rf"\b(?P<name>{_IDENT})\s+(?P<kind>VERSION|TIMESTAMP)\s+AS\s+OF\s+"
+    r"(?P<val>'[^']*'|\d+)", re.I)
+_CREATE_TABLE_RE = re.compile(
+    rf"^\s*CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?(?P<name>{_IDENT})\s+"
+    r"USING\s+dca_manifest\s*"
+    r"(?:OPTIONS\s*\((?P<opts>[^)]*)\)\s*)?"
+    r"(?:LOCATION\s+'(?P<loc>[^']+)'\s*)?"
+    r"(?:AS\s+(?P<query>(?:SELECT|VALUES|WITH|TABLE|FROM)\b.*))?$",
+    re.I | re.S,
+)
 _INSERT_RE = re.compile(
-    rf"^\s*INSERT\s+INTO\s+(?:TABLE\s+)?(?P<name>{_IDENT})\s*"
+    rf"^\s*INSERT\s+(?P<mode>INTO|OVERWRITE)\s+(?:TABLE\s+)?"
+    rf"(?P<name>{_IDENT})\s*"
     r"(?:\((?P<cols>[^)]*)\)\s*)?"
     r"(?P<query>(?:SELECT|VALUES|WITH|TABLE|FROM)\b.*)$",
     re.I | re.S,
@@ -2592,15 +2638,188 @@ _UPDATE_RE = re.compile(
     r"(?:\s+WHERE\s+(?P<pred>.+?))?\s*;?\s*$",
     re.I | re.S,
 )
-_MERGE_RE = re.compile(
+_MERGE_HEAD_RE = re.compile(
     rf"^\s*MERGE\s+INTO\s+(?P<name>{_IDENT})(?:\s+(?:AS\s+)?(?P<talias>{_IDENT}))?"
     rf"\s+USING\s+(?P<src>\((?:[^()]|\([^()]*\))*\)|{_IDENT})"
     rf"(?:\s+(?:AS\s+)?(?P<salias>{_IDENT}))?"
-    r"\s+ON\s+(?P<cond>.+?)"
-    r"\s+WHEN\s+MATCHED\s+THEN\s+UPDATE\s+SET\s+\*"
-    r"\s+WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT\s+\*\s*;?\s*$",
+    r"\s+ON\s+(?P<rest>.+)$",
     re.I | re.S,
 )
+_WHEN_KIND_RE = re.compile(
+    r"^WHEN\s+(?P<kind>NOT\s+MATCHED\s+BY\s+SOURCE|"
+    r"NOT\s+MATCHED(?:\s+BY\s+TARGET)?|MATCHED)\s+(?P<rest>.+)$",
+    re.I | re.S,
+)
+_UPDATE_ACTION_RE = re.compile(r"^UPDATE\s+SET\s+(?P<sets>.+)$", re.I | re.S)
+_INSERT_STAR_RE = re.compile(r"^INSERT\s*\*$", re.I)
+_INSERT_VALUES_RE = re.compile(
+    r"^INSERT\s*\((?P<cols>[^)]*)\)\s*VALUES\s*\((?P<vals>.+)\)$",
+    re.I | re.S,
+)
+
+
+_WHEN_BOUNDARY_RE = re.compile(r"\bWHEN\s+(?:NOT\s+)?MATCHED\b", re.I)
+_CASE_KW_RE = re.compile(r"\bCASE\b", re.I)
+_END_KW_RE = re.compile(r"\bEND\b", re.I)
+
+
+def _top_level_scan(text: str, pat: re.Pattern, first: bool = False):
+    """Indices where ``pat`` matches at TOP level: outside string/backtick
+    literals, outside parens/brackets, and outside ``CASE ... END``
+    expressions (a SQL condition or SET expression may contain nested
+    WHEN/THEN only inside a CASE or a parenthesized subexpression — both
+    are skipped here, so MERGE clause keywords are unambiguous)."""
+    hits, depth, case_depth, quote, i = [], 0, 0, None, 0
+    while i < len(text):
+        ch = text[i]
+        if quote:
+            if ch == quote:
+                quote = None
+            i += 1
+            continue
+        if ch in "'\"`":
+            quote = ch
+        elif ch in "([":
+            depth += 1
+        elif ch in ")]":
+            depth -= 1
+        elif depth == 0:
+            m = _CASE_KW_RE.match(text, i)
+            if m:
+                case_depth += 1
+                i = m.end()
+                continue
+            if case_depth > 0:
+                m = _END_KW_RE.match(text, i)
+                if m:
+                    case_depth -= 1
+                    i = m.end()
+                    continue
+            else:
+                m = pat.match(text, i)
+                if m:
+                    hits.append(i)
+                    if first:
+                        return hits
+                    i = m.end()
+                    continue
+        i += 1
+    return hits
+
+
+def _split_merge_tail(rest: str) -> tuple[str, list[str]]:
+    """Split the text after ``ON`` into (on_condition, when_clauses) at
+    top-level ``WHEN [NOT] MATCHED`` boundaries (see _top_level_scan)."""
+    bounds = _top_level_scan(rest, _WHEN_BOUNDARY_RE)
+    if not bounds:
+        raise ValueError(
+            "MERGE needs at least one WHEN [NOT] MATCHED clause")
+    on_cond = rest[: bounds[0]].strip()
+    clauses = [
+        rest[b: e].strip()
+        for b, e in zip(bounds, bounds[1:] + [len(rest)])
+    ]
+    return on_cond, clauses
+
+
+class _MergeClause:
+    """One parsed WHEN clause: kind in {'matched', 'not_matched',
+    'not_matched_by_source'}; action in {'update', 'delete', 'insert'};
+    cond is the optional AND predicate text; sets is {col: expr} for
+    update ('*' sentinel resolved by the executor); insert_cols/vals for
+    the INSERT (cols) VALUES (exprs) form (None = INSERT *)."""
+
+    def __init__(self, kind: str, cond: str | None, action: str,
+                 sets: dict | None = None,
+                 insert_cols: list | None = None,
+                 insert_vals: list | None = None,
+                 star: bool = False):
+        self.kind = kind
+        self.cond = cond
+        self.action = action
+        self.sets = sets
+        self.insert_cols = insert_cols
+        self.insert_vals = insert_vals
+        self.star = star
+
+
+_THEN_KW_RE = re.compile(r"\bTHEN\b", re.I)
+
+
+def _parse_merge_clause(text: str) -> _MergeClause:
+    m = _WHEN_KIND_RE.match(text)
+    if not m:
+        raise ValueError(f"unparseable MERGE clause: {text!r}")
+    kind_raw = re.sub(r"\s+", " ", m.group("kind").upper())
+    kind = {
+        "MATCHED": "matched",
+        "NOT MATCHED": "not_matched",
+        "NOT MATCHED BY TARGET": "not_matched",
+        "NOT MATCHED BY SOURCE": "not_matched_by_source",
+    }[kind_raw]
+    rest = m.group("rest")
+    # the clause's THEN is the first TOP-LEVEL one — a THEN inside a
+    # CASE WHEN (or parens) in the AND-condition never terminates it
+    hit = _top_level_scan(rest, _THEN_KW_RE, first=True)
+    if not hit:
+        raise ValueError(f"MERGE clause missing THEN: {text!r}")
+    before = rest[: hit[0]].strip()
+    action = rest[hit[0] + 4:].strip()
+    cond = None
+    if before:
+        am = re.match(r"^AND\s+(?P<c>.+)$", before, re.I | re.S)
+        if not am:
+            raise ValueError(
+                f"expected AND <condition> before THEN, got: {before!r}")
+        cond = am.group("c").strip()
+    if re.match(r"^DELETE\s*$", action, re.I):
+        if kind == "not_matched":
+            raise ValueError(
+                "WHEN NOT MATCHED supports INSERT only (DELETE targets "
+                "an existing row)")
+        return _MergeClause(kind, cond, "delete")
+    um = _UPDATE_ACTION_RE.match(action)
+    if um:
+        if kind == "not_matched":
+            raise ValueError(
+                "WHEN NOT MATCHED supports INSERT only (UPDATE targets "
+                "an existing row)")
+        sets_text = um.group("sets").strip().rstrip(";").strip()
+        if sets_text == "*":
+            if kind == "not_matched_by_source":
+                raise ValueError(
+                    "UPDATE SET * needs source columns; NOT MATCHED BY "
+                    "SOURCE rows have none")
+            return _MergeClause(kind, cond, "update", star=True)
+        sets = {}
+        for part in _split_top_level(sets_text):
+            am = re.match(
+                rf"^\s*(?:(?:{_IDENT})\s*\.\s*)?(?P<col>{_IDENT})\s*=\s*"
+                r"(?P<expr>.+)$", part, re.S)
+            if not am:
+                raise ValueError(f"unparseable SET assignment: {part!r}")
+            sets[am.group("col").strip("`").lower()] = am.group(
+                "expr").strip()
+        return _MergeClause(kind, cond, "update", sets=sets)
+    if kind != "not_matched":
+        raise ValueError(
+            f"WHEN {kind_raw} supports UPDATE SET/DELETE, got: {action!r}")
+    if _INSERT_STAR_RE.match(action.rstrip(";").strip()):
+        return _MergeClause(kind, cond, "insert", star=True)
+    im = _INSERT_VALUES_RE.match(action.rstrip(";").strip())
+    if im:
+        cols = [c.strip().strip("`").lower()
+                for c in _split_top_level(im.group("cols"))]
+        vals = _split_top_level(im.group("vals"))
+        if len(cols) != len(vals):
+            raise ValueError(
+                f"INSERT column list has {len(cols)} names but VALUES "
+                f"has {len(vals)} expressions")
+        return _MergeClause(kind, cond, "insert",
+                            insert_cols=cols, insert_vals=vals)
+    raise ValueError(
+        f"WHEN NOT MATCHED supports INSERT * or INSERT (cols) VALUES "
+        f"(exprs), got: {action!r}")
 
 
 def _split_top_level(text: str) -> list[str]:
@@ -2629,6 +2848,216 @@ def _split_top_level(text: str) -> list[str]:
     if buf:
         parts.append("".join(buf).strip())
     return parts
+
+
+def _merge_general(
+    table: "ManifestTable",
+    source_df: DataFrame,
+    talias: str,
+    salias: str,
+    on_cond: str,
+    clauses: list[_MergeClause],
+) -> int:
+    """General MERGE executor (Delta-parity semantics): matched pairs by
+    the arbitrary ON condition, first applicable clause wins per row,
+    a target row matching multiple actionable source rows is an ERROR
+    (nondeterministic — Delta's DELTA_MULTIPLE_SOURCE_ROW_MATCHING rule),
+    and ALL resulting changes land as ONE atomic ``write_txn`` commit
+    (updates+inserts as upserts, clause DELETEs as deletes), so change
+    capture, OCC rebase and constraint checks apply to the whole MERGE.
+
+    Plan shape at scale: one inner join (matched clauses), one left-anti
+    per unmatched direction — all key-partitionable shuffles Catalyst is
+    free to broadcast when the source is small; clause dispatch is a
+    single chained CASE column, never a per-clause rescan of the join
+    (the filters reuse the same join subtree). Record keys and partition
+    columns cannot be SET (an update is a same-key upsert; moving a key
+    across partitions is delete+insert, exactly Hudi/Delta's rule).
+    """
+    fields = table.read().schema.fields
+    tcols = [f.name for f in fields]
+    by_lower = {f.name.lower(): f for f in fields}
+    key_set = {k.lower() for k in table.keys}
+    part_set = {p.lower() for p in (table.partition_by or ())}
+    # delete payload: keys + partition cols (the delete op's contract)
+    # + the precombine column so write_txn's precombine_dedup resolves
+    del_cols: list[str] = list(table.keys) + [
+        c for c in list(table.partition_by or ())
+        + ([table.precombine] if table.precombine else [])
+        if c and c not in table.keys
+    ]
+    mc = [c for c in clauses if c.kind == "matched"]
+    nmc = [c for c in clauses if c.kind == "not_matched"]
+    nmsc = [c for c in clauses if c.kind == "not_matched_by_source"]
+
+    src_lower = {c.lower() for c in source_df.columns}
+    for c in clauses:
+        if c.action == "update":
+            if c.star:
+                missing = [
+                    f.name for f in fields
+                    if f.name.lower() not in src_lower
+                    and f.name.lower() not in key_set
+                    and f.name.lower() not in part_set
+                ]
+                if missing:
+                    raise ValueError(
+                        f"MERGE UPDATE SET * needs every non-key table "
+                        f"column in the source; missing {missing}")
+                continue
+            bad = sorted(set(c.sets) & key_set)
+            if bad:
+                raise ValueError(
+                    f"MERGE cannot UPDATE record key column(s) {bad} — "
+                    "express a key move as DELETE + INSERT")
+            badp = sorted(set(c.sets) & part_set)
+            if badp:
+                raise ValueError(
+                    f"MERGE cannot UPDATE partition column(s) {badp} — "
+                    "express a partition move as DELETE + INSERT")
+            unknown = sorted(set(c.sets) - set(by_lower))
+            if unknown:
+                raise ValueError(
+                    f"MERGE SET column(s) {unknown} not in table schema "
+                    f"{tcols}")
+        elif c.action == "insert":
+            if c.star:
+                missing = [f.name for f in fields
+                           if f.name.lower() not in src_lower]
+                if missing:
+                    raise ValueError(
+                        f"MERGE INSERT * needs every table column in the "
+                        f"source; missing {missing}")
+                continue
+            unknown = sorted(set(c.insert_cols) - set(by_lower))
+            if unknown:
+                raise ValueError(
+                    f"MERGE INSERT column(s) {unknown} not in table "
+                    f"schema {tcols}")
+            nokey = sorted(key_set - set(c.insert_cols))
+            if nokey:
+                raise ValueError(
+                    f"MERGE INSERT must supply the record key column(s); "
+                    f"missing {nokey}")
+
+    source_df = _pin(source_df)
+    src = source_df.alias(salias)
+    cond = F.expr(on_cond)
+    _ACT = "__dca_merge_act"
+
+    def _act_col(group: list[_MergeClause]):
+        expr = None
+        for i, c in enumerate(group):
+            cnd = F.expr(c.cond) if c.cond else F.lit(True)
+            expr = (F.when(cnd, F.lit(i)) if expr is None
+                    else expr.when(cnd, F.lit(i)))
+        return expr.otherwise(F.lit(-1))
+
+    def _value_expr(c: _MergeClause, f, has_target: bool) -> Column:
+        """The value clause ``c`` writes into field ``f``."""
+        if c.action == "insert":
+            if c.star:
+                return F.col(f"{salias}.`{f.name}`")
+            vals = dict(zip(c.insert_cols, c.insert_vals))
+            return (F.expr(vals[f.name.lower()])
+                    if f.name.lower() in vals else F.lit(None))
+        # UPDATE: SET * assigns every NON-key, NON-partition column from
+        # the source; keys/partitions always come from the target (an
+        # update is a same-key upsert — rewriting the key would orphan
+        # the target row, which is why explicit SET on keys errors too)
+        sets = (c.sets if not c.star
+                else {f.name.lower(): f"{salias}.`{f.name}`"
+                      for f in fields
+                      if f.name.lower() not in key_set
+                      and f.name.lower() not in part_set})
+        if f.name.lower() in sets:
+            return F.expr(sets[f.name.lower()])
+        return (F.col(f"{talias}.`{f.name}`") if has_target
+                else F.lit(None))
+
+    def _flatten(frame: DataFrame, group: list[_MergeClause],
+                 has_target: bool) -> DataFrame:
+        """ONE projection evaluating every clause's output: the join
+        subtree is computed once, pinned flat — the upsert/delete splits
+        below filter the materialized result instead of re-running the
+        join per clause (the difference between 1 and n_clauses+1 scans
+        of the join at scale)."""
+        cols = [F.col(_ACT)]
+        for f in fields:
+            v = None
+            for i, c in enumerate(group):
+                if c.action == "delete":
+                    continue
+                e = _value_expr(c, f, has_target)
+                v = (F.when(F.col(_ACT) == i, e) if v is None
+                     else v.when(F.col(_ACT) == i, e))
+            cols.append(
+                ((v if v is not None else F.lit(None)).cast(f.dataType)
+                 ).alias(f.name))
+        if has_target:
+            cols.extend(F.col(f"{talias}.`{d}`").alias(f"__del_{d}")
+                        for d in del_cols)
+        return _pin(frame.filter(F.col(_ACT) >= 0).select(*cols))
+
+    def _split(flat: DataFrame, group: list[_MergeClause]):
+        upd_idx = [i for i, c in enumerate(group) if c.action != "delete"]
+        del_idx = [i for i, c in enumerate(group) if c.action == "delete"]
+        if upd_idx:
+            ups_parts.append(
+                flat.filter(F.col(_ACT).isin(upd_idx))
+                .select(*[F.col(f"`{f.name}`") for f in fields]))
+        if del_idx:
+            del_parts.append(
+                flat.filter(F.col(_ACT).isin(del_idx))
+                .select(*[F.col(f"`__del_{d}`").alias(d)
+                          for d in del_cols]))
+
+    ups_parts: list[DataFrame] = []
+    del_parts: list[DataFrame] = []
+
+    if mc:
+        j = (table.read().alias(talias)
+             .join(src, cond, "inner")
+             .withColumn(_ACT, _act_col(mc)))
+        flat = _flatten(j, mc, has_target=True)
+        dup = (
+            flat.groupBy(*[F.col(f"`__del_{k}`") for k in table.keys])
+            .count()
+            .filter(F.col("count") > 1)
+        )
+        if dup.limit(1).count() > 0:
+            raise ValueError(
+                "MERGE: a target row matched MULTIPLE source rows with an "
+                "applicable WHEN MATCHED clause — the result would be "
+                "nondeterministic; de-duplicate the source on the join "
+                "condition first (Delta raises the same error)")
+        _split(flat, mc)
+
+    if nmc:
+        nm = (src.join(table.read().alias(talias), cond, "left_anti")
+              .withColumn(_ACT, _act_col(nmc)))
+        _split(_flatten(nm, nmc, has_target=False), nmc)
+
+    if nmsc:
+        nms = (table.read().alias(talias)
+               .join(src, cond, "left_anti")
+               .withColumn(_ACT, _act_col(nmsc)))
+        _split(_flatten(nms, nmsc, has_target=True), nmsc)
+
+    def _union(parts: list[DataFrame]) -> DataFrame | None:
+        if not parts:
+            return None
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return _pin(out)
+
+    ups = _union(ups_parts)
+    dels = _union(del_parts)
+    n = (ups.count() if ups is not None else 0) + (
+        dels.count() if dels is not None else 0)
+    table.write_txn(upserts=ups, deletes=dels)
+    return n
 
 
 def _align_to_table(table: "ManifestTable", df: DataFrame,
@@ -2669,6 +3098,42 @@ def _align_to_table(table: "ManifestTable", df: DataFrame,
     ])
 
 
+def _rewrite_time_travel(
+    spark: SparkSession, text: str
+) -> tuple[str, list[str]]:
+    """Rewrite ``<registered-name> VERSION AS OF <n>`` / ``TIMESTAMP AS
+    OF '<ts>'`` references into session temp views pinned at that
+    snapshot (``register(durable=False, as_of=...)``), so plain SELECTs
+    through ``manifest_sql`` get Delta/Iceberg-style time travel over
+    the VIEW-based catalog (a VIEW itself cannot carry the AS OF — Spark
+    resolves that syntax only for real tables). Names not in the DML
+    registry pass through untouched (spark.sql will error on them,
+    loudly and accurately). Returns (rewritten_text, temp views to drop
+    after analysis — the returned DataFrame keeps its resolved plan)."""
+    import datetime as _dt
+
+    drops: list[str] = []
+
+    def _sub(m: re.Match) -> str:
+        name = m.group("name").strip("`")
+        with _DML_LOCK:
+            table = _DML_REGISTRY.get(name.lower())
+        if table is None:
+            return m.group(0)
+        val = m.group("val")
+        if m.group("kind").upper() == "VERSION":
+            version = int(val)
+        else:
+            ts = _dt.datetime.fromisoformat(val.strip("'"))
+            version = table.version_at_timestamp(ts)
+        alias = f"{name}__asof_{version}_{uuid.uuid4().hex[:6]}"
+        table.register(alias, durable=False, as_of=version)
+        drops.append(alias)
+        return alias
+
+    return _TIME_TRAVEL_RE.sub(_sub, text), drops
+
+
 def manifest_sql(spark: SparkSession, text: str) -> DataFrame:
     """SQL entry point with lakehouse DML: INSERT INTO / DELETE FROM /
     UPDATE / MERGE INTO statements naming a ``register()``-ed
@@ -2686,19 +3151,150 @@ def manifest_sql(spark: SparkSession, text: str) -> DataFrame:
 
     - ``INSERT INTO name [(cols)] <query|VALUES ...>`` -> ``write(df,
       "insert")`` (append; by-position or by-column-list resolution)
+    - ``INSERT OVERWRITE name [(cols)] <query>`` -> ``write_txn(upserts=
+      new, deletes=current)`` — full replacement as ONE commit with
+      delete capture, never a directory swap
     - ``DELETE FROM name [WHERE pred]`` -> ``delete_where(pred)``
     - ``UPDATE name SET c = expr, ... [WHERE pred]`` ->
       ``update_where(pred, assignments)``
-    - ``MERGE INTO name USING src ON <key equality> WHEN MATCHED THEN
-      UPDATE SET * WHEN NOT MATCHED THEN INSERT *`` -> ``write(df,
-      "upsert")`` — the ON clause must equate exactly the table's record
-      keys (that IS upsert semantics; anything else errors loudly)
+    - ``MERGE INTO name [AS t] USING src [AS s] ON <cond> WHEN ...``:
+      the full Delta-parity grammar — any number of ``WHEN MATCHED
+      [AND c] THEN UPDATE SET a=expr,.../UPDATE SET */DELETE``, ``WHEN
+      NOT MATCHED [BY TARGET] [AND c] THEN INSERT */(cols) VALUES
+      (exprs)`` and ``WHEN NOT MATCHED BY SOURCE [AND c] THEN UPDATE
+      SET .../DELETE`` clauses, first applicable clause per row, the
+      multiple-source-rows-match case raised as an error, everything
+      committed atomically via ``write_txn`` (see ``_merge_general``).
+      The canonical unconditional ``UPDATE SET * / INSERT *`` MERGE
+      whose ON equates the record keys skips the target join entirely
+      and routes through ``write(df, "upsert")`` — O(batch), the
+      streaming-ingest plan
+
+    - ``CREATE TABLE [IF NOT EXISTS] name USING dca_manifest OPTIONS
+      (keys='k1[,k2]' [, precombine=..., partition_by=..., table_type=
+      'cow'|'mor', cluster_by=..., cluster_method=...]) [LOCATION
+      'path'] AS <query>`` -> a new ManifestTable (CTAS bulk_insert) +
+      ``register(name)`` — the whole table lifecycle becomes SQL-only;
+      LOCATION omitted = managed directory under the session warehouse
+
+    Utility statements (Delta's maintenance SQL, mapped to the handle):
+
+    - ``DESCRIBE HISTORY name`` -> ``history()`` (one row per retained
+      commit: op kind + file/change-capture counts)
+    - ``OPTIMIZE name [ZORDER BY (c1, c2)]`` -> ``compact()``, with the
+      ZORDER columns applied to this rewrite only; returns
+      ``num_files_replaced``
+    - ``VACUUM name [RETAIN n COMMITS]`` -> ``vacuum(keep_last=n)``
+      (commit-count retention, not Delta's hour-based RETAIN — the
+      honest spelling of what the manifest retention window is);
+      returns ``num_files_removed``
+
+    Time travel in pass-through reads: ``FROM name VERSION AS OF n`` /
+    ``name TIMESTAMP AS OF '2024-01-01 12:00:00'`` on a registered name
+    resolves against that pinned snapshot (see _rewrite_time_travel).
 
     DML returns a 1-row ``num_affected_rows`` frame (Delta's contract);
     INSERT counts the appended batch. The DML registry is
     process-scoped: a fresh process must re-``register()`` handles
     before writing by name (reads need no handle — the VIEW is durable).
     """
+    m = _CREATE_TABLE_RE.match(text)
+    if m:
+        name = m.group("name").strip("`")
+        with _DML_LOCK:
+            exists = name.lower() in _DML_REGISTRY
+        if exists:
+            if re.match(r"^\s*CREATE\s+TABLE\s+IF\s+NOT\s+EXISTS", text,
+                        re.I):
+                return spark.createDataFrame(
+                    [(0,)], "num_affected_rows bigint")
+            raise ValueError(
+                f"table {name!r} is already registered — use CREATE TABLE "
+                "IF NOT EXISTS, or a different name")
+        if not m.group("query"):
+            raise ValueError(
+                "CREATE TABLE ... USING dca_manifest requires AS <query> "
+                "— the committed schema comes from the first commit "
+                "(CTAS); to attach an EXISTING table directory, build a "
+                "ManifestTable handle and register() it")
+        opts: dict[str, str] = {}
+        for part in _split_top_level(m.group("opts") or ""):
+            km = re.match(
+                r"^\s*(?P<k>[\w.]+)\s*=\s*'(?P<v>[^']*)'\s*$", part)
+            if not km:
+                raise ValueError(
+                    f"unparseable OPTIONS entry {part!r} (expected "
+                    "key='value')")
+            opts[km.group("k").lower()] = km.group("v")
+        allowed = {"keys", "precombine", "partition_by", "table_type",
+                   "cluster_by", "cluster_method"}
+        unknown = sorted(set(opts) - allowed)
+        if unknown:
+            raise ValueError(
+                f"unknown OPTIONS key(s) {unknown}; supported: "
+                f"{sorted(allowed)}")
+        if "keys" not in opts:
+            raise ValueError(
+                "CREATE TABLE ... USING dca_manifest needs OPTIONS "
+                "(keys='k1[,k2]') — every lake table is keyed")
+
+        def _csv(s: str) -> tuple[str, ...]:
+            return tuple(x.strip() for x in s.split(",") if x.strip())
+
+        loc = m.group("loc")
+        if not loc:
+            # managed table: directory under the session warehouse,
+            # Delta's CREATE-without-LOCATION behavior
+            wh = re.sub(r"^file:/{0,2}(?=/)", "",
+                        spark.conf.get("spark.sql.warehouse.dir"))
+            loc = str(Path(wh) / name)
+        if (Path(loc) / _MANIFEST_DIR).is_dir():
+            raise ValueError(
+                f"{loc!r} already contains a ManifestTable — attach it "
+                "with ManifestTable(spark, path, ...).register(name) "
+                "instead of CREATE TABLE")
+        keys = _csv(opts["keys"])
+        table = ManifestTable(
+            spark, loc,
+            keys=keys,
+            precombine=opts.get("precombine", keys[0]),
+            partition_by=_csv(opts.get("partition_by", "")),
+            cluster_by=_csv(opts.get("cluster_by", "")),
+            cluster_method=opts.get("cluster_method", "linear"),
+            table_type=opts.get("table_type", "cow"),
+        )
+        df = _pin(spark.sql(m.group("query")))
+        n = df.count()
+        table.write(df, "bulk_insert")
+        table.register(name)
+        return spark.createDataFrame([(n,)], "num_affected_rows bigint")
+    m = _DESCRIBE_HISTORY_RE.match(text)
+    if m:
+        return _dml_table(m.group("name")).history()
+    m = _OPTIMIZE_RE.match(text)
+    if m:
+        table = _dml_table(m.group("name"))
+        if m.group("cols"):
+            cols = [c.strip().strip("`")
+                    for c in _split_top_level(m.group("cols"))]
+            # ZORDER BY applies to THIS optimize only (Delta's contract):
+            # compact() rewrites through the ordinary write path, which
+            # consults cluster_by/cluster_method — override, restore
+            saved = (table.cluster_by, table.cluster_method)
+            table.cluster_by, table.cluster_method = cols, "zorder"
+            try:
+                n = table.compact()
+            finally:
+                table.cluster_by, table.cluster_method = saved
+        else:
+            n = table.compact()
+        return spark.createDataFrame([(n,)], "num_files_replaced bigint")
+    m = _VACUUM_RE.match(text)
+    if m:
+        table = _dml_table(m.group("name"))
+        n = table.vacuum(
+            keep_last=int(m.group("n")) if m.group("n") else 1)
+        return spark.createDataFrame([(n,)], "num_files_removed bigint")
     m = _INSERT_RE.match(text)
     if m:
         table = _dml_table(m.group("name"))
@@ -2706,7 +3302,14 @@ def manifest_sql(spark: SparkSession, text: str) -> DataFrame:
         cols = _split_top_level(m.group("cols")) if m.group("cols") else None
         batch = _pin(_align_to_table(table, src, cols))
         n = batch.count()
-        table.write(batch, "insert")
+        if m.group("mode").upper() == "OVERWRITE":
+            # full-content replacement as ONE atomic commit with real
+            # delete capture (write_txn: delete every current key, land
+            # the new rows) — never a bare directory swap, so CDC and
+            # replica consumers see the overwrite as ordinary changes
+            table.write_txn(upserts=batch, deletes=table.read())
+        else:
+            table.write(batch, "insert")
         return spark.createDataFrame([(n,)], "num_affected_rows bigint")
     m = _DELETE_RE.match(text)
     if m:
@@ -2724,51 +3327,69 @@ def manifest_sql(spark: SparkSession, text: str) -> DataFrame:
             sets[col.strip().strip("`")] = expr.strip()
         n = table.update_where(m.group("pred") or F.lit(True), sets)
         return spark.createDataFrame([(n,)], "num_affected_rows bigint")
-    m = _MERGE_RE.match(text)
+    m = _MERGE_HEAD_RE.match(text)
     if m:
         table = _dml_table(m.group("name"))
-        # the canonical upsert MERGE: the ON clause must equate exactly
-        # the table's record keys (target.k = source.k AND ...)
-        pairs = re.split(r"\s+AND\s+", m.group("cond").strip(), flags=re.I)
-        on_keys = set()
-        for p in pairs:
-            eq = re.match(
-                rf"^\s*(?:(?:{_IDENT})\s*\.\s*)?(?P<a>{_IDENT})\s*=\s*"
-                rf"(?:(?:{_IDENT})\s*\.\s*)?(?P<b>{_IDENT})\s*$",
-                p,
-            )
-            if not eq or eq.group("a").strip("`").lower() != eq.group(
-                    "b").strip("`").lower():
-                raise ValueError(
-                    f"MERGE ON clause term {p!r} is not a same-named key "
-                    "equality; this front-end supports the canonical "
-                    "upsert MERGE only (ON equates the record keys)"
-                )
-            on_keys.add(eq.group("a").strip("`").lower())
-        want = {k.lower() for k in table.keys}
-        if on_keys != want:
-            raise ValueError(
-                f"MERGE ON clause keys {sorted(on_keys)} must equal the "
-                f"table's record keys {sorted(want)} for upsert semantics"
-            )
+        on_cond, clause_texts = _split_merge_tail(m.group("rest"))
+        clauses = [_parse_merge_clause(c) for c in clause_texts]
         src = m.group("src")
         source_df = spark.sql(
             f"SELECT * FROM {src}" if not src.startswith("(")
             else f"SELECT * FROM {src} AS __merge_src"
         )
-        # MERGE resolves by NAME (both branches are SET * / INSERT *)
-        fields = table.read().schema.fields
-        have = {c.lower() for c in source_df.columns}
-        missing = [f.name for f in fields if f.name.lower() not in have]
-        if missing:
-            raise ValueError(
-                f"MERGE source lacks table column(s) {missing} "
-                "(UPDATE SET * / INSERT * need every column)"
-            )
-        batch = _pin(source_df.select(*[
-            F.col(f.name).cast(f.dataType).alias(f.name) for f in fields
-        ]))
-        n = batch.count()
-        table.write(batch, "upsert")
+        talias = (m.group("talias") or m.group("name")).strip("`")
+        salias = (m.group("salias") or
+                  (src.strip("`") if not src.startswith("(")
+                   else "__merge_src"))
+        # Fast path — the canonical upsert MERGE (unconditional UPDATE
+        # SET * + INSERT *, ON equates exactly the record keys): the
+        # source IS the upsert batch, so write() it directly with NO
+        # target scan at all — the O(batch) plan a streaming upsert
+        # needs; the general executor below would join the full table.
+        kinds = sorted(c.kind for c in clauses)
+        if (kinds == ["matched", "not_matched"]
+                and all(c.cond is None and c.star for c in clauses)
+                and {c.action for c in clauses} == {"update", "insert"}):
+            pairs = re.split(r"\s+AND\s+", on_cond.strip(), flags=re.I)
+            on_keys = set()
+            for p in pairs:
+                eq = re.match(
+                    rf"^\s*(?:(?:{_IDENT})\s*\.\s*)?(?P<a>{_IDENT})\s*=\s*"
+                    rf"(?:(?:{_IDENT})\s*\.\s*)?(?P<b>{_IDENT})\s*$",
+                    p,
+                )
+                if (eq and eq.group("a").strip("`").lower()
+                        == eq.group("b").strip("`").lower()):
+                    on_keys.add(eq.group("a").strip("`").lower())
+                else:
+                    on_keys = None
+                    break
+            if on_keys == {k.lower() for k in table.keys}:
+                fields = table.read().schema.fields
+                have = {c.lower() for c in source_df.columns}
+                missing = [f.name for f in fields
+                           if f.name.lower() not in have]
+                if missing:
+                    raise ValueError(
+                        f"MERGE source lacks table column(s) {missing} "
+                        "(UPDATE SET * / INSERT * need every column)"
+                    )
+                batch = _pin(source_df.select(*[
+                    F.col(f.name).cast(f.dataType).alias(f.name)
+                    for f in fields
+                ]))
+                n = batch.count()
+                table.write(batch, "upsert")
+                return spark.createDataFrame(
+                    [(n,)], "num_affected_rows bigint")
+        n = _merge_general(
+            table, source_df, talias, salias, on_cond, clauses)
         return spark.createDataFrame([(n,)], "num_affected_rows bigint")
-    return spark.sql(text)
+    rewritten, drops = _rewrite_time_travel(spark, text)
+    try:
+        # spark.sql resolves the pinned temp views at ANALYSIS time;
+        # dropping them afterward leaves the returned frame intact
+        return spark.sql(rewritten)
+    finally:
+        for v in drops:
+            spark.catalog.dropTempView(v)

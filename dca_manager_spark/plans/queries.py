@@ -115,6 +115,8 @@ _DRIVER_WINDOW = [
     # every round by scripts/driver_sim.py.
     # -- (1) added in round 16 --
     "manifest_sql_insert",
+    "manifest_sql_merge",
+    "manifest_sql_time_travel",
     "multimodal_mp4_samples",
     # -- (2) changed in round 16 --
     "dedup_span_scrub",
@@ -6952,6 +6954,181 @@ def manifest_sql_insert(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE o_orderkey % 10 = 0
     """)
     manifest_sql(spark, f"DELETE FROM {name} WHERE o_orderkey % 9 = 0")
+    out = spark.sql(f"""
+        SELECT o_orderstatus,
+               COUNT(*) AS n_orders,
+               {o_dsum('o_totalprice')} AS total_price
+        FROM {name}
+        GROUP BY o_orderstatus
+        ORDER BY o_orderstatus
+    """)
+    table.unregister(name)
+    spark.catalog.dropTempView(src)
+    return out
+
+
+@query(
+    "manifest_sql_time_travel",
+    f"""
+    WITH v0 AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice
+      FROM orders WHERE o_orderkey < 3000
+    ),
+    cur AS (
+      SELECT o_orderkey, o_orderstatus,
+             CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice * 2
+                  ELSE o_totalprice END AS o_totalprice
+      FROM v0 WHERE o_orderkey % 7 <> 0
+    )
+    SELECT c.o_orderstatus,
+           COUNT(*) AS n_orders,
+           {o_dsum('c.o_totalprice - b.o_totalprice')} AS total_drift
+    FROM cur c JOIN v0 b ON c.o_orderkey = b.o_orderkey
+    GROUP BY c.o_orderstatus
+    ORDER BY c.o_orderstatus
+    """,
+)
+def manifest_sql_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time travel + maintenance through SQL text (r16): ``VERSION AS
+    OF`` on a registered lakehouse name resolves against the pinned
+    snapshot (io/manifest._rewrite_time_travel — a VIEW cannot carry
+    Spark's native AS OF syntax, so the front-end pins a temp view per
+    reference), and ``OPTIMIZE name`` (-> compact()) publishes a
+    content-neutral commit that must NOT disturb either the live read
+    or the historical pin. The self-join of the CURRENT snapshot
+    against VERSION AS OF 0 computes per-status price drift — the hash
+    match proves snapshot isolation across UPDATE, DELETE and OPTIMIZE
+    commits. Athena/Iceberg expose the same surface as ``FOR VERSION
+    AS OF`` over the reference's lake tables."""
+    import tempfile
+    import uuid as _uuid
+
+    from dca_manager_spark.io.manifest import ManifestTable, manifest_sql
+
+    base = (
+        t(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .filter(F.col("o_orderkey") < 3000)
+        .localCheckpoint(eager=True)
+    )
+    table = ManifestTable(
+        spark,
+        tempfile.mkdtemp(prefix="dca-sql-tt-"),
+        keys=("o_orderkey",),
+        precombine="o_totalprice",
+        partition_by=(),
+    )
+    table.write(base, "bulk_insert")
+    name = f"manifest_tt_{_uuid.uuid4().hex[:8]}"
+    table.register(name)
+    manifest_sql(spark, f"""
+        UPDATE {name} SET o_totalprice = o_totalprice * 2
+        WHERE o_orderkey % 5 = 0
+    """)
+    manifest_sql(spark, f"DELETE FROM {name} WHERE o_orderkey % 7 = 0")
+    # content-neutral maintenance commit between the writes and the
+    # read: neither the live view nor the v0 pin may move
+    manifest_sql(spark, f"OPTIMIZE {name}")
+    out = manifest_sql(spark, f"""
+        SELECT c.o_orderstatus,
+               COUNT(*) AS n_orders,
+               {o_dsum('c.o_totalprice - b.o_totalprice')} AS total_drift
+        FROM {name} c JOIN {name} VERSION AS OF 0 b
+          ON c.o_orderkey = b.o_orderkey
+        GROUP BY c.o_orderstatus
+        ORDER BY c.o_orderstatus
+    """)
+    table.unregister(name)
+    return out
+
+
+@query(
+    "manifest_sql_merge",
+    f"""
+    WITH final AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice * 0.5 AS o_totalprice
+      FROM orders
+      WHERE o_orderkey >= 2000 AND o_orderkey < 4000
+        AND o_totalprice * 0.5 > 100000
+      UNION ALL
+      SELECT o_orderkey, o_orderstatus, o_totalprice
+      FROM orders
+      WHERE o_orderkey < 2000 AND o_totalprice >= 50000
+      UNION ALL
+      SELECT o_orderkey, o_orderstatus, o_totalprice * 0.5
+      FROM orders
+      WHERE o_orderkey >= 4000 AND o_orderkey < 6000
+        AND o_orderkey % 2 = 0
+    )
+    SELECT o_orderstatus,
+           COUNT(*) AS n_orders,
+           {o_dsum('o_totalprice')} AS total_price
+    FROM final
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+)
+def manifest_sql_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full MERGE INTO grammar over the registered lakehouse name (r16):
+    conditional ``WHEN MATCHED AND ... THEN UPDATE SET col = expr``, a
+    second ``WHEN MATCHED THEN DELETE`` clause, a conditional ``WHEN NOT
+    MATCHED ... INSERT (cols) VALUES``, and ``WHEN NOT MATCHED BY SOURCE
+    THEN DELETE`` — the Delta-parity general MERGE (io/manifest.py
+    ``_merge_general``), all four effects landing as ONE atomic
+    ``write_txn`` commit with change capture. The reference's Hudi
+    tables get this surface from Athena/Spark-SQL MERGE; the canonical
+    unconditional upsert form stays on the O(batch) fast path
+    (manifest_sql_select / precombine_dedup_lineitem pin that plan).
+
+    Flow: target = orders under 4000; source = the [2000, 6000) slice
+    at HALF price. Matched keys keep the half price if it still clears
+    100k, otherwise are deleted; unmatched even source keys insert;
+    target rows not in the source delete below 50k. The hash match
+    proves all four clause paths produce exactly the closed-form end
+    state."""
+    import tempfile
+    import uuid as _uuid
+
+    from dca_manager_spark.io.manifest import ManifestTable, manifest_sql
+
+    tgt = (
+        t(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .filter(F.col("o_orderkey") < 4000)
+        .localCheckpoint(eager=True)
+    )
+    table = ManifestTable(
+        spark,
+        tempfile.mkdtemp(prefix="dca-sql-merge-"),
+        keys=("o_orderkey",),
+        precombine="o_totalprice",
+        partition_by=(),
+    )
+    table.write(tgt, "bulk_insert")
+    tag = _uuid.uuid4().hex[:8]
+    name, src = f"manifest_merge_{tag}", f"merge_src_{tag}"
+    table.register(name)
+    (
+        t(spark, sf_dir, "orders")
+        .filter((F.col("o_orderkey") >= 2000) & (F.col("o_orderkey") < 6000))
+        .select(
+            "o_orderkey",
+            "o_orderstatus",
+            (F.col("o_totalprice") * F.lit(0.5)).alias("o_totalprice"),
+        )
+    ).createOrReplaceTempView(src)
+    manifest_sql(spark, f"""
+        MERGE INTO {name} AS trg USING {src} AS s
+        ON trg.o_orderkey = s.o_orderkey
+        WHEN MATCHED AND s.o_totalprice > 100000 THEN
+            UPDATE SET o_totalprice = s.o_totalprice
+        WHEN MATCHED THEN DELETE
+        WHEN NOT MATCHED AND s.o_orderkey % 2 = 0 THEN
+            INSERT (o_orderkey, o_orderstatus, o_totalprice)
+            VALUES (s.o_orderkey, s.o_orderstatus, s.o_totalprice)
+        WHEN NOT MATCHED BY SOURCE AND trg.o_totalprice < 50000 THEN
+            DELETE
+    """)
     out = spark.sql(f"""
         SELECT o_orderstatus,
                COUNT(*) AS n_orders,

@@ -418,16 +418,23 @@ def test_manifest_sql_is_loud_on_bad_dml(spark, dml):
 
     with pytest.raises(ValueError, match="not a registered ManifestTable"):
         manifest_sql(spark, "INSERT INTO nowhere VALUES (1)")
-    # MERGE ON must equate exactly the record keys — upsert semantics
+    # MERGE cannot SET a record key (an update is a same-key upsert)
     spark.createDataFrame(
         [(1, 1.0, "x")], "id int, v double, s string"
     ).createOrReplaceTempView("msrc")
-    with pytest.raises(ValueError, match="record keys"):
+    with pytest.raises(ValueError, match="record key"):
         manifest_sql(
             spark,
-            "MERGE INTO dml_t t USING msrc s ON t.s = s.s "
-            "WHEN MATCHED THEN UPDATE SET * "
-            "WHEN NOT MATCHED THEN INSERT *")
+            "MERGE INTO dml_t t USING msrc s ON t.id = s.id "
+            "WHEN MATCHED THEN UPDATE SET id = s.id + 100")
+    with pytest.raises(ValueError, match="INSERT must supply"):
+        manifest_sql(
+            spark,
+            "MERGE INTO dml_t t USING msrc s ON t.id = s.id "
+            "WHEN NOT MATCHED THEN INSERT (v) VALUES (s.v)")
+    with pytest.raises(ValueError, match="at least one WHEN"):
+        manifest_sql(
+            spark, "MERGE INTO dml_t t USING msrc s ON t.id = s.id")
     # non-DML text passes through untouched
     assert manifest_sql(spark, "SELECT 1 AS one").collect()[0].one == 1
 
@@ -465,3 +472,354 @@ def test_manifest_sql_insert_conflicts_with_handle_writer(spark, dml, tmp_path):
     ids = {r.id for r in dml.read().collect()}
     assert {50, 60} <= ids, "both the racing handle write and the SQL insert must land"
     assert dml.rebase_count >= 1 or hits["n"] == 1
+
+
+def test_manifest_sql_insert_overwrite(spark, dml):
+    """INSERT OVERWRITE replaces the whole table content in ONE commit
+    with real delete capture — CDC consumers see the overwrite as
+    ordinary deletes + inserts, and time travel still reads the old
+    content."""
+    from dca_manager_spark.io.manifest import manifest_sql
+
+    v0 = dml.commits()[-1]
+    r = manifest_sql(
+        spark, "INSERT OVERWRITE dml_t VALUES (10, 10.0, 'x'), (11, 11.0, 'y')")
+    assert r.collect()[0].num_affected_rows == 2
+    got = sorted((x.id, x.s) for x in spark.sql("SELECT * FROM dml_t").collect())
+    assert got == [(10, "x"), (11, "y")]
+    assert len(dml.commits()) == dml.commits()[-1] + 1  # one commit added
+    # old snapshot intact (never a directory swap)
+    assert {r.id for r in dml.read(as_of=v0).collect()} == {1, 2}
+    # the overwrite's change capture records the removals
+    ch = dml._load_manifest(dml.commits()[-1])["changes"]
+    assert ch["deletes"] and ch["upserts"]
+
+
+def test_manifest_sql_merge_conditional_clauses(spark, dml):
+    """Full Delta-parity MERGE: conditional WHEN MATCHED UPDATE with
+    explicit assignments, a second WHEN MATCHED DELETE clause, and a
+    conditional WHEN NOT MATCHED INSERT (cols) VALUES — first applicable
+    clause wins per row, everything lands as ONE commit."""
+    from dca_manager_spark.io.manifest import manifest_sql
+
+    # dml_t = {(1,1.0,a),(2,2.0,b)}
+    spark.createDataFrame(
+        [(1, 100.0, "upd"), (2, -1.0, "kill"),
+         (7, 7.0, "new"), (8, -8.0, "skip")],
+        "id int, nv double, tag string",
+    ).createOrReplaceTempView("cond_src")
+    before = len(dml.commits())
+    r = manifest_sql(spark, """
+        MERGE INTO dml_t AS t USING cond_src AS s ON t.id = s.id
+        WHEN MATCHED AND s.nv < 0 THEN DELETE
+        WHEN MATCHED THEN UPDATE SET v = s.nv, s = concat(t.s, '+', s.tag)
+        WHEN NOT MATCHED AND s.nv > 0 THEN INSERT (id, v, s)
+            VALUES (s.id, s.nv, s.tag)
+    """)
+    # 1 update + 1 delete + 1 insert (id=8 fails the insert condition)
+    assert r.collect()[0].num_affected_rows == 3
+    got = sorted((x.id, x.v, x.s)
+                 for x in spark.sql("SELECT * FROM dml_t").collect())
+    assert got == [(1, 100.0, "a+upd"), (7, 7.0, "new")]
+    assert len(dml.commits()) == before + 1, "one atomic commit"
+
+
+def test_manifest_sql_merge_not_matched_by_source(spark, dml):
+    """WHEN NOT MATCHED BY SOURCE — the replicate-table MERGE: target
+    rows absent from the source are deleted (or updated), making MERGE a
+    full sync primitive."""
+    from dca_manager_spark.io.manifest import manifest_sql
+
+    spark.createDataFrame(
+        [(2, 22.0, "b2"), (9, 9.0, "i")], "id int, v double, s string"
+    ).createOrReplaceTempView("sync_src")
+    r = manifest_sql(spark, """
+        MERGE INTO dml_t t USING sync_src s ON t.id = s.id
+        WHEN MATCHED THEN UPDATE SET *
+        WHEN NOT MATCHED THEN INSERT *
+        WHEN NOT MATCHED BY SOURCE THEN DELETE
+    """)
+    assert r.collect()[0].num_affected_rows == 3  # upd 2, ins 9, del 1
+    got = sorted((x.id, x.v, x.s)
+                 for x in spark.sql("SELECT * FROM dml_t").collect())
+    assert got == [(2, 22.0, "b2"), (9, 9.0, "i")]
+
+
+def test_manifest_sql_merge_not_matched_by_source_update(spark, dml):
+    from dca_manager_spark.io.manifest import manifest_sql
+
+    spark.createDataFrame([(1,)], "id int").createOrReplaceTempView(
+        "mark_src")
+    r = manifest_sql(spark, """
+        MERGE INTO dml_t t USING mark_src s ON t.id = s.id
+        WHEN NOT MATCHED BY SOURCE AND t.v < 10 THEN
+            UPDATE SET s = 'orphan'
+    """)
+    assert r.collect()[0].num_affected_rows == 1
+    got = sorted((x.id, x.s)
+                 for x in spark.sql("SELECT * FROM dml_t").collect())
+    assert got == [(1, "a"), (2, "orphan")]
+
+
+def test_manifest_sql_merge_multi_match_raises(spark, dml):
+    """A target row matched by multiple actionable source rows is
+    nondeterministic — raised loudly (Delta's multipleSourceRowMatching
+    error), and the table is untouched."""
+    from dca_manager_spark.io.manifest import manifest_sql
+
+    spark.createDataFrame(
+        [(1, 10.0, "x"), (1, 11.0, "y")], "id int, v double, s string"
+    ).createOrReplaceTempView("dup_src")
+    before = len(dml.commits())
+    with pytest.raises(ValueError, match="MULTIPLE source rows"):
+        manifest_sql(spark, """
+            MERGE INTO dml_t t USING dup_src s ON t.id = s.id
+            WHEN MATCHED THEN UPDATE SET *
+        """)
+    assert len(dml.commits()) == before, "failed MERGE committed nothing"
+
+
+def test_manifest_sql_merge_non_key_on_and_case_when(spark, dml):
+    """The general executor takes ANY ON condition (not just key
+    equality) and clause conditions containing CASE WHEN — the clause
+    splitter must not break on a nested WHEN keyword. Star updates keep
+    the TARGET's key (an update is a same-key upsert)."""
+    from dca_manager_spark.io.manifest import manifest_sql
+
+    spark.createDataFrame(
+        [("a", 500.0), ("zz", 1.0)], "tag string, bonus double"
+    ).createOrReplaceTempView("tag_src")
+    r = manifest_sql(spark, """
+        MERGE INTO dml_t t USING tag_src s ON t.s = s.tag
+        WHEN MATCHED AND (CASE WHEN s.bonus > 100 THEN true
+                          ELSE false END) THEN
+            UPDATE SET v = t.v + s.bonus
+    """)
+    assert r.collect()[0].num_affected_rows == 1
+    got = sorted((x.id, x.v, x.s)
+                 for x in spark.sql("SELECT * FROM dml_t").collect())
+    assert got == [(1, 501.0, "a"), (2, 2.0, "b")]
+
+
+def test_manifest_sql_merge_subquery_source_and_cdc(spark, dml):
+    """MERGE USING (subquery) + CDC: the atomic write_txn records the
+    update preimage, the insert, and the delete in ONE change capture."""
+    from dca_manager_spark.io.manifest import manifest_sql
+
+    base = dml.commits()[-1]
+    manifest_sql(spark, """
+        MERGE INTO dml_t t
+        USING (SELECT 1 AS id, 9.0 AS v UNION ALL SELECT 3, 3.0) s
+        ON t.id = s.id
+        WHEN MATCHED THEN UPDATE SET v = s.v
+        WHEN NOT MATCHED THEN INSERT (id, v) VALUES (s.id, s.v)
+    """)
+    ch = dml._load_manifest(dml.commits()[-1])["changes"]
+    assert ch["upserts"], "change capture present"
+    feed = dml.read_incremental(base)
+    ids = {r.id for r in feed.collect()}
+    assert {1, 3} <= ids
+    row3 = spark.sql("SELECT * FROM dml_t WHERE id = 3").collect()[0]
+    assert (row3.v, row3.s) == (3.0, None)
+
+
+def test_manifest_sql_describe_history(spark, dml):
+    from dca_manager_spark.io.manifest import manifest_sql
+
+    manifest_sql(spark, "INSERT INTO dml_t VALUES (4, 4.0, 'd')")
+    h = manifest_sql(spark, "DESCRIBE HISTORY dml_t")
+    rows = sorted((r.commit_id, r.op) for r in h.collect())
+    assert [c for c, _ in rows] == [0, 1]
+    assert all(isinstance(op, str) and op for _, op in rows)
+    assert h.columns[:3] == ["commit_id", "op", "n_files"]
+
+
+def test_manifest_sql_optimize_and_vacuum(spark, dml):
+    """OPTIMIZE compacts without changing content; VACUUM RETAIN n
+    COMMITS maps to keep_last and reclaims replaced files."""
+    from dca_manager_spark.io.manifest import manifest_sql
+
+    for i in range(3):
+        manifest_sql(
+            spark, f"INSERT INTO dml_t VALUES ({10 + i}, {float(i)}, 'x')")
+    before = sorted((x.id, x.v, x.s)
+                    for x in spark.sql("SELECT * FROM dml_t").collect())
+    r = manifest_sql(spark, "OPTIMIZE dml_t")
+    assert r.collect()[0].num_files_replaced > 0
+    after = sorted((x.id, x.v, x.s)
+                   for x in spark.sql("SELECT * FROM dml_t").collect())
+    assert before == after, "OPTIMIZE is content-neutral"
+    rv = manifest_sql(spark, "VACUUM dml_t RETAIN 1 COMMITS")
+    assert rv.collect()[0].num_files_removed > 0
+    assert sorted((x.id, x.v, x.s)
+                  for x in spark.sql("SELECT * FROM dml_t").collect()) == after
+
+
+def test_manifest_sql_optimize_zorder_restores_config(spark, dml):
+    from dca_manager_spark.io.manifest import manifest_sql
+
+    saved = (dml.cluster_by, dml.cluster_method)
+    r = manifest_sql(spark, "OPTIMIZE dml_t ZORDER BY (id, v)")
+    assert r.collect()[0].num_files_replaced >= 0
+    assert (dml.cluster_by, dml.cluster_method) == saved
+    # the rewrite REALLY clustered: the compacted files carry min/max
+    # stats for the ZORDER columns (the data-skipping payoff)
+    files = dml._load_manifest(dml.commits()[-1])["files"]
+    assert any("id" in f.get("stats", {}) and "v" in f.get("stats", {})
+               for f in files)
+    got = sorted((x.id, x.v, x.s)
+                 for x in spark.sql("SELECT * FROM dml_t").collect())
+    assert got == [(1, 1.0, "a"), (2, 2.0, "b")]
+
+
+def test_manifest_sql_version_as_of(spark, dml):
+    """SELECT ... FROM name VERSION AS OF n through manifest_sql reads
+    the pinned snapshot; the live view stays on latest; temp pin views
+    are dropped after analysis."""
+    from dca_manager_spark.io.manifest import manifest_sql
+
+    manifest_sql(spark, "UPDATE dml_t SET v = 99.0 WHERE id = 1")
+    cur = manifest_sql(
+        spark, "SELECT v FROM dml_t WHERE id = 1").collect()[0].v
+    old = manifest_sql(
+        spark, "SELECT v FROM dml_t VERSION AS OF 0 WHERE id = 1"
+    ).collect()[0].v
+    assert (cur, old) == (99.0, 1.0)
+    # join the two versions in one statement
+    d = manifest_sql(spark, """
+        SELECT a.id, a.v - b.v AS dv
+        FROM dml_t a JOIN dml_t VERSION AS OF 0 b ON a.id = b.id
+        WHERE a.id = 1
+    """).collect()[0]
+    assert d.dv == 98.0
+    leftover = [v.name for v in spark.catalog.listTables()
+                if "__asof_" in v.name]
+    assert leftover == [], "pin views dropped after analysis"
+
+
+def test_manifest_sql_timestamp_as_of(spark, dml):
+    import datetime
+    import os
+    import time
+
+    from dca_manager_spark.io.manifest import manifest_sql
+
+    # pin commit 0's publish instant, then a later commit
+    m0 = dml._manifest_dir() / "000000000000.json"
+    t0 = m0.stat().st_mtime
+    time.sleep(0.05)
+    manifest_sql(spark, "INSERT INTO dml_t VALUES (5, 5.0, 'e')")
+    mid_ts = datetime.datetime.fromtimestamp(t0 + 0.01)
+    got = manifest_sql(
+        spark,
+        f"SELECT count(*) AS n FROM dml_t TIMESTAMP AS OF "
+        f"'{mid_ts.isoformat(sep=' ')}'"
+    ).collect()[0].n
+    assert got == 2, "timestamp between commit 0 and 1 resolves to v0"
+    with pytest.raises(ValueError, match="no commit at or before"):
+        manifest_sql(
+            spark,
+            "SELECT * FROM dml_t TIMESTAMP AS OF '1999-01-01 00:00:00'")
+
+
+def test_manifest_sql_create_table_as_select(spark, tmp_path):
+    """CTAS: the whole lifecycle through SQL text only — CREATE TABLE
+    USING dca_manifest AS SELECT, then DML, maintenance and reads by
+    name."""
+    from dca_manager_spark.io.manifest import manifest_sql
+
+    loc = str(tmp_path / "ctas")
+    r = manifest_sql(spark, f"""
+        CREATE TABLE ctas_t USING dca_manifest
+        OPTIONS (keys='id', precombine='v')
+        LOCATION '{loc}'
+        AS SELECT * FROM VALUES (1, 1.0, 'a'), (2, 2.0, 'b')
+           AS src(id, v, s)
+    """)
+    try:
+        assert r.collect()[0].num_affected_rows == 2
+        manifest_sql(spark, "INSERT INTO ctas_t VALUES (3, 3.0, 'c')")
+        got = sorted((x.id, x.s) for x in spark.sql(
+            "SELECT * FROM ctas_t").collect())
+        assert got == [(1, "a"), (2, "b"), (3, "c")]
+        # IF NOT EXISTS no-ops; bare CREATE on a live name is loud
+        assert manifest_sql(spark, f"""
+            CREATE TABLE IF NOT EXISTS ctas_t USING dca_manifest
+            OPTIONS (keys='id') LOCATION '{loc}' AS SELECT 1 AS id
+        """).collect()[0].num_affected_rows == 0
+        with pytest.raises(ValueError, match="already registered"):
+            manifest_sql(spark, f"""
+                CREATE TABLE ctas_t USING dca_manifest
+                OPTIONS (keys='id') LOCATION '{loc}' AS SELECT 1 AS id
+            """)
+        hist = manifest_sql(spark, "DESCRIBE HISTORY ctas_t").collect()
+        assert [h.commit_id for h in hist] == [0, 1]
+    finally:
+        from dca_manager_spark.io.manifest import _dml_table
+        t = _dml_table("ctas_t")
+        t.unregister("ctas_t")
+        spark.sql("DROP VIEW IF EXISTS ctas_t")
+
+
+def test_manifest_sql_create_table_validation(spark, tmp_path):
+    from dca_manager_spark.io.manifest import manifest_sql
+
+    with pytest.raises(ValueError, match="keys="):
+        manifest_sql(spark, f"""
+            CREATE TABLE no_keys_t USING dca_manifest
+            LOCATION '{tmp_path / "nk"}' AS SELECT 1 AS id
+        """)
+    with pytest.raises(ValueError, match="requires AS"):
+        manifest_sql(spark, f"""
+            CREATE TABLE no_query_t USING dca_manifest
+            OPTIONS (keys='id') LOCATION '{tmp_path / "nq"}'
+        """)
+    with pytest.raises(ValueError, match="unknown OPTIONS"):
+        manifest_sql(spark, f"""
+            CREATE TABLE bad_opt_t USING dca_manifest
+            OPTIONS (keys='id', nope='x')
+            LOCATION '{tmp_path / "bo"}' AS SELECT 1 AS id
+        """)
+    # attaching an existing table directory via CREATE is refused
+    from dca_manager_spark.io.manifest import ManifestTable
+    exist = ManifestTable(
+        spark, str(tmp_path / "ex"), keys=("id",), precombine="id",
+        partition_by=())
+    exist.write(spark.createDataFrame([(1,)], "id int"), "bulk_insert")
+    with pytest.raises(ValueError, match="already contains"):
+        manifest_sql(spark, f"""
+            CREATE TABLE attach_t USING dca_manifest
+            OPTIONS (keys='id')
+            LOCATION '{tmp_path / "ex"}' AS SELECT 1 AS id
+        """)
+
+
+def test_manifest_sql_create_table_managed_location(spark):
+    """LOCATION omitted -> managed directory under the warehouse dir."""
+    from dca_manager_spark.io.manifest import _dml_table, manifest_sql
+
+    name = "managed_ctas_t"
+    spark.sql(f"DROP VIEW IF EXISTS {name}")
+    r = manifest_sql(spark, f"""
+        CREATE TABLE {name} USING dca_manifest
+        OPTIONS (keys='id', table_type='mor')
+        AS SELECT 7 AS id, 'x' AS s
+    """)
+    try:
+        assert r.collect()[0].num_affected_rows == 1
+        t = _dml_table(name)
+        import re as _re
+        wh = _re.sub(r"^file:/{0,2}(?=/)", "",
+                     spark.conf.get("spark.sql.warehouse.dir"))
+        assert t.path.startswith(wh)
+        assert t.table_type == "mor"
+        manifest_sql(
+            spark, f"UPDATE {name} SET s = 'y' WHERE id = 7")
+        assert spark.sql(
+            f"SELECT s FROM {name}").collect()[0].s == "y"
+    finally:
+        t = _dml_table(name)
+        t.unregister(name)
+        spark.sql(f"DROP VIEW IF EXISTS {name}")
+        import shutil
+        shutil.rmtree(t.path, ignore_errors=True)
