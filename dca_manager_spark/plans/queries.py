@@ -167,8 +167,6 @@ _DRIVER_WINDOW = [
     "corpus_token_budget_mixture",
     "graph_pagerank",
     "join_shuffle_hash_hint",
-    "map_functions",
-    "multimodal_audio_meta",
 ]
 
 

@@ -503,6 +503,63 @@ def main() -> int:
             decode,
         ))
 
+    # 12. (r16) SQL general MERGE over a lake table: target scales,
+    # source = 30% matched + 10% new keys. Cost model: one
+    # broadcast-able inner join + anti join over the target scan, then
+    # write_txn's COW rewrite of touched files — O(target) end to end,
+    # so the fitted exponent should read ~linear; superlinearity here
+    # would mean the clause dispatch or the pinned-flat split rescans
+    # the join per clause (the bug the one-pass _flatten design avoids).
+    if want("sql_merge"):
+        import tempfile as _tf
+        import uuid as _uuid
+
+        from dca_manager_spark.io.manifest import (
+            ManifestTable,
+            manifest_sql,
+        )
+
+        def build_merge(n):
+            t = ManifestTable(
+                spark, _tf.mkdtemp(prefix="curve-merge-"),
+                keys=("k",), precombine="v", partition_by=(),
+            )
+            t.write(
+                spark.range(n).select(
+                    F.col("id").alias("k"),
+                    F.col("id").cast("double").alias("v"),
+                ),
+                "bulk_insert",
+            )
+            tag = _uuid.uuid4().hex[:8]
+            name, src = f"curve_merge_{tag}", f"curve_msrc_{tag}"
+            t.register(name, durable=False)
+            spark.range(int(n * 0.3)).union(
+                spark.range(n, n + n // 10)
+            ).select(
+                F.col("id").alias("k"),
+                (F.col("id") + 0.5).alias("nv"),
+            ).createOrReplaceTempView(src)
+            return (t, name, src)
+
+        def eval_merge(h):
+            t, name, src = h
+            manifest_sql(spark, f"""
+                MERGE INTO {name} t USING {src} s ON t.k = s.k
+                WHEN MATCHED AND s.k % 4 = 0 THEN DELETE
+                WHEN MATCHED THEN UPDATE SET v = s.nv
+                WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.nv)
+            """)
+            t.unregister(name)
+            spark.catalog.dropTempView(src)
+
+        rows.append(run_curve(
+            "sql_merge",
+            [base * s for s in SCALES],
+            build_merge,
+            eval_merge,
+        ))
+
     if not rows:
         print(f"no curves selected from {sorted(only or set())}")
         return 2

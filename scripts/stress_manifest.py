@@ -417,6 +417,101 @@ def main() -> None:
             f"{dml.rebase_count}), zero lost updates, zero resurrections"
         )
 
+    # -- Section 6 (r16): SQL general MERGE vs concurrent handle writer.
+    # The full-grammar MERGE (io/manifest._merge_general) reads the
+    # target, computes update/delete/insert sets, then publishes ONE
+    # write_txn — the longest read-compute-publish window of any DML
+    # path, so it is the most exposed to losing the commit race. Zones:
+    # the MERGE touches keys < 300 (update half, delete quarter, insert
+    # new 1000-1099), the handle writer hammers keys 500+. After both
+    # finish: every MERGE effect AND every handle increment must be
+    # present (the loser's rebase re-applies onto the winner's head),
+    # commit history strictly sequential.
+    from dca_manager_spark.io.manifest import manifest_sql
+
+    with _tf.TemporaryDirectory() as tmp:
+        mt = ManifestTable(
+            spark, f"{tmp}/m", keys=("k",), precombine="v",
+            partition_by=(), commit_retries=100,
+        )
+        other = ManifestTable(
+            spark, f"{tmp}/m", keys=("k",), precombine="v",
+            partition_by=(), commit_retries=100,
+        )
+        mt.write(
+            spark.range(0, 800).select(
+                F.col("id").alias("k"),
+                F.col("id").cast("double").alias("v"),
+            ),
+            "bulk_insert",
+        )
+        mt.register("stress_merge_t")
+        spark.range(0, 300).union(spark.range(1000, 1100)).select(
+            F.col("id").alias("k"),
+            (F.col("id") + 0.5).cast("double").alias("nv"),
+        ).createOrReplaceTempView("stress_merge_src")
+
+        merge_err: list[Exception] = []
+        n_handle_commits = 6
+
+        def handle_hammer() -> None:
+            try:
+                for i in range(n_handle_commits):
+                    other.write(
+                        spark.range(500, 560).select(
+                            F.col("id").alias("k"),
+                            (F.lit(10_000.0 * (i + 1)) + F.col("id"))
+                            .alias("v"),
+                        ),
+                        "upsert",
+                    )
+            except Exception as exc:  # noqa: BLE001 - surfaced below
+                merge_err.append(exc)
+
+        t0 = time.perf_counter()
+        th = _th.Thread(target=handle_hammer)
+        th.start()
+        try:
+            manifest_sql(spark, """
+                MERGE INTO stress_merge_t t USING stress_merge_src s
+                ON t.k = s.k
+                WHEN MATCHED AND s.k % 4 = 0 THEN DELETE
+                WHEN MATCHED THEN UPDATE SET v = s.nv
+                WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.nv)
+            """)
+        except Exception as exc:  # noqa: BLE001
+            merge_err.append(exc)
+        th.join(600)
+        t_sec6 = time.perf_counter() - t0
+        assert not merge_err, merge_err
+        final6 = {r.k: r.v for r in mt.read().collect()}
+        # MERGE effects: deletes gone, updates applied, inserts present
+        assert all(k not in final6 for k in range(0, 300, 4))
+        upd_bad = {
+            k: final6.get(k)
+            for k in range(300) if k % 4 != 0 and final6.get(k) != k + 0.5
+        }
+        assert not upd_bad, f"lost MERGE updates: {dict(list(upd_bad.items())[:5])}"
+        assert all(final6.get(k) == k + 0.5 for k in range(1000, 1100))
+        # handle effects: the LAST upsert's values survived the race
+        hammer_bad = {
+            k: final6.get(k)
+            for k in range(500, 560)
+            if final6.get(k) != 10_000.0 * n_handle_commits + k
+        }
+        assert not hammer_bad, f"lost handle upserts: {dict(list(hammer_bad.items())[:5])}"
+        commits6 = mt.commits()
+        assert commits6 == list(range(len(commits6))), commits6
+        mt.unregister("stress_merge_t")
+        spark.catalog.dropTempView("stress_merge_src")
+        print(
+            f"merge-vs-handle: SQL MERGE (75 del / 225 upd / 100 ins) vs "
+            f"{n_handle_commits} concurrent handle upserts in {t_sec6:.1f}s "
+            f"— {len(commits6)} sequential commits, rebases (merge "
+            f"{mt.rebase_count} / handle {other.rebase_count}), zero lost "
+            f"effects on either side"
+        )
+
 
 if __name__ == "__main__":
     main()

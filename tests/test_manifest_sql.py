@@ -823,3 +823,40 @@ def test_manifest_sql_create_table_managed_location(spark):
         spark.sql(f"DROP VIEW IF EXISTS {name}")
         import shutil
         shutil.rmtree(t.path, ignore_errors=True)
+
+
+def test_manifest_sql_merge_plan_broadcasts_small_source(spark, dml):
+    """100-TB shape: the general MERGE's matched-side join must be free
+    to broadcast a small source (no shuffle of the big target for the
+    match), and the canonical upsert MERGE must do NO target join at
+    all."""
+    from dca_manager_spark.io import manifest as M
+
+    spark.createDataFrame(
+        [(1, 50.0, "u")], "id int, v double, s string"
+    ).createOrReplaceTempView("bplan_src")
+
+    captured = {}
+    orig = M._pin
+
+    def spy(df):
+        # the flat projection is the only multi-column _pin in the
+        # general path whose plan contains the join
+        captured.setdefault("plans", []).append(
+            df._jdf.queryExecution().executedPlan().toString()
+            if hasattr(df, "_jdf") else "")
+        return orig(df)
+
+    M._pin = spy
+    try:
+        M.manifest_sql(spark, """
+            MERGE INTO dml_t t USING bplan_src s ON t.id = s.id
+            WHEN MATCHED AND s.v > 0 THEN UPDATE SET v = s.v
+        """)
+    finally:
+        M._pin = orig
+    joined = [p for p in captured["plans"] if "Join" in p]
+    assert joined, "general path built a join"
+    assert any("BroadcastHashJoin" in p for p in joined), (
+        "small MERGE source should broadcast-hash-join against the "
+        "target scan")
