@@ -1498,8 +1498,68 @@ class ManifestTable:
                 self.write(dels, WriteOperation.DELETE)
 
     # -- write side ---------------------------------------------------------
+    def persisted_constraints(self) -> dict:
+        """CHECK constraints persisted at the TABLE, not the handle:
+        the ``_constraints.json`` sidecar at the root, written
+        atomically by add_constraint/drop_constraint (the ``ALTER
+        TABLE`` surface of manifest_sql). Unlike constructor
+        ``constraints`` (per-handle config), these bind EVERY writer of
+        the table from its next write — the self-describing-table
+        property Delta keeps in table metadata. Re-read per write: a
+        small JSON stat+load, noise next to the manifest IO the write
+        already pays."""
+        p = Path(self.path) / "_constraints.json"
+        if not p.is_file():
+            return {}
+        with open(p) as fh:
+            return json.load(fh)
+
+    def _write_constraints(self, cons: dict) -> None:
+        p = Path(self.path) / "_constraints.json"
+        p.parent.mkdir(parents=True, exist_ok=True)
+        tmp = p.with_suffix(f".{uuid.uuid4().hex}.tmp")
+        with open(tmp, "w") as fh:
+            json.dump(cons, fh, indent=1, sort_keys=True)
+        os.replace(tmp, p)
+
+    def add_constraint(self, name: str, expr: str) -> None:
+        """``ALTER TABLE ... ADD CONSTRAINT name CHECK (expr)``:
+        existing rows must already satisfy the expression (one
+        violations probe; ANSI semantics — only FALSE violates, null
+        passes), then the sidecar is atomically replaced. Loud on
+        duplicate names."""
+        cons = self.persisted_constraints()
+        if name in cons or name in self.constraints:
+            raise ValueError(f"constraint {name!r} already exists")
+        bad = self.read().filter(F.expr(f"NOT ({expr})")).take(3)
+        if bad:
+            raise ValueError(
+                f"cannot add CHECK constraint {name!r} ({expr}): existing "
+                f"row(s) violate it, e.g. {bad[0].asDict()}")
+        cons[name] = expr
+        self._write_constraints(cons)
+
+    def drop_constraint(self, name: str, if_exists: bool = False) -> None:
+        cons = self.persisted_constraints()
+        if name not in cons:
+            if name in self.constraints:
+                raise ValueError(
+                    f"constraint {name!r} is handle-constructor config, "
+                    "not a persisted table constraint — rebuild the "
+                    "handle without it")
+            if if_exists:
+                return
+            raise ValueError(f"no persisted constraint {name!r}")
+        del cons[name]
+        self._write_constraints(cons)
+
+    def _has_constraints(self) -> bool:
+        return bool(self.constraints) or (
+            Path(self.path) / "_constraints.json").is_file()
+
     def _check_constraints(self, df: DataFrame) -> None:
-        for name, expr in self.constraints.items():
+        cons = {**self.persisted_constraints(), **self.constraints}
+        for name, expr in cons.items():
             sample = df.filter(~F.expr(expr)).take(3)  # one job, not two
             if sample:
                 raise ValueError(
@@ -1513,7 +1573,7 @@ class ManifestTable:
         )
         if self.partition_by:
             self._check_partition_types(df)
-        if self.constraints and op != WriteOperation.DELETE:
+        if self._has_constraints() and op != WriteOperation.DELETE:
             # Pin BEFORE validating: otherwise the validated rows and the
             # written rows are different materializations of a possibly
             # nondeterministic source, and the constraint gate proves
@@ -1792,7 +1852,7 @@ class ManifestTable:
         if prev is _UNSET:
             prev = self._latest_manifest()
         prev_id, prev_files = (prev[0], prev[1]["files"]) if prev else (None, [])
-        if self.constraints or self.cluster_by:
+        if self._has_constraints() or self.cluster_by:
             # these features consume the batch more than once (validation
             # job, zorder boundary agg, then the write) — pin it so a
             # nondeterministic source can't pass validation with one
@@ -1980,7 +2040,7 @@ class ManifestTable:
             self._check_partition_types(upserts)
             self._check_partition_types(deletes)
         ups = _pin(upserts)
-        if self.constraints:
+        if self._has_constraints():
             self._check_constraints(ups)
         ups = precombine_dedup(ups, self.keys, self.precombine)
         pred = F.lit(True)
@@ -2114,7 +2174,7 @@ class ManifestTable:
                 if c in types:
                     val = val.cast(types[c])
                 rows = rows.withColumn(c, val)
-            if self.constraints:
+            if self._has_constraints():
                 self._check_constraints(rows)
             try:
                 self._write_attempt(rows, WriteOperation.UPSERT, prev)
@@ -2613,6 +2673,13 @@ _VACUUM_RE = re.compile(
 _TIME_TRAVEL_RE = re.compile(
     rf"\b(?P<name>{_IDENT})\s+(?P<kind>VERSION|TIMESTAMP)\s+AS\s+OF\s+"
     r"(?P<val>'[^']*'|\d+)", re.I)
+_ALTER_CONSTRAINT_RE = re.compile(
+    rf"^\s*ALTER\s+TABLE\s+(?P<name>{_IDENT})\s+"
+    r"(?:ADD\s+CONSTRAINT\s+(?P<cname>\w+)\s+CHECK\s*\((?P<expr>.+)\)"
+    r"|DROP\s+CONSTRAINT\s+(?:(?P<ifex>IF\s+EXISTS)\s+)?(?P<dname>\w+))"
+    r"\s*;?\s*$",
+    re.I | re.S,
+)
 _CREATE_TABLE_RE = re.compile(
     rf"^\s*CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?(?P<name>{_IDENT})\s+"
     r"USING\s+dca_manifest\s*"
@@ -3179,6 +3246,11 @@ def manifest_sql(spark: SparkSession, text: str) -> DataFrame:
 
     Utility statements (Delta's maintenance SQL, mapped to the handle):
 
+    - ``ALTER TABLE name ADD CONSTRAINT c CHECK (expr)`` /
+      ``DROP CONSTRAINT [IF EXISTS] c`` -> persisted table constraints
+      (``_constraints.json`` sidecar): existing rows are validated on
+      ADD, and every writer of the table — any handle, the streaming
+      sink path excepted, SQL DML — enforces them from its next write
     - ``DESCRIBE HISTORY name`` -> ``history()`` (one row per retained
       commit: op kind + file/change-capture counts)
     - ``OPTIMIZE name [ZORDER BY (c1, c2)]`` -> ``compact()``, with the
@@ -3268,6 +3340,15 @@ def manifest_sql(spark: SparkSession, text: str) -> DataFrame:
         table.write(df, "bulk_insert")
         table.register(name)
         return spark.createDataFrame([(n,)], "num_affected_rows bigint")
+    m = _ALTER_CONSTRAINT_RE.match(text)
+    if m:
+        table = _dml_table(m.group("name"))
+        if m.group("cname"):
+            table.add_constraint(m.group("cname"), m.group("expr").strip())
+        else:
+            table.drop_constraint(
+                m.group("dname"), if_exists=bool(m.group("ifex")))
+        return spark.createDataFrame([(0,)], "num_affected_rows bigint")
     m = _DESCRIBE_HISTORY_RE.match(text)
     if m:
         return _dml_table(m.group("name")).history()

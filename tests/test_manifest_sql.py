@@ -860,3 +860,42 @@ def test_manifest_sql_merge_plan_broadcasts_small_source(spark, dml):
     assert any("BroadcastHashJoin" in p for p in joined), (
         "small MERGE source should broadcast-hash-join against the "
         "target scan")
+
+
+def test_manifest_sql_alter_constraint(spark, dml, tmp_path):
+    """ALTER TABLE ADD/DROP CONSTRAINT persists CHECK constraints at the
+    TABLE (sidecar), so every handle — not just the one that added it —
+    enforces them on its next write; ADD validates existing rows."""
+    from dca_manager_spark.io.manifest import ManifestTable, manifest_sql
+
+    manifest_sql(
+        spark, "ALTER TABLE dml_t ADD CONSTRAINT v_pos CHECK (v > 0)")
+    # the adding handle enforces it
+    with pytest.raises(ValueError, match="v_pos"):
+        manifest_sql(spark, "INSERT INTO dml_t VALUES (9, -9.0, 'bad')")
+    # ...and so does a COMPLETELY separate handle on the same path
+    other = ManifestTable(
+        spark, dml.path, keys=("id",), precombine="v", partition_by=())
+    with pytest.raises(ValueError, match="v_pos"):
+        other.write(
+            spark.createDataFrame([(9, -9.0, "bad")],
+                                  "id int, v double, s string"),
+            "insert")
+    other.write(
+        spark.createDataFrame([(9, 9.0, "ok")],
+                              "id int, v double, s string"), "insert")
+    # ADD validates EXISTING rows (ANSI: only FALSE violates)
+    with pytest.raises(ValueError, match="existing row"):
+        manifest_sql(
+            spark, "ALTER TABLE dml_t ADD CONSTRAINT v_big CHECK (v > 5)")
+    # duplicate name is loud; DROP re-opens the gate
+    with pytest.raises(ValueError, match="already exists"):
+        manifest_sql(
+            spark, "ALTER TABLE dml_t ADD CONSTRAINT v_pos CHECK (v > 1)")
+    manifest_sql(spark, "ALTER TABLE dml_t DROP CONSTRAINT v_pos")
+    manifest_sql(spark, "INSERT INTO dml_t VALUES (10, -1.0, 'now ok')")
+    with pytest.raises(ValueError, match="no persisted constraint"):
+        manifest_sql(spark, "ALTER TABLE dml_t DROP CONSTRAINT nope")
+    r = manifest_sql(
+        spark, "ALTER TABLE dml_t DROP CONSTRAINT IF EXISTS nope")
+    assert r.collect()[0].num_affected_rows == 0
