@@ -1219,12 +1219,11 @@ def _spread(df: DataFrame) -> DataFrame:
     already has thousands of partitions and this is a no-op; the
     repartition only fires when the input is narrower than the cluster,
     where one extra shuffle of the raw docs is strictly cheaper than
-    serializing the projection."""
-    sc = df.sparkSession.sparkContext
-    want = sc.defaultParallelism
-    if df.rdd.getNumPartitions() < want:
-        return df.repartition(want)
-    return df
+    serializing the projection. (Shared engine-wide as
+    ``partitioning.spread`` since r16.)"""
+    from dca_manager_spark.partitioning import spread
+
+    return spread(df)
 
 
 def duplicate_spans(

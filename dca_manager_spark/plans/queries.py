@@ -31,6 +31,8 @@ from typing import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from dca_manager_spark.partitioning import spread
+
 def cents(col: F.Column) -> F.Column:
     """Quantize a double expression to integer cents, IEEE-exactly."""
     return F.floor(col * 100).cast("decimal(38,0)")
@@ -2671,7 +2673,9 @@ def similarity_ivf_learned(spark, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), "embedding"
     )
     c_df = emb.select(F.col("vec_id").alias("neighbor_id"), "embedding")
-    seeds = train_ivf_seeds(c_df, n_cells=16, seed=13)
+    seeds = train_ivf_seeds(
+        c_df, n_cells=16, seed=13, sample_id_col="neighbor_id"
+    )
     approx = ivf_ann_topk(
         q_df, c_df, query_id="query_id", corpus_id="neighbor_id",
         k=10, n_probe=4, seeds=seeds,
@@ -2726,7 +2730,9 @@ def similarity_ivf_pq_rerank(spark, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), "embedding"
     )
     c_df = emb.select(F.col("vec_id").alias("neighbor_id"), "embedding")
-    seeds = train_ivf_seeds(c_df, n_cells=16, seed=13)
+    seeds = train_ivf_seeds(
+        c_df, n_cells=16, seed=13, sample_id_col="neighbor_id"
+    )
     books = train_pq_codebooks(
         c_df, m=16, k=16, max_iter=10, sample_id_col="neighbor_id",
         residual_seeds=seeds,
@@ -4985,7 +4991,7 @@ def multimodal_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             out.append(encode_png(int(wi), int(hi), ct, px))
         return pd.Series(out)
 
-    media = docs.select(
+    media = spread(docs).select(
         "media_id", make_png("w", "h", "ctsel", "seed").alias("content")
     )
     return (
@@ -5100,7 +5106,7 @@ def multimodal_jpeg_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         return pd.Series(out)
 
-    media = docs.select(
+    media = spread(docs).select(
         "media_id", make_jpeg("w", "h", "csel", "seed", "rst").alias("content")
     )
     return (
@@ -5201,7 +5207,7 @@ def multimodal_gif_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         return pd.Series(out)
 
-    media = docs.select(
+    media = spread(docs).select(
         "media_id", make_gif("w", "h", "seed", "inter").alias("content")
     )
     return (
@@ -5412,7 +5418,7 @@ def multimodal_flac_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         return pd.Series(out)
 
-    media = docs.select(
+    media = spread(docs).select(
         "media_id", make_flac("ch", "bsel", "n_frames", "seed").alias("content")
     )
     return (
@@ -5535,7 +5541,7 @@ def multimodal_mp3_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         return pd.Series(out)
 
-    media = docs.select(
+    media = spread(docs).select(
         "media_id", make_mp3("rsel", "ch", "n_frames", "vbr").alias("content")
     )
     out = mp3_meta(media)

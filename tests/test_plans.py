@@ -378,9 +378,11 @@ def test_unigram_tokenize_is_arrow_batched(spark):
 def test_pixel_codec_queries_map_only_until_final_sort(spark):
     """The r14 JPEG/GIF pixel queries must touch Python exactly twice
     (one ArrowEvalPython encode, one MapInPandas decode) with NO
-    exchange between them — the whole decode pipeline is map-only; the
-    single Exchange in the plan is the final orderBy's range partition,
-    and the per-image stats live in a JVM Project above the decode."""
+    exchange between them — the encode->decode pipeline is map-only.
+    Allowed exchanges: the final orderBy's range partition ABOVE the
+    decode, and (r16) the conditional partitioning.spread round-robin
+    BELOW the encode that widens a narrow one-file scan so the codec
+    work parallelizes."""
     for name in ("multimodal_jpeg_pixels", "multimodal_gif_pixels"):
         df = q(name, spark)
         plan = explain_formatted(df)
@@ -392,12 +394,16 @@ def test_pixel_codec_queries_map_only_until_final_sort(spark):
         nodes = [ln.strip(" +-:*()0123456789") for ln in tree]
         assert sum(n.startswith("MapInPandas") for n in nodes) == 1, (name, nodes)
         assert sum(n.startswith("ArrowEvalPython") for n in nodes) == 1, (name, nodes)
-        assert sum(n.startswith("Exchange") for n in nodes) == 1, (name, nodes)
         map_idx = next(i for i, n in enumerate(nodes) if n.startswith("MapInPandas"))
         arrow_idx = next(i for i, n in enumerate(nodes) if n.startswith("ArrowEvalPython"))
-        ex_idx = next(i for i, n in enumerate(nodes) if n.startswith("Exchange"))
-        # root -> leaf ordering: Exchange above decode above encode
-        assert ex_idx < map_idx < arrow_idx, (name, nodes)
+        ex_idxs = [i for i, n in enumerate(nodes) if n.startswith("Exchange")]
+        assert 1 <= len(ex_idxs) <= 2, (name, nodes)
+        # root -> leaf ordering: decode above encode, and every Exchange
+        # either above the decode (final sort) or below the encode
+        # (spread) — never between them.
+        assert map_idx < arrow_idx, (name, nodes)
+        for i in ex_idxs:
+            assert i < map_idx or i > arrow_idx, (name, nodes)
 
 
 def test_html_and_url_queries_are_udf_free(spark):
