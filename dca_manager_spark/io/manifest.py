@@ -571,11 +571,23 @@ class ManifestTable:
                     "column first)"
                 )
 
-    def _write_commit_files(self, df: DataFrame) -> list[dict]:
+    def _write_commit_files(
+        self, df: DataFrame, skip_if_empty: bool = False
+    ) -> list[dict]:
         """One physical write into a fresh commit dir; returns manifest
         entries [{path, partition: {col: value}}]. Partition values stay
         as ordinary columns in the files (uniform reads across commits);
-        the per-partition file mapping lives in the manifest."""
+        the per-partition file mapping lives in the manifest.
+
+        Non-clustered writes go through an AQE REBALANCE hint so output
+        files track the advisory partition size instead of whatever
+        partition count the input plan happened to have (guide §6 file
+        sizing): a small merge result lands as ONE file instead of one
+        tiny file per shuffle partition, and a huge one still fans out.
+        ``skip_if_empty=True`` (the merge/txn paths, which previously
+        paid a full isEmpty materialization before writing) detects the
+        empty result AFTER the single write from the parquet footers and
+        removes the dir — one pass instead of two."""
         commit = f"commit-{uuid.uuid4().hex}"
         out_dir = Path(self.path) / _DATA_DIR / commit
         if self.cluster_by:
@@ -599,6 +611,17 @@ class ManifestTable:
                 # top preserves the partitioning and order, so the files
                 # stay z-clustered without persisting the helper column.
                 df = df.drop("__zorder")
+        if skip_if_empty and not self.cluster_by:
+            # AQE-sized output files (no-op when AQE is off) on the
+            # merge/txn path ONLY: there the input is a join/union at
+            # shuffle width and would otherwise land one tiny file per
+            # shuffle partition. Append paths write the pinned batch
+            # as-is (measured: a blanket rebalance added one shuffle job
+            # per append for nothing). Clustered writes already
+            # range-partition above. Partitioned tables rebalance ON the
+            # partition columns so one output task covers each partition
+            # dir (AQE still splits a skewed partition value).
+            df = df.hint("rebalance", *self.partition_by)
         writer = df.write.mode("overwrite").format("parquet")
         if self.partition_by:
             # partitionBy organizes files per partition so the manifest can
@@ -612,6 +635,17 @@ class ManifestTable:
                 *[f"__part_{c}" for c in self.partition_by]
             )
         writer.save(str(out_dir))
+        if skip_if_empty:
+            import pyarrow.parquet as _pq
+
+            if not any(
+                _pq.ParquetFile(p).metadata.num_rows
+                for p in out_dir.rglob("*.parquet")
+            ):
+                import shutil
+
+                shutil.rmtree(out_dir, ignore_errors=True)
+                return []
 
         stat_cols = [c for c in self.cluster_by if self._stats_eligible(c, df)]
         entries: list[dict] = []
@@ -821,7 +855,9 @@ class ManifestTable:
             Path(self.path) / _CHANGES_DIR / f"{commit_id:012d}"
             / f"{kind}-{uuid.uuid4().hex}"
         )
-        df.write.parquet(str(out_dir))
+        # AQE-sized change files (guide §6): a small change set lands as
+        # one file, not one per input partition (no-op when AQE is off).
+        df.hint("rebalance").write.parquet(str(out_dir))
         return [
             p.relative_to(Path(self.path)).as_posix()
             for p in sorted(out_dir.rglob("*.parquet"))
@@ -1909,12 +1945,17 @@ class ManifestTable:
         survivors = existing.alias("e").join(
             F.broadcast(keys_df.alias("b")), pred, "left_anti"
         )
+        # merged is deterministic (pinned batch + immutable committed
+        # files) and consumed by exactly ONE write below, so it needs no
+        # pin of its own — the r15 eager localCheckpoint here paid a full
+        # extra materialization per merge just to answer isEmpty();
+        # _write_commit_files(skip_if_empty=True) now answers that from
+        # the written footers in the same single pass.
         merged = (
             survivors.unionByName(batch, allowMissingColumns=True)
             if keep_batch
             else survivors
         )
-        merged = merged.localCheckpoint(eager=True)  # one write, below
 
         # Record-level change capture (read_incremental(records=True)):
         # upsert -> every batch row is a new record version, O(batch);
@@ -1923,31 +1964,54 @@ class ManifestTable:
         # in an untouched partition under partition-scoped key semantics,
         # is NOT a change and must not be reported as one).
         next_id = self._next_id(prev_id)
-        if keep_batch:
-            # Update preimages (Delta CDF parity): the old versions being
-            # overwritten = existing rows whose key is in the batch. The
-            # replaced files are already being read for the merge itself;
-            # this is one more semi join over that same frame. Keys new
-            # to the table naturally have no preimage.
-            overwritten = existing.alias("e").join(
-                F.broadcast(keys_df.alias("b")), pred, "left_semi"
-            )
-            changes = {
-                "upserts": self._write_change_files(batch, next_id, "u"),
-                "preimages": self._write_change_files(overwritten, next_id, "p"),
-                "deletes": [],
-            }
-        else:
-            removed = existing.alias("e").join(
-                F.broadcast(keys_df.alias("b")), pred, "left_semi"
-            )
-            changes = {
-                "upserts": [],
-                "deletes": self._write_change_files(removed, next_id, "d"),
-            }
-        new_files = (
-            [] if merged.isEmpty() else self._write_commit_files(merged)
-        )
+        # The change-capture writes and the commit-file write are
+        # mutually independent single-consumer jobs over the pinned
+        # batch + immutable committed files, so they run CONCURRENTLY
+        # from driver threads (guide §2.6 — Spark's scheduler interleaves
+        # them; publish still waits for ALL of them, so the crash
+        # invariant "files before manifest" is unchanged).
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(3) as pool:
+            if keep_batch:
+                # Update preimages (Delta CDF parity): the old versions
+                # being overwritten = existing rows whose key is in the
+                # batch. The replaced files are already being read for
+                # the merge itself; this is one more semi join over that
+                # same frame. Keys new to the table naturally have no
+                # preimage.
+                overwritten = existing.alias("e").join(
+                    F.broadcast(keys_df.alias("b")), pred, "left_semi"
+                )
+                f_up = pool.submit(
+                    self._write_change_files, batch, next_id, "u"
+                )
+                f_pre = pool.submit(
+                    self._write_change_files, overwritten, next_id, "p"
+                )
+                f_files = pool.submit(
+                    self._write_commit_files, merged, True
+                )
+                changes = {
+                    "upserts": f_up.result(),
+                    "preimages": f_pre.result(),
+                    "deletes": [],
+                }
+            else:
+                removed = existing.alias("e").join(
+                    F.broadcast(keys_df.alias("b")), pred, "left_semi"
+                )
+                f_del = pool.submit(
+                    self._write_change_files, removed, next_id, "d"
+                )
+                f_files = pool.submit(
+                    self._write_commit_files, merged, True
+                )
+                changes = {
+                    "upserts": [],
+                    "deletes": f_del.result(),
+                }
+            new_files = f_files.result()
         self._publish(
             prev_id, kept + new_files, merged.schema.json(), changes,
             op="upsert" if keep_batch else "delete",
@@ -2253,8 +2317,9 @@ class ManifestTable:
         survivors = existing.alias("e").join(
             F.broadcast(all_keys.alias("b")), pred, "left_anti"
         )
+        # No pin: deterministic (pinned ups + immutable files), single
+        # write below — same reasoning as _merge.
         merged = survivors.unionByName(ups, allowMissingColumns=True)
-        merged = merged.localCheckpoint(eager=True)  # one write, below
         next_id = self._next_id(prev_id)
         overwritten = existing.alias("e").join(
             F.broadcast(ups_keys.alias("b")), pred, "left_semi"
@@ -2264,14 +2329,24 @@ class ManifestTable:
             pred,
             "left_semi",
         )
-        changes = {
-            "upserts": self._write_change_files(ups, next_id, "u"),
-            "preimages": self._write_change_files(overwritten, next_id, "p"),
-            "deletes": self._write_change_files(removed, next_id, "d"),
-        }
-        new_files = (
-            [] if merged.isEmpty() else self._write_commit_files(merged)
-        )
+        # Independent single-consumer writes — overlap them (see _merge).
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(4) as pool:
+            f_up = pool.submit(self._write_change_files, ups, next_id, "u")
+            f_pre = pool.submit(
+                self._write_change_files, overwritten, next_id, "p"
+            )
+            f_del = pool.submit(
+                self._write_change_files, removed, next_id, "d"
+            )
+            f_files = pool.submit(self._write_commit_files, merged, True)
+            changes = {
+                "upserts": f_up.result(),
+                "preimages": f_pre.result(),
+                "deletes": f_del.result(),
+            }
+            new_files = f_files.result()
         self._publish(
             prev_id, kept + new_files, merged.schema.json(), changes,
             op="txn",
@@ -2523,7 +2598,8 @@ class ManifestTable:
             current = current.repartition(
                 target_files_per_partition, *(self.partition_by or self.keys)
             )
-        current = current.localCheckpoint(eager=True)  # one write (see _merge)
+        # No pin: compaction input is immutable committed files and the
+        # frame is consumed by exactly one write (see _merge).
         new_files = self._write_commit_files(current)
         self._publish(prev_id, kept + new_files, doc["schema"], op="compact")
         return len(replaced)
