@@ -397,6 +397,11 @@ def minhash_signatures(
                 )
             ).alias(f"h{s}")
         )
+    # __n (distinct-shingle count) rides the SAME grouped aggregate: the
+    # LSH/incremental callers all need per-doc sizes for the exact-
+    # Jaccard verification, and folding the count here removes a whole
+    # separate groupBy+exchange over the gram rows per call site.
+    aggs.append(F.count(F.lit(1)).alias("__n"))
     return hashed.groupBy("__id").agg(*aggs)
 
 
@@ -475,7 +480,7 @@ def minhash_lsh_pairs(
     # Exact-Jaccard verification from the SAME gram rows: restrict grams to
     # candidate docs (broadcast semi join — candidates are few), count
     # per-pair shared grams, then sizes. No array materialization at all.
-    sizes = grams.groupBy("__id").agg(F.count(F.lit(1)).alias("__n"))
+    sizes = sigs.select("__id", "__n")
     ga = cand.join(
         grams.select(F.col("__id").alias("id_a"), F.col("__g").alias("__g")), "id_a"
     )
@@ -658,7 +663,7 @@ def build_corpus_index(
     return CorpusIndex(
         grams=grams,
         bands=_banded(sigs, bands, rows_per_band, hash_fn),
-        sizes=grams.groupBy("__id").agg(F.count(F.lit(1)).alias("__n")),
+        sizes=sigs.select("__id", "__n"),
         params={
             "num_hashes": num_hashes,
             "bands": bands,
@@ -746,7 +751,7 @@ def minhash_incremental_filter(
             hash_fn=hash_fn,
         )
         banded_old = _banded(sigs_old, bands, rows_per_band, hash_fn)
-        sizes_old = grams_old.groupBy("__id").agg(F.count(F.lit(1)).alias("__n"))
+        sizes_old = sigs_old.select("__id", "__n")
     cand = (
         banded_new.select(
             F.col("__id").alias("__nid"), "__band", "__bh"
@@ -758,7 +763,7 @@ def minhash_incremental_filter(
         .select("__nid", "__cid")
         .distinct()
     )
-    sizes_new = grams_new.groupBy("__id").agg(F.count(F.lit(1)).alias("__n"))
+    sizes_new = sigs_new.select("__id", "__n")
     inter = (
         cand.join(
             grams_new.select(F.col("__id").alias("__nid"), "__g"), "__nid"
@@ -1073,7 +1078,14 @@ def connected_components(
     )
     rounds = 0
     for _ in range(max_iter):
-        edges = _small_star(_large_star(edges)).localCheckpoint(eager=True)
+        # LAZY checkpoint: the certificate's take(1) below is the round's
+        # materializing action — its groupBy shuffle computes every edge
+        # partition, so the checkpoint finalizes off that same pass
+        # instead of paying a separate eager job per round. (The eager
+        # requirement above applies to the INITIAL union-built pair
+        # frame only; per-round frames scan the previous round's
+        # already-checkpointed RDD — no union to rewrite.)
+        edges = _small_star(_large_star(edges)).localCheckpoint(eager=False)
         rounds += 1
         # Star-forest certificate over the cached round output: one
         # role-tagged union + groupBy (tiny next to a round — it scans

@@ -84,6 +84,13 @@ def pagerank(
         "__n",
     ).localCheckpoint(eager=False)
 
+    # Lineage policy: for a BOUNDED handful of rounds the nested plan is
+    # cheaper than per-round lineage truncation — each lazy localCheckpoint
+    # finalizes as its own job-stage chain (measured 3 jobs/round of pure
+    # latency at 3 iterations), while AQE's exchange reuse dedups the
+    # repeated subtrees of the nested plan at runtime. Past a few rounds
+    # the 2x-per-round plan growth wins, so longer runs keep truncating.
+    truncate_rounds = iters > 4
     for _ in range(iters):
         contrib = (
             e_deg.join(
@@ -104,8 +111,9 @@ def pagerank(
                 ).alias("rank_q"),
                 "__n",
             )
-            .localCheckpoint(eager=False)
         )
+        if truncate_rounds:
+            ranks = ranks.localCheckpoint(eager=False)
     return ranks.select(
         "node_id",
         "rank_q",

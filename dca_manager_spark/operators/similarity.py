@@ -242,7 +242,12 @@ def cosine_pairs(
     Brute force (n^2/2) — the exact baseline; use lsh_ann buckets first at
     scale. ``use_arrow`` picks the vectorized pandas-UDF dot (default) vs
     the pure-expression fold; both produce identical bits."""
-    base = df.select(
+    from dca_manager_spark.partitioning import spread
+
+    # Widen a narrow scan: the O(n^2/2) pair stream evaluates in the
+    # stream-side partitions of the BNLJ, which inherit the corpus
+    # scan's width (no-op at real scale — see partitioning.spread).
+    base = spread(df).select(
         F.col(id_col).alias("__id"),
         F.col(vec_col).alias("__v"),
         qnorm(F.col(vec_col)).alias("__n"),
