@@ -147,13 +147,38 @@ def exploded_shingles(
     """Distinct (``__id``, ``__g``) shingle ROWS — the explode-side twin of
     ``shingles`` with identical shingle sets.
 
-    Exploding ``transform(...)`` directly re-evaluates the generator's
-    child per emitted row (no CSE inside codegen generators), which made
-    shingling O(shingles x split-cost). This formulation explodes the cheap
-    token array once and assembles word k-grams with ``lead`` windows —
-    ~4x faster and linear in token count. Documents shorter than k tokens
-    contribute their full token join (concat_ws skips the null leads),
-    matching the array form's ``greatest(...,1)`` behavior.
+    Formulation history (each step measured): exploding ``transform(...)``
+    directly re-evaluates the tokenizer inside the generator's collapsed
+    child per reference (no CSE inside codegen generators) — O(shingles x
+    split-cost); the r6-r16 fix assembled grams with ``lead`` windows,
+    which is linear but pays a full shuffle + SORT of the token rows.
+    This version is linear AND sort-free: materialize the token array in
+    a projection BELOW the generator (the Generate node is a hard
+    projection boundary, so the tokenizer runs once per document), explode
+    only the gram POSITIONS, and slice the carried token array per
+    position — all pipelined inside one codegen stage. The explicit
+    ``repartition(width, "__id")`` is the single exchange of the whole
+    shingle->distinct->signature chain: hash partitioning on __id
+    satisfies the distinct's (__id, __g) clustering AND the signature
+    aggregate's (__id) clustering, so neither re-shuffles (r17; the
+    window form needed the same exchange plus the sort).
+
+    The exchange sits BELOW the tokenizer and carries the raw (id, text)
+    rows, and its partition count is EXPLICIT (max of
+    defaultParallelism and the input's width): a bare
+    ``repartition("__id")`` is REPARTITION_BY_COL, which AQE's
+    coalescer happily folds to 1-2 partitions at bench scale because
+    the shuffled BYTES are small — but everything above this exchange
+    (tokenize, gram assembly, distinct, and the map-side half of the
+    65-expression MinHash aggregate) is CPU-heavy per byte, so byte-
+    proportional coalescing serializes the whole chain onto 1-2 cores
+    (measured cpu_per_wall ~2 on 32 cores). REPARTITION_BY_NUM is
+    exempt from coalescing; the count follows the cluster (or the
+    already-wide scan at real scale), never a constant.
+
+    Documents shorter than k tokens contribute their full token join
+    (slice past the end truncates), matching the array form's
+    ``greatest(..., 0)`` start-position floor.
     """
     if mode != "word":
         # char shingles are substr-based (no expensive child) — array path.
@@ -162,22 +187,40 @@ def exploded_shingles(
             F.explode(shingles(F.col(text_col), mode, k)).alias("__g"),
         ).distinct()
     from dca_manager_spark.operators.text import tokens
+    from dca_manager_spark.partitioning import keyed_width
 
-    pos = df.select(
-        F.col(id_col).alias("__id"),
-        F.posexplode(tokens(F.lower(F.col(text_col)))).alias("__pos", "__w"),
+    toked = df.select(
+        F.col(id_col).alias("__id"), F.col(text_col).alias("__tx")
+    ).repartition(keyed_width(df), "__id").select(
+        "__id",
+        tokens(F.lower(F.col("__tx"))).alias("__tk"),
     )
-    w = Window.partitionBy("__id").orderBy("__pos")
-    leads = [F.lead("__w", j).over(w) for j in range(1, k)]
+    # Tokenless documents emit NO positions (an empty sequence) instead of
+    # a post-hoc ``__g != ''`` filter: the optimizer pushes such a filter
+    # below the gram projection and re-derives the concat_ws+slice per row
+    # — doubling gram-assembly cost (measured via cpu_per_wall). A
+    # non-empty token array can never produce an empty gram (``tokens``
+    # already drops empty strings), so the guard on the sequence is the
+    # complete condition.
+    pos = toked.select(
+        "__id",
+        "__tk",
+        F.explode(
+            F.when(
+                F.size("__tk") > 0,
+                F.sequence(
+                    F.lit(0), F.greatest(F.size("__tk") - k, F.lit(0))
+                ),
+            ).otherwise(F.array().cast("array<int>"))
+        ).alias("__i"),
+    )
     return (
         pos.select(
             "__id",
-            "__pos",
-            F.concat_ws(" ", F.col("__w"), *leads).alias("__g"),
-            leads[-1].alias("__last"),
+            F.concat_ws(
+                " ", F.slice(F.col("__tk"), F.col("__i") + 1, F.lit(k))
+            ).alias("__g"),
         )
-        .filter(F.col("__last").isNotNull() | (F.col("__pos") == 0))
-        .select("__id", "__g")
         .distinct()
     )
 
@@ -381,6 +424,22 @@ def minhash_signatures(
 
     ``grams``: optionally pass a precomputed (__id, __g) frame (e.g. a
     checkpointed one shared with verification) to avoid re-deriving it.
+
+    Output schema: ``__id``, ``h0``..``h{num_hashes-1}``, plus ``__n``
+    — the per-document DISTINCT-shingle count, folded into the same
+    grouped aggregate because every LSH/incremental caller needs the
+    sizes for exact-Jaccard verification and a separate groupBy would
+    re-shuffle the gram rows per call site. Callers consuming only the
+    hash columns should select ``h0..h{n-1}`` by name, not "everything
+    but __id".
+
+    Expression construction note (r17): each aggregate is ONE
+    ``F.expr`` string, not a chain of Column operators — the Column API
+    pays ~9 py4j round-trips per aggregate (measured ~0.6s of DRIVER
+    build time per call site for the 65 aggregates), while the SQL
+    parser builds the identical expression tree JVM-side in one call.
+    Integer literals parse as int/bigint and promote to bigint exactly
+    as ``F.lit`` (LongType) did — same arithmetic, same results.
     """
     if grams is None:
         grams = exploded_shingles(df, id_col, text_col, k, mode)
@@ -390,18 +449,12 @@ def minhash_signatures(
     for s in range(num_hashes):
         a, b, c = minhash_perm_constants(s)
         aggs.append(
-            F.min(
-                F.pmod(
-                    F.lit(a) * F.col("__m1") + F.lit(b) * F.col("__m2") + F.lit(c),
-                    F.lit(MINHASH_P),
-                )
-            ).alias(f"h{s}")
+            F.expr(
+                f"min(pmod({a}L * __m1 + {b}L * __m2 + {c}L,"
+                f" {MINHASH_P}L)) AS h{s}"
+            )
         )
-    # __n (distinct-shingle count) rides the SAME grouped aggregate: the
-    # LSH/incremental callers all need per-doc sizes for the exact-
-    # Jaccard verification, and folding the count here removes a whole
-    # separate groupBy+exchange over the gram rows per call site.
-    aggs.append(F.count(F.lit(1)).alias("__n"))
+    aggs.append(F.expr("count(1) AS __n"))
     return hashed.groupBy("__id").agg(*aggs)
 
 
@@ -419,21 +472,21 @@ def _rows_per_band(num_hashes: int, bands: int) -> int:
 def _banded(sigs: DataFrame, bands: int, rows_per_band: int, hash_fn: str) -> DataFrame:
     """Signature frame (__id, h0..hN-1) -> exploded (__id, __band, __bh)
     band-bucket rows. md5 keys when cross-engine portability matters,
-    xxhash64 otherwise."""
+    xxhash64 otherwise. The whole band array is ONE parsed expression
+    (see minhash_signatures for the py4j build-cost rationale)."""
 
-    def band_key(b: int) -> Column:
-        joined = F.concat_ws(
-            ",",
-            *[
-                F.col(f"h{b * rows_per_band + r}").cast("string")
-                for r in range(rows_per_band)
-            ],
+    def band_key(b: int) -> str:
+        joined = ", ".join(
+            f"cast(h{b * rows_per_band + r} as string)"
+            for r in range(rows_per_band)
         )
         if hash_fn == "md5":
-            return F.substring(F.md5(joined), 1, 16)
-        return F.xxhash64(joined).cast("string")
+            return f"substring(md5(concat_ws(',', {joined})), 1, 16)"
+        return f"cast(xxhash64(concat_ws(',', {joined})) as string)"
 
-    band_hashes = F.array(*[band_key(b) for b in range(bands)])
+    band_hashes = F.expr(
+        "array(" + ", ".join(band_key(b) for b in range(bands)) + ")"
+    )
     return sigs.select("__id", F.posexplode(band_hashes).alias("__band", "__bh"))
 
 
@@ -870,34 +923,41 @@ def simhash_sketches(
         F.col(id_col).alias("__id"),
         F.explode(tokens(F.lower(F.col(text_col)))).alias("__w"),
     )
+    # Per-bit expressions are parsed SQL strings, not Column chains —
+    # 64 aggregates + the 64-term fold cost ~900 py4j round-trips of
+    # pure driver build time through the Column API (see
+    # minhash_signatures); identical trees, one parser call each.
     if hash_fn == "md5":
         # Bits 0-31 from the first md5 half, 32-63 from the second —
         # identical to simhash64(hash_fn="md5") and to the DuckDB oracle.
-        hexd = F.md5(F.col("__w"))
-        tok = tok.withColumn(
-            "__h1", F.conv(F.substring(hexd, 1, 8), 16, 10).cast("long")
-        ).withColumn("__h2", F.conv(F.substring(hexd, 9, 8), 16, 10).cast("long"))
+        tok = tok.selectExpr(
+            "__id",
+            "cast(conv(substring(md5(__w), 1, 8), 16, 10) as bigint) AS __h1",
+            "cast(conv(substring(md5(__w), 9, 8), 16, 10) as bigint) AS __h2",
+        )
         bit_of = lambda i: (  # noqa: E731
-            F.shiftright(F.col("__h1"), i) if i < 32 else F.shiftright(F.col("__h2"), i - 32)
-        ).bitwiseAND(F.lit(1))
+            f"(shiftright(__h1, {i}) & 1)" if i < 32
+            else f"(shiftright(__h2, {i - 32}) & 1)"
+        )
     elif hash_fn == "xxhash64":
-        tok = tok.withColumn("__h", F.xxhash64("__w"))
-        bit_of = lambda i: F.shiftright(F.col("__h"), i).bitwiseAND(F.lit(1))  # noqa: E731
+        tok = tok.selectExpr("__id", "xxhash64(__w) AS __h")
+        bit_of = lambda i: f"(shiftright(__h, {i}) & 1)"  # noqa: E731
     else:
         raise ValueError("hash_fn must be 'md5' or 'xxhash64'")
     votes = tok.groupBy("__id").agg(
         *[
-            F.sum(F.when(bit_of(i) == 1, 1).otherwise(-1)).alias(f"v{i}")
+            F.expr(
+                f"sum(CASE WHEN {bit_of(i)} = 1 THEN 1 ELSE -1 END) AS v{i}"
+            )
             for i in range(64)
         ]
     )
-    sig = F.lit(0).cast("long")
-    for i in range(64):
-        sig = sig.bitwiseOR(
-            F.when(F.col(f"v{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(
-                F.lit(0).cast("long")
-            )
+    sig = F.expr(
+        " | ".join(
+            f"(CASE WHEN v{i} > 0 THEN shiftleft(1L, {i}) ELSE 0L END)"
+            for i in range(64)
         )
+    )
     sketches = votes.select("__id", sig.alias("__sk"))
     all_ids = df.select(F.col(id_col).alias("__id"))
     return (

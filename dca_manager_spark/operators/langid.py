@@ -358,12 +358,21 @@ def lang_id_frame(
             ).alias("__bk"),
         )
     )
+    # One parsed expression per language, NOT `F.lit(model[lang])`: lit
+    # on a 512-element Python list expands to 512 py4j-built literal
+    # Columns per language — ~4096 socket round-trips of pure driver
+    # build time (measured ~2s of the entry's wall). The SQL parser
+    # builds the identical constant-folded array literal JVM-side in
+    # one call per language; element_at/cast/sum semantics unchanged.
     scored = g.select(
         *id_cols,
         *[
-            F.element_at(F.lit(model[lang]), F.col("__bk") + 1)
-            .cast("long")
-            .alias(f"__s_{lang}")
+            F.expr(
+                "cast(element_at(array("
+                + ",".join(str(w) for w in model[lang])
+                + "), __bk + 1) as bigint) AS __s_"
+                + lang
+            )
             for lang in LANGS
         ],
     )

@@ -42,6 +42,15 @@ def _apply_common(builder: SparkSession.Builder, shuffle_partitions: int) -> Spa
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # PySpark 4 captures the Python call site for every DataFrame/
+        # Column API call (error-message context): a stack walk plus
+        # FOUR py4j round-trips per call (conf.get + origin set/clear).
+        # Measured (r17, cProfile on dedup_incremental_batch): 1234
+        # wrapped calls cost 8.2s of an 12s query BUILD — the driver-
+        # side floor of every catalog entry, dwarfing execution at
+        # bench scale and pure overhead at any scale. Debug runs can
+        # flip it back on ad hoc.
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
     )
 
 
