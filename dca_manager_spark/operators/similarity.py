@@ -721,7 +721,18 @@ def train_ivf_seeds(
     cents = _lloyd_kmeans(X, n_cells, seed, max_iter, init="maxmin")
     spark = corpus.sparkSession
     out = [(i, [float(x) for x in c]) for i, c in enumerate(cents)]
-    return spark.createDataFrame(out, "cell int, centroid array<double>")
+    # ONE partition: createDataFrame parallelizes even 16 rows across
+    # defaultParallelism, so every downstream driver fetch of the model
+    # (sort + collect / broadcast build) ran as 32-task multi-stage jobs
+    # — measured 3 jobs x ~0.3s per consumer just to re-read 16 rows
+    # (r17). The matrix is also attached to the frame so in-process
+    # consumers (_seed_matrix) skip the round-trip entirely.
+    df = spark.createDataFrame(out, "cell int, centroid array<double>")
+    df._ivf_seed_model = (
+        list(range(len(cents))),
+        np.asarray(cents, dtype=np.float64),
+    )
+    return df
 
 
 def lsh_ann_topk(
@@ -807,9 +818,15 @@ class PQCodebooks(list):
 
 def _seed_matrix(seeds: DataFrame):
     """Collect an IVF (cell, centroid) frame into (cell_ids, ndarray) —
-    a bounded driver-side model fetch, sorted by cell id."""
+    a bounded driver-side model fetch, sorted by cell id. Frames built
+    by train_ivf_seeds carry the model as an attribute (the trainer
+    already held it driver-side); using it skips a collect job per
+    consumer — values are identical by construction."""
     import numpy as np
 
+    model = getattr(seeds, "_ivf_seed_model", None)
+    if model is not None:
+        return model
     cid, cvec = seeds.columns[0], seeds.columns[1]
     rows = seeds.select(
         F.col(cid).cast("int").alias("c"),
@@ -1651,12 +1668,19 @@ def semantic_dedup(
     w = Window.partitionBy("__id").orderBy(
         F.col("__sim").desc(), F.col("__cell")
     )
+    # Both dot products below are the ARROW twin of qdot (bit-identical
+    # — see qdot_arrow): the routing crossJoin scores |corpus| x n_cells
+    # rows and the within-cell verify O(sum |cell|^2) rows, and the
+    # interpreted per-element HOF fold was ~1s per stage at bench scale
+    # on those row counts (r17); the numpy batch path does the same
+    # IEEE ops in vectorized form.
+    qdot_a = qdot_arrow()
     assigned = (
         base.crossJoin(F.broadcast(seeds))
         .withColumn(
             "__sim",
             qcosine(
-                qdot(F.col("__v"), F.col("__sv")), F.col("__n"), F.col("__sn")
+                qdot_a(F.col("__v"), F.col("__sv")), F.col("__n"), F.col("__sn")
             ),
         )
         .withColumn("__cr", F.row_number().over(w))
@@ -1681,7 +1705,7 @@ def semantic_dedup(
         .withColumn(
             "cosine",
             qcosine(
-                qdot(F.col("__va"), F.col("__vb")),
+                qdot_a(F.col("__va"), F.col("__vb")),
                 F.col("__na"),
                 F.col("__nb"),
             ),
