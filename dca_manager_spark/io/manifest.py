@@ -1972,7 +1972,16 @@ class ManifestTable:
         # invariant "files before manifest" is unchanged).
         from concurrent.futures import ThreadPoolExecutor
 
+        from pyspark import inheritable_thread_target as _itt
+
         with ThreadPoolExecutor(3) as pool:
+            # Submitted callables are wrapped with
+            # pyspark.inheritable_thread_target (ADVICE r16): under
+            # pinned-thread mode plain pool threads inherit NO local
+            # properties — the caller's job group / scheduler pool
+            # would not apply and cancelJobGroup could not reach an
+            # in-flight commit's write jobs — and the wrapper also
+            # hands thread-lifecycle cleanup to py4j instead of GC.
             if keep_batch:
                 # Update preimages (Delta CDF parity): the old versions
                 # being overwritten = existing rows whose key is in the
@@ -1984,13 +1993,13 @@ class ManifestTable:
                     F.broadcast(keys_df.alias("b")), pred, "left_semi"
                 )
                 f_up = pool.submit(
-                    self._write_change_files, batch, next_id, "u"
+                    _itt(self._write_change_files), batch, next_id, "u"
                 )
                 f_pre = pool.submit(
-                    self._write_change_files, overwritten, next_id, "p"
+                    _itt(self._write_change_files), overwritten, next_id, "p"
                 )
                 f_files = pool.submit(
-                    self._write_commit_files, merged, True
+                    _itt(self._write_commit_files), merged, True
                 )
                 changes = {
                     "upserts": f_up.result(),
@@ -2002,10 +2011,10 @@ class ManifestTable:
                     F.broadcast(keys_df.alias("b")), pred, "left_semi"
                 )
                 f_del = pool.submit(
-                    self._write_change_files, removed, next_id, "d"
+                    _itt(self._write_change_files), removed, next_id, "d"
                 )
                 f_files = pool.submit(
-                    self._write_commit_files, merged, True
+                    _itt(self._write_commit_files), merged, True
                 )
                 changes = {
                     "upserts": [],
@@ -2329,18 +2338,23 @@ class ManifestTable:
             pred,
             "left_semi",
         )
-        # Independent single-consumer writes — overlap them (see _merge).
+        # Independent single-consumer writes — overlap them (see _merge;
+        # inheritable_thread_target for job-group propagation, ditto).
         from concurrent.futures import ThreadPoolExecutor
 
+        from pyspark import inheritable_thread_target as _itt
+
         with ThreadPoolExecutor(4) as pool:
-            f_up = pool.submit(self._write_change_files, ups, next_id, "u")
+            f_up = pool.submit(
+                _itt(self._write_change_files), ups, next_id, "u"
+            )
             f_pre = pool.submit(
-                self._write_change_files, overwritten, next_id, "p"
+                _itt(self._write_change_files), overwritten, next_id, "p"
             )
             f_del = pool.submit(
-                self._write_change_files, removed, next_id, "d"
+                _itt(self._write_change_files), removed, next_id, "d"
             )
-            f_files = pool.submit(self._write_commit_files, merged, True)
+            f_files = pool.submit(_itt(self._write_commit_files), merged, True)
             changes = {
                 "upserts": f_up.result(),
                 "preimages": f_pre.result(),

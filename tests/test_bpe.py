@@ -324,6 +324,7 @@ def test_select_merge_batch_rules():
     ) == [("a", "b")]
 
 
+@pytest.mark.slow
 def test_batched_distributed_randomized_equals_replay(spark):
     """Randomized small-alphabet corpora (maximum merge-induced pair
     churn and tie density) — the batched distributed path must equal the

@@ -138,6 +138,7 @@ def test_random_op_sequences_match_dict_model(
         )
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("table_type", ["cow", "mor"])
 def test_random_mixed_ops_under_two_writer_races(spark, tmp_path, table_type):
     """VERDICT r13 #8: the multi-writer model check — every op writer A

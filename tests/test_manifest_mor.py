@@ -93,6 +93,7 @@ def test_mor_compact_folds_deltas_into_base(spark, tmp_path):
     assert ("T1", "BTCGBP", 42.0) in content(t)
 
 
+@pytest.mark.slow
 def test_mor_matches_cow_under_random_op_sequences(spark, tmp_path):
     """Equivalence oracle: the SAME operation sequence applied to a COW
     and a MOR table yields identical content — before and after

@@ -269,6 +269,7 @@ def test_register_durable_survives_new_session(spark, table):
     assert table.read().count() == 3
 
 
+@pytest.mark.slow
 def test_register_durable_cross_process(tmp_path):
     """The reference's hive-sync contract end-to-end: one process writes
     the table and registers `dca_manager.transactions`; a brand-new

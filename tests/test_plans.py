@@ -206,6 +206,7 @@ def test_chunk_documents_tokenizes_once_below_generate(spark):
     assert cols == {"doc_id", "text"}
 
 
+@pytest.mark.slow
 def test_catalog_wide_no_accidental_cartesian(spark):
     """EVERY catalog query's physical plan is checked for cartesian /
     nested-loop joins. The whitelist names the queries where that shape
@@ -280,6 +281,7 @@ def test_catalog_wide_no_accidental_cartesian(spark):
     assert not flagged, f"unexpected cartesian/BNLJ shapes: {flagged}"
 
 
+@pytest.mark.slow
 def test_catalog_wide_no_unpartitioned_windows(spark):
     """EVERY catalog query is checked for Window nodes with an empty
     partitionSpec — the shape that forces Exchange SinglePartition and

@@ -101,6 +101,7 @@ batches = st.lists(
 )
 
 
+@pytest.mark.slow
 @given(seq=batches)
 @settings(**H_SETTINGS)
 def test_upsert_last_writer_wins(spark, tmp_path_factory, seq):
@@ -310,6 +311,7 @@ def test_chunk_documents_matches_python(spark, docs, chunk, overlap):
     assert got == want
 
 
+@pytest.mark.slow
 @given(
     tokens=st.lists(st.integers(1, 500), min_size=1, max_size=40),
     budget=st.integers(1, 600),
@@ -456,6 +458,7 @@ def test_records_incremental_matches_replay_model(spark, tmp_path_factory, seq):
         assert got == want, f"since={since}: {got} != {want}"
 
 
+@pytest.mark.slow
 @given(
     minute=st.integers(0, 59),
     hour=st.integers(0, 23),
@@ -503,6 +506,7 @@ drift_corpora = st.lists(
 ).filter(lambda rows: {s for s, _ in rows} == {"s1", "s2"})
 
 
+@pytest.mark.slow
 @given(rows=drift_corpora)
 @settings(**H_SETTINGS)
 def test_drift_matches_python_replay(spark, rows):

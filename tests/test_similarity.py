@@ -690,6 +690,7 @@ def test_residual_default_follows_provenance(spark):
     assert bare == run(plain, residual=False)
 
 
+@pytest.mark.slow
 def test_probe_recall_curve_monotone_and_floors(spark):
     """VERDICT r11 #8: the recall/cost dial — measured recall must be
     monotone non-decreasing in n_probe on a clustered corpus, with

@@ -850,6 +850,7 @@ def test_stream_embedding_ingest_loop(spark, tmp_path):
     assert per_vec[11] == 4 and per_vec[21] == 4
 
 
+@pytest.mark.slow
 def test_sessionize_stream_late_event_does_not_regress_span(spark, tmp_path):
     """A late-but-within-watermark event landing INSIDE the open session
     is absorbed without moving last_ts backward: a follower that is

@@ -218,6 +218,7 @@ def test_replicate_stream_converges_and_resumes(spark, source, replica, tmp_path
     assert before < tail
 
 
+@pytest.mark.slow
 def test_replicate_stream_exactly_once_across_forced_crash(
     spark, source, replica, tmp_path
 ):
